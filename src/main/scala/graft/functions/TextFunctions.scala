@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text helpers, built entirely from Catalyst built-ins so they
+  * stay inside whole-stage codegen (no UDFs — a Scala UDF here would break
+  * the codegen span and cost 2-5x on a full-corpus pass at 100 TB).
+  */
+object TextFunctions {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Language marker-word profiles for the heuristic identifier. */
+  private val profiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "is", "and", "of", "to", "a", "in"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "una"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "les", "des"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein", "nicht"),
+    "zh" -> Seq("的", "是", "了", "我", "不", "在", "他"))
+
+  /** Heuristic language ID: argmax of marker-word hit counts per language.
+    * Deterministic tie-break (lexicographically larger lang code wins) via
+    * struct ordering inside `array_max`.
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val scored = profiles.map { case (lang, markers) =>
+      struct(
+        size(filter(toks, x => x.isInCollection(markers))).as("score"),
+        lit(lang).as("lang"))
+    }
+    array_max(array(scored: _*)).getField("lang")
+  }
+
+  /** Rolling polynomial hash (Karp–Rabin) over the token sequence: returns
+    * the array of window hashes for `w`-token windows — the building block
+    * for winnowing-style document fingerprints. Pure built-ins: aggregate()
+    * over a token slice per position.
+    */
+  def rollingHashes(text: Column, w: Int): Column = {
+    val toks = tokens(text)
+    // sequence(1, 0) would be DESCENDING [1, 0]; guard short docs to empty.
+    when(size(toks) < w, array().cast("array<long>"))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - lit(w - 1)),
+        i =>
+          aggregate(
+            slice(toks, i, lit(w)),
+            lit(0L),
+            (acc, tok) => acc * lit(1000003L) + xxhash64(tok))))
+  }
+
+  /** Winnowing fingerprint: the minimum rolling hash per document — a
+    * compact signature stable under small edits away from the minimum.
+    */
+  def minFingerprint(text: Column, w: Int): Column =
+    array_min(rollingHashes(text, w))
+}

@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `ArrayType` embedding columns using higher-order
+  * built-ins (`zip_with`, `aggregate`, `transform`) — no UDFs, no driver
+  * round-trips, so the same expressions run unchanged over 100 TB of
+  * embedding shards.
+  *
+  * All arithmetic is double-precision: inputs are cast element-wise before
+  * multiplication so results are bit-comparable with an oracle computing in
+  * doubles (float32 accumulation would drift).
+  */
+object VectorFunctions {
+
+  private def d(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Sequential-order dot product (matches a naive loop's rounding). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(d(a), d(b), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm2(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm2(a) * norm2(b))
+
+  /** Squared L2 distance. */
+  def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(d(a), d(b), (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+
+  /** Random-hyperplane LSH signature: `nBits` sign bits packed into a long.
+    * Hyperplanes are generated driver-side from a fixed seed and embedded as
+    * literals — deterministic across runs and executors, broadcast-free
+    * (they ride inside the serialized plan).
+    */
+  def rhpSignature(vec: Column, dim: Int, nBits: Int, seed: Long): Column = {
+    val rnd = new java.util.Random(seed)
+    val planes: Seq[Array[Double]] =
+      Seq.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
+    planes.zipWithIndex.map { case (p, i) =>
+      val plane = array(p.map(lit(_)): _*)
+      when(dot(vec, plane) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Popcount of the XOR — Hamming distance between two packed signatures. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

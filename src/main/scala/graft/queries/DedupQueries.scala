@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Deduplication over `documents` / `embeddings`: exact, keyed keep-first,
+  * MinHash+LSH, exact n-gram Jaccard (inverted index), SimHash, and
+  * embedding-cosine near-dup.
+  *
+  * Oracle strategy: the LSH pipelines are verified against brute-force
+  * Jaccard SQL in DuckDB — with 64 hashes / 32 bands of 2 rows, LSH recall at
+  * the 0.8 threshold is 1-(1-0.64)^32 ≈ 1-4e-15, so the verified-candidate
+  * output equals the exhaustive answer. SimHash has no SQL-expressible
+  * oracle (engine-specific 64-bit hash) → rows-only check + ScalaTest
+  * property tests.
+  */
+object DedupQueries extends QueryPack {
+
+  // -- exact content dedup ------------------------------------------------------
+  private def qExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(t(s, dir, "documents"), col("text"), col("doc_id"))
+      .select(col("content_hash"), col("keep_id"), col("n_copies"))
+      .orderBy("keep_id")
+
+  private val qExactSql =
+    """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+       FROM documents GROUP BY md5(text) ORDER BY keep_id"""
+
+  // -- keyed keep-first (reference PrimaryKey dedup, schema.go:5-12) -------------
+  private def qKeepFirst(s: SparkSession, dir: String): DataFrame =
+    Dedup.keepFirst(t(s, dir, "documents"), Seq("lang", "source"), Seq(col("doc_id")))
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+
+  private val qKeepFirstSql =
+    """SELECT min(doc_id) AS doc_id, lang, source FROM documents
+       GROUP BY lang, source ORDER BY doc_id"""
+
+  // -- MinHash + LSH near-dup ------------------------------------------------------
+  private def qMinHash(s: SparkSession, dir: String): DataFrame =
+    Dedup.minHashDuplicates(t(s, dir, "documents"),
+      id = col("doc_id"), text = col("text"), shingleWidth = 3, threshold = 0.8)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("id_a", "id_b")
+
+  private val minhashOracle =
+    """WITH d AS (
+         SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(string_split(text,' '))-1, 1)),
+                i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS sh
+         FROM documents),
+       toks AS (SELECT doc_id, unnest(sh) AS tok FROM d),
+       sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+       inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+                 FROM toks a JOIN toks b ON a.tok=b.tok AND a.doc_id < b.doc_id GROUP BY 1,2)
+       SELECT id_a, id_b, round(i*1.0/(sa.sz+sb.sz-i), 4) AS jaccard
+       FROM inter JOIN sizes sa ON id_a=sa.doc_id JOIN sizes sb ON id_b=sb.doc_id
+       WHERE i*1.0/(sa.sz+sb.sz-i) >= %THRESH%
+       ORDER BY id_a, id_b"""
+
+  private val qMinHashSql = minhashOracle.replace("%THRESH%", "0.8")
+
+  // -- exact n-gram Jaccard via inverted index (no LSH; same answer, exhaustive) ----
+  private def qNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val toks = docs.select(col("doc_id"), explode(col("sh")).as("tok"))
+    val sizes = docs.select(col("doc_id"), size(col("sh")).as("sz"))
+    val inter = toks.as("a").join(toks.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("jaccard", col("i").cast("double") / (col("sz_a") + col("sz_b") - col("i")))
+      .filter(col("jaccard") >= 0.7)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
+  private val qNgramJaccardSql = minhashOracle.replace("%THRESH%", "0.7")
+
+  // -- SimHash near-dup (rows-only: engine-specific hash) ----------------------------
+  private def qSimHash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simHashDuplicates(t(s, dir, "documents"), col("doc_id"), col("text"), maxDist = 3)
+      .orderBy("id_a", "id_b")
+
+  // -- embedding-cosine near-dup -------------------------------------------------------
+  private def qEmbDup(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.cosine
+    val a = t(s, dir, "embeddings").select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val b = t(s, dir, "embeddings").select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("emb_a"), col("emb_b")))
+      .filter(col("cos") >= 0.4)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+      .orderBy("id_a", "id_b")
+  }
+
+  private val qEmbDupSql =
+    """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos
+       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+       ORDER BY id_a, id_b"""
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (qExact _),
+    "dedup_keep_first" -> (qKeepFirst _),
+    "dedup_minhash_lsh" -> (qMinHash _),
+    "dedup_ngram_jaccard" -> (qNgramJaccard _),
+    "dedup_simhash" -> (qSimHash _),
+    "dedup_embedding_cosine" -> (qEmbDup _))
+
+  override val oracles: Map[String, String] = Map(
+    "dedup_exact" -> qExactSql,
+    "dedup_keep_first" -> qKeepFirstSql,
+    "dedup_minhash_lsh" -> qMinHashSql,
+    "dedup_ngram_jaccard" -> qNgramJaccardSql,
+    "dedup_embedding_cosine" -> qEmbDupSql)
+}

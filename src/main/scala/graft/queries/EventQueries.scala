@@ -1,0 +1,126 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-time analytics over the `events` table: tumbling windows and
+  * gap-based sessionization. These are the batch duals of the Structured
+  * Streaming pipelines in `graft.streaming` (same logic, same results on
+  * bounded input).
+  *
+  * Outputs use epoch seconds (BIGINT) rather than raw timestamps so the
+  * DuckDB comparison is representation-independent.
+  */
+object EventQueries extends QueryPack {
+
+  // -- tumbling window aggregation ---------------------------------------------
+  private def qTumbling(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(
+        unix_timestamp(date_trunc("hour", col("ts"))).as("hour_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(18,6)")).cast("double"), 2).as("sum_value"))
+      .orderBy("hour_start", "event_type")
+
+  private val qTumblingSql =
+    """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start, event_type,
+       count(*) AS n, round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE),2) AS sum_value
+       FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type"""
+
+  // -- sliding window (1h window, 30m slide), expressed as dual tumbling halves --
+  private def qSliding(s: SparkSession, dir: String): DataFrame = {
+    // window(ts, '1 hour', '30 minutes') assigns each row to 2 slides; the
+    // SQL-expressible dual: explode the two slide starts per row.
+    // Sum in DECIMAL so the value is exact (double summation is
+    // grouping-order-dependent and diverges from the oracle at round()
+    // tie boundaries); DuckDB's epoch() must be floor()ed — its
+    // double→BIGINT cast rounds, Spark's unix_timestamp truncates.
+    val ev = t(s, dir, "events")
+      .withColumn("slot", (unix_timestamp(col("ts")) / 1800).cast("long") * 1800)
+    ev.select(col("slot").as("win_start"), col("value"))
+      .union(ev.select((col("slot") - 1800).as("win_start"), col("value")))
+      .groupBy(col("win_start"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(18,6)")).cast("double"), 2).as("sum_value"))
+      .orderBy("win_start")
+  }
+
+  private val qSlidingSql =
+    """WITH slotted AS (
+         SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 1800) * 1800 AS slot, value FROM events),
+       ex AS (
+         SELECT slot AS win_start, value FROM slotted
+         UNION ALL SELECT slot - 1800 AS win_start, value FROM slotted)
+       SELECT win_start, count(*) AS n,
+              round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE),2) AS sum_value
+       FROM ex GROUP BY win_start ORDER BY win_start"""
+
+  // -- gap-based sessionization ----------------------------------------------------
+  private def qSessions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .withColumn("prev_ms", unix_millis(lag(col("ts"), 1).over(w)))
+      .withColumn("is_new",
+        when(col("prev_ms").isNull || unix_millis(col("ts")) - col("prev_ms") > lit(1800000L), 1)
+          .otherwise(0))
+      .groupBy(col("user_id"))
+      .agg(sum(col("is_new")).as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  private val qSessionsSql =
+    """WITH e AS (
+         SELECT user_id, ts, epoch_ms(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS prev_ms
+         FROM events)
+       SELECT user_id,
+         CAST(sum(CASE WHEN prev_ms IS NULL OR epoch_ms(ts) - prev_ms > 1800000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+         count(*) AS n_events
+       FROM e GROUP BY user_id ORDER BY user_id"""
+
+  // -- per-session stats (session id assignment via running sum of boundaries) ------
+  private def qSessionStats(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .withColumn("prev_ms", unix_millis(lag(col("ts"), 1).over(w)))
+      .withColumn("is_new",
+        when(col("prev_ms").isNull || unix_millis(col("ts")) - col("prev_ms") > lit(1800000L), 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("is_new")).over(wRun))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        ((unix_millis(max(col("ts"))) - unix_millis(min(col("ts")))) / lit(1000L)).cast("long").as("duration_s"),
+        round(sum(col("value").cast("decimal(18,6)")).cast("double"), 2).as("sum_value"))
+      .orderBy("user_id", "session_id")
+  }
+
+  private val qSessionStatsSql =
+    """WITH e AS (
+         SELECT user_id, ts, value, event_id,
+                epoch_ms(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS prev_ms
+         FROM events),
+       s AS (
+         SELECT user_id, ts, value,
+                sum(CASE WHEN prev_ms IS NULL OR epoch_ms(ts) - prev_ms > 1800000 THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         FROM e)
+       SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
+              CAST((epoch_ms(max(ts)) - epoch_ms(min(ts))) // 1000 AS BIGINT) AS duration_s,
+              round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE),2) AS sum_value
+       FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id"""
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tumbling_hourly" -> (qTumbling _),
+    "q_sliding_window" -> (qSliding _),
+    "q_session_count" -> (qSessions _),
+    "q_session_stats" -> (qSessionStats _))
+
+  override val oracles: Map[String, String] = Map(
+    "q_tumbling_hourly" -> qTumblingSql,
+    "q_sliding_window" -> qSlidingSql,
+    "q_session_count" -> qSessionsSql,
+    "q_session_stats" -> qSessionStatsSql)
+}

@@ -1,0 +1,153 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Similarity search over the `embeddings` table (ArrayType(FloatType), 64-d).
+  *
+  * Two paths, as a real pipeline would ship them:
+  *  - brute-force top-k: broadcast the (small) query set against the full
+  *    corpus — a map-only pass over the big side plus one shuffle for the
+  *    per-query top-k window. This is the exact baseline and also the right
+  *    plan at 100 TB when the query set is small (the corpus never shuffles).
+  *  - RHP-LSH bucketed: random-hyperplane signatures prune the corpus to
+  *    bucket-colliding candidates before scoring (approximate scale path,
+  *    rows-only check — signatures are engine-specific).
+  *
+  * Cosines are computed in double precision in deterministic element order so
+  * values and rank order are bit-comparable with DuckDB's
+  * list_cosine_similarity over DOUBLE[].
+  */
+object SimilarityQueries extends QueryPack {
+
+  // -- exact brute-force top-k -------------------------------------------------
+  private def qKnn(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val queriesDf = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    emb.select(col("vec_id").as("neighbor_id"), col("embedding"))
+      .crossJoin(broadcast(queriesDf))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("embedding")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 4).as("cos"), col("rn"))
+      .orderBy("query_id", "rn")
+  }
+
+  private val qKnnSql =
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+       scored AS (
+         SELECT q.query_id, e.vec_id AS neighbor_id,
+                list_cosine_similarity(q.q_emb::DOUBLE[], e.embedding::DOUBLE[]) AS cos
+         FROM q JOIN embeddings e ON e.vec_id != q.query_id)
+       SELECT query_id, neighbor_id, round(cos, 4) AS cos, CAST(rn AS INT) AS rn FROM (
+         SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+         FROM scored) WHERE rn <= 5 ORDER BY query_id, rn"""
+
+  // -- approximate: random-hyperplane LSH, multi-table (rows-only check) --------
+  // L independent hash tables of b bits each: a single wide signature makes
+  // buckets of size ~1 (no candidates at all); multiple narrow tables trade
+  // precision for recall the standard way — candidates = union over tables of
+  // same-bucket pairs, deduped, then exact-scored. At 100 TB the corpus is
+  // hashed in one map pass and only bucket-colliding pairs are ever joined.
+  private def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val nTables = 8
+    val sigs = array((0 until nTables).map(tb =>
+      rhpSignature(col("embedding"), dim = 64, nBits = 8, seed = 7L + tb)): _*)
+    val banded = emb.select(col("vec_id"), posexplode(sigs).as(Seq("tbl", "bucket")))
+    val qBanded = banded.filter(col("vec_id") < 10)
+      .select(col("tbl"), col("bucket"), col("vec_id").as("query_id"))
+    val cands = banded.join(broadcast(qBanded), Seq("tbl", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+      .distinct()
+    val qEmb = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    cands
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding")), Seq("neighbor_id"))
+      .join(broadcast(qEmb), Seq("query_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("embedding")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 4).as("cos"), col("rn"))
+      .orderBy("query_id", "rn")
+  }
+
+  // -- IVF-style coarse quantization: assign every vector to its nearest of
+  // -- k seed centroids (deterministic seed vectors = first k corpus rows),
+  // -- then search only the query's cell. Rows-only check.
+  private def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent"))
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("dist").asc, col("cent_id"))
+    val assigned = emb.crossJoin(broadcast(cents))
+      .withColumn("dist", l2sq(col("embedding"), col("cent")))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id"))
+    val queriesDf = assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("cent_id"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    assigned.select(col("vec_id").as("neighbor_id"), col("embedding"), col("cent_id"))
+      .join(broadcast(queriesDf), Seq("cent_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("embedding")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 4).as("cos"), col("rn"))
+      .orderBy("query_id", "rn")
+  }
+
+  // -- vector stats (dot/norm plumbing oracle) -----------------------------------
+  private def qEmbStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings").select(
+      col("vec_id"),
+      col("label"),
+      size(col("embedding")).as("dim"),
+      round(norm2(col("embedding")), 6).as("norm"),
+      element_at(col("embedding"), 1).as("e1"))
+      .orderBy("vec_id")
+
+  private val qEmbStatsSql =
+    """SELECT vec_id, label, CAST(len(embedding) AS INT) AS dim,
+       round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS norm,
+       embedding[1] AS e1
+       FROM embeddings ORDER BY vec_id"""
+
+  // -- centroid per label (distributed vector aggregation) -------------------------
+  private def qCentroids(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(avg(col("v").cast("double")), 6).as("c"))
+      .filter(col("pos") < 4)
+      .select(col("label"), col("pos"), col("c"))
+      .orderBy("label", "pos")
+
+  private val qCentroidsSql =
+    """SELECT label, CAST(pos - 1 AS INT) AS pos, round(avg(v), 6) AS c
+       FROM (SELECT label, unnest(embedding::DOUBLE[]) AS v,
+                    generate_subscripts(embedding, 1) AS pos
+             FROM embeddings)
+       WHERE pos - 1 < 4 GROUP BY label, pos ORDER BY label, pos"""
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_cosine_brute" -> (qKnn _),
+    "ann_rhp_lsh" -> (qAnnLsh _),
+    "ann_ivf_coarse" -> (qAnnIvf _),
+    "emb_stats" -> (qEmbStats _),
+    "emb_label_centroids" -> (qCentroids _))
+
+  override val oracles: Map[String, String] = Map(
+    "knn_cosine_brute" -> qKnnSql,
+    "emb_stats" -> qEmbStatsSql,
+    "emb_label_centroids" -> qCentroidsSql)
+}

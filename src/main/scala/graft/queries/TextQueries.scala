@@ -1,0 +1,150 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Text-analysis operators for training-data pipelines over `documents`:
+  * token statistics, quality scoring, BPE-ish regex token counting,
+  * content fingerprinting, n-gram frequencies, and a heuristic language
+  * identifier (rows-only check; not SQL-expressible).
+  *
+  * Everything except lang-id is pure `functions._` (whole-stage codegen,
+  * no UDFs); lang-id is a Catalyst-expression composition too — scoring
+  * char-trigram hits against per-language profiles with built-ins.
+  *
+  * Scale notes: all per-document ops are embarrassingly parallel map work
+  * with no shuffle; corpus-level term frequency shuffles once on the token.
+  */
+object TextQueries extends QueryPack {
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  // -- token statistics ----------------------------------------------------------
+  private def qTokenStats(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      length(col("text")).as("n_chars_m"),
+      size(toks).as("n_tokens"),
+      size(array_distinct(toks)).as("n_unique"),
+      round((length(col("text")) - (size(toks) - lit(1))) / size(toks), 4).as("avg_tok_len"))
+      .orderBy("doc_id")
+  }
+
+  private val qTokenStatsSql =
+    """SELECT doc_id,
+       CAST(length(text) AS INT) AS n_chars_m,
+       CAST(len(string_split(text,' ')) AS INT) AS n_tokens,
+       CAST(len(list_distinct(string_split(text,' '))) AS INT) AS n_unique,
+       round((length(text) - (len(string_split(text,' ')) - 1)) * 1.0 / len(string_split(text,' ')), 4) AS avg_tok_len
+       FROM documents ORDER BY doc_id"""
+
+  // -- quality scoring --------------------------------------------------------------
+  private def qQuality(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nTok = size(toks)
+    val nStop = size(filter(toks, x => x.isInCollection(stopwords)))
+    val stopRatio = nStop.cast("double") / nTok
+    val uniqRatio = size(array_distinct(toks)).cast("double") / nTok
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      nStop.as("n_stop"),
+      round(stopRatio, 4).as("stop_ratio"),
+      round(uniqRatio, 4).as("uniq_ratio"),
+      round(least(lit(1.0), nTok / lit(100.0)) * uniqRatio, 4).as("quality_score"))
+      .orderBy("doc_id")
+  }
+
+  private val qQualitySql =
+    """SELECT doc_id,
+       CAST(len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and','to','in','is'))) AS INT) AS n_stop,
+       round(len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and','to','in','is'))) * 1.0
+             / len(string_split(text,' ')), 4) AS stop_ratio,
+       round(len(list_distinct(string_split(text,' '))) * 1.0 / len(string_split(text,' ')), 4) AS uniq_ratio,
+       round(least(1.0, len(string_split(text,' ')) / 100.0)
+             * (len(list_distinct(string_split(text,' '))) * 1.0 / len(string_split(text,' '))), 4) AS quality_score
+       FROM documents ORDER BY doc_id"""
+
+  // -- BPE-ish regex token counting ----------------------------------------------------
+  private def qBpeCount(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("n_bpe"))
+      .orderBy("doc_id")
+
+  private val qBpeCountSql =
+    """SELECT doc_id,
+       CAST(length(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS n_bpe
+       FROM documents ORDER BY doc_id"""
+
+  // -- content fingerprint ----------------------------------------------------------------
+  private def qFingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      md5(trim(lower(col("text"))).cast("binary")).as("fp"))
+      .orderBy("doc_id")
+
+  private val qFingerprintSql =
+    """SELECT doc_id, md5(trim(lower(text))) AS fp FROM documents ORDER BY doc_id"""
+
+  // -- corpus term frequency (top 50) ---------------------------------------------------------
+  private def qTermFreq(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("tok"))
+      .limit(50)
+
+  private val qTermFreqSql =
+    """SELECT tok, count(*) AS freq FROM (
+         SELECT unnest(string_split(text,' ')) AS tok FROM documents)
+       GROUP BY tok ORDER BY freq DESC, tok LIMIT 50"""
+
+  // -- bigram frequency (top 30) -----------------------------------------------------------------
+  private def qBigrams(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val bigrams = zip_with(
+      slice(toks, lit(1), size(toks) - 1),
+      slice(toks, lit(2), size(toks) - 1),
+      (a, b) => concat(a, lit(" "), b))
+    t(s, dir, "documents")
+      .select(explode(bigrams).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("bigram"))
+      .limit(30)
+  }
+
+  private val qBigramsSql =
+    """SELECT bigram, count(*) AS freq FROM (
+         SELECT unnest(list_transform(range(1, len(string_split(text,' '))),
+                       i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1])) AS bigram
+         FROM documents)
+       GROUP BY bigram ORDER BY freq DESC, bigram LIMIT 30"""
+
+  // -- heuristic language identification (rows-only; see TextFunctions.langId) ------------------
+  private def qLangId(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), TextFunctions.langId(col("text")).as("pred_lang"))
+      .orderBy("doc_id")
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_token_stats" -> (qTokenStats _),
+    "text_quality" -> (qQuality _),
+    "text_bpe_count" -> (qBpeCount _),
+    "text_fingerprint" -> (qFingerprint _),
+    "text_term_freq" -> (qTermFreq _),
+    "text_bigrams" -> (qBigrams _),
+    "text_lang_id" -> (qLangId _))
+
+  override val oracles: Map[String, String] = Map(
+    "text_token_stats" -> qTokenStatsSql,
+    "text_quality" -> qQualitySql,
+    "text_bpe_count" -> qBpeCountSql,
+    "text_fingerprint" -> qFingerprintSql,
+    "text_term_freq" -> qTermFreqSql,
+    "text_bigrams" -> qBigramsSql)
+}
