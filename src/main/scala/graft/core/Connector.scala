@@ -1,0 +1,182 @@
+package graft.core
+
+import java.io.Writer
+import java.util.concurrent.atomic.AtomicReference
+
+import com.fasterxml.jackson.databind.JsonNode
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+import graft.sources.{HttpClient, PaginatedStream}
+
+/** Source definition + four-command lifecycle (reference `sourcedef.go`,
+  * `proto.go:119-126`): `spec`, `check`, `discover`, `read`.
+  *
+  * Two read surfaces share the same runners:
+  *  - protocol path: records stream straight to a [[ProtoWriter]] as NDJSON
+  *    (CLI/golden-test parity with the reference);
+  *  - Spark path: [[Connector.readDataFrames]] turns each stream into a
+  *    `DataFrame` with its *declared* schema (never inferred), the engine's
+  *    center of gravity for analytics.
+  */
+trait HttpRunner {
+  /** Build the page loop for one sync, given config + prior cursor state
+    * (reference: connector `Run` building requests from `state.To`,
+    * `integrations/shopify/shopify.go:39-64`).
+    */
+  def stream(config: Option[JsonNode], state: Option[JsonNode]): PaginatedStream
+
+  /** Cursor to persist after a *successful* sync; None = full-refresh stream.
+    * Ordering guarantee (SURVEY §7 hard part a): the engine calls this only
+    * after the stream's records are fully written.
+    */
+  def newState(config: Option[JsonNode], old: Option[JsonNode]): Option[String] = None
+}
+
+/** Push-style manual runner (reference `ManualContext`, `backend.go:9-48`):
+  * opens arbitrary streams imperatively — e.g. one fetch feeding several
+  * streams.
+  */
+trait ManualRunner {
+  def run(ctx: ManualContext): Unit
+}
+trait ManualContext {
+  def client: HttpClient
+  def config: Option[JsonNode]
+  /** Open (or get) a push handle for a stream declared on the source. */
+  def stream(name: String): ManualStream
+}
+trait ManualStream {
+  def emit(recordJson: String): Unit
+  def emitState(stateJson: String): Unit
+}
+
+final case class SourceDef(
+    name: String,
+    docsUrl: String = "",
+    configSchema: String = """{"type":"object","properties":{}}""",
+    httpStreams: Seq[(StreamDef, HttpRunner)] = Nil,
+    fileStreams: Seq[(StreamDef, String => String)] = Nil, // name → path builder from sfDir/baseDir
+    manualStreams: Seq[StreamDef] = Nil,
+    manualRunners: Seq[ManualRunner] = Nil,
+    concurrency: Int = 1) {
+
+  def streamDefs: Seq[StreamDef] =
+    httpStreams.map(_._1) ++ fileStreams.map(_._1) ++ manualStreams
+
+  def supportsIncremental: Boolean = streamDefs.exists(_.incremental)
+
+  /** ConnectorSpecification JSON (reference `EmitSpec`,
+    * `sourcedef.go:120-126`, `proto.go:299-303`).
+    */
+  def spec: String =
+    s"""{"documentationUrl":"$docsUrl","supportsIncremental":$supportsIncremental,"connectionSpecification":$configSchema}"""
+}
+
+object Connector {
+
+  /** Dispatch one lifecycle command (reference `handleCmd`,
+    * `sourcedef.go:47-60`).
+    */
+  def handle(src: SourceDef, cmd: Cmd, rc: RunConfig, out: Writer, client: HttpClient,
+      clock: () => Long = () => System.currentTimeMillis()): Unit = {
+    val w = ProtoWriter(rc.format, out, clock)
+    cmd match {
+      case Cmd.Spec => w.writeSpec(src.spec)
+      case Cmd.Check => check(src, rc, w, client)
+      case Cmd.Discover =>
+        src.streamDefs.foreach(w.openStream)
+        w.close(Cmd.Discover)
+      case Cmd.Read =>
+        read(src, rc, w, client)
+        w.close(Cmd.Read)
+    }
+  }
+
+  /** Probe: one real request per stream, then short-circuit (reference
+    * validator sentinel, `proto.go:220-232`, `sourcedef.go:128-142`).
+    */
+  private def check(src: SourceDef, rc: RunConfig, w: ProtoWriter, client: HttpClient): Unit = {
+    val failed = src.httpStreams.iterator.flatMap { case (sd, runner) =>
+      try {
+        runner.stream(rc.config, rc.states.get(sd.name))
+          .copy(maxPages = 1).fetch(client).take(1).toList
+        None
+      } catch { case e: Throwable => Some(s"${sd.name}: ${e.getMessage}") }
+    }.toList
+    w.writeStatus(failed.isEmpty, failed.mkString("; "))
+  }
+
+  private def selected(src: SourceDef, rc: RunConfig): Seq[(StreamDef, HttpRunner)] =
+    src.httpStreams.filter { case (sd, _) => rc.selectedStreams.forall(_.contains(sd.name)) }
+
+  /** Full sync: streams run concurrently bounded by `src.concurrency`
+    * (reference errgroup + semaphore throttler, `sourcedef.go:153-186`);
+    * a runner error becomes an in-band LOG and the sync proceeds (reference
+    * error trapping, `proto.go:314-332`). State is emitted only after the
+    * stream's records are fully written.
+    */
+  private def read(src: SourceDef, rc: RunConfig, w: ProtoWriter, httpClient: HttpClient): Unit = {
+    val streams = selected(src, rc)
+    streams.foreach { case (sd, _) => w.openStream(sd) }
+    val lock = new Object
+    val firstError = new AtomicReference[Throwable]()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.max(1, src.concurrency))
+    try {
+      val tasks = streams.map { case (sd, runner) =>
+        pool.submit(new Runnable {
+          override def run(): Unit =
+            try {
+              if (firstError.get() != null) return // first error cancels the rest
+              val st = rc.states.get(sd.name)
+              val it = runner.stream(rc.config, st).fetch(httpClient)
+              it.foreach(rec => lock.synchronized(w.writeRecord(sd.name, rec)))
+              runner.newState(rc.config, st)
+                .foreach(s => lock.synchronized(w.writeState(sd.name, s)))
+            } catch {
+              case e: Throwable =>
+                firstError.compareAndSet(null, e)
+                lock.synchronized(w.writeLog("ERROR", s"${sd.name}: ${e.getMessage}"))
+            }
+        })
+      }
+      tasks.foreach(_.get())
+      // manual (push) runners, driver-side (reference backend.go:9-48)
+      if (src.manualRunners.nonEmpty) {
+        val ctx = new ManualContext {
+          override val client: HttpClient = httpClient
+          override val config: Option[JsonNode] = rc.config
+          override def stream(name: String): ManualStream = new ManualStream {
+            override def emit(recordJson: String): Unit =
+              lock.synchronized(w.writeRecord(name, recordJson))
+            override def emitState(stateJson: String): Unit =
+              lock.synchronized(w.writeState(name, stateJson))
+          }
+        }
+        src.manualRunners.foreach { r =>
+          try r.run(ctx)
+          catch { case e: Throwable => lock.synchronized(w.writeLog("ERROR", e.getMessage)) }
+        }
+      }
+    } finally pool.shutdown()
+  }
+
+  /** Spark read surface: every (selected) stream as a DataFrame with its
+    * DECLARED schema. Page chains are sequential by nature (SURVEY §2
+    * S3-S5/S7) → fetched on the driver into a local Dataset, except file
+    * streams which are native `spark.read` (S11 — free on Spark).
+    */
+  def readDataFrames(spark: SparkSession, src: SourceDef, rc: RunConfig,
+      client: HttpClient, baseDir: String = ""): Map[String, DataFrame] = {
+    import spark.implicits._
+    val http = selected(src, rc).map { case (sd, runner) =>
+      val records = runner.stream(rc.config, rc.states.get(sd.name)).fetch(client).toSeq
+      val ds: Dataset[String] = records.toDS()
+      sd.name -> spark.read.schema(sd.schema).json(ds)
+    }
+    val files = src.fileStreams.map { case (sd, pathOf) =>
+      sd.name -> spark.read.schema(sd.schema).parquet(pathOf(baseDir))
+    }
+    (http ++ files).toMap
+  }
+}

@@ -80,12 +80,22 @@ object Dedup {
       docs: DataFrame, idCol: String, shingleCol: String,
       nHashes: Int, r: Int, seed: Long): DataFrame = {
     val nBands = nHashes / r
-    val sig = minHashSignature(col(shingleCol), nHashes, seed)
-    val banded = docs
+    // Materialize the per-shingle base hashes in their own projection: the
+    // band-hash tree below references them 64×, which blocks CollapseProject
+    // from re-inlining the string hashing (a fused single-projection version
+    // re-hashed every shingle per permutation × per band — 2048× the work).
+    // Each band hash is then built directly over its r min-hashes, so every
+    // min-hash expression occurs exactly once in the plan.
+    val hashed = docs
       .filter(size(col(shingleCol)) > 0)
-      .select(col(idCol), posexplode(
-        transform(sequence(lit(0), lit(nBands - 1)),
-          b => hash(slice(sig, b * lit(r) + 1, lit(r))))).as(Seq("band_idx", "band_hash")))
+      .select(col(idCol), transform(col(shingleCol), s => xxhash64(s)).as("__bh"))
+    val bandHashes = array((0 until nBands).map { b =>
+      hash((b * r until (b + 1) * r).map { i =>
+        array_min(transform(col("__bh"), h => xxhash64(lit(seed), lit(i), h)))
+      }: _*)
+    }: _*)
+    val banded = hashed
+      .select(col(idCol), posexplode(bandHashes).as(Seq("band_idx", "band_hash")))
     val a = banded.select(col("band_idx"), col("band_hash"), col(idCol).as("id_a"))
     val b = banded.select(col("band_idx"), col("band_hash"), col(idCol).as("id_b"))
     a.join(b, Seq("band_idx", "band_hash"))
@@ -121,17 +131,22 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** 64-bit SimHash over the token multiset: bit b of the result is the sign
-    * of Σ_tokens (bit b of xxhash64(token) ? +1 : -1).
+  /** 64-bit SimHash over a column of precomputed token hashes: bit b of the
+    * result is the sign of Σ_tokens (bit b of hash ? +1 : -1). Callers must
+    * pass a *materialized* hash-array column (not an inline `transform`) —
+    * the 64 per-bit folds below each reference it, and an inline expression
+    * would be re-evaluated 64×.
     */
-  def simHash64(text: Column): Column = {
-    val hs = transform(split(text, " "), tok => xxhash64(tok))
+  def simHash64(tokenHashes: Column): Column =
     (0 until 64).map { b =>
-      val bitSum = aggregate(hs, lit(0),
+      val bitSum = aggregate(tokenHashes, lit(0),
         (acc, h) => acc + when(h.bitwiseAND(lit(1L << b)) =!= 0L, 1).otherwise(-1))
       when(bitSum >= 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
-  }
+
+  /** Token hashes of a whitespace-tokenized text column (SimHash input). */
+  def tokenHashes(text: Column): Column =
+    transform(split(text, " "), tok => xxhash64(tok))
 
   /** SimHash near-dup pairs with Hamming distance <= maxDist, found via the
     * pigeonhole band join: split the 64-bit hash into maxDist+1 bands — any
@@ -140,7 +155,9 @@ object Dedup {
   def simHashDuplicates(df: DataFrame, id: Column, text: Column, maxDist: Int): DataFrame = {
     val nBands = maxDist + 1
     val width = 64 / nBands
-    val sigs = df.select(id.as("__id"), simHash64(text).as("__sig"))
+    val sigs = df
+      .select(id.as("__id"), tokenHashes(text).as("__th"))
+      .select(col("__id"), simHash64(col("__th")).as("__sig"))
     val banded = sigs.select(col("__id"), col("__sig"), posexplode(
       array((0 until nBands).map { b =>
         shiftright(col("__sig"), b * width).bitwiseAND(lit((1L << width) - 1))

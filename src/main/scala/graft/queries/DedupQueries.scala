@@ -90,11 +90,15 @@ object DedupQueries extends QueryPack {
 
   // -- embedding-cosine near-dup -------------------------------------------------------
   private def qEmbDup(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.VectorFunctions.cosine
-    val a = t(s, dir, "embeddings").select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-    val b = t(s, dir, "embeddings").select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    import graft.functions.VectorFunctions.{dot, norm2}
+    // Norms precomputed per vector (outside the O(n²) join); per-pair work
+    // is one codegen dot product. Values identical to per-pair cosine().
+    val withNorm = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm"))
+    val a = withNorm.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+    val b = withNorm.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cos", cosine(col("emb_a"), col("emb_b")))
+      .withColumn("cos", dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
       .filter(col("cos") >= 0.4)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
       .orderBy("id_a", "id_b")

@@ -25,14 +25,20 @@ object SimilarityQueries extends QueryPack {
 
   // -- exact brute-force top-k -------------------------------------------------
   private def qKnn(s: SparkSession, dir: String): DataFrame = {
+    // Norms are projected per row BEFORE the pairwise join, so each is
+    // computed once per vector, not once per pair; the per-pair work is a
+    // single codegen dot product. Same doubles as cosine() per-pair (a
+    // norm's value doesn't depend on where it's computed).
     val emb = t(s, dir, "embeddings")
     val queriesDf = emb.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        norm2(col("embedding")).as("q_nrm"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
-    emb.select(col("vec_id").as("neighbor_id"), col("embedding"))
+    emb.select(col("vec_id").as("neighbor_id"), col("embedding"),
+        norm2(col("embedding")).as("n_nrm"))
       .crossJoin(broadcast(queriesDf))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("q_emb"), col("embedding")))
+      .withColumn("cos", dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("n_nrm")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5)
       .select(col("query_id"), col("neighbor_id"), round(col("cos"), 4).as("cos"), col("rn"))

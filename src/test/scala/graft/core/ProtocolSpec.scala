@@ -1,0 +1,142 @@
+package graft.core
+
+import java.io.StringWriter
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{HttpClient, HttpRequest, HttpResponse}
+
+/** Control-stream parsing + protocol golden tests (SURVEY §5 items 3/5):
+  * run a mock-HTTP source through the Airbyte/Singer dialects and check
+  * canonical NDJSON with a fixed clock; round-trip the global-state explode
+  * of `proto.go:90-101`.
+  */
+class ProtocolSpec extends AnyFunSuite {
+
+  test("control stream: settings + config + per-stream state") {
+    val rc = RunConfig.parse(Iterator(
+      """{"type":"SETTINGS","settings":{"format":"singer"}}""",
+      """{"type":"CONFIG","config":{"api_key":"k"}}""",
+      """{"type":"STATE","state":{"data":{"orders":{"To":"2024-01-01T00:00:00Z"}}}}"""),
+      Seq("orders", "users"))
+    assert(rc.format == "singer")
+    assert(rc.config.get.get("api_key").asText == "k")
+    assert(rc.states("orders").get("To").asText == "2024-01-01T00:00:00Z")
+  }
+
+  test("global state under \"\" fans out to all streams (proto.go:90-101, stubs/airbyte-state.json)") {
+    val rc = RunConfig.parse(Iterator(
+      """{"type":"STATE","state":{"data":{"":{"orders":{"To":"t1"},"users":{"To":"t2"}}}}}"""),
+      Seq("orders", "users"))
+    assert(rc.states.keySet == Set("orders", "users"))
+    assert(rc.states("users").get("To").asText == "t2")
+  }
+
+  test("catalog selection honored when present") {
+    val rc = RunConfig.parse(Iterator(
+      """{"type":"CATALOG","catalog":{"streams":[{"stream":{"name":"orders"}}]}}"""),
+      Seq("orders", "users"))
+    assert(rc.selectedStreams.contains(Set("orders")))
+  }
+
+  // -- a tiny source over a scripted client -------------------------------------
+  private val ordersDef = StreamDef("orders",
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("amount", org.apache.spark.sql.types.DoubleType))),
+    incremental = true, primaryKey = Seq(FieldDef(Seq("id"))))
+
+  private class StubRunner extends HttpRunner {
+    override def stream(config: Option[com.fasterxml.jackson.databind.JsonNode],
+        state: Option[com.fasterxml.jackson.databind.JsonNode]) =
+      graft.sources.PaginatedStream(HttpRequest("http://t/orders"),
+        graft.sources.Pagination.NextUrl("next"), Seq("items"))
+    override def newState(config: Option[com.fasterxml.jackson.databind.JsonNode],
+        old: Option[com.fasterxml.jackson.databind.JsonNode]) =
+      Some("""{"To":"2024-06-01T00:00:00Z"}""")
+  }
+
+  private val src = SourceDef(name = "test", docsUrl = "http://docs",
+    httpStreams = Seq(ordersDef -> new StubRunner))
+
+  private val client: HttpClient = (_: HttpRequest) =>
+    HttpResponse(200, """{"items":[{"id":1,"amount":9.5},{"id":2,"amount":3.25}],"next":null}""", Map.empty)
+
+  private def run(cmd: Cmd, format: String = ""): List[String] = {
+    val out = new StringWriter
+    Connector.handle(src, cmd, RunConfig.Empty.copy(format = format), out, client, clock = () => 1700000000000L)
+    out.toString.linesIterator.toList
+  }
+
+  test("airbyte read: records then single end-of-sync STATE (pkg/airbyte/proto.go:43-51)") {
+    val lines = run(Cmd.Read)
+    assert(lines == List(
+      """{"type":"RECORD","record":{"stream":"orders","emitted_at":1700000000000,"data":{"id":1,"amount":9.5}}}""",
+      """{"type":"RECORD","record":{"stream":"orders","emitted_at":1700000000000,"data":{"id":2,"amount":3.25}}}""",
+      """{"type":"STATE","state":{"data":{"orders":{"To":"2024-06-01T00:00:00Z"}}}}"""))
+  }
+
+  test("singer read: SCHEMA first, inline STATE (pkg/singer/singer.go:35-63)") {
+    val lines = run(Cmd.Read, format = "singer")
+    assert(lines.head.startsWith("""{"type":"SCHEMA","stream":"orders","""))
+    assert(lines.head.contains(""""key_properties":["id"]"""))
+    assert(lines(1).contains("\"time_extracted\":1700000000"))
+    assert(lines.last == """{"type":"STATE","value":{"orders":{"To":"2024-06-01T00:00:00Z"}}}""")
+  }
+
+  test("discover emits catalog of declared json schemas (E3)") {
+    val lines = run(Cmd.Discover)
+    assert(lines.size == 1)
+    val cat = Json.parse(lines.head)
+    assert(cat.get("type").asText == "CATALOG")
+    val st = cat.at("/catalog/streams/0")
+    assert(st.get("name").asText == "orders")
+    assert(st.at("/json_schema/properties/id/type").asText == "integer")
+    assert(st.at("/json_schema/required/0").asText == "id")
+  }
+
+  test("spec carries docs url + supportsIncremental (C1, proto.go:299-303)") {
+    val lines = run(Cmd.Spec)
+    val sp = Json.parse(lines.head)
+    assert(sp.at("/spec/documentationUrl").asText == "http://docs")
+    assert(sp.at("/spec/supportsIncremental").asBoolean)
+  }
+
+  test("check: one probe request, SUCCEEDED (C2, proto.go:220-232)") {
+    val lines = run(Cmd.Check)
+    assert(Json.parse(lines.head).at("/connectionStatus/status").asText == "SUCCEEDED")
+  }
+
+  test("check: failure maps to FAILED with reason") {
+    val bad: HttpClient = (_: HttpRequest) => throw new RuntimeException("boom")
+    val out = new StringWriter
+    Connector.handle(src, Cmd.Check, RunConfig.Empty, out, bad)
+    val st = Json.parse(out.toString.linesIterator.next())
+    assert(st.at("/connectionStatus/status").asText == "FAILED")
+    assert(st.at("/connectionStatus/message").asText.contains("boom"))
+  }
+
+  test("runner error becomes in-band LOG, sync continues (K8, proto.go:314-332)") {
+    val bad: HttpClient = (_: HttpRequest) => throw new RuntimeException("api down")
+    val out = new StringWriter
+    Connector.handle(src, Cmd.Read, RunConfig.Empty, out, bad)
+    val lines = out.toString.linesIterator.toList
+    assert(lines.exists(l => l.contains("\"LOG\"") && l.contains("api down")))
+    assert(lines.last.startsWith("""{"type":"STATE""""))
+  }
+
+  test("masked secret renders masked (utils.go:12-24)") {
+    assert(Masked("hunter2").toString == "xxxx")
+  }
+
+  test("state store round-trips and orders write-then-state (SURVEY §7a)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-state").toString
+    val st = new FileStateStore(dir)
+    assert(st.load("orders").isEmpty)
+    st.save("orders", """{"To":"t1"}""")
+    assert(st.load("orders").get.get("To").asText == "t1")
+    st.save("orders", """{"To":"t2"}""")
+    assert(st.loadAll()("orders").get("To").asText == "t2")
+    intercept[IllegalArgumentException](st.save("../evil", "{}"))
+  }
+}

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Dedup operator unit tests: shingle guards, LSH candidate recall vs exact
+  * Jaccard, SimHash banding (SURVEY §5 item 1).
+  */
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = graft.SparkFixture.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog today"),
+    (2L, "the quick brown fox jumps over the lazy dog tonight"), // near-dup of 1
+    (3L, "completely different text about spark engines and scala"),
+    (4L, "the quick brown fox jumps over the lazy dog today"),   // exact dup of 1
+    (5L, "short"))                                               // < w tokens
+    .toDF("doc_id", "text")
+
+  test("shingles: empty array (not [1,0] sequence artifact) for short docs") {
+    val sh = docs.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+      .where(col("doc_id") === 5).select(size(col("sh"))).as[Int].head()
+    assert(sh == 0)
+  }
+
+  test("exact dedup keeps min id per content") {
+    val out = Dedup.exact(docs, col("text"), col("doc_id"))
+      .orderBy("keep_id").select("keep_id", "n_copies").as[(Long, Long)].collect().toList
+    assert(out == List((1L, 2L), (2L, 1L), (3L, 1L), (5L, 1L)))
+  }
+
+  test("minhash LSH finds exact + near duplicates above threshold") {
+    val pairs = Dedup.minHashDuplicates(docs, col("doc_id"), col("text"),
+      shingleWidth = 3, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L))) // exact dup, jaccard 1.0
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 4L))) // near-dups
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated doc clean
+  }
+
+  test("minhash signature is deterministic across evaluations") {
+    val sig = docs.where(col("doc_id") === 1)
+      .select(Dedup.minHashSignature(Dedup.shingles(col("text"), 3), 16, 42L).as("s"))
+      .as[Seq[Long]].head()
+    val sig2 = docs.where(col("doc_id") === 1)
+      .select(Dedup.minHashSignature(Dedup.shingles(col("text"), 3), 16, 42L).as("s"))
+      .as[Seq[Long]].head()
+    assert(sig == sig2 && sig.size == 16)
+  }
+
+  test("simhash: identical docs distance 0; near-dups within band reach") {
+    val out = Dedup.simHashDuplicates(docs, col("doc_id"), col("text"), maxDist = 16)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()
+    val m = out.map(t => (t._1, t._2) -> t._3).toMap
+    assert(m((1L, 4L)) == 0)        // exact dup → identical simhash
+    assert(m.get((1L, 2L)).exists(_ <= 16)) // one-token change → small distance
+  }
+
+  test("verifyJaccard computes exact set Jaccard") {
+    val docsSh = docs.select(col("doc_id").as("__id"), Dedup.shingles(col("text"), 3).as("__sh"))
+    val pairs = Seq((1L, 4L), (1L, 3L)).toDF("id_a", "id_b")
+    val j = Dedup.verifyJaccard(pairs, docsSh, "__id", "__sh")
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(j((1L, 4L)) == 1.0)
+    assert(j((1L, 3L)) == 0.0)
+  }
+}
