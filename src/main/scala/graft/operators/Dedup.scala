@@ -53,18 +53,16 @@ object Dedup {
           i => concat_ws(" ", slice(toks, i, lit(w))))))
   }
 
-  /** MinHash signature of a shingle array: `nHashes` independent hash
-    * functions realized as xxhash64 re-hashes of a per-shingle base hash,
-    * keyed by (seed, permutation index) — min per function. Pure built-ins,
-    * stays in codegen, and overflow-free under ANSI mode (an affine h*a+b
-    * family would throw ARITHMETIC_OVERFLOW on Spark 4's default ANSI).
-    * Re-hashing a long is far cheaper than re-hashing the shingle string.
+  /** MinHash signature of a shingle array: `nHashes` affine permutations
+    * (h·a+b over the wrapping 64-bit ring) of a per-shingle xxhash64 base
+    * hash, min per permutation — computed in one generated-code pass by the
+    * [[graft.functions.MinHashSig]] expression (the interpreted higher-order
+    * formulation was the bench's single hottest operator).
     */
   def minHashSignature(shingleCol: Column, nHashes: Int, seed: Long): Column = {
-    val baseHashes = transform(shingleCol, s => xxhash64(s))
-    array((0 until nHashes).map { i =>
-      array_min(transform(baseHashes, h => xxhash64(lit(seed), lit(i), h)))
-    }: _*)
+    import org.apache.spark.sql.graftshim.Bridge
+    Bridge.column(graft.functions.MinHashSig(
+      Bridge.childExpr(transform(shingleCol, s => xxhash64(s))), nHashes, seed))
   }
 
   /** LSH candidate pairs: docs sharing at least one (band index, band hash)
@@ -80,27 +78,32 @@ object Dedup {
       docs: DataFrame, idCol: String, shingleCol: String,
       nHashes: Int, r: Int, seed: Long): DataFrame = {
     val nBands = nHashes / r
-    // Materialize the per-shingle base hashes in their own projection: the
-    // band-hash tree below references them 64×, which blocks CollapseProject
-    // from re-inlining the string hashing (a fused single-projection version
-    // re-hashed every shingle per permutation × per band — 2048× the work).
-    // Each band hash is then built directly over its r min-hashes, so every
-    // min-hash expression occurs exactly once in the plan.
-    val hashed = docs
+    // Signature materialized in its own projection (referenced nBands× below,
+    // which blocks CollapseProject from re-inlining it into each band hash);
+    // band hashes are then plain codegen hash(slice(...)) over the 64 longs.
+    val sigd = docs
       .filter(size(col(shingleCol)) > 0)
-      .select(col(idCol), transform(col(shingleCol), s => xxhash64(s)).as("__bh"))
+      .select(col(idCol), minHashSignature(col(shingleCol), nHashes, seed).as("__sig"))
     val bandHashes = array((0 until nBands).map { b =>
-      hash((b * r until (b + 1) * r).map { i =>
-        array_min(transform(col("__bh"), h => xxhash64(lit(seed), lit(i), h)))
-      }: _*)
+      hash(slice(col("__sig"), b * r + 1, r))
     }: _*)
-    val banded = hashed
+    val banded = sigd
       .select(col(idCol), posexplode(bandHashes).as(Seq("band_idx", "band_hash")))
-    val a = banded.select(col("band_idx"), col("band_hash"), col(idCol).as("id_a"))
-    val b = banded.select(col("band_idx"), col("band_hash"), col(idCol).as("id_b"))
-    a.join(b, Seq("band_idx", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
+    // Bucket-group rather than self-join: ONE pass over the upstream pipeline
+    // and one shuffle on (band_idx, band_hash); a self-join would recompute
+    // shingling + signatures once per side. Pairs are generated inside each
+    // bucket (dup clusters keep buckets small; a pathologically hot bucket —
+    // boilerplate docs — is the known LSH hazard and would need upstream
+    // capping/salting at 100 TB, see class doc).
+    val ids = array_sort(col("ids"))
+    banded
+      .groupBy(col("band_idx"), col("band_hash"))
+      .agg(collect_list(col(idCol)).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(flatten(transform(ids, (x, i) =>
+        transform(slice(ids, i + 2, greatest(size(ids) - i - 1, lit(0))), y =>
+          struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
       .distinct()
   }
 
@@ -124,25 +127,23 @@ object Dedup {
   def minHashDuplicates(
       df: DataFrame, id: Column, text: Column, shingleWidth: Int,
       threshold: Double, nHashes: Int = 64, r: Int = 2, seed: Long = 42L): DataFrame = {
-    val docs = df.select(id.as("__id"), shingles(text, shingleWidth).as("__sh"))
+    // Shingle arrays are consumed by candidate generation AND (twice) by the
+    // Jaccard verify join — persist so tokenization runs once, not 3×.
+    val docs = df.select(id.as("__id"), shingles(text, shingleWidth).as("__sh")).persist()
     val cands = lshCandidates(docs, "__id", "__sh", nHashes, r, seed)
     verifyJaccard(cands, docs, "__id", "__sh")
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** 64-bit SimHash over a column of precomputed token hashes: bit b of the
-    * result is the sign of Σ_tokens (bit b of hash ? +1 : -1). Callers must
-    * pass a *materialized* hash-array column (not an inline `transform`) —
-    * the 64 per-bit folds below each reference it, and an inline expression
-    * would be re-evaluated 64×.
+  /** 64-bit SimHash over a column of token hashes: bit b of the result is
+    * the sign of Σ_tokens (bit b of hash ? +1 : -1). One generated-code pass
+    * via [[graft.functions.SimHash64]] (was 64 interpreted folds).
     */
-  def simHash64(tokenHashes: Column): Column =
-    (0 until 64).map { b =>
-      val bitSum = aggregate(tokenHashes, lit(0),
-        (acc, h) => acc + when(h.bitwiseAND(lit(1L << b)) =!= 0L, 1).otherwise(-1))
-      when(bitSum >= 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
+  def simHash64(tokenHashes: Column): Column = {
+    import org.apache.spark.sql.graftshim.Bridge
+    Bridge.column(graft.functions.SimHash64(Bridge.childExpr(tokenHashes)))
+  }
 
   /** Token hashes of a whitespace-tokenized text column (SimHash input). */
   def tokenHashes(text: Column): Column =
@@ -162,12 +163,19 @@ object Dedup {
       array((0 until nBands).map { b =>
         shiftright(col("__sig"), b * width).bitwiseAND(lit((1L << width) - 1))
       }: _*)).as(Seq("band_idx", "band_val")))
-    val a = banded.select(col("band_idx"), col("band_val"), col("__id").as("id_a"), col("__sig").as("__sig_a"))
-    val b = banded.select(col("band_idx"), col("band_val"), col("__id").as("id_b"), col("__sig").as("__sig_b"))
-    a.join(b, Seq("band_idx", "band_val"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("__sig_a").bitwiseXOR(col("__sig_b"))).as("hamming"))
+    // Bucket-group (one pass, one shuffle) rather than a self-join that
+    // would recompute hashing+signatures per side; signatures ride along in
+    // the bucket structs for the in-bucket Hamming check.
+    val xs = array_sort(col("xs"))
+    banded
+      .groupBy(col("band_idx"), col("band_val"))
+      .agg(collect_list(struct(col("__id"), col("__sig"))).as("xs"))
+      .filter(size(col("xs")) > 1)
+      .select(explode(flatten(transform(xs, (x, i) =>
+        transform(slice(xs, i + 2, greatest(size(xs) - i - 1, lit(0))), y =>
+          struct(x.getField("__id").as("id_a"), y.getField("__id").as("id_b"),
+            bit_count(x.getField("__sig").bitwiseXOR(y.getField("__sig"))).as("hamming")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
   }
