@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns for training-data pipelines: media payloads as opaque
+  * `binary` columns with typed metadata, plus partition-parallel decode /
+  * feature-extraction plumbing.
+  *
+  * The decode step itself is STUBBED (no image/audio codecs in this
+  * environment) behind [[MediaDecoder]]; [[DeterministicFakeDecoder]] derives
+  * stable pseudo-features from the bytes so the Spark-side plumbing — schema,
+  * batch shape, partitioning, null/short-payload handling — is real and
+  * testable end-to-end. Swap in a codec-backed decoder on a real cluster
+  * without touching the pipeline.
+  *
+  * Scale notes: feature extraction is embarrassingly parallel map work
+  * (`mapPartitions`, no shuffle); decoder construction is per-partition, not
+  * per-row, mirroring how a JNI codec or model handle would be initialized
+  * once per task. Byte-level ops (fingerprint, size, stride sampling) are
+  * pure Catalyst expressions and stay in whole-stage codegen.
+  */
+object Multimodal {
+
+  /** media(doc_id, media_type, payload, meta) — payload is opaque binary. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("media_type", StringType, nullable = false),
+    StructField("payload", BinaryType),
+    StructField("meta", StructType(Seq(
+      StructField("n_bytes", IntegerType),
+      StructField("declared_format", StringType))))))
+
+  /** Build a media table from any (id, text) source — the payload is the
+    * UTF-8 bytes treated as an opaque blob. (The driver testdata carries no
+    * binary table; deriving one deterministically keeps every downstream op
+    * oracle-checkable.)
+    */
+  def mediaFromDocuments(docs: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame =
+    docs.select(
+      col(id).cast("long").as("doc_id"),
+      (when(col(id) % 3 === 0, "image").when(col(id) % 3 === 1, "audio").otherwise("video"))
+        .as("media_type"),
+      encode(col(text), "UTF-8").as("payload"))
+      .withColumn("meta", struct(
+        length(col("payload")).cast("int").as("n_bytes"),
+        (when(col("media_type") === "image", "png")
+          .when(col("media_type") === "audio", "wav").otherwise("mp4")).as("declared_format")))
+
+  /** Pure-expression byte features: size, sha2-256 fingerprint, head bytes —
+    * all codegen, no UDF.
+    */
+  def byteFeatures(media: DataFrame): DataFrame =
+    media.select(
+      col("doc_id"),
+      col("media_type"),
+      col("meta.n_bytes").as("n_bytes"),
+      sha2(col("payload"), 256).as("fp"),
+      base64(substring(col("payload"), 1, 8)).as("head_b64"))
+
+  /** "Frame sampling": every k-th byte of the payload as a new binary —
+    * the stride access pattern of video frame extraction, as a codegen
+    * Catalyst expression ([[graft.functions.ByteStride]]; no UDF).
+    */
+  def strideSample(payload: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftshim.Bridge
+    Bridge.column(graft.functions.ByteStride(Bridge.childExpr(payload), k))
+  }
+
+  // -- partition-parallel decode plumbing (the mapInPandas analogue) ------------
+
+  /** Decoded feature row. */
+  final case class MediaFeatures(
+      doc_id: Long, media_type: String, width: Int, height: Int,
+      duration_ms: Long, mean_intensity: Double)
+
+  /** Pluggable decoder; constructed once per partition (like a codec/model
+    * handle). Implementations must be Serializable-free: only the factory
+    * closure ships to executors.
+    */
+  trait MediaDecoder {
+    def decode(mediaType: String, payload: Array[Byte]): MediaFeatures.Raw
+  }
+  object MediaFeatures { final case class Raw(width: Int, height: Int, durationMs: Long, meanIntensity: Double) }
+
+  /** STUB decoder — deterministic pseudo-features from the bytes (no codecs
+    * in this container). A real deployment replaces exactly this class.
+    */
+  final class DeterministicFakeDecoder extends MediaDecoder {
+    override def decode(mediaType: String, payload: Array[Byte]): MediaFeatures.Raw = {
+      val n = payload.length
+      var acc = 0L
+      var i = 0
+      while (i < n) { acc += (payload(i) & 0xff); i += 1 }
+      val mean = if (n == 0) 0.0 else acc.toDouble / n
+      MediaFeatures.Raw(
+        width = 16 + (if (n == 0) 0 else (payload(0) & 0xff) % 64) * 16,
+        height = 16 + (if (n < 2) 0 else (payload(1) & 0xff) % 64) * 16,
+        durationMs = if (mediaType == "image") 0L else n.toLong * 10,
+        meanIntensity = mean)
+    }
+  }
+
+  /** Decode + featurize, one decoder per partition, streaming through rows
+    * (never materializing a partition in memory) — the Scala analogue of a
+    * `mapInPandas` batch UDF.
+    */
+  def decodeFeatures(spark: SparkSession, media: DataFrame,
+      mkDecoder: () => MediaDecoder = () => new DeterministicFakeDecoder): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.select("doc_id", "media_type", "payload")
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        val dec = mkDecoder() // once per partition
+        rows.map { case (id, mt, payload) =>
+          val r = dec.decode(mt, if (payload == null) Array.emptyByteArray else payload)
+          MediaFeatures(id, mt, r.width, r.height, r.durationMs, r.meanIntensity)
+        }
+      }
+  }
+}

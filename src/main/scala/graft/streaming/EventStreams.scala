@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming duals of the batch event pipelines
+  * (graft.queries.EventQueries): the same transformations applied to a
+  * streaming DataFrame, with watermarks bounding state. The reference's
+  * "streams" are bounded incremental batches (SURVEY §2.6) — this module is
+  * the engine's continuous extension: run the identical logic over
+  * `readStream` input and the results converge to the batch answers.
+  *
+  * Every function takes any events-shaped DataFrame (streaming OR batch) —
+  * one definition, two execution modes; on a cluster the state store
+  * partitions by the grouping key exactly like the batch shuffle.
+  */
+object EventStreams {
+
+  /** Tumbling 1h window counts with a watermark tolerating `late` data. */
+  def tumblingHourly(events: DataFrame, late: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", late)
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(unix_timestamp(col("win.start")).as("hour_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Sliding 1h/30m window sums (each event contributes to 2 windows). */
+  def sliding(events: DataFrame, late: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", late)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("win"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(unix_timestamp(col("win.start")).as("win_start"), col("n"), col("sum_value"))
+
+  /** Native session windows: 30-minute gap sessionization (the streaming
+    * dual of the batch lag/running-sum formulation).
+    */
+  def sessionStats(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("win"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .select(col("user_id"), unix_timestamp(col("win.start")).as("session_start"),
+        col("n_events"), col("sum_value"))
+
+  // -- custom state: per-stream cursor tracking (incremental-sync dual) ---------
+
+  final case class CursorEvent(stream: String, cursor: Long)
+  final case class CursorState(maxCursor: Long)
+  final case class CursorUpdate(stream: String, maxCursor: Long)
+
+  /** The reference's incremental-sync cursor (S8: persist greatest seen
+    * cursor per stream) as arbitrary stateful streaming:
+    * `mapGroupsWithState` keeps one tiny state cell per stream and emits the
+    * advancing high-water mark — `KeyValueGroupedDataset` custom state where
+    * session_window/window can't express the semantics.
+    */
+  def cursorTracker(updates: org.apache.spark.sql.Dataset[CursorEvent])
+      : org.apache.spark.sql.Dataset[CursorUpdate] = {
+    import updates.sparkSession.implicits._
+    updates
+      .groupByKey(_.stream)
+      .mapGroupsWithState[CursorState, CursorUpdate](GroupStateTimeout.NoTimeout) {
+        (stream: String, events: Iterator[CursorEvent], state: GroupState[CursorState]) =>
+          val prev = state.getOption.map(_.maxCursor).getOrElse(Long.MinValue)
+          val hi = events.foldLeft(prev)((m, e) => math.max(m, e.cursor))
+          state.update(CursorState(hi))
+          CursorUpdate(stream, hi)
+      }
+  }
+
+  /** Write helper: stream an aggregation to an in-memory table (tests) or
+    * any sink path, append mode with checkpointing.
+    */
+  def startToMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Append()) =
+    df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+}

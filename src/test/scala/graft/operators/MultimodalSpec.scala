@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = graft.SparkFixture.spark
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "hello world this is a doc"),
+    (1L, "another document"),
+    (2L, "x"),
+    (3L, "")).toDF("doc_id", "text")
+
+  test("media table: opaque binary payload + typed metadata") {
+    val m = Multimodal.mediaFromDocuments(docs)
+    assert(m.schema("payload").dataType == org.apache.spark.sql.types.BinaryType)
+    val r = m.orderBy("doc_id").collect()
+    assert(r(0).getAs[String]("media_type") == "image")
+    assert(r(1).getAs[String]("media_type") == "audio")
+    assert(r(2).getAs[String]("media_type") == "video")
+    assert(r(0).getAs[org.apache.spark.sql.Row]("meta").getAs[Int]("n_bytes") == 25)
+  }
+
+  test("byte stride samples every k-th byte (codegen expression)") {
+    val m = Multimodal.mediaFromDocuments(docs)
+    val out = m.orderBy("doc_id")
+      .select(Multimodal.strideSample(col("payload"), 3)).as[Array[Byte]].collect()
+    assert(new String(out(0), "UTF-8") == "hlwltss c") // bytes 0,3,6,… of "hello world this is a doc"
+    assert(out(3).length == 0) // empty payload → empty sample
+  }
+
+  test("decodeFeatures: deterministic stub, one decoder per partition, streams rows") {
+    val m = Multimodal.mediaFromDocuments(docs).repartition(2)
+    val f1 = Multimodal.decodeFeatures(spark, m).collect().sortBy(_.doc_id)
+    val f2 = Multimodal.decodeFeatures(spark, m).collect().sortBy(_.doc_id)
+    assert(f1.toSeq == f2.toSeq) // deterministic
+    assert(f1(0).media_type == "image" && f1(0).duration_ms == 0L)
+    assert(f1(1).duration_ms == "another document".length * 10L)
+    val h = f1(0)
+    assert(h.width == 16 + ('h'.toInt % 64) * 16 && h.height == 16 + ('e'.toInt % 64) * 16)
+    assert(math.abs(f1(3).mean_intensity) < 1e-9) // empty payload → 0 intensity
+  }
+}

@@ -1,0 +1,92 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Top-level so Spark can derive an Encoder (inner classes need outer scope). */
+case class Ev(ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+/** Streaming-equals-batch tests: run each streaming pipeline over a
+  * MemoryStream fed in multiple micro-batches and check the results match
+  * the same transformation applied to the equivalent batch DataFrame
+  * (SURVEY §7 item 7: "same logic, same results on bounded input").
+  */
+class EventStreamsSpec extends AnyFunSuite {
+  private lazy val spark = graft.SparkFixture.spark
+  import spark.implicits._
+
+  private def ts(minute: Int) = new Timestamp(1700000000000L + minute * 60000L)
+
+  private val events = Seq(
+    Ev(ts(0), 1L, "view", 1.0), Ev(ts(5), 1L, "view", 2.0),
+    Ev(ts(10), 2L, "purchase", 10.0), Ev(ts(65), 1L, "view", 3.0),
+    Ev(ts(70), 2L, "view", 4.0), Ev(ts(130), 1L, "purchase", 20.0))
+
+  test("tumbling hourly: stream (2 micro-batches, complete mode) == batch") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventStreams.tumblingHourly(in.toDF())
+      .writeStream.format("memory").queryName("tumb").outputMode(OutputMode.Complete()).start()
+    try {
+      in.addData(events.take(3)); q.processAllAvailable()
+      in.addData(events.drop(3)); q.processAllAvailable()
+      val streamed = spark.table("tumb")
+        .select("hour_start", "event_type", "n", "sum_value")
+        .collect().map(_.toSeq).toSet
+      val batch = EventStreams.tumblingHourly(events.toDF())
+        .collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("sliding windows: each event lands in two 30m slides") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventStreams.sliding(in.toDF())
+      .writeStream.format("memory").queryName("slid").outputMode(OutputMode.Complete()).start()
+    try {
+      in.addData(events); q.processAllAvailable()
+      val rows = spark.table("slid").collect()
+      assert(rows.map(_.getLong(1)).sum == events.size * 2) // Σn == 2×events
+    } finally q.stop()
+  }
+
+  test("session windows: gap sessionization matches batch session_window") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventStreams.sessionStats(in.toDF())
+      .writeStream.format("memory").queryName("sess").outputMode(OutputMode.Complete()).start()
+    try {
+      in.addData(events.take(4)); q.processAllAvailable()
+      in.addData(events.drop(4)); q.processAllAvailable()
+      val streamed = spark.table("sess").collect().map(_.toSeq).toSet
+      val batch = EventStreams.sessionStats(events.toDF()).collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+      // user 1: events at 0,5 | 65 | 130 min → 3 sessions with 30m gap
+      assert(streamed.count(_.head == 1L) == 3)
+    } finally q.stop()
+  }
+
+  test("cursor tracker: per-stream high-water mark advances across batches (S8 dual)") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[EventStreams.CursorEvent]
+    val q = EventStreams.cursorTracker(in.toDS())
+      .writeStream.format("memory").queryName("cur").outputMode(OutputMode.Update()).start()
+    try {
+      in.addData(EventStreams.CursorEvent("orders", 5), EventStreams.CursorEvent("orders", 9),
+        EventStreams.CursorEvent("users", 3))
+      q.processAllAvailable()
+      in.addData(EventStreams.CursorEvent("orders", 7)) // stale update must not regress
+      q.processAllAvailable()
+      val last = spark.table("cur").collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      // final state per stream: orders=9 (not regressed to 7), users=3
+      assert(last.contains(("orders", 9L)) && last.contains(("users", 3L)))
+      assert(last.filter(_._1 == "orders").forall(_._2 <= 9L))
+    } finally q.stop()
+  }
+}
