@@ -142,15 +142,19 @@ object RelationalQueries extends QueryPack {
        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey=c_custkey AND o_orderpriority='1-URGENT')
        ORDER BY c_custkey"""
 
+  // anti join against the *filtered* orders side so the result is non-empty
+  // (in this data every customer has at least one order — an anti join on
+  // the raw table would be a vacuous 0-row check)
   private def qAnti(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "customer")
-      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(t(s, dir, "orders").filter(col("o_totalprice") > lit(300000.0)),
+        col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"))
       .orderBy("c_custkey")
 
   private val qAntiSql =
     """SELECT c_custkey, c_name FROM customer
-       WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey=c_custkey)
+       WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey=c_custkey AND o_totalprice > 300000)
        ORDER BY c_custkey"""
 
   private def qOuter(s: SparkSession, dir: String): DataFrame =

@@ -1,0 +1,79 @@
+package graft.server
+
+import java.io.{OutputStreamWriter, Writer}
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import graft.core.{Cmd, Connector, RunConfig, SourceDef}
+import graft.sources.HttpClient
+
+/** HTTP multiplex frontend (reference `proto.go:149-212`,
+  * `cmd/server/main.go`): one server fronting many connectors.
+  *
+  *  - `GET  /discover`            → JSON array of connector names
+  *  - `POST /{connector}/{cmd}`   → body is the control NDJSON stream,
+  *                                  response is protocol NDJSON
+  *  - `Accept-Zstd: true` request header → zstd-compressed response with
+  *    `X-Compression: zstd` (reference `proto.go:196-204`), via the
+  *    zstd-jni that ships with Spark.
+  *
+  * The signed-token auth of the reference demo server (`main.go:34-98`) is a
+  * deployment concern and intentionally out of scope (SURVEY §2.5 C7).
+  */
+final class HttpFrontend(
+    connectors: Map[String, SourceDef],
+    client: HttpClient,
+    port: Int = 0,
+    clock: () => Long = () => System.currentTimeMillis()) {
+
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+
+  def boundPort: Int = server.getAddress.getPort
+
+  def start(): HttpFrontend = {
+    server.createContext("/", handle _)
+    server.setExecutor(null)
+    server.start()
+    this
+  }
+
+  def stop(): Unit = server.stop(0)
+
+  private def handle(ex: HttpExchange): Unit =
+    try {
+      val path = ex.getRequestURI.getPath.stripPrefix("/").stripSuffix("/")
+      path.split('/') match {
+        case Array("discover") =>
+          val names = connectors.keys.toSeq.sorted.map(n => s""""$n"""").mkString("[", ",", "]")
+          respond(ex, 200, out => out.write(names))
+        case Array(connector, cmdStr) =>
+          (connectors.get(connector), Cmd.parse(cmdStr)) match {
+            case (Some(src), Some(cmd)) =>
+              val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+              val rc = RunConfig.parse(body.linesIterator, src.streamDefs.map(_.name))
+              respond(ex, 200, out => Connector.handle(src, cmd, rc, out, client, clock))
+            case (None, _) => respond(ex, 404, _.write(s"""{"error":"unknown connector '$connector'"}"""))
+            case (_, None) => respond(ex, 400, _.write(s"""{"error":"unknown command '$cmdStr'"}"""))
+          }
+        case _ => respond(ex, 404, _.write("""{"error":"not found"}"""))
+      }
+    } catch {
+      case e: Throwable =>
+        try respond(ex, 500, _.write(s"""{"error":${graft.core.Json.write(graft.core.Json.mapper.valueToTree(e.getMessage))}}"""))
+        catch { case _: Throwable => () }
+    } finally ex.close()
+
+  /** zstd content negotiation, then stream the writer's output. */
+  private def respond(ex: HttpExchange, status: Int, write: Writer => Unit): Unit = {
+    val wantZstd = Option(ex.getRequestHeaders.getFirst("Accept-Zstd")).exists(_.nonEmpty)
+    ex.getResponseHeaders.set("Content-Type", "application/x-ndjson")
+    if (wantZstd) ex.getResponseHeaders.set("X-Compression", "zstd")
+    ex.sendResponseHeaders(status, 0) // chunked
+    val raw = ex.getResponseBody
+    val sink = if (wantZstd) new com.github.luben.zstd.ZstdOutputStream(raw) else raw
+    val w = new OutputStreamWriter(sink, StandardCharsets.UTF_8)
+    try { write(w); w.flush() } finally sink.close()
+  }
+}

@@ -1,0 +1,79 @@
+package graft.server
+
+import java.net.URI
+import java.net.http.{HttpClient => JClient, HttpRequest => JRequest, HttpResponse => JResponse}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core._
+import graft.sources.{HttpClient, HttpRequest, HttpResponse}
+
+/** End-to-end HTTP frontend tests (reference E2 lifecycle,
+  * `proto.go:149-212`): discover listing, command routing, control-stream
+  * body parsing, dialect selection via SETTINGS, zstd negotiation, errors.
+  */
+class HttpFrontendSpec extends AnyFunSuite {
+
+  private val ordersDef = StreamDef("orders",
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType))))
+
+  private class StubRunner extends HttpRunner {
+    override def stream(config: Option[com.fasterxml.jackson.databind.JsonNode],
+        state: Option[com.fasterxml.jackson.databind.JsonNode]) =
+      graft.sources.PaginatedStream(HttpRequest("http://up/orders"),
+        graft.sources.Pagination.NextUrl("next"), Seq("items"))
+  }
+
+  private val upstream: HttpClient = (_: HttpRequest) =>
+    HttpResponse(200, """{"items":[{"id":7}],"next":null}""", Map.empty)
+
+  private val src = SourceDef(name = "demo", httpStreams = Seq(ordersDef -> new StubRunner))
+
+  private lazy val fe = new HttpFrontend(Map("demo" -> src), upstream,
+    clock = () => 1700000000000L).start()
+  private lazy val http = JClient.newHttpClient()
+  private def url(p: String) = s"http://127.0.0.1:${fe.boundPort}$p"
+
+  private def post(path: String, body: String, headers: (String, String)*): JResponse[Array[Byte]] = {
+    val b = JRequest.newBuilder(URI.create(url(path)))
+      .POST(JRequest.BodyPublishers.ofString(body))
+    headers.foreach { case (k, v) => b.header(k, v) }
+    http.send(b.build(), JResponse.BodyHandlers.ofByteArray())
+  }
+
+  test("GET /discover lists connectors (proto.go:149-160)") {
+    val r = http.send(JRequest.newBuilder(URI.create(url("/discover"))).GET().build(),
+      JResponse.BodyHandlers.ofString())
+    assert(r.statusCode() == 200)
+    assert(r.body() == """["demo"]""")
+  }
+
+  test("POST /{connector}/read runs sync, body as control stream (E2)") {
+    val r = post("/demo/read", "")
+    val lines = new String(r.body(), "UTF-8").linesIterator.toList
+    assert(lines.head ==
+      """{"type":"RECORD","record":{"stream":"orders","emitted_at":1700000000000,"data":{"id":7}}}""")
+    assert(lines.last.startsWith("""{"type":"STATE""""))
+  }
+
+  test("dialect selected by SETTINGS line in body (proto.go:103-107)") {
+    val r = post("/demo/read", """{"type":"SETTINGS","settings":{"format":"singer"}}""")
+    val lines = new String(r.body(), "UTF-8").linesIterator.toList
+    assert(lines.head.startsWith("""{"type":"SCHEMA","stream":"orders""""))
+  }
+
+  test("Accept-Zstd → zstd body + X-Compression header (proto.go:196-204)") {
+    val r = post("/demo/spec", "", "Accept-Zstd" -> "true")
+    assert(r.headers().firstValue("X-Compression").orElse("") == "zstd")
+    val decompressed = new String(
+      new com.github.luben.zstd.ZstdInputStream(
+        new java.io.ByteArrayInputStream(r.body())).readAllBytes(), "UTF-8")
+    assert(decompressed.startsWith("""{"type":"SPEC""""))
+  }
+
+  test("unknown connector → 404, unknown command → 400") {
+    assert(post("/nope/read", "").statusCode() == 404)
+    assert(post("/demo/frobnicate", "").statusCode() == 400)
+  }
+}
