@@ -34,10 +34,13 @@ object TextFunctions {
     array_max(array(scored: _*)).getField("lang")
   }
 
-  /** Rolling polynomial hash (Karp–Rabin) over the token sequence: returns
-    * the array of window hashes for `w`-token windows — the building block
-    * for winnowing-style document fingerprints. Pure built-ins: aggregate()
-    * over a token slice per position.
+  /** Rolling window hash over the token sequence: returns the array of
+    * window hashes for `w`-token windows — the building block for
+    * winnowing-style document fingerprints. The chain step is
+    * `xxhash64(acc, tok)` rather than the classic polynomial `acc·p + h` —
+    * a multiply on an unbounded accumulator throws ARITHMETIC_OVERFLOW
+    * under Spark 4's default ANSI mode; hash-chaining mixes just as well
+    * and stays overflow-free.
     */
   def rollingHashes(text: Column, w: Int): Column = {
     val toks = tokens(text)
@@ -49,7 +52,7 @@ object TextFunctions {
           aggregate(
             slice(toks, i, lit(w)),
             lit(0L),
-            (acc, tok) => acc * lit(1000003L) + xxhash64(tok))))
+            (acc, tok) => xxhash64(acc, tok))))
   }
 
   /** Winnowing fingerprint: the minimum rolling hash per document — a

@@ -1,0 +1,181 @@
+package graft.sources.v2
+
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.json.{CreateJacksonParser, JacksonParser, JSONOptions}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.connectors.ConnectorDefs
+import graft.core.Json
+import graft.sources.{JdkHttpClient, PaginatedStream, Pagination, RetryingClient}
+
+/** DataSource V2 integration for the paginated-HTTP source family: exposes
+  * any registered connector stream as a Spark table —
+  *
+  * {{{
+  *   spark.read.format("graft-http")
+  *     .option("connector", "sitoo").option("stream", "products")
+  *     .option("config", """{"api_url":"http://..."}""")
+  *     .load()
+  * }}}
+  *
+  * Spark-native pushdown surfaces (SURVEY §4):
+  *  - `SupportsPushDownRequiredColumns`: the pruned schema reaches the
+  *    partition reader, which parses ONLY those fields from each record
+  *    (and `.explain` shows the pruned ReadSchema). Request-level `fields=`
+  *    projection additionally happens in the connector declaration, derived
+  *    from the declared schema (P1).
+  *  - Parallel scan: offset-paginated streams (S6) split into one
+  *    InputPartition per page-range when `total` is configured — the
+  *    reference's `start += num` loop becomes N concurrent range readers.
+  *    Cursor-chained styles (S3-S5/S7) are inherently sequential → one
+  *    partition, exactly like the reference's one-goroutine-per-stream.
+  */
+final class HttpTableProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-http"
+
+  private def streamDefOf(options: CaseInsensitiveStringMap) = {
+    val connector = Option(options.get("connector"))
+      .getOrElse(throw new IllegalArgumentException("option 'connector' is required"))
+    val src = ConnectorDefs.all.getOrElse(connector,
+      throw new IllegalArgumentException(
+        s"unknown connector '$connector'; known: ${ConnectorDefs.all.keys.toSeq.sorted.mkString(",")}"))
+    val stream = Option(options.get("stream")).getOrElse(src.httpStreams.head._1.name)
+    src.httpStreams.find(_._1.name == stream).getOrElse(
+      throw new IllegalArgumentException(s"connector '$connector' has no stream '$stream'"))
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    streamDefOf(options)._1.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table = {
+    val options = new CaseInsensitiveStringMap(properties)
+    val (sd, _) = streamDefOf(options)
+    new HttpTable(sd.name, sd.schema, properties.asScala.toMap)
+  }
+}
+
+final class HttpTable(name0: String, schema0: StructType, props: Map[String, String])
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-http:$name0"
+  override def schema(): StructType = schema0
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new HttpScanBuilder(schema0, props)
+}
+
+final class HttpScanBuilder(full: StructType, props: Map[String, String])
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = full
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // preserve declared field order; empty projection (count(*)) allowed
+    required = StructType(full.fields.filter(f => requiredSchema.fieldNames.contains(f.name)))
+
+  override def build(): Scan = new HttpScan(required, props)
+}
+
+final class HttpScan(readSchema: StructType, props: Map[String, String]) extends Scan with Batch {
+  override def readSchema(): StructType = readSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-http connector=${props.getOrElse("connector", "?")} stream=${props.getOrElse("stream", "?")}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val total = props.get("total").map(_.toInt)
+    val stream = HttpScan.buildStream(props)
+    (stream.pagination, total) match {
+      case (off: Pagination.Offset, Some(n)) if n > off.num =>
+        // one partition per page range: the DSv2 split of the reference's
+        // offset loop (SURVEY §2 S6)
+        val pagesPerPart = math.max(1, props.get("pagesPerPartition").map(_.toInt).getOrElse(4))
+        val chunk = off.num * pagesPerPart
+        (0 until n by chunk).map(lo => HttpPartition(lo, math.min(n - lo, chunk)): InputPartition).toArray
+      case _ => Array(HttpPartition(0, -1)) // sequential chain: single reader
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new HttpReaderFactory(readSchema, props)
+}
+
+object HttpScan {
+  /** Build the stream's page loop from the serialized options (runs on both
+    * driver for planning and executors for reading).
+    */
+  def buildStream(props: Map[String, String]): PaginatedStream = {
+    val options = new CaseInsensitiveStringMap(props.asJava)
+    val src = ConnectorDefs.all(options.get("connector"))
+    val name = Option(options.get("stream")).getOrElse(src.httpStreams.head._1.name)
+    val runner = src.httpStreams.find(_._1.name == name).get._2
+    val config = Option(options.get("config")).map(Json.parse)
+    val state = Option(options.get("state")).map(Json.parse)
+    runner.stream(config, state)
+  }
+}
+
+final case class HttpPartition(startOffset: Int, count: Int) extends InputPartition
+
+final class HttpReaderFactory(readSchema: StructType, props: Map[String, String])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[HttpPartition]
+    new HttpPartitionReader(readSchema, props, p)
+  }
+}
+
+final class HttpPartitionReader(readSchema: StructType, props: Map[String, String], part: HttpPartition)
+    extends PartitionReader[InternalRow] {
+
+  private val client = new RetryingClient(new JdkHttpClient())
+
+  private val records: Iterator[String] = {
+    val base = HttpScan.buildStream(props)
+    val stream = base.pagination match {
+      case off: Pagination.Offset if part.count >= 0 =>
+        // re-anchor the offset loop at this partition's range
+        val anchored = new Pagination {
+          override def first(b: graft.sources.HttpRequest) =
+            b.withParam(off.startParam, part.startOffset.toString)
+              .withParam(off.numParam, off.num.toString)
+          override def next(b: graft.sources.HttpRequest, last: graft.sources.HttpResponse) =
+            off.next(b, last)
+        }
+        base.copy(pagination = anchored,
+          maxPages = (part.count + off.num - 1) / off.num)
+      case _ => base
+    }
+    stream.fetch(client)
+  }
+
+  // Spark's own JSON row parser, with the PRUNED schema: unprojected fields
+  // are never materialized.
+  private val parser = new JacksonParser(readSchema,
+    new JSONOptions(Map.empty[String, String], "UTC"), allowArrayAsStructs = false)
+  private val createParser = CreateJacksonParser.utf8String _
+
+  private var current: InternalRow = _
+
+  override def next(): Boolean =
+    if (!records.hasNext) false
+    else {
+      val rows = parser.parse(UTF8String.fromString(records.next()), createParser,
+        (s: UTF8String) => s)
+      if (rows.isEmpty) next()
+      else { current = rows.head.copy(); true }
+    }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}

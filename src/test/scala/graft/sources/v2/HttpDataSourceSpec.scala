@@ -1,0 +1,80 @@
+package graft.sources.v2
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.atomic.AtomicInteger
+
+import com.sun.net.httpserver.HttpServer
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end DataSource V2 tests against an in-process HTTP server serving
+  * sitoo-style offset pages: schema from the declared StreamDef, column
+  * pruning reaching the reader, parallel range partitions for offset
+  * pagination, and plan-visible pruned output.
+  */
+class HttpDataSourceSpec extends AnyFunSuite {
+  private lazy val spark = graft.SparkFixture.spark
+
+  // 23 products, page size 10 (sitoo's default num)
+  private val TOTAL = 23
+  private val hits = new AtomicInteger(0)
+
+  private lazy val server: HttpServer = {
+    val s = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    s.createContext("/", ex => {
+      hits.incrementAndGet()
+      val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+      val params = q.split('&').filter(_.contains('=')).map { kv =>
+        val Array(k, v) = kv.split('=').padTo(2, ""); k -> v
+      }.toMap
+      val start = params.getOrElse("start", "0").toInt
+      val num = params.getOrElse("num", "10").toInt
+      val items = (start until math.min(start + num, TOTAL)).map { i =>
+        s"""{"productid":$i,"title":"P$i","moneyprice":"${i * 1.5}"}"""
+      }.mkString("[", ",", "]")
+      val body = s"""{"items":$items}""".getBytes(StandardCharsets.UTF_8)
+      ex.sendResponseHeaders(200, body.length)
+      ex.getResponseBody.write(body)
+      ex.close()
+    })
+    s.start()
+    s
+  }
+  private def baseUrl = s"http://127.0.0.1:${server.getAddress.getPort}"
+
+  private def read() = spark.read.format("graft-http")
+    .option("connector", "sitoo")
+    .option("stream", "products")
+    .option("config", s"""{"api_url":"$baseUrl"}""")
+
+  test("declared schema, full read through the short-page loop") {
+    val df = read().load()
+    assert(df.schema == graft.connectors.ConnectorDefs.sitooProductSchema)
+    assert(df.count() == TOTAL)
+    val row = df.orderBy("productid").collect()(3)
+    assert(row.getLong(0) == 3L && row.getString(1) == "P3")
+  }
+
+  test("column pruning reaches the scan (SupportsPushDownRequiredColumns)") {
+    val df = read().load().select("title")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft-http"))
+    // pruned read schema: only `title` survives below the scan
+    val scanSchema = df.queryExecution.executedPlan.collectLeaves().head.schema
+    assert(scanSchema.fieldNames.toSeq == Seq("title"))
+    assert(df.collect().map(_.getString(0)).toSet.contains("P7"))
+  }
+
+  test("offset pagination splits into parallel range partitions when total is known") {
+    val df = read().option("total", TOTAL.toString).option("pagesPerPartition", "1").load()
+    assert(df.rdd.getNumPartitions == 3) // ceil(23/10) pages, 1 page per part
+    assert(df.count() == TOTAL)
+    assert(df.select("productid").distinct().count() == TOTAL) // ranges don't overlap
+  }
+
+  test("unknown connector/stream fail fast with the known set") {
+    val e = intercept[Exception](spark.read.format("graft-http")
+      .option("connector", "nope").load())
+    assert(e.getMessage.contains("unknown connector"))
+  }
+}
