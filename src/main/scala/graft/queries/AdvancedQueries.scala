@@ -1,0 +1,139 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.WeightedAvg
+import graft.operators.SkewJoin
+
+/** Advanced relational surface: exact percentiles, grouping sets, pivot, a
+  * typed custom Aggregator (UDAF extension point), the salted skew join
+  * (result-identical to a plain join — that IS its oracle), and a composite
+  * training-set selection pipeline chaining dedup → quality → language
+  * filters (the end-to-end shape of an LLM data-curation job).
+  */
+object AdvancedQueries extends QueryPack {
+
+  // -- exact percentiles (linear interpolation, both engines) -------------------
+  private def qPercentiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(percentile(col("o_totalprice"), array(lit(0.25), lit(0.5), lit(0.75))).as("ps"))
+      .select(col("o_orderpriority"),
+        round(element_at(col("ps"), 1), 2).as("p25"),
+        round(element_at(col("ps"), 2), 2).as("p50"),
+        round(element_at(col("ps"), 3), 2).as("p75"))
+      .orderBy("o_orderpriority")
+
+  private val qPercentilesSql =
+    """SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.25),2) AS p25,
+       round(quantile_cont(o_totalprice, 0.50),2) AS p50,
+       round(quantile_cont(o_totalprice, 0.75),2) AS p75
+       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+  // -- grouping sets ------------------------------------------------------------
+  private def qGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    s.sql(
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls, count(*) AS n
+         FROM lineitem_gs
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+         ORDER BY rf, ls""")
+  }
+
+  private val qGroupingSetsSql =
+    """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls, count(*) AS n
+       FROM lineitem
+       GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+       ORDER BY rf, ls"""
+
+  // -- pivot --------------------------------------------------------------------
+  private def qPivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_linestatus"))
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .count()
+      .na.fill(0L)
+      .orderBy("l_linestatus")
+
+  private val qPivotSql =
+    """SELECT l_linestatus,
+       count(*) FILTER (l_returnflag='A') AS "A",
+       count(*) FILTER (l_returnflag='N') AS "N",
+       count(*) FILTER (l_returnflag='R') AS "R"
+       FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus"""
+
+  // -- typed custom Aggregator (UDAF) -------------------------------------------
+  private def qWeightedAvg(s: SparkSession, dir: String): DataFrame = {
+    val wavg = udaf(WeightedAvg)
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(round(wavg(col("l_extendedprice"), col("l_quantity")), 2).as("wavg_price"))
+      .orderBy("l_returnflag")
+  }
+
+  private val qWeightedAvgSql =
+    """SELECT l_returnflag,
+       round(sum(l_extendedprice*l_quantity)/sum(l_quantity), 2) AS wavg_price
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  // -- salted skew join: results must equal the plain join ----------------------
+  private def qSaltedJoin(s: SparkSession, dir: String): DataFrame =
+    SkewJoin.saltedInner(
+      t(s, dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity"),
+      t(s, dir, "part").filter(col("p_size") >= 40).select("p_partkey", "p_brand")
+        .withColumnRenamed("p_partkey", "l_partkey"),
+      keys = Seq("l_partkey"), nSalts = 8)
+      .orderBy("l_orderkey", "l_partkey", "l_quantity")
+
+  private val qSaltedJoinSql =
+    """SELECT p_partkey AS l_partkey, l_orderkey, l_quantity, p_brand
+       FROM lineitem JOIN part ON l_partkey=p_partkey
+       WHERE p_size >= 40
+       ORDER BY l_orderkey, l_partkey, l_quantity"""
+
+  // -- composite training-set pipeline: dedup → quality → language --------------
+  private def qTrainingSet(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val toks = split(col("text"), " ")
+    val deduped = graft.operators.Dedup.keepFirst(
+      docs.withColumn("__fp", md5(col("text").cast("binary"))),
+      keys = Seq("__fp"), order = Seq(col("doc_id")))
+    deduped
+      .withColumn("n_tokens", size(toks))
+      .withColumn("uniq_ratio", size(array_distinct(toks)).cast("double") / size(toks))
+      .filter(col("n_tokens") >= 10 && col("uniq_ratio") > 0.3 && col("lang") === "en")
+      .select(col("doc_id"), col("n_tokens"), round(col("uniq_ratio"), 4).as("uniq_ratio"))
+      .orderBy("doc_id")
+  }
+
+  private val qTrainingSetSql =
+    """WITH dedup AS (
+         SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM documents),
+       scored AS (
+         SELECT doc_id, lang,
+                len(string_split(text,' ')) AS n_tokens,
+                len(list_distinct(string_split(text,' '))) * 1.0 / len(string_split(text,' ')) AS uniq_ratio
+         FROM dedup WHERE rn = 1)
+       SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens, round(uniq_ratio, 4) AS uniq_ratio
+       FROM scored
+       WHERE n_tokens >= 10 AND uniq_ratio > 0.3 AND lang = 'en'
+       ORDER BY doc_id"""
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_percentiles" -> (qPercentiles _),
+    "q_grouping_sets" -> (qGroupingSets _),
+    "q_pivot" -> (qPivot _),
+    "q_weighted_avg" -> (qWeightedAvg _),
+    "q_salted_join" -> (qSaltedJoin _),
+    "pipeline_training_set" -> (qTrainingSet _))
+
+  override val oracles: Map[String, String] = Map(
+    "q_percentiles" -> qPercentilesSql,
+    "q_grouping_sets" -> qGroupingSetsSql,
+    "q_pivot" -> qPivotSql,
+    "q_weighted_avg" -> qWeightedAvgSql,
+    "q_salted_join" -> qSaltedJoinSql,
+    "pipeline_training_set" -> qTrainingSetSql)
+}
