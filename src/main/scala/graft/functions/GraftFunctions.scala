@@ -1,0 +1,36 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL registration for the engine's custom codegen expressions, so
+  * `spark.sql(...)` users get the same operators as the Column API:
+  *
+  * {{{
+  *   GraftFunctions.register(spark)
+  *   spark.sql("SELECT dot_product(a, b), simhash64(hashes) FROM t")
+  * }}}
+  */
+object GraftFunctions {
+
+  private def fn(name: String, usage: String, builder: Seq[Expression] => Expression) =
+    (FunctionIdentifier(name), new ExpressionInfo("graft", name, usage), builder)
+
+  private val fns = Seq(
+    fn("dot_product", "dot_product(a, b) - double-precision dot product of two float/double arrays",
+      exprs => DotProduct(exprs(0), exprs(1))),
+    fn("minhash_sig", "minhash_sig(hashes, nHashes, seed) - MinHash signature of an array<bigint>",
+      exprs => MinHashSig(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].longValue())),
+    fn("simhash64", "simhash64(hashes) - 64-bit SimHash of an array<bigint>",
+      exprs => SimHash64(exprs(0))),
+    fn("byte_stride", "byte_stride(bin, k) - every k-th byte of a binary",
+      exprs => ByteStride(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue())))
+
+  def register(spark: SparkSession): Unit =
+    fns.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+}
