@@ -48,6 +48,15 @@ final case class StreamDef(
   def jsonSchema: String = JsonSchema.ofStruct(schema)
 }
 
+object StreamDef {
+  /** Declare a stream from a case class — the engine dual of the reference
+    * reflecting a Go struct into JSON Schema (`schema.go:27-35`,
+    * `integrations/shopify/types.go`): the type IS the contract.
+    */
+  def of[T <: Product : org.apache.spark.sql.Encoder](name: String): StreamDef =
+    StreamDef(name, implicitly[org.apache.spark.sql.Encoder[T]].schema)
+}
+
 /** Secret config value: renders masked anywhere it is serialized
   * (reference `MaskedString`, `utils.go:12-24`).
   */

@@ -34,6 +34,32 @@ object TextFunctions {
     array_max(array(scored: _*)).getField("lang")
   }
 
+  /** Character n-gram profiles: the most frequent trigrams of each language
+    * (classic Cavnar–Trenkle-style profile, tiny cut).
+    */
+  private val trigramProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "he ", " th", "ing", "and", " an", "ion", " of", "ed ", "is "),
+    "es" -> Seq(" de", "de ", " la", "la ", "os ", "el ", " el", "ión", "es ", "ue "),
+    "fr" -> Seq(" de", "de ", "es ", " le", "le ", "ent", "et ", " et", "que", "ion"),
+    "de" -> Seq("er ", "en ", "ch ", " de", "der", "die", " di", "ein", "sch", "und"))
+
+  /** Char-trigram language ID: slide a 3-char window over the lowered text
+    * and argmax per-language profile hits — pure built-ins (substring over a
+    * position sequence), no UDF, deterministic tie-break as in [[langId]].
+    */
+  def langIdNgram(text: Column): Column = {
+    val t = lower(text)
+    val grams = transform(
+      sequence(lit(1), greatest(length(t) - 2, lit(0))),
+      i => t.substr(i, lit(3)))
+    val scored = trigramProfiles.map { case (lang, prof) =>
+      struct(
+        size(filter(grams, g => g.isInCollection(prof))).as("score"),
+        lit(lang).as("lang"))
+    }
+    array_max(array(scored: _*)).getField("lang")
+  }
+
   /** Rolling window hash over the token sequence: returns the array of
     * window hashes for `w`-token windows — the building block for
     * winnowing-style document fingerprints. The chain step is

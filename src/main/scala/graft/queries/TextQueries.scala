@@ -125,10 +125,22 @@ object TextQueries extends QueryPack {
          FROM documents)
        GROUP BY bigram ORDER BY freq DESC, bigram LIMIT 30"""
 
-  // -- heuristic language identification (rows-only; see TextFunctions.langId) ------------------
+  // -- heuristic language identification (rows-only; see TextFunctions) ------------------
+  // two heuristics side by side: marker-word argmax and char-trigram
+  // profile argmax (Cavnar–Trenkle-style)
   private def qLangId(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
-      .select(col("doc_id"), col("lang"), TextFunctions.langId(col("text")).as("pred_lang"))
+      .select(col("doc_id"), col("lang"),
+        TextFunctions.langId(col("text")).as("pred_lang"),
+        TextFunctions.langIdNgram(col("text")).as("pred_lang_ngram"))
+      .orderBy("doc_id")
+
+  // -- rolling-hash document fingerprint (rows-only: xxhash-chained, engine-specific) ----
+  private def qRollingFp(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextFunctions.minFingerprint(col("text"), 4).as("fp"),
+        size(TextFunctions.rollingHashes(col("text"), 4)).as("n_windows"))
       .orderBy("doc_id")
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -138,7 +150,8 @@ object TextQueries extends QueryPack {
     "text_fingerprint" -> (qFingerprint _),
     "text_term_freq" -> (qTermFreq _),
     "text_bigrams" -> (qBigrams _),
-    "text_lang_id" -> (qLangId _))
+    "text_lang_id" -> (qLangId _),
+    "text_rolling_fp" -> (qRollingFp _))
 
   override val oracles: Map[String, String] = Map(
     "text_token_stats" -> qTokenStatsSql,

@@ -31,6 +31,15 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(rep(0) == rep(3))
   }
 
+  test("langIdNgram: trigram profiles identify language; StreamDef.of reflects case class") {
+    val df = Seq(
+      "the thing and the other thing",
+      "la casa de los perros de madrid",
+      "die kinder und der hund schlafen").toDF("text")
+    val out = df.select(TextFunctions.langIdNgram(col("text"))).as[String].collect().toList
+    assert(out == List("en", "es", "de"))
+  }
+
   test("minFingerprint stable under edits away from the minimum") {
     val base = "alpha beta gamma delta epsilon zeta eta"
     val edited = "alpha beta gamma delta epsilon zeta CHANGED"
