@@ -93,6 +93,24 @@ object AdvancedQueries extends QueryPack {
        WHERE p_size >= 40
        ORDER BY l_orderkey, l_partkey, l_quantity"""
 
+  // -- bounded-heap top-k aggregate (TypedImperativeAggregate) -------------------
+  // Same answer as the window/row_number formulation (the oracle) with the
+  // scalable execution: map-side k-element heaps, k pairs per group shuffled.
+  private def qTopkAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(graft.functions.TopK.topK(col("o_totalprice"), col("o_orderkey"), 3).as("tk"))
+      .select(col("o_custkey").as("c_custkey"), posexplode(col("tk")).as(Seq("i", "e")))
+      .select(col("c_custkey"), col("e.id").as("o_orderkey"),
+        col("e.score").as("o_totalprice"), (col("i") + 1).cast("int").as("rn"))
+      .orderBy("c_custkey", "rn")
+
+  private val qTopkAggSql =
+    """SELECT c_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn FROM (
+         SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice,
+                row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+         FROM orders) WHERE rn <= 3 ORDER BY c_custkey, rn"""
+
   // -- composite training-set pipeline: dedup → quality → language --------------
   private def qTrainingSet(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
@@ -127,6 +145,7 @@ object AdvancedQueries extends QueryPack {
     "q_pivot" -> (qPivot _),
     "q_weighted_avg" -> (qWeightedAvg _),
     "q_salted_join" -> (qSaltedJoin _),
+    "q_topk_agg" -> (qTopkAgg _),
     "pipeline_training_set" -> (qTrainingSet _))
 
   override val oracles: Map[String, String] = Map(
@@ -135,5 +154,6 @@ object AdvancedQueries extends QueryPack {
     "q_pivot" -> qPivotSql,
     "q_weighted_avg" -> qWeightedAvgSql,
     "q_salted_join" -> qSaltedJoinSql,
+    "q_topk_agg" -> qTopkAggSql,
     "pipeline_training_set" -> qTrainingSetSql)
 }
