@@ -76,4 +76,21 @@ object EventStreams {
     */
   def startToMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Append()) =
     df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+
+  /** Continuous protocol sink: stream micro-batches out as Airbyte RECORD
+    * NDJSON files (one directory per epoch) — the streaming dual of the
+    * reference's `read` sync, with the same distributed envelope encoder as
+    * the batch path (graft.sinks.Envelopes). Exactly-once per epoch comes
+    * from the checkpoint + directory-per-batch layout.
+    */
+  def startToAirbyteNdjson(df: DataFrame, stream: String, outDir: String,
+      checkpointDir: String) =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], epoch: Long) =>
+        graft.sinks.Envelopes.writeNdjson(batch.toDF(),
+          graft.sinks.Envelopes.airbyteRecord(stream, batch.toDF()), s"$outDir/epoch=$epoch")
+      }
+      .start()
 }

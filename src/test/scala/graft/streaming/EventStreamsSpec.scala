@@ -71,6 +71,25 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming protocol sink: micro-batches land as Airbyte NDJSON epochs") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val out = java.nio.file.Files.createTempDirectory("graft-stream-sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ckpt").toString
+    val q = EventStreams.startToAirbyteNdjson(in.toDF(), "events", out, ckpt)
+    try {
+      in.addData(events.take(2)); q.processAllAvailable()
+      in.addData(events.drop(2)); q.processAllAvailable()
+      val lines = spark.read.text(s"$out/epoch=*").collect().map(_.getString(0))
+      assert(lines.length == events.size)
+      lines.foreach { l =>
+        val n = graft.core.Json.parse(l)
+        assert(n.get("type").asText == "RECORD")
+        assert(n.at("/record/stream").asText == "events")
+      }
+    } finally q.stop()
+  }
+
   test("cursor tracker: per-stream high-water mark advances across batches (S8 dual)") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[EventStreams.CursorEvent]
