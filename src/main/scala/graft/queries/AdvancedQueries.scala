@@ -111,6 +111,31 @@ object AdvancedQueries extends QueryPack {
                 row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
          FROM orders) WHERE rn <= 3 ORDER BY c_custkey, rn"""
 
+  // -- bucketized range join (point-in-interval as an equi-join) -----------------
+  // value bands derived deterministically from `part` so the oracle can
+  // rebuild them; points = events.value
+  private def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val bands = t(s, dir, "part").filter(col("p_partkey") <= 20)
+      .select(col("p_partkey").as("band_id"),
+        (col("p_partkey") * 4.0).as("lo"),
+        (col("p_partkey") * 4.0 + 6.0).as("hi")) // overlapping bands
+    val points = t(s, dir, "events").select(col("event_id"), col("value"))
+    graft.operators.RangeJoin.pointInInterval(points, "value", bands, "lo", "hi", bucketWidth = 8.0)
+      .groupBy(col("band_id"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(18,6)")).cast("double"), 2).as("sum_v"))
+      .orderBy("band_id")
+  }
+
+  private val qRangeJoinSql =
+    """WITH bands AS (
+         SELECT p_partkey AS band_id, p_partkey*4.0 AS lo, p_partkey*4.0+6.0 AS hi
+         FROM part WHERE p_partkey <= 20)
+       SELECT band_id, count(*) AS n,
+              round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE),2) AS sum_v
+       FROM events JOIN bands ON value BETWEEN lo AND hi
+       GROUP BY band_id ORDER BY band_id"""
+
   // -- composite training-set pipeline: dedup → quality → language --------------
   private def qTrainingSet(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
@@ -146,6 +171,7 @@ object AdvancedQueries extends QueryPack {
     "q_weighted_avg" -> (qWeightedAvg _),
     "q_salted_join" -> (qSaltedJoin _),
     "q_topk_agg" -> (qTopkAgg _),
+    "q_range_join" -> (qRangeJoin _),
     "pipeline_training_set" -> (qTrainingSet _))
 
   override val oracles: Map[String, String] = Map(
@@ -155,5 +181,6 @@ object AdvancedQueries extends QueryPack {
     "q_weighted_avg" -> qWeightedAvgSql,
     "q_salted_join" -> qSaltedJoinSql,
     "q_topk_agg" -> qTopkAggSql,
+    "q_range_join" -> qRangeJoinSql,
     "pipeline_training_set" -> qTrainingSetSql)
 }
