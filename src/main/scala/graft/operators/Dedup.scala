@@ -65,6 +65,22 @@ object Dedup {
       Bridge.childExpr(transform(shingleCol, s => xxhash64(s))), nHashes, seed))
   }
 
+  /** Distinct hashed w-gram shingles, hashed straight off the string's bytes
+    * in one codegen pass ([[graft.functions.ShingleHashes]]) — the scale
+    * path: no shingle strings are ever materialized. Jaccard over these
+    * equals string-shingle Jaccard up to 64-bit collisions.
+    */
+  def shingleHashes(text: Column, w: Int): Column = {
+    import org.apache.spark.sql.graftshim.Bridge
+    array_distinct(Bridge.column(graft.functions.ShingleHashes(Bridge.childExpr(text), w)))
+  }
+
+  /** Signature from an already-hashed shingle column (array<bigint>). */
+  def minHashSignatureFromHashes(hashCol: Column, nHashes: Int, seed: Long): Column = {
+    import org.apache.spark.sql.graftshim.Bridge
+    Bridge.column(graft.functions.MinHashSig(Bridge.childExpr(hashCol), nHashes, seed))
+  }
+
   /** LSH candidate pairs: docs sharing at least one (band index, band hash)
     * bucket. `r` = rows per band; bands = nHashes / r. With nHashes=64, r=2
     * (32 bands), recall at Jaccard 0.8 is 1-(1-0.8^2)^32 ≈ 1-4e-15 —
@@ -74,6 +90,17 @@ object Dedup {
     *             named `shingleCol`
     * @return (id_a, id_b) candidate pairs, id_a < id_b, distinct
     */
+  /** Signature builder dispatching on the shingle column's type: hashed
+    * shingles (array<bigint>, the scale path) feed MinHashSig directly;
+    * string shingles get a hash pass first.
+    */
+  private def sigOf(docs: DataFrame, shingleCol: String, nHashes: Int, seed: Long): Column =
+    docs.schema(shingleCol).dataType match {
+      case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, _) =>
+        minHashSignatureFromHashes(col(shingleCol), nHashes, seed)
+      case _ => minHashSignature(col(shingleCol), nHashes, seed)
+    }
+
   def lshCandidates(
       docs: DataFrame, idCol: String, shingleCol: String,
       nHashes: Int, r: Int, seed: Long): DataFrame = {
@@ -83,7 +110,7 @@ object Dedup {
     // band hashes are then plain codegen hash(slice(...)) over the 64 longs.
     val sigd = docs
       .filter(size(col(shingleCol)) > 0)
-      .select(col(idCol), minHashSignature(col(shingleCol), nHashes, seed).as("__sig"))
+      .select(col(idCol), sigOf(docs, shingleCol, nHashes, seed).as("__sig"))
     val bandHashes = array((0 until nBands).map { b =>
       hash(slice(col("__sig"), b * r + 1, r))
     }: _*)
@@ -127,9 +154,9 @@ object Dedup {
   def minHashDuplicates(
       df: DataFrame, id: Column, text: Column, shingleWidth: Int,
       threshold: Double, nHashes: Int = 64, r: Int = 2, seed: Long = 42L): DataFrame = {
-    // Shingle arrays are consumed by candidate generation AND (twice) by the
-    // Jaccard verify join — persist so tokenization runs once, not 3×.
-    val docs = df.select(id.as("__id"), shingles(text, shingleWidth).as("__sh")).persist()
+    // Shingle hashes are consumed by candidate generation AND (twice) by the
+    // Jaccard verify join — persist so the byte-scan runs once, not 3×.
+    val docs = df.select(id.as("__id"), shingleHashes(text, shingleWidth).as("__sh")).persist()
     val cands = lshCandidates(docs, "__id", "__sh", nHashes, r, seed)
     verifyJaccard(cands, docs, "__id", "__sh")
       .filter(col("jaccard") >= threshold)

@@ -63,9 +63,10 @@ object DedupQueries extends QueryPack {
 
   // -- exact n-gram Jaccard via inverted index (no LSH; same answer, exhaustive) ----
   private def qNgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    // persisted: consumed by both sides of the token join + the size lookup
+    // persisted: consumed by both sides of the token join + the size lookup;
+    // hashed shingles → the self-join shuffles longs, not 3-gram strings
     val docs = t(s, dir, "documents")
-      .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+      .select(col("doc_id"), Dedup.shingleHashes(col("text"), 3).as("sh"))
       .filter(size(col("sh")) > 0)
       .persist()
     val toks = docs.select(col("doc_id"), explode(col("sh")).as("tok"))

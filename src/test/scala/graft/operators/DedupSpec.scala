@@ -24,6 +24,20 @@ class DedupSpec extends AnyFunSuite {
     assert(sh == 0)
   }
 
+  test("ShingleHashes == xxhash64 of string shingles, bit-exact (codegen byte-scan parity)") {
+    val viaStrings = docs.select(col("doc_id"),
+      array_distinct(transform(Dedup.shingles(col("text"), 3), s => xxhash64(s))).as("h"))
+    val viaBytes = docs.select(col("doc_id"), Dedup.shingleHashes(col("text"), 3).as("h"))
+    val a = viaStrings.orderBy("doc_id").as[(Long, Seq[Long])].collect().toSeq
+    val b = viaBytes.orderBy("doc_id").as[(Long, Seq[Long])].collect().toSeq
+    assert(a == b)
+    // multi-space text keeps parity too (empty tokens in both formulations)
+    val weird = Seq((9L, "a  b c  d e")).toDF("doc_id", "text")
+    val x = weird.select(array_distinct(transform(Dedup.shingles(col("text"), 3), s => xxhash64(s)))).as[Seq[Long]].head()
+    val y = weird.select(Dedup.shingleHashes(col("text"), 3)).as[Seq[Long]].head()
+    assert(x == y)
+  }
+
   test("exact dedup keeps min id per content") {
     val out = Dedup.exact(docs, col("text"), col("doc_id"))
       .orderBy("keep_id").select("keep_id", "n_copies").as[(Long, Long)].collect().toList
