@@ -6,6 +6,9 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.sources.{HttpClient, HttpRequest, HttpResponse}
 
+/** Top-level so plain java reflection sees the constructor fields in order. */
+case class ShopifyTestConfig(shop: String, token: Masked, page_size: Int)
+
 /** Control-stream parsing + protocol golden tests (SURVEY §5 items 3/5):
   * run a mock-HTTP source through the Airbyte/Singer dialects and check
   * canonical NDJSON with a fixed clock; round-trip the global-state explode
@@ -127,6 +130,19 @@ class ProtocolSpec extends AnyFunSuite {
 
   test("masked secret renders masked (utils.go:12-24)") {
     assert(Masked("hunter2").toString == "xxxx")
+  }
+
+  test("config schema reflected from case class, Masked -> airbyte_secret (C1, sourcedef.go:120-126)") {
+    val schema = ConfigSchema.of[ShopifyTestConfig](
+      defaults = Map("shop" -> "example"), hints = Map("token" -> "admin API token"))
+    val n = Json.parse(schema)
+    assert(n.at("/properties/shop/type").asText == "string")
+    assert(n.at("/properties/shop/default").asText == "example")
+    assert(n.at("/properties/token/airbyte_secret").asBoolean)
+    assert(n.at("/properties/token/description").asText == "admin API token")
+    assert(n.at("/properties/page_size/type").asText == "integer")
+    assert((0 until n.at("/required").size).map(i => n.at(s"/required/$i").asText).toSet ==
+      Set("shop", "token", "page_size"))
   }
 
   test("state store round-trips and orders write-then-state (SURVEY §7a)") {
