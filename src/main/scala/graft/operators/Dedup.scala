@@ -163,6 +163,44 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Duplicate-cluster assignment: connected components over the near-dup
+    * pair graph by iterative min-label propagation (each node adopts the
+    * smallest label among itself and its neighbors until fixpoint). The
+    * loop is driver-side but each iteration is a distributed join+agg;
+    * iteration count = graph diameter, which for dup clusters (dense
+    * near-cliques) is tiny. The smallest doc id in a component is its
+    * representative — the survivor a curation pipeline keeps.
+    *
+    * @param pairs (id_a, id_b) undirected near-dup edges
+    * @param ids   one row per node id (column `idCol`) — isolated docs keep
+    *              themselves as representative
+    * @return (id, rep)
+    */
+  def clusterRepresentatives(pairs: DataFrame, ids: DataFrame, idCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a"), col("id_b"))
+      .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .distinct().persist()
+    var labels = ids.select(col(idCol).as("id"), col(idCol).as("rep"))
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val viaNeighbors = edges
+        .join(labels, edges("id_b") === labels("id"))
+        .select(edges("id_a").as("id"), col("rep"))
+      val next = labels.select(col("id"), col("rep"))
+        .union(viaNeighbors)
+        .groupBy("id").agg(min("rep").as("rep"))
+        .persist()
+      val changed = next.join(labels.withColumnRenamed("rep", "prev"), "id")
+        .filter(col("rep") =!= col("prev")).limit(1).count() > 0
+      labels = next
+      converged = !changed
+      iter += 1
+    }
+    labels
+  }
+
   /** 64-bit SimHash over a column of token hashes: bit b of the result is
     * the sign of Σ_tokens (bit b of hash ? +1 : -1). One generated-code pass
     * via [[graft.functions.SimHash64]] (was 64 interpreted folds).

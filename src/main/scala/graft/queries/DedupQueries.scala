@@ -86,6 +86,39 @@ object DedupQueries extends QueryPack {
 
   private val qNgramJaccardSql = minhashOracle.replace("%THRESH%", "0.7")
 
+  // -- duplicate clustering: minhash pairs → connected components → survivor ---------
+  private def qClusters(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.minHashDuplicates(docs,
+      id = col("doc_id"), text = col("text"), shingleWidth = 3, threshold = 0.8)
+    Dedup.clusterRepresentatives(pairs, docs, "doc_id")
+      .filter(col("id") =!= col("rep")) // only docs deduped away, keeps output small
+      .orderBy("id")
+  }
+
+  // oracle: same pair set (exhaustive Jaccard >= 0.8), transitive closure by
+  // recursive reachability, min reachable id per node
+  private val qClustersSql =
+    """WITH RECURSIVE d AS (
+         SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(string_split(text,' '))-1, 1)),
+                i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS sh
+         FROM documents),
+       toks AS (SELECT doc_id, unnest(sh) AS tok FROM d),
+       sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+       inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+                 FROM toks a JOIN toks b ON a.tok=b.tok AND a.doc_id < b.doc_id GROUP BY 1,2),
+       pairs AS (
+         SELECT id_a, id_b FROM inter
+         JOIN sizes sa ON id_a=sa.doc_id JOIN sizes sb ON id_b=sb.doc_id
+         WHERE i*1.0/(sa.sz+sb.sz-i) >= 0.8),
+       edges AS (SELECT id_a, id_b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+       walk(id, lbl) AS (
+         SELECT doc_id, doc_id FROM documents
+         UNION
+         SELECT e.id_b, w.lbl FROM walk w JOIN edges e ON e.id_a = w.id)
+       SELECT id, min(lbl) AS rep FROM walk GROUP BY id
+       HAVING id != min(lbl) ORDER BY id"""
+
   // -- SimHash near-dup (rows-only: engine-specific hash) ----------------------------
   private def qSimHash(s: SparkSession, dir: String): DataFrame =
     Dedup.simHashDuplicates(t(s, dir, "documents"), col("doc_id"), col("text"), maxDist = 3)
@@ -119,6 +152,7 @@ object DedupQueries extends QueryPack {
     "dedup_keep_first" -> (qKeepFirst _),
     "dedup_minhash_lsh" -> (qMinHash _),
     "dedup_ngram_jaccard" -> (qNgramJaccard _),
+    "dedup_clusters" -> (qClusters _),
     "dedup_simhash" -> (qSimHash _),
     "dedup_embedding_cosine" -> (qEmbDup _))
 
@@ -127,5 +161,6 @@ object DedupQueries extends QueryPack {
     "dedup_keep_first" -> qKeepFirstSql,
     "dedup_minhash_lsh" -> qMinHashSql,
     "dedup_ngram_jaccard" -> qNgramJaccardSql,
+    "dedup_clusters" -> qClustersSql,
     "dedup_embedding_cosine" -> qEmbDupSql)
 }

@@ -71,6 +71,15 @@ class DedupSpec extends AnyFunSuite {
     assert(m.get((1L, 2L)).exists(_ <= 16)) // one-token change → small distance
   }
 
+  test("clusterRepresentatives: min-label over components, chain + isolated nodes") {
+    val ids = (1L to 7L).map(Tuple1(_)).toDF("doc_id")
+    // components: {1,2,3} via chain 1-2, 2-3; {5,6}; isolated 4, 7
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val out = Dedup.clusterRepresentatives(pairs, ids, "doc_id")
+      .orderBy("id").as[(Long, Long)].collect().toList
+    assert(out == List(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
   test("verifyJaccard computes exact set Jaccard") {
     val docsSh = docs.select(col("doc_id").as("__id"), Dedup.shingles(col("text"), 3).as("__sh"))
     val pairs = Seq((1L, 4L), (1L, 3L)).toDF("id_a", "id_b")
