@@ -177,10 +177,38 @@ object Dedup {
     * @return (id, rep)
     */
   def clusterRepresentatives(pairs: DataFrame, ids: DataFrame, idCol: String,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20, driverEdgeLimit: Long = 10_000_000L): DataFrame = {
     val edges = pairs.select(col("id_a"), col("id_b"))
       .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .distinct().persist()
+    // The edge set is the SMALL output of near-dup detection (orders of
+    // magnitude below the corpus). Below the limit, union-find on the driver
+    // in one pass and broadcast the mapping — O(E α(E)) with zero iterative
+    // jobs; the corpus-sized `ids` never leaves the cluster. Beyond it,
+    // fall through to distributed min-label propagation.
+    val nEdges = edges.count()
+    if (nEdges <= driverEdgeLimit) {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edges.select(col("id_a").cast("long"), col("id_b").cast("long"))
+        .collect().foreach { row =>
+          val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+      val reps = parent.keys.map(k => (k, find(k))).toSeq
+      val spark = ids.sparkSession
+      import spark.implicits._
+      val repDf = broadcast(reps.toDF("id", "rep0"))
+      return ids.select(col(idCol).as("id"))
+        .join(repDf, Seq("id"), "left")
+        .select(col("id"), coalesce(col("rep0"), col("id")).as("rep"))
+    }
     var labels = ids.select(col(idCol).as("id"), col(idCol).as("rep"))
     var iter = 0
     var converged = false

@@ -78,6 +78,10 @@ class DedupSpec extends AnyFunSuite {
     val out = Dedup.clusterRepresentatives(pairs, ids, "doc_id")
       .orderBy("id").as[(Long, Long)].collect().toList
     assert(out == List(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L, 7L -> 7L))
+    // distributed label-propagation fallback (driverEdgeLimit=0) agrees
+    val dist = Dedup.clusterRepresentatives(pairs, ids, "doc_id", driverEdgeLimit = 0)
+      .orderBy("id").as[(Long, Long)].collect().toList
+    assert(dist == out)
   }
 
   test("verifyJaccard computes exact set Jaccard") {
