@@ -69,8 +69,16 @@ object ConnectorDefs {
         .getOrElse(now.minusSeconds(10L * 365 * 24 * 3600))
       (from, now)
     }
+    /** The exact `updated_at_max` issued by the last stream() — newState must
+      * persist THIS value, never a re-read of the clock, or records updated
+      * between the fetched window's end and the state write fall into a
+      * permanently skipped gap (reference persists the requested `to`:
+      * shopify.go:60-62, `state.To = to`).
+      */
+    private val issuedTo = new java.util.concurrent.atomic.AtomicReference[Instant](null)
     override def stream(config: Option[JsonNode], state: Option[JsonNode]): PaginatedStream = {
       val (from, to) = window(state)
+      issuedTo.set(to)
       val token = config.flatMap(c => Option(c.get("token"))).map(_.asText).getOrElse("")
       PaginatedStream(
         HttpRequest(shopUrl(config),
@@ -84,8 +92,10 @@ object ConnectorDefs {
         Pagination.LinkHeader(),
         recordsPath = Seq("orders"))
     }
-    override def newState(config: Option[JsonNode], old: Option[JsonNode]): Option[String] =
-      Some(s"""{"To":"${rfc3339.format(window(old)._2)}"}""")
+    override def newState(config: Option[JsonNode], old: Option[JsonNode]): Option[String] = {
+      val to = Option(issuedTo.get()).getOrElse(window(old)._2)
+      Some(s"""{"To":"${rfc3339.format(to)}"}""")
+    }
   }
 
   def shopify(clock: () => Instant = () => Instant.now()): SourceDef = SourceDef(

@@ -69,7 +69,12 @@ object RunConfig {
           // it when present — a strict superset of reference behavior.
           Option(n.at("/catalog/streams")).filter(_.isArray).foreach { arr =>
             val names = (0 until arr.size()).flatMap { i =>
-              Option(arr.get(i).at("/stream/name").asText(""))
+              // at() returns "" (never null) for a missing path — test for the
+              // missing node explicitly or the top-level `name` fallback
+              // (Airbyte ConfiguredStream vs bare stream list) is dead code.
+              val nested = arr.get(i).at("/stream/name")
+              val primary = if (nested.isMissingNode) "" else nested.asText("")
+              Option(primary).filter(_.nonEmpty)
                 .orElse(Option(arr.get(i).get("name")).map(_.asText("")))
             }.filter(_.nonEmpty)
             if (names.nonEmpty) selected = Some(names.toSet)

@@ -20,13 +20,19 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * Expression-with-doGenCode is the next rung (beats a Scala UDF: no
   * serialization boundary, stays inside the generated stage).
   *
-  * Null handling: a null array yields null (nullSafeEval); null *elements*
-  * are not expected in embedding data and read as 0.
+  * Null handling: a null array yields null (nullSafeEval), and UNEQUAL
+  * LENGTHS yield null — exactly what `aggregate(zip_with(...))` produces
+  * (zip_with pads the shorter side with nulls, which poison the sum), so the
+  * [[graft.plans.RewriteDotProduct]] rule is semantics-preserving on ragged
+  * inputs. Null *elements* are not expected in embedding data and read as 0.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  // Nullable even when children aren't: length mismatch produces null.
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     def ok(t: DataType) = t match {
@@ -47,7 +53,8 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     val xf = elemType(left) == FloatType
     val yf = elemType(right) == FloatType
     var sum = 0.0
@@ -68,12 +75,16 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double ${ev.value}Acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  ${ev.value}Acc += (double) $a.$getX($i) * (double) $b.$getY($i);
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  final int $n = $a.numElements();
+         |  double ${ev.value}Acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    ${ev.value}Acc += (double) $a.$getX($i) * (double) $b.$getY($i);
+         |  }
+         |  ${ev.value} = ${ev.value}Acc;
          |}
-         |${ev.value} = ${ev.value}Acc;
        """.stripMargin
     })
   }

@@ -52,33 +52,44 @@ object AsOfJoin {
 
     val ts = "__asof_ts"
     val tag = "__asof_tag"
+    val payload = "__asof_payload"
+
+    // The right row's carried columns travel as ONE struct, not as independent
+    // last() streams: the struct is non-null for every right row (even when
+    // its fields are null), so a newer right row with a null field correctly
+    // shadows an older row's value — per-column carry would splice fields
+    // from different right rows into one that never existed.
+    val payloadType = org.apache.spark.sql.types.StructType(rightCols.map(c => right.schema(c)))
 
     val l = left
       .withColumn(ts, col(leftTime))
       .withColumn(tag, lit(1))
       .select((keyCols.map(col) :+ col(ts) :+ col(tag)) ++
-        leftCols.filterNot(keyCols.contains).map(col) ++
-        rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+        leftCols.filterNot(keyCols.contains).map(col) :+
+        lit(null).cast(payloadType).as(payload): _*)
 
     val r = right
       .withColumn(ts, col(rightTime))
       .withColumn(tag, lit(0))
       .select((keyCols.map(col) :+ col(ts) :+ col(tag)) ++
-        leftCols.filterNot(keyCols.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightCols.map(col): _*)
+        leftCols.filterNot(keyCols.contains).map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(rightCols.map(col): _*).as(payload): _*)
 
-    // Secondary sort on rightCols makes the carried value deterministic when
-    // the right side has duplicate (key, time) rows (the max tuple wins).
+    // Secondary sort on the payload struct makes the carried value
+    // deterministic when the right side has duplicate (key, time) rows (the
+    // max tuple wins — struct ordering is lexicographic over its fields).
     val w = Window
       .partitionBy(keyCols.map(col): _*)
-      .orderBy(col(ts).asc +: col(tag).asc +: rightCols.map(c => col(c).asc_nulls_first): _*)
+      .orderBy(col(ts).asc, col(tag).asc, col(payload).asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val carried = l.unionByName(r)
       .select(
-        (keyCols.map(col) ++ leftCols.filterNot(keyCols.contains).map(col) :+ col(tag)) ++
-          rightCols.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
+        (keyCols.map(col) ++ leftCols.filterNot(keyCols.contains).map(col) :+ col(tag)) :+
+          last(col(payload), ignoreNulls = true).over(w).as(payload): _*)
 
-    carried.filter(col(tag) === lit(1)).drop(tag)
+    carried.filter(col(tag) === lit(1))
+      .select((keyCols.map(col) ++ leftCols.filterNot(keyCols.contains).map(col)) ++
+        rightCols.map(c => col(s"$payload.$c").as(c)): _*)
   }
 }

@@ -17,7 +17,9 @@ import graft.functions.DotProduct
   * intermediate array per row, so users writing the idiomatic built-in
   * formulation silently pay ~100× in pairwise-join hot loops; after this
   * rule they get the generated loop automatically. Semantics are identical:
-  * both accumulate left-to-right in double precision.
+  * both accumulate left-to-right in double precision, and both yield NULL on
+  * unequal-length inputs (zip_with's null padding poisons the sum;
+  * DotProduct returns null on length mismatch to match).
   *
   * A `transform(x, v -> CAST(v AS DOUBLE))` wrapper around either input is
   * peeled off — DotProduct casts elements internally.

@@ -16,6 +16,14 @@ import org.apache.spark.sql.functions._
   */
 object Envelopes {
 
+  /** to_json drops null fields by default
+    * (spark.sql.jsonGenerator.ignoreNullFields=true); the reference's Go
+    * json.Marshal — and the driver-side ProtoWriter — emit them, so the
+    * distributed envelopes must too or rows containing nulls break golden
+    * parity.
+    */
+  private val keepNulls = Map("ignoreNullFields" -> "false")
+
   /** `{"type":"RECORD","record":{"stream":…,"emitted_at":ms,"data":{row}}}` */
   def airbyteRecord(stream: String, df: DataFrame,
       emittedAt: Column = unix_millis(current_timestamp())): Column =
@@ -24,7 +32,7 @@ object Envelopes {
       struct(
         lit(stream).as("stream"),
         emittedAt.as("emitted_at"),
-        struct(df.columns.map(col).toIndexedSeq: _*).as("data")).as("record")))
+        struct(df.columns.map(col).toIndexedSeq: _*).as("data")).as("record")), keepNulls)
 
   /** `{"type":"RECORD","stream":…,"time_extracted":s,"record":{row}}` */
   def singerRecord(stream: String, df: DataFrame,
@@ -33,7 +41,7 @@ object Envelopes {
       lit("RECORD").as("type"),
       lit(stream).as("stream"),
       timeExtracted.as("time_extracted"),
-      struct(df.columns.map(col).toIndexedSeq: _*).as("record")))
+      struct(df.columns.map(col).toIndexedSeq: _*).as("record")), keepNulls)
 
   /** Write a stream as envelope NDJSON text files; optional zstd (K6 —
     * `option("compression","zstd")`, the engine dual of the reference's

@@ -44,6 +44,19 @@ class ConnectorDefsSpec extends AnyFunSuite {
     assert(params("updated_at_min") == "2014-06-18T12:00:00Z") // now - 10*365d (3 leap days in range)
   }
 
+  test("shopify: newState persists the exact fetched `to`, not a clock re-read (shopify.go:60-62)") {
+    // Moving clock: the sync takes 90s between issuing the window and
+    // persisting state. The persisted To must be the updated_at_max actually
+    // requested — a re-read of the clock would leave a permanently skipped
+    // gap of records updated during the sync.
+    var t = Instant.parse("2024-06-15T12:00:00Z")
+    val runner = new ConnectorDefs.ShopifyOrdersRunner(() => t)
+    val st = Json.parse("""{"To":"2024-01-01T00:00:00Z"}""")
+    val issued = runner.stream(None, Some(st)).base.params.toMap.apply("updated_at_max")
+    t = t.plusSeconds(90) // clock advances while records stream
+    assert(runner.newState(None, Some(st)).get == s"""{"To":"$issued"}""")
+  }
+
   test("storm: $select scalars + $expand nested struct projection (storm.go:47-55)") {
     val runner = new ConnectorDefs.StormRunner
     val params = runner.selectParams(ConnectorDefs.stormItemSchema).toMap

@@ -42,6 +42,16 @@ class ProtocolSpec extends AnyFunSuite {
     assert(rc.selectedStreams.contains(Set("orders")))
   }
 
+  test("catalog entries with top-level name (no nested stream object) still select") {
+    // at("/stream/name").asText("") returns "" for a missing path — the
+    // top-level `name` fallback must fire, not yield an empty selection that
+    // silently syncs ALL streams.
+    val rc = RunConfig.parse(Iterator(
+      """{"type":"CATALOG","catalog":{"streams":[{"name":"users"}]}}"""),
+      Seq("orders", "users"))
+    assert(rc.selectedStreams.contains(Set("users")))
+  }
+
   // -- a tiny source over a scripted client -------------------------------------
   private val ordersDef = StreamDef("orders",
     org.apache.spark.sql.types.StructType(Seq(

@@ -39,6 +39,13 @@ class VectorFunctionsSpec extends AnyFunSuite {
     assert(out.isNullAt(0))
   }
 
+  test("unequal lengths yield null, matching aggregate(zip_with(...)) exactly") {
+    val ragged = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f))).toDF("a", "b")
+    val row = ragged.select(dot(col("a"), col("b")).as("d"), dotHof(col("a"), col("b")).as("h")).collect()(0)
+    assert(row.isNullAt(0), "codegen dot must be null on ragged input")
+    assert(row.isNullAt(1), "HOF dot must be null on ragged input (zip_with null padding)")
+  }
+
   test("cosine of identical vectors is 1.0 within ulps") {
     val c = df.select(cosine(col("a"), col("a"))).as[Double].collect()
     c.foreach(v => assert(math.abs(v - 1.0) < 1e-12))

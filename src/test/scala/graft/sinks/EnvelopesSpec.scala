@@ -37,6 +37,16 @@ class EnvelopesSpec extends AnyFunSuite {
     assert(back.select("stream").distinct().as[String].head() == "s")
   }
 
+  test("null fields are emitted, not dropped (parity with Go json.Marshal / driver ProtoWriter)") {
+    val nullDf = Seq((1L, Option("a")), (2L, Option.empty[String])).toDF("id", "name")
+    val line = nullDf.filter(col("id") === 2)
+      .select(Envelopes.airbyteRecord("s", nullDf, lit(1L)).as("v")).as[String].head()
+    assert(line.contains(""""name":null"""), s"null field missing from envelope: $line")
+    val singer = nullDf.filter(col("id") === 2)
+      .select(Envelopes.singerRecord("s", nullDf, lit(1L)).as("v")).as[String].head()
+    assert(singer.contains(""""name":null"""), s"null field missing from singer envelope: $singer")
+  }
+
   test("every line is valid single-line JSON (interleave-safety by partitioned files)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-lines").toString
     Envelopes.writeNdjson(df.repartition(3), Envelopes.airbyteRecord("s", df, lit(0L)), dir)
