@@ -42,19 +42,15 @@ object VectorFunctions {
     aggregate(zip_with(d(a), d(b), (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
 
   /** Random-hyperplane LSH signature: `nBits` sign bits packed into a long.
-    * Hyperplanes are generated driver-side from a fixed seed and embedded as
-    * literals — deterministic across runs and executors, broadcast-free
-    * (they ride inside the serialized plan).
+    * Hyperplanes are generated driver-side from a fixed seed and ride into
+    * generated code as one flat reference array — deterministic across runs
+    * and executors, broadcast-free. Single codegen expression
+    * ([[RhpSignature]]): the composed when(dot(...)) formulation generated
+    * Janino-compile-dominated stages.
     */
-  def rhpSignature(vec: Column, dim: Int, nBits: Int, seed: Long): Column = {
-    val rnd = new java.util.Random(seed)
-    val planes: Seq[Array[Double]] =
-      Seq.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
-    planes.zipWithIndex.map { case (p, i) =>
-      val plane = array(p.map(lit(_)): _*)
-      when(dot(vec, plane) >= 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
-  }
+  def rhpSignature(vec: Column, dim: Int, nBits: Int, seed: Long): Column =
+    org.apache.spark.sql.graftshim.Bridge.column(
+      RhpSignature(org.apache.spark.sql.graftshim.Bridge.childExpr(vec), dim, nBits, seed))
 
   /** Popcount of the XOR — Hamming distance between two packed signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

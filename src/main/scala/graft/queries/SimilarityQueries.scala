@@ -66,8 +66,13 @@ object SimilarityQueries extends QueryPack {
     val nTables = 8
     val sigs = array((0 until nTables).map(tb =>
       rhpSignature(col("embedding"), dim = 64, nBits = 8, seed = 7L + tb)): _*)
-    val banded = emb.select(col("vec_id"), posexplode(sigs).as(Seq("tbl", "bucket")))
-    val qBanded = banded.filter(col("vec_id") < 10)
+    def bandedOf(df: DataFrame): DataFrame =
+      df.select(col("vec_id"), posexplode(sigs).as(Seq("tbl", "bucket")))
+    val banded = bandedOf(emb)
+    // Query side hashed from the FILTERED rows, not by re-scanning the full
+    // banded corpus — at 100 TB building this broadcast must not cost a
+    // second corpus pass.
+    val qBanded = bandedOf(emb.filter(col("vec_id") < 10))
       .select(col("tbl"), col("bucket"), col("vec_id").as("query_id"))
     val cands = banded.join(broadcast(qBanded), Seq("tbl", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))
@@ -94,12 +99,15 @@ object SimilarityQueries extends QueryPack {
     val cents = emb.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent"))
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("dist").asc, col("cent_id"))
-    val assigned = emb.crossJoin(broadcast(cents))
+    def assign(df: DataFrame): DataFrame = df.crossJoin(broadcast(cents))
       .withColumn("dist", l2sq(col("embedding"), col("cent")))
       .withColumn("arn", row_number().over(wAssign))
       .filter(col("arn") === 1)
       .select(col("vec_id"), col("embedding"), col("cent_id"))
-    val queriesDf = assigned.filter(col("vec_id") < 10)
+    val assigned = assign(emb)
+    // Queries assigned from the filtered rows — building this broadcast must
+    // not re-run the corpus-wide assignment pass.
+    val queriesDf = assign(emb.filter(col("vec_id") < 10))
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("cent_id"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
     assigned.select(col("vec_id").as("neighbor_id"), col("embedding"), col("cent_id"))
