@@ -7,10 +7,9 @@ import graft.operators.Multimodal
 
 /** Multimodal-column operators over a media table derived deterministically
   * from `documents` (payload = UTF-8 bytes as opaque blob; the driver
-  * testdata has no binary table). Byte-level features are oracle-checked;
-  * the stride sampler and the stubbed decoder (engine-specific byte
-  * plumbing DuckDB can't express over blobs) get rows-only checks plus
-  * ScalaTest coverage.
+  * testdata has no binary table). All three are oracle-checked: DuckDB
+  * reaches individual payload bytes via hex() decomposition, so the stride
+  * sampler and the deterministic fake decoder compare exactly.
   */
 object MultimodalQueries extends QueryPack {
 
@@ -36,21 +35,50 @@ object MultimodalQueries extends QueryPack {
        to_base64(encode(left(CASE WHEN doc_id % 3 = 0 THEN 'ima' WHEN doc_id % 3 = 1 THEN 'aud' ELSE 'vid' END, 3))) AS fmt_b64
        FROM documents ORDER BY doc_id"""
 
-  // -- stride sampling (frame-sample access pattern; rows-only) ------------------
+  // -- stride sampling (frame-sample access pattern) -----------------------------
+  // Sampled bytes emitted as hex (not sha2): DuckDB's sha256 takes VARCHAR
+  // only, and sampled UTF-8 bytes can be invalid as a string — hex compares
+  // the exact same bytes and keeps the query oracle-checkable.
   private def qStride(s: SparkSession, dir: String): DataFrame =
     media(s, dir)
       .select(
         col("doc_id"),
         length(Multimodal.strideSample(col("payload"), 7)).as("n_sampled"),
-        sha2(Multimodal.strideSample(col("payload"), 7), 256).as("sample_fp"))
+        hex(Multimodal.strideSample(col("payload"), 7)).as("sample_hex"))
       .orderBy("doc_id")
 
-  // -- stubbed decode + featurize via mapPartitions (rows-only) ------------------
+  private val qStrideSql =
+    """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n FROM documents)
+       SELECT doc_id,
+         CAST(ceil(n / 7.0) AS INT) AS n_sampled,
+         array_to_string(list_transform(range(0, n, 7), i -> substring(hx, CAST(i*2+1 AS INT), 2)), '') AS sample_hex
+       FROM h ORDER BY doc_id"""
+
+  // -- stubbed decode + featurize via mapPartitions ------------------------------
   private def qDecode(s: SparkSession, dir: String): DataFrame =
     Multimodal.decodeFeatures(s, media(s, dir)).toDF()
       .select(col("doc_id"), col("media_type"), col("width"), col("height"),
         col("duration_ms"), round(col("mean_intensity"), 4).as("mean_intensity"))
       .orderBy("doc_id")
+
+  // The DeterministicFakeDecoder's features re-derived byte-for-byte in SQL:
+  // hex() decomposition reaches payload bytes (width/height from bytes 0/1,
+  // mean over all bytes), so even the stub decode path is hash-verified.
+  private val qDecodeSql =
+    """WITH h AS (SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+           hex(encode(text)) AS hx, octet_length(encode(text)) AS n FROM documents),
+       b AS (SELECT doc_id, media_type, n,
+           list_transform(range(0, n), i ->
+             (strpos('0123456789ABCDEF', substring(hx, CAST(i*2+1 AS INT), 1))-1)*16
+             + strpos('0123456789ABCDEF', substring(hx, CAST(i*2+2 AS INT), 1))-1) AS bytes
+         FROM h)
+       SELECT doc_id, media_type,
+         CAST(16 + (CASE WHEN n = 0 THEN 0 ELSE bytes[1] % 64 END) * 16 AS INT) AS width,
+         CAST(16 + (CASE WHEN n < 2 THEN 0 ELSE bytes[2] % 64 END) * 16 AS INT) AS height,
+         CAST(CASE WHEN media_type = 'image' THEN 0 ELSE n * 10 END AS BIGINT) AS duration_ms,
+         round(CASE WHEN n = 0 THEN 0.0 ELSE list_sum(bytes) * 1.0 / n END, 4) AS mean_intensity
+       FROM b ORDER BY doc_id"""
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_byte_features" -> (qByteFeatures _),
@@ -58,5 +86,7 @@ object MultimodalQueries extends QueryPack {
     "mm_decode_features" -> (qDecode _))
 
   override val oracles: Map[String, String] = Map(
-    "mm_byte_features" -> qByteFeaturesSql)
+    "mm_byte_features" -> qByteFeaturesSql,
+    "mm_stride_sample" -> qStrideSql,
+    "mm_decode_features" -> qDecodeSql)
 }

@@ -93,7 +93,8 @@ object SimilarityQueries extends QueryPack {
 
   // -- IVF-style coarse quantization: assign every vector to its nearest of
   // -- k seed centroids (deterministic seed vectors = first k corpus rows),
-  // -- then search only the query's cell. Rows-only check.
+  // -- then search only the query's cell. Fully deterministic (seeded
+  // -- centroids, argmin with cent_id tie-break) → oracle-checked.
   private def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val cents = emb.filter(col("vec_id") < 8)
@@ -119,6 +120,23 @@ object SimilarityQueries extends QueryPack {
       .select(col("query_id"), col("neighbor_id"), round(col("cos"), 4).as("cos"), col("rn"))
       .orderBy("query_id", "rn")
   }
+
+  private val qAnnIvfSql =
+    """WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent FROM embeddings WHERE vec_id < 8),
+       assigned AS (
+         SELECT vec_id, embedding, cent_id FROM (
+           SELECT e.vec_id, e.embedding, c.cent_id,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY list_distance(e.embedding::DOUBLE[], c.cent::DOUBLE[]) ASC, c.cent_id) AS arn
+           FROM embeddings e CROSS JOIN cents c) WHERE arn = 1),
+       q AS (SELECT vec_id AS query_id, embedding AS q_emb, cent_id FROM assigned WHERE vec_id < 10),
+       scored AS (
+         SELECT q.query_id, a.vec_id AS neighbor_id,
+           list_cosine_similarity(q.q_emb::DOUBLE[], a.embedding::DOUBLE[]) AS cos
+         FROM q JOIN assigned a ON q.cent_id = a.cent_id AND a.vec_id != q.query_id)
+       SELECT query_id, neighbor_id, round(cos, 4) AS cos, CAST(rn AS INT) AS rn FROM (
+         SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+         FROM scored) WHERE rn <= 5 ORDER BY query_id, rn"""
 
   // -- vector stats (dot/norm plumbing oracle) -----------------------------------
   private def qEmbStats(s: SparkSession, dir: String): DataFrame =
@@ -162,6 +180,7 @@ object SimilarityQueries extends QueryPack {
 
   override val oracles: Map[String, String] = Map(
     "knn_cosine_brute" -> qKnnSql,
+    "ann_ivf_coarse" -> qAnnIvfSql,
     "emb_stats" -> qEmbStatsSql,
     "emb_label_centroids" -> qCentroidsSql)
 }

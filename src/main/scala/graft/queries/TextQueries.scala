@@ -125,15 +125,37 @@ object TextQueries extends QueryPack {
          FROM documents)
        GROUP BY bigram ORDER BY freq DESC, bigram LIMIT 30"""
 
-  // -- heuristic language identification (rows-only; see TextFunctions) ------------------
+  // -- heuristic language identification ------------------------------------------------
   // two heuristics side by side: marker-word argmax and char-trigram
-  // profile argmax (Cavnar–Trenkle-style)
+  // profile argmax (Cavnar–Trenkle-style); both re-derived in SQL for the
+  // oracle (score per candidate language, argmax with the same
+  // larger-lang-code tie-break as array_max over (score, lang) structs)
   private def qLangId(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("doc_id"), col("lang"),
         TextFunctions.langId(col("text")).as("pred_lang"),
         TextFunctions.langIdNgram(col("text")).as("pred_lang_ngram"))
       .orderBy("doc_id")
+
+  private val qLangIdSql =
+    """WITH base AS (SELECT doc_id, lang, lower(text) AS lt, string_split(lower(text),' ') AS tk FROM documents),
+       mark AS (
+         SELECT doc_id, 'en' AS cl, len(list_filter(tk, x -> x IN ('the','is','and','of','to','a','in'))) AS score FROM base
+         UNION ALL SELECT doc_id, 'es', len(list_filter(tk, x -> x IN ('el','la','de','que','y','los','una'))) FROM base
+         UNION ALL SELECT doc_id, 'fr', len(list_filter(tk, x -> x IN ('le','la','de','et','un','les','des'))) FROM base
+         UNION ALL SELECT doc_id, 'de', len(list_filter(tk, x -> x IN ('der','die','und','das','ist','ein','nicht'))) FROM base
+         UNION ALL SELECT doc_id, 'zh', len(list_filter(tk, x -> x IN ('的','是','了','我','不','在','他'))) FROM base),
+       mwin AS (SELECT doc_id, cl, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cl DESC) AS rn FROM mark),
+       grams AS (SELECT doc_id, list_transform(range(1, greatest(length(lt)-2, 0)+1), i -> substring(lt, CAST(i AS INT), 3)) AS g FROM base),
+       tri AS (
+         SELECT doc_id, 'en' AS cl, len(list_filter(g, x -> x IN ('the','he ',' th','ing','and',' an','ion',' of','ed ','is '))) AS score FROM grams
+         UNION ALL SELECT doc_id, 'es', len(list_filter(g, x -> x IN (' de','de ',' la','la ','os ','el ',' el','ión','es ','ue '))) FROM grams
+         UNION ALL SELECT doc_id, 'fr', len(list_filter(g, x -> x IN (' de','de ','es ',' le','le ','ent','et ',' et','que','ion'))) FROM grams
+         UNION ALL SELECT doc_id, 'de', len(list_filter(g, x -> x IN ('er ','en ','ch ',' de','der','die',' di','ein','sch','und'))) FROM grams),
+       twin AS (SELECT doc_id, cl, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cl DESC) AS rn FROM tri)
+       SELECT b.doc_id, b.lang, m.cl AS pred_lang, t.cl AS pred_lang_ngram
+       FROM base b JOIN mwin m ON b.doc_id=m.doc_id AND m.rn=1 JOIN twin t ON b.doc_id=t.doc_id AND t.rn=1
+       ORDER BY b.doc_id"""
 
   // -- rolling-hash document fingerprint (rows-only: xxhash-chained, engine-specific) ----
   private def qRollingFp(s: SparkSession, dir: String): DataFrame =
@@ -159,5 +181,6 @@ object TextQueries extends QueryPack {
     "text_bpe_count" -> qBpeCountSql,
     "text_fingerprint" -> qFingerprintSql,
     "text_term_freq" -> qTermFreqSql,
-    "text_bigrams" -> qBigramsSql)
+    "text_bigrams" -> qBigramsSql,
+    "text_lang_id" -> qLangIdSql)
 }
