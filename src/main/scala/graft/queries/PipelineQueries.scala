@@ -1,0 +1,164 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Training-data pipeline operators beyond curation filtering: deterministic
+  * train/valid/test splitting, token-budget batch packing, benchmark
+  * contamination detection, int8 embedding quantization, and class-balance
+  * reweighting. All five are oracle-checked.
+  *
+  * Scale notes:
+  *  - the split is a pure map (hash of the id — no shuffle, no global state,
+  *    stable under re-runs and re-partitioning, the property that matters
+  *    when the corpus is re-materialized);
+  *  - packing windows per lang shard, not globally — a single global
+  *    running sum would serialize 100 TB through one partition;
+  *  - contamination is an inverted-index equi-join on the shingle, never a
+  *    doc×doc comparison;
+  *  - quantization is embarrassingly parallel map work.
+  */
+object PipelineQueries extends QueryPack {
+
+  // -- deterministic hash split --------------------------------------------------
+  // Bucket = first 4 hex digits of md5(id) mod 10 → 8/1/1 split. md5 (not
+  // xxhash64) so the same assignment is reproducible in any engine.
+  private def qSplit(s: SparkSession, dir: String): DataFrame = {
+    val bucket = (conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4), 16, 10)
+      .cast("int") % 10)
+    t(s, dir, "documents")
+      .withColumn("split",
+        when(bucket < 8, "train").when(bucket === 8, "valid").otherwise("test"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("split", "lang")
+  }
+
+  private val qSplitSql =
+    """SELECT CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'valid' ELSE 'test' END AS split,
+              lang, count(*) AS n
+       FROM (SELECT lang,
+               CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 10 AS b
+             FROM documents)
+       GROUP BY 1, 2 ORDER BY split, lang"""
+
+  // -- token-budget batch packing --------------------------------------------------
+  // batch_id = floor(exclusive-running-token-sum / budget) within each lang
+  // shard ordered by doc_id — the fixed-budget packing a context-window
+  // batcher does, expressed as one window (no iterative loop).
+  private def qPack(s: SparkSession, dir: String): DataFrame = {
+    val nTok = size(split(col("text"), " "))
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t(s, dir, "documents")
+      .select(col("lang"), col("doc_id"), nTok.as("nt"))
+      .withColumn("batch_id", floor(coalesce(sum(col("nt")).over(w), lit(0L)) / lit(512)))
+      .groupBy(col("lang"), col("batch_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("sum_tokens"))
+      .orderBy("lang", "batch_id")
+  }
+
+  private val qPackSql =
+    """WITH d AS (SELECT lang, doc_id, len(string_split(text, ' ')) AS nt FROM documents),
+       c AS (SELECT lang, doc_id, nt,
+               coalesce(sum(nt) OVER (PARTITION BY lang ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ce
+             FROM d)
+       SELECT lang, CAST(floor(ce / 512) AS BIGINT) AS batch_id,
+              count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS sum_tokens
+       FROM c GROUP BY lang, batch_id ORDER BY lang, batch_id"""
+
+  // -- benchmark contamination ------------------------------------------------------
+  // "Benchmark" set = doc_id % 97 == 0 (stand-in for an eval suite); a train
+  // doc is contaminated if it shares any 5-token shingle with a benchmark
+  // doc. Inverted-index equi-join on the shingle — candidate pairs only,
+  // never doc×doc. String shingles here for oracle parity; the 100 TB path
+  // uses Dedup.shingleHashes (same join shape over longs).
+  private def qContamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), Dedup.shingles(col("text"), 5).as("sh"))
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("bench_id"), explode(col("sh")).as("g"))
+    val train = docs.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+    train.join(bench, "g")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("bench_id")).as("n_bench_docs"))
+      .orderBy("doc_id")
+  }
+
+  private val qContaminationSql =
+    """WITH sh AS (
+         SELECT doc_id, list_distinct(list_transform(
+                  range(1, greatest(len(string_split(text,' ')) - 3, 1)),
+                  i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' ||
+                       string_split(text,' ')[i+2] || ' ' || string_split(text,' ')[i+3] || ' ' ||
+                       string_split(text,' ')[i+4])) AS g
+         FROM documents),
+       bench AS (SELECT doc_id AS bench_id, unnest(g) AS tok FROM sh WHERE bench_id % 97 = 0),
+       train AS (SELECT doc_id, unnest(g) AS tok FROM sh WHERE doc_id % 97 != 0)
+       SELECT doc_id, count(DISTINCT bench_id) AS n_bench_docs
+       FROM train JOIN bench USING (tok)
+       GROUP BY doc_id ORDER BY doc_id"""
+
+  // -- int8 symmetric quantization -------------------------------------------------
+  // scale = 127 / max|x|; q = floor(x*scale + 0.5) — explicit floor-based
+  // half-up so Spark and DuckDB round identically (their round() halfway
+  // conventions differ).
+  private def qQuantize(s: SparkSession, dir: String): DataFrame = {
+    val v = transform(col("embedding"), x => x.cast("double"))
+    val amax = array_max(transform(v, x => abs(x)))
+    val scale = lit(127.0) / amax
+    val q = transform(v, x => floor(x * scale + lit(0.5)).cast("int"))
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), round(scale, 6).as("scale"),
+        aggregate(q, lit(0L), (acc, x) => acc + x).as("q_sum"),
+        array_min(q).as("q_min"), array_max(q).as("q_max"))
+      .orderBy("vec_id")
+  }
+
+  private val qQuantizeSql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       s AS (SELECT vec_id, v, CAST(127 AS DOUBLE) / list_max(list_transform(v, x -> abs(x))) AS scale FROM e),
+       q AS (SELECT vec_id, scale, list_transform(v, x -> CAST(floor(x * scale + 0.5) AS INT)) AS qs FROM s)
+       SELECT vec_id, round(scale, 6) AS scale, CAST(list_sum(qs) AS BIGINT) AS q_sum,
+              list_min(qs) AS q_min, list_max(qs) AS q_max
+       FROM q ORDER BY vec_id"""
+
+  // -- class-balance reweighting ----------------------------------------------------
+  // weight(label) = N / (k * n_label) — the standard inverse-frequency
+  // balancing factor; the totals come from an empty-frame window over the
+  // (tiny) per-label aggregate, not a second corpus pass.
+  private def qClassWeights(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy()
+    t(s, dir, "embeddings")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("weight",
+        round(sum(col("n")).over(w).cast("double") / (count(lit(1)).over(w) * col("n")), 6))
+      .orderBy("label")
+  }
+
+  private val qClassWeightsSql =
+    """SELECT label, n,
+              round(CAST(sum(n) OVER () AS DOUBLE) / (count(*) OVER () * n), 6) AS weight
+       FROM (SELECT label, count(*) AS n FROM embeddings GROUP BY label)
+       ORDER BY label"""
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_split" -> (qSplit _),
+    "pipeline_pack_batches" -> (qPack _),
+    "pipeline_contamination" -> (qContamination _),
+    "emb_quantize_int8" -> (qQuantize _),
+    "pipeline_class_weights" -> (qClassWeights _))
+
+  override val oracles: Map[String, String] = Map(
+    "pipeline_split" -> qSplitSql,
+    "pipeline_pack_batches" -> qPackSql,
+    "pipeline_contamination" -> qContaminationSql,
+    "emb_quantize_int8" -> qQuantizeSql,
+    "pipeline_class_weights" -> qClassWeightsSql)
+}

@@ -16,7 +16,8 @@ class EntryContractSpec extends AnyFunSuite {
     val packs = Seq(
       queries.RelationalQueries, queries.WindowQueries, queries.EventQueries,
       queries.TextQueries, queries.DedupQueries, queries.SimilarityQueries,
-      queries.MultimodalQueries, queries.SinkQueries, queries.AdvancedQueries)
+      queries.MultimodalQueries, queries.SinkQueries, queries.AdvancedQueries,
+      queries.PipelineQueries)
     val allKeys = packs.flatMap(_.queries.keys)
     val dups = allKeys.groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }
     assert(dups.isEmpty, s"duplicate query names: $dups")

@@ -1,0 +1,61 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkFixture
+
+/** Invariants of the training-pipeline operators (values are hash-checked
+  * against DuckDB by the driver; these pin the properties that must survive
+  * refactors).
+  */
+class PipelineQueriesSpec extends AnyFunSuite {
+  private lazy val spark = SparkFixture.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("split: partitions the corpus exactly (no row lost or double-assigned)") {
+    val out = PipelineQueries.queries("pipeline_split")(spark, dir)
+    val total = out.agg(sum("n")).head().getLong(0)
+    val docs = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(total == docs)
+    val splits = out.select("split").distinct().collect().map(_.getString(0)).toSet
+    assert(splits.subsetOf(Set("train", "valid", "test")))
+    // roughly 8/1/1 by construction of the md5 bucket
+    val train = out.filter(col("split") === "train").agg(sum("n")).head().getLong(0)
+    assert(train > docs / 2, s"train split $train of $docs looks wrong")
+  }
+
+  test("split is deterministic across runs (hash of id, no RNG state)") {
+    val a = PipelineQueries.queries("pipeline_split")(spark, dir).collect().toList
+    val b = PipelineQueries.queries("pipeline_split")(spark, dir).collect().toList
+    assert(a == b)
+  }
+
+  test("pack_batches: batch ids are consecutive from 0 per lang; all docs packed") {
+    val out = PipelineQueries.queries("pipeline_pack_batches")(spark, dir).collect()
+    val docs = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(out.map(_.getLong(2)).sum == docs) // n_docs sums to corpus
+    out.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      val ids = rows.map(_.getLong(1)).sorted.toList
+      assert(ids == (0L until ids.length).toList, s"batch ids not consecutive: $ids")
+    }
+  }
+
+  test("quantize_int8: symmetric range, max vector element maps to ±127") {
+    val out = PipelineQueries.queries("emb_quantize_int8")(spark, dir)
+    val bad = out.filter(col("q_max") > 127 || col("q_min") < -127).count()
+    assert(bad == 0) // symmetric quantization never exceeds ±127
+    // the absolutely-largest element hits the boundary for every vector
+    val boundary = out.filter(col("q_max") === 127 || col("q_min") === -127).count()
+    assert(boundary == out.count())
+  }
+
+  test("class_weights: inverse-frequency weights average to 1 over labels") {
+    val out = PipelineQueries.queries("pipeline_class_weights")(spark, dir)
+      .select(col("n"), col("weight")).collect()
+    // sum over labels of n*weight = N  (each label contributes N/k)
+    val n = out.map(_.getLong(0)).sum.toDouble
+    val weighted = out.map(r => r.getLong(0) * r.getDouble(1)).sum
+    assert(math.abs(weighted - n) / n < 1e-4)
+  }
+}
