@@ -74,17 +74,20 @@ object PipelineQueries extends QueryPack {
   // -- benchmark contamination ------------------------------------------------------
   // "Benchmark" set = doc_id % 97 == 0 (stand-in for an eval suite); a train
   // doc is contaminated if it shares any 5-token shingle with a benchmark
-  // doc. Inverted-index equi-join on the shingle — candidate pairs only,
-  // never doc×doc. String shingles here for oracle parity; the 100 TB path
-  // uses Dedup.shingleHashes (same join shape over longs).
+  // doc. Scale shape: shingles are HASHED in one codegen pass (longs, never
+  // 30-byte strings, through the shuffle) and the benchmark side is
+  // BROADCAST — an eval suite is small by nature, so the corpus-sized train
+  // explode never shuffles at all. Equal to the string-shingle oracle up to
+  // 64-bit hash collisions (~1e-6 at 5M shingles; the gate would catch one).
   private def qContamination(s: SparkSession, dir: String): DataFrame = {
+    def shingled(df: DataFrame) =
+      df.select(col("doc_id"), Dedup.shingleHashes(col("text"), 5).as("sh"))
     val docs = t(s, dir, "documents")
-      .select(col("doc_id"), Dedup.shingles(col("text"), 5).as("sh"))
-    val bench = docs.filter(col("doc_id") % 97 === 0)
+    val bench = shingled(docs.filter(col("doc_id") % 97 === 0))
       .select(col("doc_id").as("bench_id"), explode(col("sh")).as("g"))
-    val train = docs.filter(col("doc_id") % 97 =!= 0)
+    val train = shingled(docs.filter(col("doc_id") % 97 =!= 0))
       .select(col("doc_id"), explode(col("sh")).as("g"))
-    train.join(bench, "g")
+    train.join(broadcast(bench), "g")
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("bench_id")).as("n_bench_docs"))
       .orderBy("doc_id")
