@@ -352,6 +352,78 @@ object RelationalQueries extends QueryPack {
        count(*) AS n, round(sum(value),2) AS sum_value
        FROM events GROUP BY 1 ORDER BY k_mod"""
 
+  // -- scalar array functions (sort/distinct/slice/contains/join) -------------------
+  private def qArray(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      array_join(slice(array_sort(array_distinct(toks)), 1, 3), ",").as("top3_toks"),
+      array_contains(toks, "the").cast("int").as("has_the"),
+      size(toks).as("n_toks"))
+      .orderBy("doc_id")
+  }
+
+  private val qArraySql =
+    """SELECT doc_id,
+       array_to_string(list_sort(list_distinct(string_split(text,' ')))[1:3], ',') AS top3_toks,
+       CAST(list_contains(string_split(text,' '), 'the') AS INT) AS has_the,
+       CAST(len(string_split(text,' ')) AS INT) AS n_toks
+       FROM documents ORDER BY doc_id"""
+
+  // -- scalar map functions (construction, lookup, keys) ----------------------------
+  private def qMap(s: SparkSession, dir: String): DataFrame = {
+    val m = org.apache.spark.sql.functions.map(
+      lit("q"), col("l_quantity").cast("double"),
+      lit("t"), col("l_tax").cast("double"))
+    t(s, dir, "lineitem")
+      .filter(col("l_orderkey") <= 100)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        element_at(m, "q").as("q_val"),
+        array_join(map_keys(m), ",").as("ks"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  private val qMapSql =
+    """SELECT l_orderkey, l_linenumber,
+       (MAP {'q': CAST(l_quantity AS DOUBLE), 't': CAST(l_tax AS DOUBLE)})['q'][1] AS q_val,
+       array_to_string(map_keys(MAP {'q': CAST(l_quantity AS DOUBLE), 't': CAST(l_tax AS DOUBLE)}), ',') AS ks
+       FROM lineitem WHERE l_orderkey <= 100 ORDER BY l_orderkey, l_linenumber"""
+
+  // -- ordered set-string aggregation (listagg) -------------------------------------
+  private def qStringAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        array_join(array_sort(collect_set(col("l_linestatus"))), ",").as("statuses"),
+        countDistinct(col("l_linestatus")).as("n_status"))
+      .orderBy("l_returnflag")
+
+  private val qStringAggSql =
+    """SELECT l_returnflag,
+       string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses,
+       count(DISTINCT l_linestatus) AS n_status
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  // -- correlated NOT EXISTS subquery (Catalyst decorrelates to an anti join):
+  // -- customers with no high-value order (threshold keeps the set non-vacuous) ------
+  private def qExists(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("customer_ex")
+    t(s, dir, "orders").createOrReplaceTempView("orders_ex")
+    s.sql(
+      """SELECT c_nationkey, count(*) AS n_inactive
+         FROM customer_ex c
+         WHERE NOT EXISTS (SELECT 1 FROM orders_ex o
+                           WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+         GROUP BY c_nationkey ORDER BY c_nationkey""")
+  }
+
+  private val qExistsSql =
+    """SELECT c_nationkey, count(*) AS n_inactive
+       FROM customer c
+       WHERE NOT EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+       GROUP BY c_nationkey ORDER BY c_nationkey"""
+
   // -- incremental cursor read (reference S8: shopify.go:39-64 time-window scan) ----
   private def qIncr(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
@@ -382,6 +454,10 @@ object RelationalQueries extends QueryPack {
     "q_scalar_math" -> (qMath _),
     "q_case_when" -> (qCase _),
     "q_json_extract" -> (qJson _),
+    "q_scalar_array" -> (qArray _),
+    "q_scalar_map" -> (qMap _),
+    "q_string_agg" -> (qStringAgg _),
+    "q_exists_subquery" -> (qExists _),
     "q_incremental_cursor" -> (qIncr _))
 
   override val oracles: Map[String, String] = Map(
@@ -404,5 +480,9 @@ object RelationalQueries extends QueryPack {
     "q_scalar_math" -> qMathSql,
     "q_case_when" -> qCaseSql,
     "q_json_extract" -> qJsonSql,
+    "q_scalar_array" -> qArraySql,
+    "q_scalar_map" -> qMapSql,
+    "q_string_agg" -> qStringAggSql,
+    "q_exists_subquery" -> qExistsSql,
     "q_incremental_cursor" -> qIncrSql)
 }

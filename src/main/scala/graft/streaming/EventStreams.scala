@@ -45,6 +45,40 @@ object EventStreams {
       .select(col("user_id"), unix_timestamp(col("win.start")).as("session_start"),
         col("n_events"), col("sum_value"))
 
+  /** Stream-stream interval join: each purchase joined to the same user's
+    * signups within the preceding hour (event attribution). The time bound
+    * plus both watermarks let the state store expire rows — unbounded
+    * stream-stream joins never GC their state; at scale the bound IS the
+    * operator. Works identically on batch frames (plain range join).
+    */
+  def purchaseAttribution(purchases: DataFrame, signups: DataFrame): DataFrame = {
+    val p = purchases
+      .withWatermark("ts", "30 minutes")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"), col("value"))
+    val su = signups
+      .withWatermark("ts", "2 hours")
+      .select(col("event_id").as("signup_id"), col("user_id").as("s_user"),
+        col("ts").as("s_ts"))
+    p.join(su,
+      col("p_user") === col("s_user") &&
+        col("s_ts") <= col("p_ts") &&
+        col("s_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("purchase_id"), col("p_user").as("user_id"), col("signup_id"),
+        unix_timestamp(col("p_ts")).as("p_epoch"), unix_timestamp(col("s_ts")).as("s_epoch"))
+  }
+
+  /** Streaming exact dedup: first event per event_id wins, with state
+    * bounded by the watermark (`dropDuplicatesWithinWatermark`) — the
+    * streaming dual of Dedup.exact/keepFirst. Duplicates arriving more than
+    * `late` after the original age out of state; that bound is what keeps
+    * per-key dedup state finite on an infinite stream.
+    */
+  def dedupStream(events: DataFrame, late: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", late)
+      .dropDuplicatesWithinWatermark("event_id")
+
   // -- custom state: per-stream cursor tracking (incremental-sync dual) ---------
 
   final case class CursorEvent(stream: String, cursor: Long)

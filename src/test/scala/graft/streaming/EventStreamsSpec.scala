@@ -8,6 +8,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Top-level so Spark can derive an Encoder (inner classes need outer scope). */
 case class Ev(ts: Timestamp, user_id: Long, event_type: String, value: Double)
+case class IdEv(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
 
 /** Streaming-equals-batch tests: run each streaming pipeline over a
   * MemoryStream fed in multiple micro-batches and check the results match
@@ -87,6 +88,56 @@ class EventStreamsSpec extends AnyFunSuite {
         assert(n.get("type").asText == "RECORD")
         assert(n.at("/record/stream").asText == "events")
       }
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join: purchase attributed to signup within 1h, state bounded") {
+    implicit val sc = spark.sqlContext
+    val purchases = MemoryStream[IdEv]
+    val signups = MemoryStream[IdEv]
+    val joined = EventStreams.purchaseAttribution(purchases.toDF(), signups.toDF())
+    val q = joined.writeStream.format("memory").queryName("attr")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      signups.addData(
+        IdEv(100L, ts(0), 1L, "signup", 0.0),   // 50 min before purchase → attributed
+        IdEv(101L, ts(10), 2L, "signup", 0.0))  // different user
+      purchases.addData(IdEv(200L, ts(50), 1L, "purchase", 9.99))
+      q.processAllAvailable()
+      // advance both watermarks far enough to flush the joined row
+      signups.addData(IdEv(102L, ts(400), 3L, "signup", 0.0))
+      purchases.addData(IdEv(201L, ts(400), 3L, "purchase", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("attr").select("purchase_id", "signup_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows.contains((200L, 100L)), s"expected attribution pair in $rows")
+      assert(!rows.exists(_._2 == 101L)) // other user's signup never joins
+      // batch execution of the same definition agrees
+      val batch = EventStreams.purchaseAttribution(
+        Seq(IdEv(200L, ts(50), 1L, "purchase", 9.99), IdEv(201L, ts(400), 3L, "purchase", 1.0)).toDF(),
+        Seq(IdEv(100L, ts(0), 1L, "signup", 0.0), IdEv(101L, ts(10), 2L, "signup", 0.0),
+          IdEv(102L, ts(400), 3L, "signup", 0.0)).toDF())
+        .select("purchase_id", "signup_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows.subsetOf(batch))
+      assert(batch.contains((200L, 100L)))
+    } finally q.stop()
+  }
+
+  test("streaming dedup: first event per id wins within the watermark") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[IdEv]
+    val q = EventStreams.dedupStream(in.toDF())
+      .writeStream.format("memory").queryName("dedup").outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        IdEv(1L, ts(0), 1L, "view", 1.0),
+        IdEv(1L, ts(1), 1L, "view", 1.0), // same-batch duplicate
+        IdEv(2L, ts(2), 2L, "view", 2.0))
+      q.processAllAvailable()
+      in.addData(IdEv(2L, ts(3), 2L, "view", 2.0)) // cross-batch duplicate
+      q.processAllAvailable()
+      val ids = spark.table("dedup").select("event_id").as[Long].collect().toList
+      assert(ids.sorted == List(1L, 2L), s"got $ids")
     } finally q.stop()
   }
 
