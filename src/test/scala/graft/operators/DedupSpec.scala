@@ -84,6 +84,23 @@ class DedupSpec extends AnyFunSuite {
     assert(dist == out)
   }
 
+  test("jaccardJoin (AllPairs prefix filter) == brute-force pairwise Jaccard") {
+    val out = Dedup.jaccardJoin(docs, col("doc_id"), col("text"), 3, threshold = 0.5)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    // brute force over all pairs with string shingles
+    val sh = docs.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    val expected = (for {
+      a <- sh.keys; b <- sh.keys if a < b
+      inter = sh(a).toSet.intersect(sh(b).toSet).size
+      j = inter.toDouble / sh(a).toSet.union(sh(b).toSet).size
+      if j >= 0.5
+    } yield (a, b) -> j).toMap
+    assert(out == expected, s"got $out expected $expected")
+    assert(expected.nonEmpty) // non-vacuous: the dup pairs must be found
+  }
+
   test("verifyJaccard computes exact set Jaccard") {
     val docsSh = docs.select(col("doc_id").as("__id"), Dedup.shingles(col("text"), 3).as("__sh"))
     val pairs = Seq((1L, 4L), (1L, 3L)).toDF("id_a", "id_b")
