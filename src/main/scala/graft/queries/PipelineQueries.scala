@@ -151,17 +151,52 @@ object PipelineQueries extends QueryPack {
        FROM (SELECT label, count(*) AS n FROM embeddings GROUP BY label)
        ORDER BY label"""
 
+  // -- CDC upsert apply --------------------------------------------------------------
+  // The warehouse-side materialization of the reference's incremental sync:
+  // a change batch (new version per key) applied last-write-wins over the
+  // base snapshot in one shuffle (Upsert operator). Changes derived
+  // deterministically so DuckDB can rebuild them.
+  private def qUpsert(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"))
+    val changes = base.filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+        (col("o_totalprice") + 1000).as("o_totalprice"),
+        (col("o_orderdate") + expr("INTERVAL 1 DAY")).as("o_orderdate"))
+    graft.operators.Upsert(base, changes, Seq("o_orderkey"), "o_orderdate")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  private val qUpsertSql =
+    """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate FROM orders),
+       changes AS (SELECT o_orderkey, 'U' AS o_orderstatus,
+                          o_totalprice + 1000 AS o_totalprice,
+                          o_orderdate + INTERVAL 1 DAY AS o_orderdate
+                   FROM base WHERE o_orderkey % 10 = 0),
+       u AS (SELECT * FROM (
+               SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                 ORDER BY o_orderdate DESC, src DESC) AS rn
+               FROM (SELECT *, 0 AS src FROM base
+                     UNION ALL SELECT *, 1 AS src FROM changes))
+             WHERE rn = 1)
+       SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+       FROM u GROUP BY 1 ORDER BY 1"""
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_split" -> (qSplit _),
     "pipeline_pack_batches" -> (qPack _),
     "pipeline_contamination" -> (qContamination _),
     "emb_quantize_int8" -> (qQuantize _),
-    "pipeline_class_weights" -> (qClassWeights _))
+    "pipeline_class_weights" -> (qClassWeights _),
+    "q_upsert_cdc" -> (qUpsert _))
 
   override val oracles: Map[String, String] = Map(
     "pipeline_split" -> qSplitSql,
     "pipeline_pack_batches" -> qPackSql,
     "pipeline_contamination" -> qContaminationSql,
     "emb_quantize_int8" -> qQuantizeSql,
-    "pipeline_class_weights" -> qClassWeightsSql)
+    "pipeline_class_weights" -> qClassWeightsSql,
+    "q_upsert_cdc" -> qUpsertSql)
 }
