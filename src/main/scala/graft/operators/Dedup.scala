@@ -165,7 +165,7 @@ object Dedup {
   def jaccardJoin(df: DataFrame, id: Column, text: Column, shingleWidth: Int,
       threshold: Double): DataFrame = {
     // Ascending sort = the global token order for the prefix theorem.
-    val docs = df
+    val docs = spread(df, id)
       .select(id.as("__id"), array_sort(shingleHashes(text, shingleWidth)).as("__sh"))
       .filter(size(col("__sh")) > 0)
       .persist()
@@ -185,12 +185,21 @@ object Dedup {
   /** Full MinHash+LSH near-dup pipeline: candidates → exact verification →
     * pairs with Jaccard >= threshold.
     */
+  /** Spread a small single-file input across the cluster before heavy
+    * per-row compute: a few-MB parquet arrives as ONE scan partition, which
+    * would serialize shingling/minhashing onto one core. The shuffle moves
+    * only the raw input (cheap); at real scale inputs span many files and
+    * this is a no-op cost-wise.
+    */
+  private def spread(df: DataFrame, by: Column): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, by)
+
   def minHashDuplicates(
       df: DataFrame, id: Column, text: Column, shingleWidth: Int,
       threshold: Double, nHashes: Int = 64, r: Int = 2, seed: Long = 42L): DataFrame = {
     // Shingle hashes are consumed by candidate generation AND (twice) by the
     // Jaccard verify join — persist so the byte-scan runs once, not 3×.
-    val docs = df.select(id.as("__id"), shingleHashes(text, shingleWidth).as("__sh")).persist()
+    val docs = spread(df, id).select(id.as("__id"), shingleHashes(text, shingleWidth).as("__sh")).persist()
     val cands = lshCandidates(docs, "__id", "__sh", nHashes, r, seed)
     verifyJaccard(cands, docs, "__id", "__sh")
       .filter(col("jaccard") >= threshold)
@@ -283,7 +292,7 @@ object Dedup {
   def simHashDuplicates(df: DataFrame, id: Column, text: Column, maxDist: Int): DataFrame = {
     val nBands = maxDist + 1
     val width = 64 / nBands
-    val sigs = df
+    val sigs = spread(df, id)
       .select(id.as("__id"), tokenHashes(text).as("__th"))
       .select(col("__id"), simHash64(col("__th")).as("__sig"))
     val banded = sigs.select(col("__id"), col("__sig"), posexplode(
