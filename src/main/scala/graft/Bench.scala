@@ -23,14 +23,16 @@ object Bench {
     // fresh copy; the warmup's copies would sit in storage memory under the
     // timed pass and show up as GC noise).
     spark.catalog.clearCache()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Stable alphabetical order so per-query timings are comparable across
+    // rounds (a HashMap's iteration order shifts when queries are added).
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -27,7 +27,14 @@ object GraftFunctions {
     fn("simhash64", "simhash64(hashes) - 64-bit SimHash of an array<bigint>",
       exprs => SimHash64(exprs(0))),
     fn("byte_stride", "byte_stride(bin, k) - every k-th byte of a binary",
-      exprs => ByteStride(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue())))
+      exprs => ByteStride(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue())),
+    fn("rhp_signature", "rhp_signature(vec, dim, nBits, seed) - random-hyperplane LSH signature of a float/double array",
+      exprs => RhpSignature(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue(),
+        exprs(3).eval().asInstanceOf[Number].longValue())),
+    fn("shingle_hashes", "shingle_hashes(text, w) - xxhash64 of each w-token window of a string",
+      exprs => ShingleHashes(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue())))
 
   def register(spark: SparkSession): Unit =
     fns.foreach { case (id, info, builder) =>

@@ -80,5 +80,8 @@ class IntegrationSpec extends AnyFunSuite {
     assert(spark.sql("SELECT byte_stride(cast('abcdef' as binary), 2) b").as[Array[Byte]].head()
       .sameElements("ace".getBytes))
     assert(spark.sql("SELECT size(minhash_sig(array(1L,2L), 8, 42)) n").as[Int].head() == 8)
+    val sig = spark.sql("SELECT rhp_signature(a, 2, 8, 7) s FROM vt").as[Long].head()
+    assert(sig >= 0 && sig < 256)
+    assert(spark.sql("SELECT size(shingle_hashes('a b c d', 2)) n").as[Int].head() == 3)
   }
 }
