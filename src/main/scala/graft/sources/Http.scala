@@ -97,6 +97,46 @@ final class RetryingClient(
   }
 }
 
+/** Token-bucket rate limiter: `permitsPerSec` sustained rate with up to
+  * `burst` tokens of headroom — the per-connector budget the reference
+  * sidesteps via `concurrency=1` (SURVEY §7 hard part b). Thread-safe, so
+  * one instance shared across a connector's streams throttles them jointly;
+  * on executors, hold one per JVM per connector (lazy singleton keyed by
+  * connector name) so the cluster-wide rate is `permitsPerSec × executors`
+  * — size the budget accordingly, or keep rate-limited fetch driver-side as
+  * the page loops here do.
+  */
+final class RateLimiter(
+    permitsPerSec: Double,
+    burst: Int = 1,
+    nanoClock: () => Long = System.nanoTime) {
+  require(permitsPerSec > 0 && burst >= 1)
+  private val intervalNanos = (1e9 / permitsPerSec).toLong
+  private var nextFree = nanoClock() - (burst - 1) * intervalNanos
+
+  /** Nanoseconds the caller must wait before proceeding (0 inside burst
+    * headroom). Separated from sleeping for testability.
+    */
+  def acquireWaitNanos(): Long = synchronized {
+    val now = nanoClock()
+    val wait = math.max(0L, nextFree - now)
+    nextFree = math.max(nextFree, now - (burst - 1) * intervalNanos) + intervalNanos
+    wait
+  }
+}
+
+/** Client wrapper pacing requests through a (shared) [[RateLimiter]]. */
+final class RateLimitedClient(
+    inner: HttpClient,
+    limiter: RateLimiter,
+    sleep: Long => Unit = ns => Thread.sleep(ns / 1000000L, (ns % 1000000L).toInt)) extends HttpClient {
+  override def get(req: HttpRequest): HttpResponse = {
+    val wait = limiter.acquireWaitNanos()
+    if (wait > 0) sleep(wait)
+    inner.get(req)
+  }
+}
+
 /** A pagination strategy decides the next request from the last response. */
 trait Pagination {
   def first(base: HttpRequest): HttpRequest = base

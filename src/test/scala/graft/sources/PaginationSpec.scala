@@ -97,4 +97,28 @@ class PaginationSpec extends AnyFunSuite {
     val e = intercept[RuntimeException](rc.get(HttpRequest("http://x/missing")))
     assert(e.getMessage.contains("404"))
   }
+
+  test("rate limiter paces to the configured rate with burst headroom") {
+    var now = 0L
+    val rl = new RateLimiter(permitsPerSec = 10, burst = 2, nanoClock = () => now)
+    // burst of 2 passes immediately, third waits one interval (100ms)
+    assert(rl.acquireWaitNanos() == 0L)
+    assert(rl.acquireWaitNanos() == 0L)
+    assert(rl.acquireWaitNanos() == 100000000L)
+    // after real time advances past the backlog, capacity refills
+    now = 1000000000L
+    assert(rl.acquireWaitNanos() == 0L)
+  }
+
+  test("rate-limited client sleeps the limiter's wait then issues the request") {
+    var now = 0L
+    val sleeps = mutable.ArrayBuffer[Long]()
+    val inner = new Script(ok("{}"), ok("{}"))
+    val rl = new RateLimiter(permitsPerSec = 5, burst = 1, nanoClock = () => now)
+    val c = new RateLimitedClient(inner, rl, sleep = sleeps += _)
+    c.get(HttpRequest("http://x/1"))
+    c.get(HttpRequest("http://x/2"))
+    assert(sleeps.toList == List(200000000L)) // first free, second paced 200ms
+    assert(inner.requests.size == 2)
+  }
 }
