@@ -92,6 +92,29 @@ object WindowQueries extends QueryPack {
        SELECT event_id, floor((s6*2 + n*10000) / (n*20000.0)) / 100 AS mavg
        FROM f ORDER BY event_id"""
 
+  // -- first_value / last_value / nth_value over an explicit full frame -------------
+  private def qFirstLast(s: SparkSession, dir: String): DataFrame = {
+    val full = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, dir, "events")
+      .select(col("user_id"),
+        first(col("event_id")).over(full).as("first_event"),
+        last(col("event_id")).over(full).as("last_event"),
+        nth_value(col("event_id"), 2).over(full).as("second_event"))
+      .distinct()
+      .orderBy("user_id")
+  }
+
+  private val qFirstLastSql =
+    """SELECT DISTINCT user_id,
+       first_value(event_id) OVER w AS first_event,
+       last_value(event_id) OVER w AS last_event,
+       nth_value(event_id, 2) OVER w AS second_event
+       FROM events
+       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+       ORDER BY user_id"""
+
   // -- rank / dense_rank / ntile ---------------------------------------------------
   private def qRanks(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("c_nationkey")).orderBy(col("c_acctbal").desc, col("c_custkey"))
@@ -139,6 +162,7 @@ object WindowQueries extends QueryPack {
     "q_window_lag" -> (qLag _),
     "q_window_moving_avg" -> (qMovingAvg _),
     "q_window_ranks" -> (qRanks _),
+    "q_window_first_last" -> (qFirstLast _),
     "q_asof_join" -> (qAsof _))
 
   override val oracles: Map[String, String] = Map(
@@ -147,5 +171,6 @@ object WindowQueries extends QueryPack {
     "q_window_lag" -> qLagSql,
     "q_window_moving_avg" -> qMovingAvgSql,
     "q_window_ranks" -> qRanksSql,
+    "q_window_first_last" -> qFirstLastSql,
     "q_asof_join" -> qAsofSql)
 }
