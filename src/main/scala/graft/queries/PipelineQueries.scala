@@ -114,7 +114,9 @@ object PipelineQueries extends QueryPack {
   private def qQuantize(s: SparkSession, dir: String): DataFrame = {
     val v = transform(col("embedding"), x => x.cast("double"))
     val amax = array_max(transform(v, x => abs(x)))
-    val scale = lit(127.0) / amax
+    // nullif guard: an all-zero vector would make scale infinite and
+    // floor(0·∞ + 0.5) NaN, which ANSI-mode int casts reject — null instead.
+    val scale = lit(127.0) / nullif(amax, lit(0.0))
     val q = transform(v, x => floor(x * scale + lit(0.5)).cast("int"))
     t(s, dir, "embeddings")
       .select(col("vec_id"), round(scale, 6).as("scale"),
@@ -125,7 +127,7 @@ object PipelineQueries extends QueryPack {
 
   private val qQuantizeSql =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       s AS (SELECT vec_id, v, CAST(127 AS DOUBLE) / list_max(list_transform(v, x -> abs(x))) AS scale FROM e),
+       s AS (SELECT vec_id, v, CAST(127 AS DOUBLE) / nullif(list_max(list_transform(v, x -> abs(x))), 0.0) AS scale FROM e),
        q AS (SELECT vec_id, scale, list_transform(v, x -> CAST(floor(x * scale + 0.5) AS INT)) AS qs FROM s)
        SELECT vec_id, round(scale, 6) AS scale, CAST(list_sum(qs) AS BIGINT) AS q_sum,
               list_min(qs) AS q_min, list_max(qs) AS q_max

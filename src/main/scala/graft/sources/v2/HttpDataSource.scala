@@ -71,22 +71,63 @@ final class HttpTable(name0: String, schema0: StructType, props: Map[String, Str
   override def schema(): StructType = schema0
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new HttpScanBuilder(schema0, props)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val cursor = Option(options.get("connector"))
+      .flatMap(ConnectorDefs.all.get)
+      .flatMap(_.httpStreams.find(_._1.name == name0))
+      .flatMap(_._1.iterateBy.map(_.dotted))
+    new HttpScanBuilder(schema0, props, cursor)
+  }
 }
 
-final class HttpScanBuilder(full: StructType, props: Map[String, String])
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+/** Column pruning + cursor-predicate pushdown. A `cursor > X` /
+  * `cursor >= X` filter becomes the stream's incremental state (`{"To":X}`
+  * → the connector's `updated_at_min`-style request param, P3/SURVEY §4) —
+  * the predicate travels all the way into the HTTP request instead of
+  * filtering post-fetch. Every filter is ALSO returned as unhandled so
+  * Spark re-applies it after the scan: the pushdown narrows the fetch, the
+  * engine still guarantees the semantics (exactly how parquet pushdown
+  * composes with residual filters).
+  */
+final class HttpScanBuilder(full: StructType, props: Map[String, String],
+    cursorCol: Option[String])
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   private var required: StructType = full
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // preserve declared field order; empty projection (count(*)) allowed
     required = StructType(full.fields.filter(f => requiredSchema.fieldNames.contains(f.name)))
 
-  override def build(): Scan = new HttpScan(required, props)
+  override def pushFilters(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Array[org.apache.spark.sql.sources.Filter] = {
+    import org.apache.spark.sql.sources.{GreaterThan, GreaterThanOrEqual}
+    pushed = cursorCol.fold(Array.empty[org.apache.spark.sql.sources.Filter]) { c =>
+      filters.collect {
+        case f @ GreaterThan(`c`, v: String) => f
+        case f @ GreaterThanOrEqual(`c`, v: String) => f
+      }
+    }
+    filters // all re-applied post-scan; the pushdown only narrows the fetch
+  }
+
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
+
+  override def build(): Scan = {
+    import org.apache.spark.sql.sources.{GreaterThan, GreaterThanOrEqual}
+    // Lexicographic max of the pushed bounds (RFC3339 strings sort by time)
+    // becomes the cursor state consumed by the runner's window calc.
+    val bound = pushed.collect {
+      case GreaterThan(_, v: String) => v
+      case GreaterThanOrEqual(_, v: String) => v
+    }.sorted.lastOption
+    val effProps = bound.fold(props)(b => props + ("state" -> s"""{"To":"$b"}"""))
+    new HttpScan(required, effProps)
+  }
 }
 
-final class HttpScan(readSchema: StructType, props: Map[String, String]) extends Scan with Batch {
+final class HttpScan(readSchema: StructType, val props: Map[String, String]) extends Scan with Batch {
   override def readSchema(): StructType = readSchema
   override def toBatch: Batch = this
   override def description(): String =

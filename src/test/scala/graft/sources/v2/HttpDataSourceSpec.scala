@@ -72,6 +72,38 @@ class HttpDataSourceSpec extends AnyFunSuite {
     assert(df.select("productid").distinct().count() == TOTAL) // ranges don't overlap
   }
 
+  test("cursor filter pushdown: predicate becomes incremental request state (P3)") {
+    import org.apache.spark.sql.sources.GreaterThan
+    // builder-level: shopify orders' iterateBy column is updated_at
+    val props = Map("connector" -> "shopify", "stream" -> "orders")
+    val builder = new HttpScanBuilder(
+      graft.connectors.ConnectorDefs.shopifyOrderSchema, props, Some("updated_at"))
+    val fs: Array[org.apache.spark.sql.sources.Filter] =
+      Array(GreaterThan("updated_at", "2024-03-01T00:00:00Z"), GreaterThan("id", 5L))
+    val residual = builder.pushFilters(fs)
+    assert(residual.toSeq == fs.toSeq) // everything re-applied post-scan
+    assert(builder.pushedFilters().toSeq == Seq(GreaterThan("updated_at", "2024-03-01T00:00:00Z")))
+    // the pushed bound reaches the issued request as updated_at_min
+    val scan = builder.build().asInstanceOf[HttpScan]
+    val params = HttpScan.buildStream(scan.props).base.params.toMap
+    assert(params("updated_at_min") == "2024-03-01T00:00:00Z")
+  }
+
+  test("plan shows pushed cursor filter for incremental streams") {
+    import org.apache.spark.sql.functions.col
+    val df = spark.read.format("graft-http")
+      .option("connector", "shopify").option("stream", "orders").load()
+      .filter(col("updated_at") > "2024-03-01T00:00:00Z")
+    // optimization applies pushdown; no fetch happens at plan time
+    val scans = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+    }
+    assert(scans.nonEmpty)
+    val pushed = scans.head.scan.asInstanceOf[HttpScan]
+    assert(HttpScan.buildStream(pushed.props).base.params.toMap
+      .get("updated_at_min").contains("2024-03-01T00:00:00Z"))
+  }
+
   test("unknown connector/stream fail fast with the known set") {
     val e = intercept[Exception](spark.read.format("graft-http")
       .option("connector", "nope").load())
