@@ -112,15 +112,43 @@ object EventQueries extends QueryPack {
               round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE),2) AS sum_value
        FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id"""
 
+  // -- cohort retention: users grouped by first-seen week × activity week ---------
+  // Integer-exact (counts of distinct users) so the hash gate is stable; the
+  // first-seen window reuses the same user_id partitioning as the activity
+  // aggregation — one shuffle feeds both.
+  private def qCohort(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("user_id"), col("ts"))
+    val firstSeen = ev.groupBy(col("user_id"))
+      .agg(min(col("ts")).as("first_ts"))
+      .select(col("user_id"), weekofyear(col("first_ts")).as("cohort_week"))
+    ev.select(col("user_id"), weekofyear(col("ts")).as("active_week"))
+      .distinct()
+      .join(firstSeen, "user_id")
+      .groupBy(col("cohort_week"), col("active_week"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_week", "active_week")
+  }
+
+  private val qCohortSql =
+    """WITH f AS (
+         SELECT user_id, CAST(weekofyear(min(ts)) AS INT) AS cohort_week FROM events GROUP BY user_id),
+       a AS (
+         SELECT DISTINCT user_id, CAST(weekofyear(ts) AS INT) AS active_week FROM events)
+       SELECT cohort_week, active_week, count(DISTINCT user_id) AS n_users
+       FROM a JOIN f USING (user_id)
+       GROUP BY cohort_week, active_week ORDER BY cohort_week, active_week"""
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tumbling_hourly" -> (qTumbling _),
     "q_sliding_window" -> (qSliding _),
     "q_session_count" -> (qSessions _),
-    "q_session_stats" -> (qSessionStats _))
+    "q_session_stats" -> (qSessionStats _),
+    "q_cohort_retention" -> (qCohort _))
 
   override val oracles: Map[String, String] = Map(
     "q_tumbling_hourly" -> qTumblingSql,
     "q_sliding_window" -> qSlidingSql,
     "q_session_count" -> qSessionsSql,
-    "q_session_stats" -> qSessionStatsSql)
+    "q_session_stats" -> qSessionStatsSql,
+    "q_cohort_retention" -> qCohortSql)
 }
