@@ -228,9 +228,12 @@ object Dedup {
     // magnitude below the corpus). Below the limit, union-find on the driver
     // in one pass and broadcast the mapping — O(E α(E)) with zero iterative
     // jobs; the corpus-sized `ids` never leaves the cluster. Beyond it,
-    // fall through to distributed min-label propagation.
-    val nEdges = edges.count()
-    if (nEdges <= driverEdgeLimit) {
+    // fall through to distributed min-label propagation. One bounded collect
+    // decides the path (collecting limit+1 rows instead of a separate
+    // count() action saves a full pass over the pipeline).
+    val probe = edges.select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .limit(math.min(driverEdgeLimit, Int.MaxValue - 2L).toInt + 1).collect()
+    if (probe.length <= driverEdgeLimit) {
       val parent = scala.collection.mutable.Map[Long, Long]()
       def find(x: Long): Long = {
         var r = x
@@ -239,8 +242,7 @@ object Dedup {
         while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
         r
       }
-      edges.select(col("id_a").cast("long"), col("id_b").cast("long"))
-        .collect().foreach { row =>
+      probe.foreach { row =>
           val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
           if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
         }
