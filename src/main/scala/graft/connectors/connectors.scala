@@ -73,9 +73,13 @@ object ConnectorDefs {
       * persist THIS value, never a re-read of the clock, or records updated
       * between the fetched window's end and the state write fall into a
       * permanently skipped gap (reference persists the requested `to`:
-      * shopify.go:60-62, `state.To = to`).
+      * shopify.go:60-62, `state.To = to`). ThreadLocal because the registry
+      * shares one runner instance across concurrent syncs, and each sync's
+      * stream()→newState() pair runs on its own worker thread
+      * (Connector.read) — a plain field would let one sync persist another
+      * sync's window end.
       */
-    private val issuedTo = new java.util.concurrent.atomic.AtomicReference[Instant](null)
+    private val issuedTo = new ThreadLocal[Instant]
     override def stream(config: Option[JsonNode], state: Option[JsonNode]): PaginatedStream = {
       val (from, to) = window(state)
       issuedTo.set(to)
