@@ -32,8 +32,11 @@ final case class RhpSignature(child: Expression, dim: Int, nBits: Int, seed: Lon
   }
 
   /** Row-major nBits × dim plane matrix; same draw order as a per-plane
-    * `Array.fill(dim)(rnd.nextGaussian())` loop so signatures are stable
-    * across refactors of the calling code.
+    * `Array.fill(dim)(rnd.nextGaussian())` loop so signatures of
+    * `dim`-length vectors are stable across refactors of the calling code.
+    * (Vectors of a DIFFERENT length get a truncated-dot signature — the
+    * original composed formulation's behavior; the corpus contract is
+    * fixed-dim embeddings.)
     */
   @transient private lazy val planes: Array[Double] = {
     val rnd = new java.util.Random(seed)

@@ -191,7 +191,7 @@ object Dedup {
     * only the raw input (cheap); at real scale inputs span many files and
     * this is a no-op cost-wise.
     */
-  private def spread(df: DataFrame, by: Column): DataFrame =
+  def spread(df: DataFrame, by: Column): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism, by)
 
   def minHashDuplicates(
@@ -223,17 +223,20 @@ object Dedup {
       maxIter: Int = 20, driverEdgeLimit: Long = 10_000_000L): DataFrame = {
     val edges = pairs.select(col("id_a"), col("id_b"))
       .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-      .distinct().persist()
+      .distinct()
     // The edge set is the SMALL output of near-dup detection (orders of
     // magnitude below the corpus). Below the limit, union-find on the driver
     // in one pass and broadcast the mapping — O(E α(E)) with zero iterative
     // jobs; the corpus-sized `ids` never leaves the cluster. Beyond it,
     // fall through to distributed min-label propagation. One bounded collect
     // decides the path (collecting limit+1 rows instead of a separate
-    // count() action saves a full pass over the pipeline).
+    // count() action saves a full pass over the pipeline); the comparison is
+    // against the EFFECTIVE collected cap so a limit beyond Int.MaxValue
+    // can't silently truncate the edge set yet still take the driver path.
+    val effLimit = math.min(driverEdgeLimit, Int.MaxValue - 2L).toInt
     val probe = edges.select(col("id_a").cast("long"), col("id_b").cast("long"))
-      .limit(math.min(driverEdgeLimit, Int.MaxValue - 2L).toInt + 1).collect()
-    if (probe.length <= driverEdgeLimit) {
+      .limit(effLimit + 1).collect()
+    if (probe.length <= effLimit) {
       val parent = scala.collection.mutable.Map[Long, Long]()
       def find(x: Long): Long = {
         var r = x
@@ -254,6 +257,7 @@ object Dedup {
         .join(repDf, Seq("id"), "left")
         .select(col("id"), coalesce(col("rep0"), col("id")).as("rep"))
     }
+    edges.persist() // re-read every propagation round on this path only
     var labels = ids.select(col(idCol).as("id"), col(idCol).as("rep"))
     var iter = 0
     var converged = false

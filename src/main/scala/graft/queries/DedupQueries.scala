@@ -70,10 +70,9 @@ object DedupQueries extends QueryPack {
   private def qNgramJaccard(s: SparkSession, dir: String): DataFrame = {
     // persisted: consumed by both sides of the token join + the size lookup;
     // hashed shingles → the self-join shuffles longs, not 3-gram strings.
-    // repartition first: the few-MB single-file scan would otherwise
-    // serialize all shingle hashing onto one core.
-    val docs = t(s, dir, "documents")
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+    // spread first: the few-MB single-file scan would otherwise serialize
+    // all shingle hashing onto one core.
+    val docs = Dedup.spread(t(s, dir, "documents"), col("doc_id"))
       .select(col("doc_id"), Dedup.shingleHashes(col("text"), 3).as("sh"))
       .filter(size(col("sh")) > 0)
       .persist()
@@ -142,7 +141,7 @@ object DedupQueries extends QueryPack {
     // The streamed side of the nested-loop pairwise join must be spread
     // across cores — the single-file scan would run all O(n²) dot products
     // in one task.
-    val a = withNorm.repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+    val a = Dedup.spread(withNorm, col("vec_id"))
       .select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
     val b = withNorm.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
     a.join(b, col("id_a") < col("id_b"))

@@ -100,13 +100,19 @@ final class HttpScanBuilder(full: StructType, props: Map[String, String],
     // preserve declared field order; empty projection (count(*)) allowed
     required = StructType(full.fields.filter(f => requiredSchema.fieldNames.contains(f.name)))
 
+  // Only bounds the runner can actually consume are pushable: the window
+  // calc does Instant.parse, so a non-RFC3339 comparison value (legal as a
+  // plain string filter) must stay engine-side or it would crash planning.
+  private def parseable(v: String): Boolean =
+    scala.util.Try(java.time.Instant.parse(v)).isSuccess
+
   override def pushFilters(
       filters: Array[org.apache.spark.sql.sources.Filter]): Array[org.apache.spark.sql.sources.Filter] = {
     import org.apache.spark.sql.sources.{GreaterThan, GreaterThanOrEqual}
     pushed = cursorCol.fold(Array.empty[org.apache.spark.sql.sources.Filter]) { c =>
       filters.collect {
-        case f @ GreaterThan(`c`, v: String) => f
-        case f @ GreaterThanOrEqual(`c`, v: String) => f
+        case f @ GreaterThan(`c`, v: String) if parseable(v) => f
+        case f @ GreaterThanOrEqual(`c`, v: String) if parseable(v) => f
       }
     }
     filters // all re-applied post-scan; the pushdown only narrows the fetch
@@ -117,12 +123,22 @@ final class HttpScanBuilder(full: StructType, props: Map[String, String],
   override def build(): Scan = {
     import org.apache.spark.sql.sources.{GreaterThan, GreaterThanOrEqual}
     // Lexicographic max of the pushed bounds (RFC3339 strings sort by time)
-    // becomes the cursor state consumed by the runner's window calc.
+    // becomes the cursor state consumed by the runner's window calc. A
+    // user-supplied state option only ever TIGHTENS: pushdown must never
+    // widen the fetch window (a filter that adds rows would be a
+    // correctness bug, not an optimization), so the later of the two
+    // bounds wins.
     val bound = pushed.collect {
       case GreaterThan(_, v: String) => v
       case GreaterThanOrEqual(_, v: String) => v
     }.sorted.lastOption
-    val effProps = bound.fold(props)(b => props + ("state" -> s"""{"To":"$b"}"""))
+    val existing = props.get("state")
+      .map(Json.parse).flatMap(n => Option(n.get("To")).map(_.asText))
+    val effTo = (bound.toSeq ++ existing.toSeq).sorted.lastOption
+    val effProps = effTo match {
+      case Some(b) if !existing.contains(b) => props + ("state" -> s"""{"To":"$b"}""")
+      case _ => props
+    }
     new HttpScan(required, effProps)
   }
 }

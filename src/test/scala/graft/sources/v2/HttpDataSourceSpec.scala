@@ -104,6 +104,24 @@ class HttpDataSourceSpec extends AnyFunSuite {
       .get("updated_at_min").contains("2024-03-01T00:00:00Z"))
   }
 
+  test("pushdown safety: non-RFC3339 bounds stay engine-side; user state never widens") {
+    import org.apache.spark.sql.sources.GreaterThan
+    val schema = graft.connectors.ConnectorDefs.shopifyOrderSchema
+    // "2024-03-01" (no time) can't reach Instant.parse — must not be pushed
+    val b1 = new HttpScanBuilder(schema, Map("connector" -> "shopify", "stream" -> "orders"),
+      Some("updated_at"))
+    b1.pushFilters(Array(GreaterThan("updated_at", "2024-03-01")))
+    assert(b1.pushedFilters().isEmpty)
+    // an explicit later state option wins over an earlier pushed bound:
+    // a filter may only narrow the fetch, never widen it
+    val props = Map("connector" -> "shopify", "stream" -> "orders",
+      "state" -> """{"To":"2026-01-01T00:00:00Z"}""")
+    val b2 = new HttpScanBuilder(schema, props, Some("updated_at"))
+    b2.pushFilters(Array(GreaterThan("updated_at", "2020-01-01T00:00:00Z")))
+    val params = HttpScan.buildStream(b2.build().asInstanceOf[HttpScan].props).base.params.toMap
+    assert(params("updated_at_min") == "2026-01-01T00:00:00Z")
+  }
+
   test("unknown connector/stream fail fast with the known set") {
     val e = intercept[Exception](spark.read.format("graft-http")
       .option("connector", "nope").load())
