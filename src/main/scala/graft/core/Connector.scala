@@ -59,7 +59,21 @@ final case class SourceDef(
     fileStreams: Seq[(StreamDef, String => String)] = Nil, // name → path builder from sfDir/baseDir
     manualStreams: Seq[StreamDef] = Nil,
     manualRunners: Seq[ManualRunner] = Nil,
-    concurrency: Int = 1) {
+    concurrency: Int = 1,
+    requestsPerSec: Option[Double] = None) {
+
+  /** One shared limiter per connector instance: every stream and every
+    * concurrent sync of this connector draws from the same budget (SURVEY
+    * §7 hard part b — the reference sidesteps this with concurrency=1).
+    */
+  @transient lazy val rateLimiter: Option[graft.sources.RateLimiter] =
+    requestsPerSec.map(r => new graft.sources.RateLimiter(r, burst = 4))
+
+  /** Wrap a transport with this connector's pacing (identity when no
+    * budget is configured).
+    */
+  def paced(client: HttpClient): HttpClient =
+    rateLimiter.fold(client)(l => new graft.sources.RateLimitedClient(client, l))
 
   def streamDefs: Seq[StreamDef] =
     httpStreams.map(_._1) ++ fileStreams.map(_._1) ++ manualStreams
@@ -81,14 +95,15 @@ object Connector {
   def handle(src: SourceDef, cmd: Cmd, rc: RunConfig, out: Writer, client: HttpClient,
       clock: () => Long = () => System.currentTimeMillis()): Unit = {
     val w = ProtoWriter(rc.format, out, clock)
+    val paced = src.paced(client)
     cmd match {
       case Cmd.Spec => w.writeSpec(src.spec)
-      case Cmd.Check => check(src, rc, w, client)
+      case Cmd.Check => check(src, rc, w, paced)
       case Cmd.Discover =>
         src.streamDefs.foreach(w.openStream)
         w.close(Cmd.Discover)
       case Cmd.Read =>
-        read(src, rc, w, client)
+        read(src, rc, w, paced)
         w.close(Cmd.Read)
     }
   }

@@ -42,6 +42,17 @@ class ProtocolSpec extends AnyFunSuite {
     assert(rc.selectedStreams.contains(Set("orders")))
   }
 
+  test("requestsPerSec wires one shared limiter; no budget = identity client") {
+    val unpaced = SourceDef("x")
+    val c = new HttpClient { override def get(req: graft.sources.HttpRequest) = HttpResponse(200, "{}", Map.empty) }
+    assert(unpaced.paced(c) eq c)
+    val paced = SourceDef("y", requestsPerSec = Some(100.0))
+    assert(paced.rateLimiter eq paced.rateLimiter) // one instance for all syncs
+    val wrapped = paced.paced(c)
+    assert(wrapped ne c)
+    assert(wrapped.get(graft.sources.HttpRequest("http://t")).status == 200) // passes through
+  }
+
   test("catalog entries with top-level name (no nested stream object) still select") {
     // at("/stream/name").asText("") returns "" for a missing path — the
     // top-level `name` fallback must fire, not yield an empty selection that
