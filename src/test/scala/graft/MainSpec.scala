@@ -44,4 +44,36 @@ class MainSpec extends AnyFunSuite {
     Main.run(Array("spec", "--connector", "sitoo", "--config", """{"api_url":"http://x"}"""), out)
     assert(Json.parse(out.toString.trim).get("type").asText == "SPEC")
   }
+
+  test("read: full CLI sync against an in-process server (E1 end-to-end)") {
+    // 13 products: two full pages of 10 + a short page ends the offset loop
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", ex => {
+      val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+      val params = q.split('&').filter(_.contains('=')).map { kv =>
+        val Array(k, v) = kv.split('=').padTo(2, ""); k -> v
+      }.toMap
+      val start = params.getOrElse("start", "0").toInt
+      val items = (start until math.min(start + 10, 13)).map { i =>
+        s"""{"productid":$i,"title":"P$i","moneyprice":"${i * 2.0}"}"""
+      }.mkString("[", ",", "]")
+      val body = s"""{"items":$items}""".getBytes("UTF-8")
+      ex.sendResponseHeaders(200, body.length)
+      ex.getResponseBody.write(body)
+      ex.close()
+    })
+    server.start()
+    try {
+      val out = new StringWriter()
+      Main.run(Array("read", "--connector", "sitoo",
+        "--config", s"""{"api_url":"http://127.0.0.1:${server.getAddress.getPort}"}"""), out)
+      val lines = out.toString.trim.split('\n').map(Json.parse)
+      val records = lines.filter(_.get("type").asText == "RECORD")
+      assert(records.length == 13)
+      assert(records.map(_.at("/record/data/productid").asLong).toSet == (0L until 13L).toSet)
+      // airbyte dialect: one trailing STATE doc closes the sync
+      assert(lines.last.get("type").asText == "STATE")
+    } finally server.stop(0)
+  }
 }
