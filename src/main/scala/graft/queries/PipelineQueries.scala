@@ -153,6 +153,30 @@ object PipelineQueries extends QueryPack {
        FROM (SELECT label, count(*) AS n FROM embeddings GROUP BY label)
        ORDER BY label"""
 
+  // -- stratified deterministic sampling ---------------------------------------------
+  // Per-stratum rates (downsample the dominant language, keep the tail)
+  // applied via the same md5-bucket trick as the split: a pure map,
+  // reproducible in any engine, stable under re-partitioning — never
+  // sample() with a seed, whose output depends on partitioning.
+  private def qStratified(s: SparkSession, dir: String): DataFrame = {
+    val bucket = (conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4), 16, 10)
+      .cast("int") % 100)
+    val rate = when(col("lang") === "en", 50).otherwise(90) // keep 50% en, 90% rest
+    t(s, dir, "documents")
+      .filter(bucket < rate)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sampled"))
+      .orderBy("lang")
+  }
+
+  private val qStratifiedSql =
+    """SELECT lang, count(*) AS n_sampled
+       FROM (SELECT lang,
+               CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 100 AS b
+             FROM documents)
+       WHERE b < CASE WHEN lang = 'en' THEN 50 ELSE 90 END
+       GROUP BY lang ORDER BY lang"""
+
   // -- CDC upsert apply --------------------------------------------------------------
   // The warehouse-side materialization of the reference's incremental sync:
   // a change batch (new version per key) applied last-write-wins over the
@@ -192,6 +216,7 @@ object PipelineQueries extends QueryPack {
     "pipeline_contamination" -> (qContamination _),
     "emb_quantize_int8" -> (qQuantize _),
     "pipeline_class_weights" -> (qClassWeights _),
+    "pipeline_stratified_sample" -> (qStratified _),
     "q_upsert_cdc" -> (qUpsert _))
 
   override val oracles: Map[String, String] = Map(
@@ -200,5 +225,6 @@ object PipelineQueries extends QueryPack {
     "pipeline_contamination" -> qContaminationSql,
     "emb_quantize_int8" -> qQuantizeSql,
     "pipeline_class_weights" -> qClassWeightsSql,
+    "pipeline_stratified_sample" -> qStratifiedSql,
     "q_upsert_cdc" -> qUpsertSql)
 }
