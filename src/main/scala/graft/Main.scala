@@ -5,7 +5,7 @@ import java.nio.file.{Files, Paths}
 
 import graft.connectors.ConnectorDefs
 import graft.core.{Cmd, Connector, RunConfig}
-import graft.sources.{JdkHttpClient, RetryingClient}
+import graft.sources.JdkHttpClient
 
 /** Airbyte-style CLI frontend (reference `pkg/airbyte/cmd.go:18-76`):
   * `<cmd> --connector <name> [--config file-or-inline] [--state f-o-i]
@@ -48,7 +48,7 @@ object Main {
       flags.get("state").map(s => s"""{"type":"STATE","state":{"data":${fileOrInline(s)}}}"""),
       flags.get("catalog").map(c => s"""{"type":"CATALOG","catalog":${fileOrInline(c)}}""")).flatten
     val rc = RunConfig.parse(control.iterator, src.streamDefs.map(_.name))
-    val client = new RetryingClient(new JdkHttpClient())
+    val client = Connector.transport(src, new JdkHttpClient())
     Connector.handle(src, cmd, rc, out, client)
   }
 }

@@ -92,18 +92,25 @@ object Connector {
   /** Dispatch one lifecycle command (reference `handleCmd`,
     * `sourcedef.go:47-60`).
     */
+  /** Standard transport stack for a connector: rate limiting wraps the
+    * INNERMOST transport so every physical attempt — including retries,
+    * which fire exactly when the API is already throttling — draws a token;
+    * retry/backoff sits outside the budget.
+    */
+  def transport(src: SourceDef, base: HttpClient): HttpClient =
+    new graft.sources.RetryingClient(src.paced(base))
+
   def handle(src: SourceDef, cmd: Cmd, rc: RunConfig, out: Writer, client: HttpClient,
       clock: () => Long = () => System.currentTimeMillis()): Unit = {
     val w = ProtoWriter(rc.format, out, clock)
-    val paced = src.paced(client)
     cmd match {
       case Cmd.Spec => w.writeSpec(src.spec)
-      case Cmd.Check => check(src, rc, w, paced)
+      case Cmd.Check => check(src, rc, w, client)
       case Cmd.Discover =>
         src.streamDefs.foreach(w.openStream)
         w.close(Cmd.Discover)
       case Cmd.Read =>
-        read(src, rc, w, paced)
+        read(src, rc, w, client)
         w.close(Cmd.Read)
     }
   }
@@ -184,8 +191,9 @@ object Connector {
   def readDataFrames(spark: SparkSession, src: SourceDef, rc: RunConfig,
       client: HttpClient, baseDir: String = ""): Map[String, DataFrame] = {
     import spark.implicits._
+    val paced = src.paced(client) // Spark read surface honors the same budget
     val http = selected(src, rc).map { case (sd, runner) =>
-      val records = runner.stream(rc.config, rc.states.get(sd.name)).fetch(client).toSeq
+      val records = runner.stream(rc.config, rc.states.get(sd.name)).fetch(paced).toSeq
       val ds: Dataset[String] = records.toDS()
       sd.name -> spark.read.schema(sd.schema).json(ds)
     }

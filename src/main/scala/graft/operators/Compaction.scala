@@ -16,13 +16,20 @@ import org.apache.spark.sql.functions._
   */
 object Compaction {
 
-  /** Estimate bytes per row from the relation's stats (parquet footer
-    * sizes / row count) — cheap: one count over footers-backed metadata.
+  /** Estimate bytes per row given the already-computed row count. Uses the
+    * relation's stats (parquet footer sizes) when they are trustworthy —
+    * i.e. a scan-shaped plan; a Filter without CBO inherits its child's
+    * sizeInBytes (bpr inflated by 1/selectivity) and RDD/local-backed plans
+    * report defaultSizeInBytes (effectively infinite) — and falls back to
+    * the schema's declared per-row size otherwise.
     */
-  def estimateBytesPerRow(df: DataFrame): Double = {
-    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes.toDouble
-    val rows = df.count().toDouble
-    if (rows == 0) 1.0 else math.max(1.0, bytes / rows)
+  def estimateBytesPerRow(df: DataFrame, rows: Long): Double = {
+    val schemaSize = math.max(1, df.schema.defaultSize).toDouble
+    if (rows == 0) return schemaSize
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val bpr = (BigDecimal(bytes) / rows).toDouble
+    // trust stats only within a plausible band around the schema estimate
+    if (bpr >= 1.0 && bpr <= schemaSize * 64) bpr else schemaSize
   }
 
   /** Compact `df` to `outPath` targeting `targetFileBytes` per file.
@@ -33,10 +40,11 @@ object Compaction {
   def compact(df: DataFrame, outPath: String,
       targetFileBytes: Long = 128L << 20,
       sortCols: Seq[String] = Nil): Unit = {
-    val bpr = estimateBytesPerRow(df)
+    val totalRows = df.count() // ONE job; sizing derives from this count
+    val bpr = estimateBytesPerRow(df, totalRows)
     val rowsPerFile = math.max(1L, (targetFileBytes / bpr).toLong)
-    val totalRows = df.count()
-    val nFiles = math.max(1, math.ceil(totalRows.toDouble / rowsPerFile).toInt)
+    val nFiles = math.max(1L, math.min(
+      (totalRows + rowsPerFile - 1) / rowsPerFile, Int.MaxValue.toLong - 1)).toInt
     val repartitioned =
       if (sortCols.nonEmpty)
         df.repartitionByRange(nFiles, sortCols.map(col): _*)

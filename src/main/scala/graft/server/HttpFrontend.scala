@@ -53,7 +53,7 @@ final class HttpFrontend(
             case (Some(src), Some(cmd)) =>
               val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
               val rc = RunConfig.parse(body.linesIterator, src.streamDefs.map(_.name))
-              respond(ex, 200, out => Connector.handle(src, cmd, rc, out, client, clock))
+              respond(ex, 200, out => Connector.handle(src, cmd, rc, out, src.paced(client), clock))
             case (None, _) => respond(ex, 404, _.write(s"""{"error":"unknown connector '$connector'"}"""))
             case (_, None) => respond(ex, 400, _.write(s"""{"error":"unknown command '$cmdStr'"}"""))
           }

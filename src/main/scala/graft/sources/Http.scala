@@ -128,7 +128,7 @@ final class RateLimiter(
 /** Client wrapper pacing requests through a (shared) [[RateLimiter]]. */
 final class RateLimitedClient(
     inner: HttpClient,
-    limiter: RateLimiter,
+    val limiter: RateLimiter,
     sleep: Long => Unit = ns => Thread.sleep(ns / 1000000L, (ns % 1000000L).toInt)) extends HttpClient {
   override def get(req: HttpRequest): HttpResponse = {
     val wait = limiter.acquireWaitNanos()

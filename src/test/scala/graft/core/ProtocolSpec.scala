@@ -47,10 +47,14 @@ class ProtocolSpec extends AnyFunSuite {
     val c = new HttpClient { override def get(req: graft.sources.HttpRequest) = HttpResponse(200, "{}", Map.empty) }
     assert(unpaced.paced(c) eq c)
     val paced = SourceDef("y", requestsPerSec = Some(100.0))
-    assert(paced.rateLimiter eq paced.rateLimiter) // one instance for all syncs
-    val wrapped = paced.paced(c)
-    assert(wrapped ne c)
-    assert(wrapped.get(graft.sources.HttpRequest("http://t")).status == 200) // passes through
+    // the shared-budget property: every paced() wrapper draws from the SAME
+    // limiter instance of this connector
+    val (w1, w2) = (paced.paced(c), paced.paced(c))
+    assert(w1.asInstanceOf[graft.sources.RateLimitedClient].limiter
+      eq w2.asInstanceOf[graft.sources.RateLimitedClient].limiter)
+    assert(w1.get(graft.sources.HttpRequest("http://t")).status == 200) // passes through
+    // transport stacking: pacing wraps the innermost transport, retry outside
+    assert(Connector.transport(paced, c).isInstanceOf[graft.sources.RetryingClient])
   }
 
   test("catalog entries with top-level name (no nested stream object) still select") {
