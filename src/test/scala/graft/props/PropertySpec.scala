@@ -72,6 +72,53 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("rate limiter: cumulative wait enforces the sustained rate for any burst pattern") {
+    val acquires = Gen.choose(2, 40)
+    val rates = Gen.oneOf(1.0, 5.0, 50.0)
+    val bursts = Gen.choose(1, 5)
+    check(Prop.forAll(acquires, rates, bursts) { (n, rate, burst) =>
+      // frozen clock: all n acquires arrive at t=0; the k-th (0-based) must
+      // wait exactly max(0, k - burst + 1) intervals — the token bucket
+      // degenerates to a precise arithmetic sequence
+      val interval = (1e9 / rate).toLong
+      val rl = new RateLimiter(rate, burst, nanoClock = () => 0L)
+      (0 until n).forall { k =>
+        rl.acquireWaitNanos() == math.max(0L, (k - burst + 1).toLong) * interval
+      }
+    })
+  }
+
+  test("union-find clustering: representative is the component minimum for any random graph") {
+    val spark = graft.SparkFixture.spark
+    import spark.implicits._
+    val edgeGen = for {
+      n <- Gen.choose(0, 15)
+      edges <- Gen.listOfN(n, Gen.zip(Gen.choose(1L, 12L), Gen.choose(1L, 12L)))
+    } yield edges.filter(e => e._1 != e._2)
+    // fewer evals: each builds DataFrames
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20),
+      Prop.forAll(edgeGen) { edges =>
+        val ids = (1L to 12L).map(Tuple1(_)).toDF("doc_id")
+        val pairs = if (edges.isEmpty)
+          Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+        else edges.toDF("id_a", "id_b")
+        val got = graft.operators.Dedup.clusterRepresentatives(pairs, ids, "doc_id")
+          .as[(Long, Long)].collect().toMap
+        // reference: brute-force transitive closure
+        val adj = edges.flatMap(e => Seq(e, e.swap)).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        def component(x: Long): Set[Long] = {
+          var seen = Set(x); var frontier = Set(x)
+          while (frontier.nonEmpty) {
+            val next = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- seen
+            seen ++= next; frontier = next
+          }
+          seen
+        }
+        (1L to 12L).forall(x => got(x) == component(x).min)
+      })
+    assert(res.passed, res.status.toString)
+  }
+
   test("marker pagination terminates whenever the marker chain reaches 0/empty") {
     val chain = Gen.listOf(Gen.choose(1, 9).map(_.toString))
     check(Prop.forAll(chain) { markers =>
