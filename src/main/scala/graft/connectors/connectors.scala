@@ -199,12 +199,23 @@ object ConnectorDefs {
       StreamDef("order_items", stormItemSchema) -> new StormRunner))
 
   /** Connector registry — the engine dual of the reference server's
-    * multiplexing map (`proto.go:149-172`).
+    * multiplexing map (`proto.go:149-172`). Built-ins are the reference's
+    * five connectors; [[register]] adds application-defined ones (the
+    * reference's `integrations.New()` composition, `cmd/server/main.go`).
+    * Registrations are per-JVM: connectors are compiled-in declarations, so
+    * an embedding application registers in a static initializer that runs on
+    * driver and executors alike (same pattern as Spark UDF registration).
     */
-  val all: Map[String, SourceDef] = Map(
+  private val builtin: Map[String, SourceDef] = Map(
     "pokeapi" -> pokeapi,
     "shopify" -> shopify(),
     "klaviyo" -> klaviyo,
     "sitoo" -> sitoo,
     "storm" -> storm)
+
+  private val extra = new scala.collection.concurrent.TrieMap[String, SourceDef]()
+
+  def register(src: SourceDef): Unit = extra.put(src.name, src)
+
+  def all: Map[String, SourceDef] = builtin ++ extra
 }

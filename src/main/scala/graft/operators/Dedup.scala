@@ -164,7 +164,12 @@ object Dedup {
     */
   def jaccardJoin(df: DataFrame, id: Column, text: Column, shingleWidth: Int,
       threshold: Double): DataFrame = {
-    // Ascending sort = the global token order for the prefix theorem.
+    // Ascending sort = the global token order for the prefix theorem. The
+    // theorem's precondition is that __sh is a SET: shingleHashes dedups
+    // (array_distinct) before the sort, so prefixLen below is derived from
+    // the distinct size — repeated n-grams (ubiquitous in real text) cannot
+    // crowd distinct tokens out of the prefix. Regression: DedupSpec
+    // "duplicate-heavy shingles".
     val docs = spread(df, id)
       .select(id.as("__id"), array_sort(shingleHashes(text, shingleWidth)).as("__sh"))
       .filter(size(col("__sh")) > 0)

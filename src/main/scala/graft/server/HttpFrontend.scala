@@ -24,7 +24,7 @@ import graft.sources.HttpClient
   */
 final class HttpFrontend(
     connectors: Map[String, SourceDef],
-    client: HttpClient,
+    baseClient: HttpClient, // raw transport: the per-request stack is built by Connector.transport
     port: Int = 0,
     clock: () => Long = () => System.currentTimeMillis()) {
 
@@ -53,7 +53,12 @@ final class HttpFrontend(
             case (Some(src), Some(cmd)) =>
               val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
               val rc = RunConfig.parse(body.linesIterator, src.streamDefs.map(_.name))
-              respond(ex, 200, out => Connector.handle(src, cmd, rc, out, src.paced(client), clock))
+              // Full transport stack per request (retry OUTSIDE pacing, so
+              // every physical attempt draws a token — matching Main and
+              // Connector.transport's invariant; wrapping pacing around an
+              // already-retrying caller client would let retries ride one
+              // token draw).
+              respond(ex, 200, out => Connector.handle(src, cmd, rc, out, Connector.transport(src, baseClient), clock))
             case (None, _) => respond(ex, 404, _.write(s"""{"error":"unknown connector '$connector'"}"""))
             case (_, None) => respond(ex, 400, _.write(s"""{"error":"unknown command '$cmdStr'"}"""))
           }

@@ -16,7 +16,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.connectors.ConnectorDefs
 import graft.core.Json
-import graft.sources.{JdkHttpClient, PaginatedStream, Pagination, RetryingClient}
+import graft.sources.{JdkHttpClient, PaginatedStream, Pagination}
 
 /** DataSource V2 integration for the paginated-HTTP source family: exposes
   * any registered connector stream as a Spark table —
@@ -122,23 +122,31 @@ final class HttpScanBuilder(full: StructType, props: Map[String, String],
 
   override def build(): Scan = {
     import org.apache.spark.sql.sources.{GreaterThan, GreaterThanOrEqual}
-    // Lexicographic max of the pushed bounds (RFC3339 strings sort by time)
-    // becomes the cursor state consumed by the runner's window calc. A
-    // user-supplied state option only ever TIGHTENS: pushdown must never
-    // widen the fetch window (a filter that adds rows would be a
-    // correctness bug, not an optimization), so the later of the two
-    // bounds wins.
+    // Chronological max of the pushed bounds becomes the cursor state
+    // consumed by the runner's window calc. Bounds are compared as PARSED
+    // Instants, never as strings: Instant.parse (the pushFilters guard)
+    // accepts fractional seconds and non-Z offsets, which mis-order
+    // lexicographically ('…T00:00:00.5Z' sorts before '…T00:00:00Z';
+    // '+10:00' offsets sort by local time). A user-supplied state option
+    // only ever TIGHTENS: pushdown must never widen the fetch window (a
+    // filter that adds rows would be a correctness bug, not an
+    // optimization), so the chronologically-latest bound wins. The emitted
+    // To is normalized via ISO_INSTANT (lossless round-trip through
+    // Instant.parse, which the runner's window calc uses).
     val bound = pushed.collect {
-      case GreaterThan(_, v: String) => v
-      case GreaterThanOrEqual(_, v: String) => v
-    }.sorted.lastOption
-    val existing = props.get("state")
+      case GreaterThan(_, v: String) => java.time.Instant.parse(v)
+      case GreaterThanOrEqual(_, v: String) => java.time.Instant.parse(v)
+    }.maxOption
+    val existingStr = props.get("state")
       .map(Json.parse).flatMap(n => Option(n.get("To")).map(_.asText))
-    val effTo = (bound.toSeq ++ existing.toSeq).sorted.lastOption
-    val effProps = effTo match {
-      case Some(b) if !existing.contains(b) => props + ("state" -> s"""{"To":"$b"}""")
-      case _ => props
-    }
+    val existing = existingStr.flatMap(s => scala.util.Try(java.time.Instant.parse(s)).toOption)
+    val effProps =
+      if (existingStr.isDefined && existing.isEmpty) props // unparseable user state: leave it alone
+      else (bound.toSeq ++ existing.toSeq).maxOption match {
+        case Some(i) if !existing.contains(i) =>
+          props + ("state" -> s"""{"To":"${java.time.format.DateTimeFormatter.ISO_INSTANT.format(i)}"}""")
+        case _ => props
+      }
     new HttpScan(required, effProps)
   }
 }
@@ -195,7 +203,19 @@ final class HttpReaderFactory(readSchema: StructType, props: Map[String, String]
 final class HttpPartitionReader(readSchema: StructType, props: Map[String, String], part: HttpPartition)
     extends PartitionReader[InternalRow] {
 
-  private val client = new RetryingClient(new JdkHttpClient())
+  // The standard transport stack (retry OUTSIDE pacing, so every physical
+  // attempt draws a token). `ConnectorDefs.all` is an object: one SourceDef
+  // instance per JVM per connector, so its lazy rateLimiter is exactly the
+  // per-executor shared budget the RateLimiter scaladoc specifies — N
+  // parallel offset partitions on one executor jointly honor
+  // requestsPerSec (cluster-wide rate = requestsPerSec × executors; size
+  // the budget accordingly). Reference: 429-aware shared throttling,
+  // utils.go:35-38, readme.MD:99-104.
+  private val client = {
+    val options = new CaseInsensitiveStringMap(props.asJava)
+    val src = ConnectorDefs.all(options.get("connector"))
+    graft.core.Connector.transport(src, new JdkHttpClient())
+  }
 
   private val records: Iterator[String] = {
     val base = HttpScan.buildStream(props)

@@ -101,6 +101,32 @@ class DedupSpec extends AnyFunSuite {
     assert(expected.nonEmpty) // non-vacuous: the dup pairs must be found
   }
 
+  test("jaccardJoin with duplicate-heavy shingles still matches set-Jaccard brute force") {
+    // Repeated n-grams: if the prefix were derived from the multiset size (or
+    // the array sorted without dedup), low-hash duplicate shingles would crowd
+    // distinct tokens out of the prefix and qualifying pairs would be missed.
+    val dupDocs = Seq(
+      (1L, "x y x y x y x y x y q r s t u"),   // shingle multiset dominated by x/y repeats
+      (2L, "x y x y x y x y x y q r s t v"),   // near-dup of 1 (one tail token differs)
+      (3L, "q r s t u q r s t u q r s t u"),   // shares the rare tail shingles of 1
+      (4L, "totally unrelated words about nothing in particular here"))
+      .toDF("doc_id", "text")
+    for (t <- Seq(0.3, 0.5, 0.6, 0.8)) {
+      val out = Dedup.jaccardJoin(dupDocs, col("doc_id"), col("text"), 3, threshold = t)
+        .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+        .map(x => (x._1, x._2) -> x._3).toMap
+      val sh = dupDocs.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+        .as[(Long, Seq[String])].collect().toMap
+      val expected = (for {
+        a <- sh.keys; b <- sh.keys if a < b
+        inter = sh(a).toSet.intersect(sh(b).toSet).size
+        j = inter.toDouble / sh(a).toSet.union(sh(b).toSet).size
+        if j >= t
+      } yield (a, b) -> j).toMap
+      assert(out == expected, s"threshold $t: got $out expected $expected")
+    }
+  }
+
   test("verifyJaccard computes exact set Jaccard") {
     val docsSh = docs.select(col("doc_id").as("__id"), Dedup.shingles(col("text"), 3).as("__sh"))
     val pairs = Seq((1L, 4L), (1L, 3L)).toDF("id_a", "id_b")

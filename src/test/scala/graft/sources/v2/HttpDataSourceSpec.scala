@@ -4,6 +4,8 @@ import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets
 import java.util.concurrent.atomic.AtomicInteger
 
+import scala.jdk.CollectionConverters._
+
 import com.sun.net.httpserver.HttpServer
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -120,6 +122,76 @@ class HttpDataSourceSpec extends AnyFunSuite {
     b2.pushFilters(Array(GreaterThan("updated_at", "2020-01-01T00:00:00Z")))
     val params = HttpScan.buildStream(b2.build().asInstanceOf[HttpScan].props).base.params.toMap
     assert(params("updated_at_min") == "2026-01-01T00:00:00Z")
+  }
+
+  test("pushdown bounds compare chronologically, not lexicographically") {
+    import org.apache.spark.sql.sources.GreaterThan
+    val schema = graft.connectors.ConnectorDefs.shopifyOrderSchema
+    // State with fractional seconds is chronologically LATER than the pushed
+    // bound but lexicographically EARLIER ('.': 0x2E < 'Z': 0x5A). The state
+    // must win untouched — a lexicographic max would replace it with the
+    // chronologically-earlier bound and widen the fetch window.
+    val props = Map("connector" -> "shopify", "stream" -> "orders",
+      "state" -> """{"To":"2024-03-01T00:00:00.5Z"}""")
+    val b = new HttpScanBuilder(schema, props, Some("updated_at"))
+    b.pushFilters(Array(GreaterThan("updated_at", "2024-03-01T00:00:00Z")))
+    assert(b.build().asInstanceOf[HttpScan].props("state") == """{"To":"2024-03-01T00:00:00.5Z"}""")
+    // A non-Z offset bound parses on JDK 12+; the max is taken over Instants
+    // and the emitted To is normalized to the Z form the runners emit.
+    val b2 = new HttpScanBuilder(schema,
+      Map("connector" -> "shopify", "stream" -> "orders"), Some("updated_at"))
+    b2.pushFilters(Array(
+      GreaterThan("updated_at", "2024-03-01T09:00:00+10:00"),  // 2024-02-29T23:00:00Z
+      GreaterThan("updated_at", "2024-03-01T01:00:00Z")))      // later, though lex-smaller
+    assert(b2.build().asInstanceOf[HttpScan].props("state") == """{"To":"2024-03-01T01:00:00Z"}""")
+  }
+
+  test("parallel partition readers share one per-JVM rate budget per connector") {
+    import graft.core.SourceDef
+    import graft.sources.{HttpRequest, PaginatedStream, Pagination}
+    import graft.core.StreamDef
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val hitNanos = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    val s = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    s.createContext("/", ex => {
+      hitNanos.add(System.nanoTime())
+      val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+      val start = q.split('&').collectFirst { case kv if kv.startsWith("start=") => kv.drop(6).toInt }.getOrElse(0)
+      val items = (start until start + 10).map(i => s"""{"id":$i}""").mkString("[", ",", "]")
+      val body = s"""{"items":$items}""".getBytes(StandardCharsets.UTF_8)
+      ex.sendResponseHeaders(200, body.length)
+      ex.getResponseBody.write(body)
+      ex.close()
+    })
+    s.start()
+    try {
+      val url = s"http://127.0.0.1:${s.getAddress.getPort}"
+      val schema = StructType(Seq(StructField("id", LongType)))
+      graft.connectors.ConnectorDefs.register(SourceDef(
+        name = "paced-test",
+        httpStreams = Seq(StreamDef("nums", schema) -> new graft.core.HttpRunner {
+          override def stream(config: Option[com.fasterxml.jackson.databind.JsonNode],
+              state: Option[com.fasterxml.jackson.databind.JsonNode]): PaginatedStream =
+            PaginatedStream(
+              HttpRequest(config.map(_.get("url").asText).getOrElse(url)),
+              Pagination.Offset("start", "num", 10, Seq("items")), Seq("items"))
+        }),
+        requestsPerSec = Some(40.0))) // burst 4, 25ms interval
+      // 8 pages → 8 parallel single-page partitions → 8 requests. A shared
+      // per-JVM limiter admits the 4-token burst instantly, then paces:
+      // first→last span >= (8-4)*25ms. Unshared per-reader limiters would
+      // fire all 8 within the burst (span ≈ 0).
+      val df = spark.read.format("graft-http")
+        .option("connector", "paced-test").option("stream", "nums")
+        .option("config", s"""{"url":"$url"}""")
+        .option("total", "80").option("pagesPerPartition", "1").load()
+      assert(df.rdd.getNumPartitions == 8)
+      assert(df.count() == 80)
+      val ts = hitNanos.iterator().asScala.map(_.longValue).toSeq.sorted
+      assert(ts.size == 8)
+      val spanMs = (ts.last - ts.head) / 1e6
+      assert(spanMs >= 95.0, s"8 requests spanned only ${spanMs}ms — limiter not shared across partitions")
+    } finally s.stop(0)
   }
 
   test("unknown connector/stream fail fast with the known set") {
