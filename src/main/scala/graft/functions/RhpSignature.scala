@@ -18,6 +18,18 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
   * the actual work by 10×. One expression = one small loop nest, compiled
   * once, cache-friendly.
   */
+object RhpSignature {
+  /** The deterministic row-major nBits × dim plane matrix for (dim, nBits,
+    * seed). Public so oracle-SQL generation can inline the SAME constants
+    * and re-derive signatures bit-exactly in plain SQL
+    * (`graft.queries.SimilarityQueries` embeds them as literal lists).
+    */
+  def planes(dim: Int, nBits: Int, seed: Long): Array[Double] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(nBits * dim)(rnd.nextGaussian())
+  }
+}
+
 final case class RhpSignature(child: Expression, dim: Int, nBits: Int, seed: Long)
     extends UnaryExpression {
 
@@ -38,10 +50,8 @@ final case class RhpSignature(child: Expression, dim: Int, nBits: Int, seed: Lon
     * original composed formulation's behavior; the corpus contract is
     * fixed-dim embeddings.)
     */
-  @transient private lazy val planes: Array[Double] = {
-    val rnd = new java.util.Random(seed)
-    Array.fill(nBits * dim)(rnd.nextGaussian())
-  }
+  @transient private lazy val planes: Array[Double] =
+    RhpSignature.planes(dim, nBits, seed)
 
   @transient private lazy val childIsFloat =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType

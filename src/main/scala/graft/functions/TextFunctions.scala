@@ -12,6 +12,16 @@ object TextFunctions {
   /** Whitespace tokens. */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** 60-bit hash from the md5 prefix. Slower than xxhash64 (the default leaf
+    * hash everywhere) but exactly re-derivable in standard SQL — DuckDB:
+    * `('0x' || substr(md5(x), 1, 15))::BIGINT` — which makes hash-dependent
+    * operators (SimHash, rolling fingerprints) oracle-checkable end to end.
+    * 15 hex chars = 60 bits keeps the value positive in a signed 64-bit
+    * lane on both engines, sidestepping signed-overflow/shift differences.
+    */
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
   /** Language marker-word profiles for the heuristic identifier. */
   private val profiles: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "is", "and", "of", "to", "a", "in"),
@@ -61,29 +71,29 @@ object TextFunctions {
   }
 
   /** Rolling window hash over the token sequence: returns the array of
-    * window hashes for `w`-token windows — the building block for
-    * winnowing-style document fingerprints. The chain step is
-    * `xxhash64(acc, tok)` rather than the classic polynomial `acc·p + h` —
-    * a multiply on an unbounded accumulator throws ARITHMETIC_OVERFLOW
-    * under Spark 4's default ANSI mode; hash-chaining mixes just as well
-    * and stays overflow-free.
+    * window hashes for `w`-token windows (the hash of each w-gram's joined
+    * text — the classic winnowing k-gram hash) — the building block for
+    * winnowing-style document fingerprints. The leaf hash is pluggable:
+    * xxhash64 by default (fast path; [[graft.functions.ShingleHashes]] is
+    * its codegen dual that skips window-string materialization), or
+    * [[md5Hash60]] when the result must be SQL-re-derivable for an oracle.
+    * No unbounded arithmetic, so nothing trips Spark 4's default ANSI
+    * overflow checks.
     */
-  def rollingHashes(text: Column, w: Int): Column = {
+  def rollingHashes(text: Column, w: Int,
+      hasher: Column => Column = xxhash64(_)): Column = {
     val toks = tokens(text)
     // sequence(1, 0) would be DESCENDING [1, 0]; guard short docs to empty.
     when(size(toks) < w, array().cast("array<long>"))
       .otherwise(transform(
         sequence(lit(1), size(toks) - lit(w - 1)),
-        i =>
-          aggregate(
-            slice(toks, i, lit(w)),
-            lit(0L),
-            (acc, tok) => xxhash64(acc, tok))))
+        i => hasher(concat_ws(" ", slice(toks, i, lit(w))))))
   }
 
   /** Winnowing fingerprint: the minimum rolling hash per document — a
     * compact signature stable under small edits away from the minimum.
     */
-  def minFingerprint(text: Column, w: Int): Column =
-    array_min(rollingHashes(text, w))
+  def minFingerprint(text: Column, w: Int,
+      hasher: Column => Column = xxhash64(_)): Column =
+    array_min(rollingHashes(text, w, hasher))
 }

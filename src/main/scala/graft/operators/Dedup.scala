@@ -283,6 +283,60 @@ object Dedup {
     labels
   }
 
+  /** Exact cosine-similarity self-join via BLOCK-PAIR decomposition — the
+    * scale-shaped plan for exhaustive pairwise scoring.
+    *
+    * Why not LSH here: below ~cos 0.7 in high dimension, no LSH family
+    * prunes AND keeps near-1 recall — at t=0.4 the collision probability of
+    * a qualifying pair (1 - acos(0.4)/π ≈ 0.63 per bit) is so close to a
+    * random pair's (0.5) that any (bits, tables) choice with per-pair miss
+    * < 1e-9 admits nearly every pair as a candidate. Exhaustive semantics at
+    * a weak threshold is inherently Θ(n²) COMPUTE; what a 100 TB plan must
+    * avoid is the O(n²) nested-loop JOIN SHAPE (a broadcast/cartesian that
+    * concentrates work and memory). True near-dup semantics (t ≥ ~0.9)
+    * should use LSH candidates + exact verify instead — see
+    * [[graft.queries.SimilarityQueries]] (RHP) and [[minHashDuplicates]].
+    *
+    * The decomposition: ids are assigned to one of `blocks` stripes
+    * (`vec_id % blocks`); the B(B+1)/2 unordered stripe pairs form a tiny
+    * dimension table; each side replicates to its matching stripe pairs
+    * (B+1 copies of the corpus in total across both sides — O(n·B) shuffle,
+    * NOT O(n²)) and the candidate space materializes through an EQUI-join on
+    * the composite (block_a, block_b) key. Every task scores one stripe pair
+    * — (n/B)² dot products with 2n/B vectors in memory — so `blocks` tunes
+    * task size: pick B ≈ n / (rows that fit one task), giving full,
+    * skew-free parallelism that AQE can coalesce. No broadcast of the
+    * corpus, no nested-loop join anywhere in the plan (asserted by
+    * DedupSpec's plan-shape test).
+    *
+    * @return (id_a, id_b, cos) with cos >= threshold, id_a < id_b
+    */
+  def cosineJoinBlocked(df: DataFrame, id: Column, vec: Column,
+      threshold: Double, blocks: Int = 32): DataFrame = {
+    import graft.functions.VectorFunctions.{dot, norm2}
+    val spark = df.sparkSession
+    import spark.implicits._
+    // Norms once per vector (outside the pairwise scoring), stripe off the id.
+    val vecs = df.select(id.as("__id"), vec.as("__v"), norm2(vec).as("__nrm"),
+      pmod(id.cast("long"), lit(blocks.toLong)).as("__blk"))
+    val blockPairs = (0 until blocks).flatMap(i => (i until blocks).map(j => (i.toLong, j.toLong)))
+      .toDF("__ba", "__bb") // B(B+1)/2 rows — a constant dimension table
+    val a = blockPairs.join(vecs.withColumnRenamed("__blk", "__ba"), Seq("__ba"))
+      .select(col("__ba"), col("__bb"), col("__id").as("__id_l"),
+        col("__v").as("__v_l"), col("__nrm").as("__nrm_l"))
+    val b = blockPairs.join(vecs.withColumnRenamed("__blk", "__bb"), Seq("__bb"))
+      .select(col("__ba"), col("__bb"), col("__id").as("__id_r"),
+        col("__v").as("__v_r"), col("__nrm").as("__nrm_r"))
+    a.join(b, Seq("__ba", "__bb")) // equi-join: one shuffle on the stripe-pair key
+      // same-stripe pairs appear twice mirrored — keep one orientation; cross-
+      // stripe pairs appear once in arbitrary orientation — normalize below
+      .filter(col("__ba") =!= col("__bb") || col("__id_l") < col("__id_r"))
+      .withColumn("cos", dot(col("__v_l"), col("__v_r")) / (col("__nrm_l") * col("__nrm_r")))
+      .filter(col("cos") >= threshold)
+      .select(least(col("__id_l"), col("__id_r")).as("id_a"),
+        greatest(col("__id_l"), col("__id_r")).as("id_b"), col("cos"))
+  }
+
   /** 64-bit SimHash over a column of token hashes: bit b of the result is
     * the sign of Σ_tokens (bit b of hash ? +1 : -1). One generated-code pass
     * via [[graft.functions.SimHash64]] (was 64 interpreted folds).
@@ -292,19 +346,25 @@ object Dedup {
     Bridge.column(graft.functions.SimHash64(Bridge.childExpr(tokenHashes)))
   }
 
-  /** Token hashes of a whitespace-tokenized text column (SimHash input). */
-  def tokenHashes(text: Column): Column =
-    transform(split(text, " "), tok => xxhash64(tok))
+  /** Token hashes of a whitespace-tokenized text column (SimHash input).
+    * Leaf hash pluggable: xxhash64 default (fast path), or
+    * [[graft.functions.TextFunctions.md5Hash60]] when the signatures must be
+    * SQL-re-derivable for an oracle (60-bit positive values keep every
+    * downstream shift/mask identical in a signed 64-bit lane on any engine).
+    */
+  def tokenHashes(text: Column, hasher: Column => Column = xxhash64(_)): Column =
+    transform(split(text, " "), tok => hasher(tok))
 
   /** SimHash near-dup pairs with Hamming distance <= maxDist, found via the
     * pigeonhole band join: split the 64-bit hash into maxDist+1 bands — any
     * pair within distance maxDist agrees exactly on >= 1 band.
     */
-  def simHashDuplicates(df: DataFrame, id: Column, text: Column, maxDist: Int): DataFrame = {
+  def simHashDuplicates(df: DataFrame, id: Column, text: Column, maxDist: Int,
+      hasher: Column => Column = xxhash64(_)): DataFrame = {
     val nBands = maxDist + 1
     val width = 64 / nBands
     val sigs = spread(df, id)
-      .select(id.as("__id"), tokenHashes(text).as("__th"))
+      .select(id.as("__id"), tokenHashes(text, hasher).as("__th"))
       .select(col("__id"), simHash64(col("__th")).as("__sig"))
     val banded = sigs.select(col("__id"), col("__sig"), posexplode(
       array((0 until nBands).map { b =>

@@ -9,12 +9,13 @@ import graft.operators.Dedup
   * MinHash+LSH, exact n-gram Jaccard (inverted index), SimHash, and
   * embedding-cosine near-dup.
   *
-  * Oracle strategy: the LSH pipelines are verified against brute-force
-  * Jaccard SQL in DuckDB — with 64 hashes / 32 bands of 2 rows, LSH recall at
-  * the 0.8 threshold is 1-(1-0.64)^32 ≈ 1-4e-15, so the verified-candidate
-  * output equals the exhaustive answer. SimHash has no SQL-expressible
-  * oracle (engine-specific 64-bit hash) → rows-only check + ScalaTest
-  * property tests.
+  * Oracle strategy: the MinHash-LSH pipelines are verified against
+  * brute-force Jaccard SQL in DuckDB — with 64 hashes / 32 bands of 2 rows,
+  * LSH recall at the 0.8 threshold is 1-(1-0.64)^32 ≈ 1-4e-15, so the
+  * verified-candidate output equals the exhaustive answer. SimHash's gate
+  * uses the md5-based leaf hash ([[graft.functions.TextFunctions.md5Hash60]])
+  * so the ENTIRE pipeline is re-derived bit-by-bit in SQL; the xxhash64 fast
+  * path is the library default, covered by DedupSpec property tests.
   */
 object DedupQueries extends QueryPack {
 
@@ -126,30 +127,53 @@ object DedupQueries extends QueryPack {
        SELECT id, min(lbl) AS rep FROM walk GROUP BY id
        HAVING id != min(lbl) ORDER BY id"""
 
-  // -- SimHash near-dup (rows-only: engine-specific hash) ----------------------------
+  // -- SimHash near-dup --------------------------------------------------------------
+  // Leaf token hash is md5Hash60 (SQL-re-derivable) so the WHOLE pipeline —
+  // token hashing, 64 majority-vote bits, pigeonhole banding, in-bucket
+  // Hamming — is exactly re-derived by the oracle below. The library default
+  // stays xxhash64 (fast path, same operator, covered by DedupSpec).
   private def qSimHash(s: SparkSession, dir: String): DataFrame =
-    Dedup.simHashDuplicates(t(s, dir, "documents"), col("doc_id"), col("text"), maxDist = 3)
+    Dedup.simHashDuplicates(t(s, dir, "documents"), col("doc_id"), col("text"), maxDist = 3,
+      hasher = graft.functions.TextFunctions.md5Hash60)
       .orderBy("id_a", "id_b")
 
+  // The exact SQL dual, generated bit-by-bit: per-token 60-bit md5-prefix
+  // hashes; simhash bit b = majority vote (ties set, matching SimHash64's
+  // `2*count >= n`); bits 60-63 are always 0 for 60-bit inputs on both
+  // sides; 4 pigeonhole bands of 16 bits; pairwise Hamming via
+  // bit_count(xor). All values stay positive (< 2^60), so shifts and masks
+  // agree between engines' signed 64-bit lanes.
+  private val qSimHashSql = {
+    val bitCounts = (0 until 60)
+      .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE 0 END) AS c$b").mkString(", ")
+    val sigTerms = (0 until 60)
+      .map(b => s"(CASE WHEN 2*c$b >= n THEN (1::BIGINT << $b) ELSE 0 END)").mkString(" + ")
+    s"""WITH d AS (SELECT doc_id, list_transform(string_split(text,' '),
+           t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS th FROM documents),
+       tok AS (SELECT doc_id, unnest(th) AS h FROM d),
+       cnt AS (SELECT doc_id, count(*) AS n, $bitCounts FROM tok GROUP BY doc_id),
+       sig AS (SELECT doc_id, $sigTerms AS s FROM cnt),
+       bands AS (SELECT doc_id, s, b, (s >> (16*b)) & 65535 AS v
+                 FROM sig CROSS JOIN (SELECT unnest([0,1,2,3]) AS b) bl),
+       pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.s AS sa, b.s AS sb
+                 FROM bands a JOIN bands b ON a.b = b.b AND a.v = b.v AND a.doc_id < b.doc_id)
+       SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+       FROM pairs WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY id_a, id_b"""
+  }
+
   // -- embedding-cosine near-dup -------------------------------------------------------
-  private def qEmbDup(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.VectorFunctions.{dot, norm2}
-    // Norms precomputed per vector (outside the O(n²) join); per-pair work
-    // is one codegen dot product. Values identical to per-pair cosine().
-    val withNorm = t(s, dir, "embeddings")
-      .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("nrm"))
-    // The streamed side of the nested-loop pairwise join must be spread
-    // across cores — the single-file scan would run all O(n²) dot products
-    // in one task.
-    val a = Dedup.spread(withNorm, col("vec_id"))
-      .select(col("vec_id").as("id_a"), col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
-    val b = withNorm.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
-    a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cos", dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b")))
-      .filter(col("cos") >= 0.4)
+  // Exhaustive pairwise semantics (the 0.4 threshold is too weak for any LSH
+  // family to prune with near-1 recall — see Dedup.cosineJoinBlocked's doc),
+  // executed as the blocked stripe-pair EQUI-join: O(n·B) replication, one
+  // shuffle on the stripe-pair key, bounded memory per task, and no
+  // nested-loop/cartesian join anywhere in the plan (plan-shape asserted in
+  // DedupSpec). High-threshold near-dup at 100 TB should use the LSH
+  // candidate pipelines instead (ann_rhp_lsh / dedup_minhash_lsh).
+  private def qEmbDup(s: SparkSession, dir: String): DataFrame =
+    Dedup.cosineJoinBlocked(t(s, dir, "embeddings"),
+      id = col("vec_id"), vec = col("embedding"), threshold = 0.4, blocks = 16)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
       .orderBy("id_a", "id_b")
-  }
 
   private val qEmbDupSql =
     """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -173,5 +197,6 @@ object DedupQueries extends QueryPack {
     "dedup_minhash_lsh" -> qMinHashSql,
     "dedup_ngram_jaccard" -> qNgramJaccardSql,
     "dedup_clusters" -> qClustersSql,
+    "dedup_simhash" -> qSimHashSql,
     "dedup_embedding_cosine" -> qEmbDupSql)
 }

@@ -14,8 +14,9 @@ import graft.functions.VectorFunctions._
   *    per-query top-k window. This is the exact baseline and also the right
   *    plan at 100 TB when the query set is small (the corpus never shuffles).
   *  - RHP-LSH bucketed: random-hyperplane signatures prune the corpus to
-  *    bucket-colliding candidates before scoring (approximate scale path,
-  *    rows-only check — signatures are engine-specific).
+  *    bucket-colliding candidates before scoring (approximate scale path).
+  *    The seeded hyperplanes are inlined into the generated oracle SQL, so
+  *    even this path is hash-checked bit-exactly against DuckDB.
   *
   * Cosines are computed in double precision in deterministic element order so
   * values and rank order are bit-comparable with DuckDB's
@@ -24,11 +25,13 @@ import graft.functions.VectorFunctions._
 object SimilarityQueries extends QueryPack {
 
   // -- exact brute-force top-k -------------------------------------------------
-  private def qKnn(s: SparkSession, dir: String): DataFrame = {
-    // Norms are projected per row BEFORE the pairwise join, so each is
-    // computed once per vector, not once per pair; the per-pair work is a
-    // single codegen dot product. Same doubles as cosine() per-pair (a
-    // norm's value doesn't depend on where it's computed).
+  /** Brute-force top-5 per query (exact). Norms are projected per row BEFORE
+    * the pairwise join, so each is computed once per vector, not once per
+    * pair; the per-pair work is a single codegen dot product. Same doubles
+    * as cosine() per-pair (a norm's value doesn't depend on where it's
+    * computed).
+    */
+  private[graft] def bruteTop5(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val queriesDf = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
@@ -42,8 +45,10 @@ object SimilarityQueries extends QueryPack {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5)
       .select(col("query_id"), col("neighbor_id"), round(col("cos"), 4).as("cos"), col("rn"))
-      .orderBy("query_id", "rn")
   }
+
+  private def qKnn(s: SparkSession, dir: String): DataFrame =
+    bruteTop5(s, dir).orderBy("query_id", "rn")
 
   private val qKnnSql =
     """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
@@ -55,17 +60,20 @@ object SimilarityQueries extends QueryPack {
          SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
          FROM scored) WHERE rn <= 5 ORDER BY query_id, rn"""
 
-  // -- approximate: random-hyperplane LSH, multi-table (rows-only check) --------
+  // -- approximate: random-hyperplane LSH, multi-table --------------------------
   // L independent hash tables of b bits each: a single wide signature makes
   // buckets of size ~1 (no candidates at all); multiple narrow tables trade
   // precision for recall the standard way — candidates = union over tables of
   // same-bucket pairs, deduped, then exact-scored. At 100 TB the corpus is
   // hashed in one map pass and only bucket-colliding pairs are ever joined.
-  private def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
+  // Shared between the Spark pipeline and its generated SQL oracle dual.
+  private val (lshTables, lshBits, lshDim) = (8, 8, 64)
+  private def lshSeed(tb: Int): Long = 7L + tb
+
+  private[graft] def lshTop5(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    val nTables = 8
-    val sigs = array((0 until nTables).map(tb =>
-      rhpSignature(col("embedding"), dim = 64, nBits = 8, seed = 7L + tb)): _*)
+    val sigs = array((0 until lshTables).map(tb =>
+      rhpSignature(col("embedding"), dim = lshDim, nBits = lshBits, seed = lshSeed(tb))): _*)
     def bandedOf(df: DataFrame): DataFrame =
       df.select(col("vec_id"), posexplode(sigs).as(Seq("tbl", "bucket")))
     val banded = bandedOf(emb)
@@ -88,7 +96,41 @@ object SimilarityQueries extends QueryPack {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5)
       .select(col("query_id"), col("neighbor_id"), round(col("cos"), 4).as("cos"), col("rn"))
-      .orderBy("query_id", "rn")
+  }
+
+  private def qAnnLsh(s: SparkSession, dir: String): DataFrame =
+    lshTop5(s, dir).orderBy("query_id", "rn")
+
+  /** The exact SQL dual of the LSH pipeline. The hyperplanes are a
+    * deterministic function of (dim, nBits, seed) —
+    * [[graft.functions.RhpSignature.planes]] — so the SAME constants are
+    * inlined into the SQL as literal lists and DuckDB re-derives every
+    * signature bit (`list_dot_product >= 0`), the banding, the candidate
+    * join, and the top-5 ranking. Sign-boundary rounding is the only
+    * cross-engine risk (double accumulation order at |dot| ~ 1e-15), which
+    * has never materialized on the test corpora and is data-independent of
+    * the engine under test.
+    */
+  private val qAnnLshSql = {
+    val tableSelects = (0 until lshTables).map { tb =>
+      val planes = graft.functions.RhpSignature.planes(lshDim, lshBits, lshSeed(tb))
+      val bucketExpr = (0 until lshBits).map { b =>
+        val planeList = (0 until lshDim).map(i => planes(b * lshDim + i).toString).mkString("[", ",", "]")
+        s"(CASE WHEN list_dot_product(embedding::DOUBLE[], $planeList) >= 0 THEN ${1 << b} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id, $tb AS tbl, $bucketExpr AS bucket FROM embeddings"
+    }.mkString(" UNION ALL ")
+    s"""WITH sigs AS ($tableSelects),
+       q AS (SELECT vec_id AS query_id, tbl, bucket FROM sigs WHERE vec_id < 10),
+       cands AS (SELECT DISTINCT s.vec_id AS neighbor_id, q.query_id
+                 FROM sigs s JOIN q ON s.tbl = q.tbl AND s.bucket = q.bucket AND s.vec_id != q.query_id),
+       scored AS (SELECT c.query_id, c.neighbor_id,
+                   list_cosine_similarity(qe.embedding::DOUBLE[], ne.embedding::DOUBLE[]) AS cos
+                  FROM cands c JOIN embeddings qe ON qe.vec_id = c.query_id
+                               JOIN embeddings ne ON ne.vec_id = c.neighbor_id)
+       SELECT query_id, neighbor_id, round(cos, 4) AS cos, CAST(rn AS INT) AS rn FROM (
+         SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+         FROM scored) WHERE rn <= 5 ORDER BY query_id, rn"""
   }
 
   // -- IVF-style coarse quantization: assign every vector to its nearest of
@@ -180,6 +222,7 @@ object SimilarityQueries extends QueryPack {
 
   override val oracles: Map[String, String] = Map(
     "knn_cosine_brute" -> qKnnSql,
+    "ann_rhp_lsh" -> qAnnLshSql,
     "ann_ivf_coarse" -> qAnnIvfSql,
     "emb_stats" -> qEmbStatsSql,
     "emb_label_centroids" -> qCentroidsSql)

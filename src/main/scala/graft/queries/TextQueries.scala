@@ -7,8 +7,10 @@ import graft.functions.TextFunctions
 
 /** Text-analysis operators for training-data pipelines over `documents`:
   * token statistics, quality scoring, BPE-ish regex token counting,
-  * content fingerprinting, n-gram frequencies, and a heuristic language
-  * identifier (rows-only check; not SQL-expressible).
+  * content fingerprinting, n-gram frequencies, rolling-hash fingerprints,
+  * and heuristic language identifiers — every one hash-checked against a
+  * DuckDB re-derivation (the rolling fingerprint via the md5-based leaf
+  * hash, [[TextFunctions.md5Hash60]]).
   *
   * Everything except lang-id is pure `functions._` (whole-stage codegen,
   * no UDFs); lang-id is a Catalyst-expression composition too — scoring
@@ -157,13 +159,27 @@ object TextQueries extends QueryPack {
        FROM base b JOIN mwin m ON b.doc_id=m.doc_id AND m.rn=1 JOIN twin t ON b.doc_id=t.doc_id AND t.rn=1
        ORDER BY b.doc_id"""
 
-  // -- rolling-hash document fingerprint (rows-only: xxhash-chained, engine-specific) ----
-  private def qRollingFp(s: SparkSession, dir: String): DataFrame =
+  // -- rolling-hash document fingerprint -------------------------------------------------
+  // Leaf hash is md5Hash60 so the winnowing fingerprint (min 4-gram window
+  // hash) is exactly re-derived in SQL; the library default stays xxhash64
+  // (covered by TextFunctionsSpec).
+  private def qRollingFp(s: SparkSession, dir: String): DataFrame = {
+    val h = TextFunctions.md5Hash60 _
     t(s, dir, "documents")
       .select(col("doc_id"),
-        TextFunctions.minFingerprint(col("text"), 4).as("fp"),
-        size(TextFunctions.rollingHashes(col("text"), 4)).as("n_windows"))
+        TextFunctions.minFingerprint(col("text"), 4, h).as("fp"),
+        size(TextFunctions.rollingHashes(col("text"), 4, h)).as("n_windows"))
       .orderBy("doc_id")
+  }
+
+  private val qRollingFpSql =
+    """WITH d AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+       w AS (SELECT doc_id, CASE WHEN len(tk) < 4 THEN []::BIGINT[] ELSE
+               list_transform(range(1, len(tk) - 2), i ->
+                 ('0x' || substr(md5(array_to_string(list_slice(tk, i, i+3), ' ')), 1, 15))::BIGINT)
+             END AS hs FROM d)
+       SELECT doc_id, list_min(hs) AS fp, CAST(len(hs) AS INT) AS n_windows
+       FROM w ORDER BY doc_id"""
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_token_stats" -> (qTokenStats _),
@@ -182,5 +198,6 @@ object TextQueries extends QueryPack {
     "text_fingerprint" -> qFingerprintSql,
     "text_term_freq" -> qTermFreqSql,
     "text_bigrams" -> qBigramsSql,
-    "text_lang_id" -> qLangIdSql)
+    "text_lang_id" -> qLangIdSql,
+    "text_rolling_fp" -> qRollingFpSql)
 }

@@ -77,7 +77,8 @@ class ConnectorDefsSpec extends AnyFunSuite {
   }
 
   test("registry exposes the five reference connectors") {
-    assert(ConnectorDefs.all.keySet == Set("pokeapi", "shopify", "klaviyo", "sitoo", "storm"))
+    // subset, not equality: other suites may register() extra connectors
+    assert(Set("pokeapi", "shopify", "klaviyo", "sitoo", "storm").subsetOf(ConnectorDefs.all.keySet))
     assert(ConnectorDefs.all("shopify").supportsIncremental)
     assert(!ConnectorDefs.all("pokeapi").supportsIncremental)
   }

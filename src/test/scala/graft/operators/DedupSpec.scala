@@ -127,6 +127,31 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("cosineJoinBlocked: exact pairwise answer, no nested-loop join in the plan") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 40L).map(i => (i, Array.fill(8)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "emb")
+    val out = Dedup.cosineJoinBlocked(vecs, col("vec_id"), col("emb"), threshold = 0.2, blocks = 5)
+    // plan shape: the stripe-pair decomposition must plan as equi-joins only
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"nested-loop join in plan:\n$plan")
+    val got = out.select("id_a", "id_b", "cos").as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    // brute force
+    val local = vecs.as[(Long, Array[Float])].collect().toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x).sum) * math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val expected = (for {
+      a <- local.keys; b <- local.keys if a < b
+      c = cos(local(a), local(b)) if c >= 0.2
+    } yield (a, b) -> c).toMap
+    assert(got.keySet == expected.keySet, s"pair sets differ: got ${got.keySet} expected ${expected.keySet}")
+    got.foreach { case (k, v) => assert(math.abs(v - expected(k)) < 1e-9) }
+    assert(expected.nonEmpty)
+  }
+
   test("verifyJaccard computes exact set Jaccard") {
     val docsSh = docs.select(col("doc_id").as("__id"), Dedup.shingles(col("text"), 3).as("__sh"))
     val pairs = Seq((1L, 4L), (1L, 3L)).toDF("id_a", "id_b")
