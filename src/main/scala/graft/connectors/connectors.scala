@@ -77,9 +77,12 @@ object ConnectorDefs {
       * shares one runner instance across concurrent syncs, and each sync's
       * stream()→newState() pair runs on its own worker thread
       * (Connector.read) — a plain field would let one sync persist another
-      * sync's window end.
+      * sync's window end. @transient: ThreadLocal is not serializable (a
+      * runner captured into a Spark task closure is); a deserialized copy
+      * lazily re-creates an empty one, and newState's fallback re-derives
+      * the window from `old` in that case.
       */
-    private val issuedTo = new ThreadLocal[Instant]
+    @transient private lazy val issuedTo = new ThreadLocal[Instant]
     override def stream(config: Option[JsonNode], state: Option[JsonNode]): PaginatedStream = {
       val (from, to) = window(state)
       issuedTo.set(to)

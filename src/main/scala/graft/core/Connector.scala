@@ -19,7 +19,7 @@ import graft.sources.{HttpClient, PaginatedStream}
   *    `DataFrame` with its *declared* schema (never inferred), the engine's
   *    center of gravity for analytics.
   */
-trait HttpRunner {
+trait HttpRunner extends Serializable {
   /** Build the page loop for one sync, given config + prior cursor state
     * (reference: connector `Run` building requests from `state.To`,
     * `integrations/shopify/shopify.go:39-64`).
@@ -51,23 +51,41 @@ trait ManualStream {
   def emitState(stateJson: String): Unit
 }
 
+/** Database-backed stream (reference Db stub, `sourcedef.go:91-101`): on
+  * Spark this is native `spark.read.jdbc`. `partitioning` opts into the
+  * parallel read — N executor-side range queries over `(column, lower,
+  * upper)` instead of one connection — the shape that scales a large table
+  * scan across the cluster; leave None for small dimension tables.
+  */
+final case class DbStream(
+    url: String,
+    table: String,
+    properties: Map[String, String] = Map.empty,
+    partitioning: Option[DbPartitioning] = None)
+
+final case class DbPartitioning(column: String, lower: Long, upper: Long, numPartitions: Int)
+
 final case class SourceDef(
     name: String,
     docsUrl: String = "",
     configSchema: String = """{"type":"object","properties":{}}""",
     httpStreams: Seq[(StreamDef, HttpRunner)] = Nil,
     fileStreams: Seq[(StreamDef, String => String)] = Nil, // name → path builder from sfDir/baseDir
+    dbStreams: Seq[(StreamDef, DbStream)] = Nil,
     manualStreams: Seq[StreamDef] = Nil,
     manualRunners: Seq[ManualRunner] = Nil,
     concurrency: Int = 1,
     requestsPerSec: Option[Double] = None) {
 
-  /** One shared limiter per connector instance: every stream and every
-    * concurrent sync of this connector draws from the same budget (SURVEY
-    * §7 hard part b — the reference sidesteps this with concurrency=1).
+  /** One shared limiter per connector PER JVM: every stream, every
+    * concurrent sync, and every Spark task copy of this connector draws
+    * from the same budget (SURVEY §7 hard part b — the reference sidesteps
+    * this with concurrency=1). Resolved from the keyed per-JVM registry so
+    * a SourceDef deserialized into a task closure still shares the budget
+    * with its siblings ([[graft.sources.RateLimiter.forKey]]).
     */
   @transient lazy val rateLimiter: Option[graft.sources.RateLimiter] =
-    requestsPerSec.map(r => new graft.sources.RateLimiter(r, burst = 4))
+    requestsPerSec.map(r => graft.sources.RateLimiter.forKey(name, r, burst = 4))
 
   /** Wrap a transport with this connector's pacing (identity when no
     * budget is configured).
@@ -76,7 +94,7 @@ final case class SourceDef(
     rateLimiter.fold(client)(l => new graft.sources.RateLimitedClient(client, l))
 
   def streamDefs: Seq[StreamDef] =
-    httpStreams.map(_._1) ++ fileStreams.map(_._1) ++ manualStreams
+    httpStreams.map(_._1) ++ fileStreams.map(_._1) ++ dbStreams.map(_._1) ++ manualStreams
 
   def supportsIncremental: Boolean = streamDefs.exists(_.incremental)
 
@@ -115,17 +133,43 @@ object Connector {
     }
   }
 
+  /** Sentinel that aborts a manual runner after its first emit during
+    * `check` — the engine dual of the reference validator's panic sentinel
+    * (`proto.go:220-232`): the probe only needs to see ONE record arrive.
+    */
+  private object ProbeDone extends scala.util.control.ControlThrowable
+
   /** Probe: one real request per stream, then short-circuit (reference
     * validator sentinel, `proto.go:220-232`, `sourcedef.go:128-142`).
+    * EVERY registered runner is validated — http and manual alike
+    * (reference `check` walks all runners) — so a manual-only connector
+    * cannot report SUCCEEDED without a single successful fetch.
     */
   private def check(src: SourceDef, rc: RunConfig, w: ProtoWriter, client: HttpClient): Unit = {
-    val failed = src.httpStreams.iterator.flatMap { case (sd, runner) =>
+    val httpFailed = src.httpStreams.iterator.flatMap { case (sd, runner) =>
       try {
         runner.stream(rc.config, rc.states.get(sd.name))
           .copy(maxPages = 1).fetch(client).take(1).toList
         None
       } catch { case e: Throwable => Some(s"${sd.name}: ${e.getMessage}") }
     }.toList
+    val transport = client
+    val manualFailed = src.manualRunners.zipWithIndex.flatMap { case (runner, i) =>
+      val probeCtx = new ManualContext {
+        override val client: HttpClient = transport
+        override val config: Option[JsonNode] = rc.config
+        override def stream(name: String): ManualStream = new ManualStream {
+          override def emit(recordJson: String): Unit = throw ProbeDone
+          override def emitState(stateJson: String): Unit = ()
+        }
+      }
+      try { runner.run(probeCtx); None }
+      catch {
+        case ProbeDone => None // first emit arrived — probe succeeded
+        case e: Throwable => Some(s"manual[$i]: ${e.getMessage}")
+      }
+    }
+    val failed = httpFailed ++ manualFailed
     w.writeStatus(failed.isEmpty, failed.mkString("; "))
   }
 
@@ -184,22 +228,51 @@ object Connector {
   }
 
   /** Spark read surface: every (selected) stream as a DataFrame with its
-    * DECLARED schema. Page chains are sequential by nature (SURVEY §2
-    * S3-S5/S7) → fetched on the driver into a local Dataset, except file
-    * streams which are native `spark.read` (S11 — free on Spark).
+    * DECLARED schema. The HTTP page loop runs INSIDE the stream's read task
+    * (`mapPartitions` over a one-row range): pages stream through the task's
+    * iterator into the JSON parser, so no page chain is ever materialized
+    * driver-side — a million-page chain flows through bounded memory. The
+    * full transport stack (retry OUTSIDE pacing; per-JVM budget keyed by
+    * connector name, [[graft.sources.RateLimiter.forKey]]) is rebuilt in the
+    * task from the BASE `client`. Chains are sequential by nature (SURVEY §2
+    * S3-S5/S7) → one partition per stream; the DSv2 source (`graft-http`)
+    * additionally range-splits offset pagination across partitions. File
+    * streams are native `spark.read` (S11 — free on Spark).
+    *
+    * @param client BASE transport (no retry/pacing wrappers — the stack is
+    *               built per task); must be serializable, as `HttpClient` is.
     */
   def readDataFrames(spark: SparkSession, src: SourceDef, rc: RunConfig,
       client: HttpClient, baseDir: String = ""): Map[String, DataFrame] = {
-    import spark.implicits._
-    val paced = src.paced(client) // Spark read surface honors the same budget
     val http = selected(src, rc).map { case (sd, runner) =>
-      val records = runner.stream(rc.config, rc.states.get(sd.name)).fetch(paced).toSeq
-      val ds: Dataset[String] = records.toDS()
-      sd.name -> spark.read.schema(sd.schema).json(ds)
+      val (srcCap, base) = (src, client)
+      val configStr = rc.config.map(Json.write)
+      val stateStr = rc.states.get(sd.name).map(Json.write)
+      val records: Dataset[String] = spark.range(0, 1, 1, numPartitions = 1)
+        .mapPartitions { it =>
+          if (!it.hasNext) Iterator.empty
+          else runner.stream(configStr.map(Json.parse), stateStr.map(Json.parse))
+            .fetch(Connector.transport(srcCap, base))
+        }(org.apache.spark.sql.Encoders.STRING)
+      sd.name -> spark.read.schema(sd.schema).json(records)
     }
     val files = src.fileStreams.map { case (sd, pathOf) =>
       sd.name -> spark.read.schema(sd.schema).parquet(pathOf(baseDir))
     }
-    (http ++ files).toMap
+    // Db streams: native JDBC relation. Projection to the DECLARED columns is
+    // pushed into the database's SELECT by Spark's JDBC source (as are simple
+    // filters); with `partitioning` set the scan issues numPartitions range
+    // queries in parallel from the executors (S11 scale path).
+    val dbs = src.dbStreams.map { case (sd, db) =>
+      val props = new java.util.Properties()
+      db.properties.foreach { case (k, v) => props.setProperty(k, v) }
+      val df = db.partitioning match {
+        case Some(p) =>
+          spark.read.jdbc(db.url, db.table, p.column, p.lower, p.upper, p.numPartitions, props)
+        case None => spark.read.jdbc(db.url, db.table, props)
+      }
+      sd.name -> df.select(sd.schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+    }
+    (http ++ files ++ dbs).toMap
   }
 }

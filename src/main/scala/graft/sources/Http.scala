@@ -44,8 +44,11 @@ final case class HttpResponse(status: Int, body: String, headers: Map[String, St
     headers.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }
 }
 
-/** Pluggable transport (java.net in production, a stub in tests). */
-trait HttpClient {
+/** Pluggable transport (java.net in production, a stub in tests).
+  * Serializable so a base client can ride into a Spark read task — the page
+  * loop then streams executor-side instead of materializing on the driver.
+  */
+trait HttpClient extends Serializable {
   def get(req: HttpRequest): HttpResponse
 }
 
@@ -106,6 +109,19 @@ final class RetryingClient(
   * — size the budget accordingly, or keep rate-limited fetch driver-side as
   * the page loops here do.
   */
+object RateLimiter {
+  private val perJvm = new scala.collection.concurrent.TrieMap[(String, Double, Int), RateLimiter]()
+
+  /** The per-JVM singleton limiter for a (connector, rate, burst) budget —
+    * ANY copy of a connector definition (driver original, deserialized task
+    * closure, DSv2 partition reader) resolves the SAME instance, so every
+    * task in the JVM draws from one shared budget. Cluster-wide rate =
+    * permitsPerSec × executors; size the budget accordingly.
+    */
+  def forKey(key: String, permitsPerSec: Double, burst: Int): RateLimiter =
+    perJvm.getOrElseUpdate((key, permitsPerSec, burst), new RateLimiter(permitsPerSec, burst))
+}
+
 final class RateLimiter(
     permitsPerSec: Double,
     burst: Int = 1,

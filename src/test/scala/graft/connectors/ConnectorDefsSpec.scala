@@ -9,19 +9,40 @@ import graft.sources._
 
 import scala.collection.mutable
 
+/** Top-level (no $outer): instances ride into Spark task closures. */
+final class Capture(body: String, headers: (String, String)*) extends HttpClient {
+  val requests = mutable.ArrayBuffer[HttpRequest]()
+  override def get(req: HttpRequest): HttpResponse = {
+    requests += req
+    HttpResponse(200, body, headers.toMap)
+  }
+}
+
+/** JVM-global page counter observable across task-closure copies of a
+  * client (local-mode tasks share the JVM; the object is a static).
+  */
+object PageCounter {
+  val pages = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+
+/** Serves `totalPages` offset pages of `perPage` records, generated lazily
+  * per request — nothing is ever held beyond the current page.
+  */
+final class PagedStubClient(totalPages: Int, perPage: Int) extends HttpClient {
+  override def get(req: HttpRequest): HttpResponse = {
+    PageCounter.pages.incrementAndGet()
+    val start = req.params.collectFirst { case ("start", v) => v.toInt }.getOrElse(0)
+    val n = if (start / perPage >= totalPages - 1) perPage - 1 else perPage // short last page
+    val items = (start until start + n).map(i => s"""{"productid":$i,"title":"P$i","moneyprice":"1.0"}""")
+    HttpResponse(200, s"""{"items":[${items.mkString(",")}]}""", Map.empty)
+  }
+}
+
 /** Connector-declaration tests: request shapes (projection/predicate
   * pushdown into params, SURVEY §2 P1-P3), incremental window + state
   * round-trip (S8), and the Spark read surface with declared schemas.
   */
 class ConnectorDefsSpec extends AnyFunSuite {
-
-  final class Capture(body: String, headers: (String, String)*) extends HttpClient {
-    val requests = mutable.ArrayBuffer[HttpRequest]()
-    override def get(req: HttpRequest): HttpResponse = {
-      requests += req
-      HttpResponse(200, body, headers.toMap)
-    }
-  }
 
   test("shopify: fields projection + cursor window params (shopify.go:48-53) and state advance (shopify.go:67-72)") {
     val now = Instant.parse("2024-06-15T12:00:00Z")
@@ -74,6 +95,50 @@ class ConnectorDefsSpec extends AnyFunSuite {
     val rows = df.orderBy("productid").collect()
     assert(rows.map(_.getLong(0)).toList == List(1L, 2L))
     assert(rows(0).getString(1) == "A")
+  }
+
+  test("readDataFrames streams the page chain through the task — no driver materialization") {
+    val spark = graft.SparkFixture.spark
+    val totalPages = 2000 // a long chain: would be 2000 buffered pages if driver-materialized
+    val perPage = 10
+    PageCounter.pages.set(0)
+    val src = SourceDef(name = "paged-stub",
+      httpStreams = Seq(StreamDef("products", ConnectorDefs.sitooProductSchema) ->
+        new ConnectorDefs.SitooRunner("products.json", ConnectorDefs.sitooProductSchema)))
+    val dfs = Connector.readDataFrames(spark, src, RunConfig.Empty,
+      new PagedStubClient(totalPages, perPage))
+    // planning is lazy: building the DataFrame must not fetch a single page
+    val df = dfs("products")
+    assert(PageCounter.pages.get() == 0, "DataFrame construction fetched pages eagerly")
+    assert(df.count() == totalPages.toLong * perPage - 1) // short last page ends the chain
+    assert(PageCounter.pages.get() == totalPages) // one pass, inside the task
+  }
+
+  test("db stream (S11): JDBC read with declared projection and partitioned parallel scan") {
+    import org.apache.spark.sql.types._
+    val spark = graft.SparkFixture.spark
+    val url = "jdbc:derby:memory:graftS11;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.executeUpdate("CREATE TABLE users (id BIGINT NOT NULL, name VARCHAR(32), secret VARCHAR(32))")
+      (1 to 20).foreach(i => st.executeUpdate(s"INSERT INTO users VALUES ($i, 'u$i', 's$i')"))
+      st.close()
+    } finally conn.close()
+    val usersDef = StreamDef("users", StructType(Seq(
+      StructField("ID", LongType), StructField("NAME", StringType)))) // declared cols only — no `secret`
+    val src = SourceDef(name = "warehouse",
+      dbStreams = Seq(
+        usersDef -> DbStream(url, "users",
+          partitioning = Some(DbPartitioning("id", 1L, 21L, 4)))))
+    assert(src.streamDefs.map(_.name) == Seq("users")) // discover covers db streams
+    val dfs = Connector.readDataFrames(spark, src, RunConfig.Empty,
+      (_: HttpRequest) => fail("db stream must not touch HTTP"))
+    val df = dfs("users")
+    assert(df.schema.fieldNames.toSeq == Seq("ID", "NAME")) // projection to declared cols
+    assert(df.rdd.getNumPartitions == 4) // parallel range scan, not one connection
+    val rows = df.orderBy("ID").collect()
+    assert(rows.length == 20 && rows(0).getLong(0) == 1L && rows(0).getString(1) == "u1")
   }
 
   test("registry exposes the five reference connectors") {

@@ -144,6 +144,37 @@ class ProtocolSpec extends AnyFunSuite {
     assert(st.at("/connectionStatus/message").asText.contains("boom"))
   }
 
+  test("check probes manual runners: failing runner reports FAILED, emitting one succeeds") {
+    val manualDef = StreamDef("pushed", ordersDef.schema)
+    // a manual-only connector with a failing runner must NOT report SUCCEEDED
+    val failing = SourceDef(name = "manual-bad",
+      manualStreams = Seq(manualDef),
+      manualRunners = Seq(new ManualRunner {
+        override def run(ctx: ManualContext): Unit = throw new RuntimeException("backend down")
+      }))
+    val out1 = new StringWriter
+    Connector.handle(failing, Cmd.Check, RunConfig.Empty, out1, client)
+    val st1 = Json.parse(out1.toString.linesIterator.next())
+    assert(st1.at("/connectionStatus/status").asText == "FAILED")
+    assert(st1.at("/connectionStatus/message").asText.contains("backend down"))
+    // a healthy runner is short-circuited after its FIRST emit (sentinel):
+    // the probe must not drain the whole sync
+    var emitted = 0
+    val healthy = SourceDef(name = "manual-ok",
+      manualStreams = Seq(manualDef),
+      manualRunners = Seq(new ManualRunner {
+        override def run(ctx: ManualContext): Unit = {
+          val s = ctx.stream("pushed")
+          (1 to 100).foreach { i => emitted += 1; s.emit(s"""{"id":$i}""") }
+        }
+      }))
+    val out2 = new StringWriter
+    Connector.handle(healthy, Cmd.Check, RunConfig.Empty, out2, client)
+    val st2 = Json.parse(out2.toString.linesIterator.next())
+    assert(st2.at("/connectionStatus/status").asText == "SUCCEEDED")
+    assert(emitted == 1, s"probe must stop after the first emit, saw $emitted")
+  }
+
   test("runner error becomes in-band LOG, sync continues (K8, proto.go:314-332)") {
     val bad: HttpClient = (_: HttpRequest) => throw new RuntimeException("api down")
     val out = new StringWriter
