@@ -24,17 +24,19 @@ object Bench {
     // ~10% — the min is the steady-state cost, which is what a long-lived
     // cluster pays.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val elapsed = (1 to 2).map { _ =>
+      // min over SUCCESSFUL reps only — a fast-failing rep must not shadow
+      // a real slow success with a near-zero time; all-failed → -1 marker.
+      val times = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
         val t = (System.nanoTime() - t0) / 1e9
         // Outside the timed region: queries that persist intermediates would
         // otherwise stack dead caches across the pass and bleed GC noise
         // into later timings.
         spark.catalog.clearCache()
-        t
-      }.min
-      name -> elapsed
+        if (ok) Some(t) else None
+      }
+      name -> (if (times.isEmpty) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -79,8 +79,10 @@ object ConnectorDefs {
       * (Connector.read) — a plain field would let one sync persist another
       * sync's window end. @transient: ThreadLocal is not serializable (a
       * runner captured into a Spark task closure is); a deserialized copy
-      * lazily re-creates an empty one, and newState's fallback re-derives
-      * the window from `old` in that case.
+      * lazily re-creates an empty one, and newState's fallback then
+      * RE-PERSISTS the old cursor unchanged — never a fresh clock read,
+      * which would stamp a To later than the actually-fetched window end
+      * and permanently skip records updated in between.
       */
     @transient private lazy val issuedTo = new ThreadLocal[Instant]
     override def stream(config: Option[JsonNode], state: Option[JsonNode]): PaginatedStream = {
@@ -99,10 +101,12 @@ object ConnectorDefs {
         Pagination.LinkHeader(),
         recordsPath = Seq("orders"))
     }
-    override def newState(config: Option[JsonNode], old: Option[JsonNode]): Option[String] = {
-      val to = Option(issuedTo.get()).getOrElse(window(old)._2)
-      Some(s"""{"To":"${rfc3339.format(to)}"}""")
-    }
+    override def newState(config: Option[JsonNode], old: Option[JsonNode]): Option[String] =
+      Option(issuedTo.get()).map(to => s"""{"To":"${rfc3339.format(to)}"}""")
+        // no issued window on this thread (newState without a same-thread
+        // stream()): keep the old cursor — re-sync overlap is safe, a
+        // clock-now To is a permanent gap
+        .orElse(old.flatMap(o => Option(o.get("To"))).map(n => s"""{"To":"${n.asText}"}"""))
   }
 
   def shopify(clock: () => Instant = () => Instant.now()): SourceDef = SourceDef(

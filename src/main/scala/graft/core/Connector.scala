@@ -37,7 +37,7 @@ trait HttpRunner extends Serializable {
   * opens arbitrary streams imperatively — e.g. one fetch feeding several
   * streams.
   */
-trait ManualRunner {
+trait ManualRunner extends Serializable {
   def run(ctx: ManualContext): Unit
 }
 trait ManualContext {
@@ -245,7 +245,13 @@ object Connector {
   def readDataFrames(spark: SparkSession, src: SourceDef, rc: RunConfig,
       client: HttpClient, baseDir: String = ""): Map[String, DataFrame] = {
     val http = selected(src, rc).map { case (sd, runner) =>
-      val (srcCap, base) = (src, client)
+      // The task closure captures a STRIPPED copy of the def: transport()
+      // only needs (name, requestsPerSec), and shipping every other
+      // stream's runners per task would both bloat the closure and force
+      // unrelated runners to be serializable.
+      val srcCap = src.copy(httpStreams = Nil, fileStreams = Nil, dbStreams = Nil,
+        manualStreams = Nil, manualRunners = Nil)
+      val base = client
       val configStr = rc.config.map(Json.write)
       val stateStr = rc.states.get(sd.name).map(Json.write)
       val records: Dataset[String] = spark.range(0, 1, 1, numPartitions = 1)
@@ -271,7 +277,12 @@ object Connector {
           spark.read.jdbc(db.url, db.table, p.column, p.lower, p.upper, p.numPartitions, props)
         case None => spark.read.jdbc(db.url, db.table, props)
       }
-      sd.name -> df.select(sd.schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+      // Project AND cast to the declared schema — the JDBC relation infers
+      // types from DB metadata (INTEGER vs declared LongType etc.), and the
+      // contract of this surface is the DECLARED schema, never the inferred
+      // one (same guarantee spark.read.schema gives the other stream kinds).
+      sd.name -> df.select(sd.schema.fields.map(f =>
+        org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name)): _*)
     }
     (http ++ files ++ dbs).toMap
   }

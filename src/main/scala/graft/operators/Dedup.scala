@@ -316,9 +316,11 @@ object Dedup {
     import graft.functions.VectorFunctions.{dot, norm2}
     val spark = df.sparkSession
     import spark.implicits._
-    // Norms once per vector (outside the pairwise scoring), stripe off the id.
+    // Norms once per vector (outside the pairwise scoring), stripe off a
+    // HASH of the id — works for any id type (a long cast would null out
+    // string/UUID ids and silently drop their rows from the equi-join).
     val vecs = df.select(id.as("__id"), vec.as("__v"), norm2(vec).as("__nrm"),
-      pmod(id.cast("long"), lit(blocks.toLong)).as("__blk"))
+      pmod(hash(id).cast("long"), lit(blocks.toLong)).as("__blk"))
     val blockPairs = (0 until blocks).flatMap(i => (i until blocks).map(j => (i.toLong, j.toLong)))
       .toDF("__ba", "__bb") // B(B+1)/2 rows — a constant dimension table
     val a = blockPairs.join(vecs.withColumnRenamed("__blk", "__ba"), Seq("__ba"))

@@ -56,7 +56,10 @@ trait HttpClient extends Serializable {
   * constructed inside the task, never serialized.
   */
 final class JdkHttpClient(timeoutMs: Long = 30000) extends HttpClient {
-  private lazy val client = java.net.http.HttpClient.newBuilder()
+  // @transient: the JDK client object is not serializable; an instance that
+  // already served a driver-side call must still ride into a task closure
+  // (the deserialized copy lazily re-creates its transport).
+  @transient private lazy val client = java.net.http.HttpClient.newBuilder()
     .connectTimeout(java.time.Duration.ofMillis(timeoutMs)).build()
   override def get(req: HttpRequest): HttpResponse = {
     val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(req.fullUrl))

@@ -104,7 +104,12 @@ class ConnectorDefsSpec extends AnyFunSuite {
     PageCounter.pages.set(0)
     val src = SourceDef(name = "paged-stub",
       httpStreams = Seq(StreamDef("products", ConnectorDefs.sitooProductSchema) ->
-        new ConnectorDefs.SitooRunner("products.json", ConnectorDefs.sitooProductSchema)))
+        new ConnectorDefs.SitooRunner("products.json", ConnectorDefs.sitooProductSchema)),
+      // non-serializable runner ($outer = this spec): the task closure must
+      // capture a STRIPPED SourceDef, never unrelated runners
+      manualRunners = Seq(new ManualRunner {
+        override def run(ctx: ManualContext): Unit = ()
+      }))
     val dfs = Connector.readDataFrames(spark, src, RunConfig.Empty,
       new PagedStubClient(totalPages, perPage))
     // planning is lazy: building the DataFrame must not fetch a single page

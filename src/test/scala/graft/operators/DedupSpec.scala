@@ -152,6 +152,17 @@ class DedupSpec extends AnyFunSuite {
     assert(expected.nonEmpty)
   }
 
+  test("cosineJoinBlocked stripes on a hash — non-numeric ids are not dropped") {
+    val vecs = Seq(
+      ("doc-a", Array(1f, 0f, 0f)),
+      ("doc-b", Array(1f, 0f, 0f)),   // exact match of doc-a
+      ("doc-c", Array(0f, 1f, 0f)))
+      .toDF("vec_id", "emb")
+    val out = Dedup.cosineJoinBlocked(vecs, col("vec_id"), col("emb"), threshold = 0.9, blocks = 2)
+      .select("id_a", "id_b").as[(String, String)].collect().toSet
+    assert(out == Set(("doc-a", "doc-b")))
+  }
+
   test("verifyJaccard computes exact set Jaccard") {
     val docsSh = docs.select(col("doc_id").as("__id"), Dedup.shingles(col("text"), 3).as("__sh"))
     val pairs = Seq((1L, 4L), (1L, 3L)).toDF("id_a", "id_b")
