@@ -19,7 +19,8 @@ import org.apache.spark.sql.functions._
   * generation shuffles (band_idx, band_hash) — at 100 TB the band tables are
   * a small multiple of the doc count, and the verify join touches only
   * bucket-colliding pairs. Skewed buckets (boilerplate docs) are the known
-  * hazard: cap bucket width upstream or salt; AQE skew-join handles the rest.
+  * hazard: `maxBucket` caps them (see [[lshCandidates]]); AQE skew-join
+  * handles residual imbalance.
   */
 object Dedup {
 
@@ -101,9 +102,18 @@ object Dedup {
       case _ => minHashSignature(col(shingleCol), nHashes, seed)
     }
 
+  /** @param maxBucket hot-bucket cap: buckets wider than this are SKIPPED
+    *   (their pairs are not generated). A pathologically hot bucket —
+    *   boilerplate/templated docs sharing a band — generates O(width²)
+    *   pairs and is the classic LSH scale hazard; docs that hot-collide on
+    *   one band almost surely collide on another, calmer band, so the
+    *   recall cost of capping is tiny while the worst-case cost drops from
+    *   quadratic-in-bucket to `maxBucket²`. Default keeps every bucket
+    *   (exact recall math as documented above).
+    */
   def lshCandidates(
       docs: DataFrame, idCol: String, shingleCol: String,
-      nHashes: Int, r: Int, seed: Long): DataFrame = {
+      nHashes: Int, r: Int, seed: Long, maxBucket: Int = Int.MaxValue): DataFrame = {
     val nBands = nHashes / r
     // Signature materialized in its own projection (referenced nBands× below,
     // which blocks CollapseProject from re-inlining it into each band hash);
@@ -126,7 +136,7 @@ object Dedup {
     banded
       .groupBy(col("band_idx"), col("band_hash"))
       .agg(collect_list(col(idCol)).as("ids"))
-      .filter(size(col("ids")) > 1)
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
       .select(explode(flatten(transform(ids, (x, i) =>
         transform(slice(ids, i + 2, greatest(size(ids) - i - 1, lit(0))), y =>
           struct(x.as("id_a"), y.as("id_b")))))).as("p"))
@@ -201,11 +211,12 @@ object Dedup {
 
   def minHashDuplicates(
       df: DataFrame, id: Column, text: Column, shingleWidth: Int,
-      threshold: Double, nHashes: Int = 64, r: Int = 2, seed: Long = 42L): DataFrame = {
+      threshold: Double, nHashes: Int = 64, r: Int = 2, seed: Long = 42L,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
     // Shingle hashes are consumed by candidate generation AND (twice) by the
     // Jaccard verify join — persist so the byte-scan runs once, not 3×.
     val docs = spread(df, id).select(id.as("__id"), shingleHashes(text, shingleWidth).as("__sh")).persist()
-    val cands = lshCandidates(docs, "__id", "__sh", nHashes, r, seed)
+    val cands = lshCandidates(docs, "__id", "__sh", nHashes, r, seed, maxBucket)
     verifyJaccard(cands, docs, "__id", "__sh")
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))

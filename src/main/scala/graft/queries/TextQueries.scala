@@ -159,6 +159,59 @@ object TextQueries extends QueryPack {
        FROM base b JOIN mwin m ON b.doc_id=m.doc_id AND m.rn=1 JOIN twin t ON b.doc_id=t.doc_id AND t.rn=1
        ORDER BY b.doc_id"""
 
+  // -- repetition signals (Gopher/RefinedWeb-style quality filters) ----------------------
+  // Per-document duplicate-content ratios: repeated tokens, repeated 2/3-
+  // grams, and the most frequent token's share — the standard signals a
+  // curation pipeline thresholds to drop boilerplate/templated documents.
+  // Pure per-row map work (array built-ins, no shuffle): at 100 TB this is
+  // an embarrassingly parallel single pass.
+  private def qRepetition(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val n = size(toks)
+    def grams(w: Int): Column =
+      when(n < w, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), n - lit(w - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(w)))))
+    def dupRatio(g: Column): Column =
+      when(size(g) === 0, lit(0.0))
+        .otherwise(lit(1.0) - size(array_distinct(g)).cast("double") / size(g))
+    val dupTok = lit(1.0) - size(array_distinct(toks)).cast("double") / n
+    val topTok = array_max(transform(array_distinct(toks),
+      t => size(filter(toks, x => x === t)))).cast("double") / n
+    val dup2 = dupRatio(grams(2))
+    val dup3 = dupRatio(grams(3))
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      round(dupTok, 4).as("dup_token_ratio"),
+      round(dup2, 4).as("dup_2gram_ratio"),
+      round(dup3, 4).as("dup_3gram_ratio"),
+      round(topTok, 4).as("top_token_ratio"),
+      (dupTok <= 0.8 && dup3 <= 0.5 && topTok <= 0.2).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  private val qRepetitionSql =
+    """WITH d AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+       g AS (SELECT doc_id, tk,
+          CASE WHEN len(tk) < 2 THEN []::VARCHAR[]
+               ELSE list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]) END AS g2,
+          CASE WHEN len(tk) < 3 THEN []::VARCHAR[]
+               ELSE list_transform(range(1, len(tk)-1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END AS g3
+        FROM d),
+       r AS (SELECT doc_id,
+          1.0 - len(list_distinct(tk))*1.0/len(tk) AS dup_tok,
+          CASE WHEN len(g2)=0 THEN 0.0 ELSE 1.0 - len(list_distinct(g2))*1.0/len(g2) END AS dup2,
+          CASE WHEN len(g3)=0 THEN 0.0 ELSE 1.0 - len(list_distinct(g3))*1.0/len(g3) END AS dup3,
+          list_max(list_transform(list_distinct(tk), t -> len(list_filter(tk, x -> x = t))))*1.0/len(tk) AS top_tok
+        FROM g)
+       SELECT doc_id,
+         round(dup_tok, 4) AS dup_token_ratio,
+         round(dup2, 4) AS dup_2gram_ratio,
+         round(dup3, 4) AS dup_3gram_ratio,
+         round(top_tok, 4) AS top_token_ratio,
+         (dup_tok <= 0.8 AND dup3 <= 0.5 AND top_tok <= 0.2) AS keep
+       FROM r ORDER BY doc_id"""
+
   // -- rolling-hash document fingerprint -------------------------------------------------
   // Leaf hash is md5Hash60 so the winnowing fingerprint (min 4-gram window
   // hash) is exactly re-derived in SQL; the library default stays xxhash64
@@ -189,6 +242,7 @@ object TextQueries extends QueryPack {
     "text_term_freq" -> (qTermFreq _),
     "text_bigrams" -> (qBigrams _),
     "text_lang_id" -> (qLangId _),
+    "text_repetition" -> (qRepetition _),
     "text_rolling_fp" -> (qRollingFp _))
 
   override val oracles: Map[String, String] = Map(
@@ -199,5 +253,6 @@ object TextQueries extends QueryPack {
     "text_term_freq" -> qTermFreqSql,
     "text_bigrams" -> qBigramsSql,
     "text_lang_id" -> qLangIdSql,
+    "text_repetition" -> qRepetitionSql,
     "text_rolling_fp" -> qRollingFpSql)
 }

@@ -152,6 +152,24 @@ class DedupSpec extends AnyFunSuite {
     assert(expected.nonEmpty)
   }
 
+  test("maxBucket caps hot LSH buckets: boilerplate mega-cliques are skipped, not exploded") {
+    // 6 identical boilerplate docs (every band bucket has width 6) + one
+    // genuine near-dup pair elsewhere in the corpus
+    val boiler = (10L to 15L).map(i => (i, "standard footer text repeated across the whole site every page"))
+    val corpus = (boiler ++ Seq(
+      (1L, "a unique document about spark plans and shuffles today"),
+      (2L, "a unique document about spark plans and shuffles tonight"))).toDF("doc_id", "text")
+    val capped = Dedup.minHashDuplicates(corpus, col("doc_id"), col("text"),
+      shingleWidth = 3, threshold = 0.5, maxBucket = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped.contains((1L, 2L)))                    // calm buckets unaffected
+    assert(!capped.exists(p => p._1 >= 10L && p._2 >= 10L)) // hot clique skipped
+    val uncapped = Dedup.minHashDuplicates(corpus, col("doc_id"), col("text"),
+      shingleWidth = 3, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.count(p => p._1 >= 10L && p._2 >= 10L) == 15) // default keeps all 6C2 pairs
+  }
+
   test("cosineJoinBlocked stripes on a hash — non-numeric ids are not dropped") {
     val vecs = Seq(
       ("doc-a", Array(1f, 0f, 0f)),
