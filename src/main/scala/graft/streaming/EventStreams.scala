@@ -105,6 +105,62 @@ object EventStreams {
       }
   }
 
+  final case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class OpenSession(start: Long, lastTs: Long, nEvents: Long, sumValue: Double)
+  final case class ClosedSession(user_id: Long, session_start: Long, session_end: Long,
+      n_events: Long, sum_value: Double)
+
+  /** Idle-session closer — the state-TTL hygiene pattern for UNBOUNDED key
+    * cardinality: one open-session cell per user, closed and REMOVED when
+    * the user goes idle for `gapSec` of event time
+    * (`flatMapGroupsWithState` + `EventTimeTimeout`). Without the timeout,
+    * per-user state on an infinite stream grows with every user ever seen —
+    * at 100 TB/day the timeout IS the operator: state size is bounded by
+    * concurrently-active users, not lifetime users. `cursorTracker` above
+    * deliberately uses NoTimeout because its key set (streams) is small and
+    * cursors must outlive idleness; this is the complementary regime.
+    */
+  def idleSessionCloser(events: org.apache.spark.sql.Dataset[UserEvent],
+      gapSec: Long = 1800, late: String = "30 minutes")
+      : org.apache.spark.sql.Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", late)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, it: Iterator[UserEvent], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            // idle past the gap: emit the finished session, FREE the state
+            val s = state.get
+            state.remove()
+            Iterator.single(ClosedSession(uid, s.start, s.lastTs, s.nEvents, s.sumValue))
+          } else {
+            val evs = it.toVector.sortBy(_.ts.getTime)
+            // a gap INSIDE the batch splits sessions: close all but the last
+            val (closed, open) = evs.foldLeft(
+              (Vector.empty[ClosedSession], state.getOption)) { case ((done, cur), e) =>
+              val t = e.ts.getTime / 1000
+              cur match {
+                case Some(s) if t - s.lastTs <= gapSec =>
+                  (done, Some(s.copy(lastTs = t, nEvents = s.nEvents + 1,
+                    sumValue = s.sumValue + e.value)))
+                case Some(s) =>
+                  (done :+ ClosedSession(uid, s.start, s.lastTs, s.nEvents, s.sumValue),
+                    Some(OpenSession(t, t, 1, e.value)))
+                case None => (done, Some(OpenSession(t, t, 1, e.value)))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              // TTL: fire once event time passes last activity + gap
+              state.setTimeoutTimestamp(s.lastTs * 1000 + gapSec * 1000)
+            }
+            closed.iterator
+          }
+      }
+  }
+
   /** Write helper: stream an aggregation to an in-memory table (tests) or
     * any sink path, append mode with checkpointing.
     */

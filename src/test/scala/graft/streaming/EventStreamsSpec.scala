@@ -141,6 +141,45 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("idle-session closer: sessions emitted on event-time timeout, state removed") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[EventStreams.UserEvent]
+    val q = EventStreams.idleSessionCloser(in.toDS())
+      .writeStream.format("memory").queryName("idle").outputMode(OutputMode.Append()).start()
+    try {
+      // user 1: two events 5 min apart; user 2: one event
+      in.addData(
+        EventStreams.UserEvent(1L, ts(0), 1.0),
+        EventStreams.UserEvent(1L, ts(5), 2.0),
+        EventStreams.UserEvent(2L, ts(10), 10.0))
+      q.processAllAvailable()
+      assert(spark.table("idle").isEmpty) // nothing idle yet — sessions still open
+      // advance event time far past gap+watermark → both sessions time out
+      in.addData(EventStreams.UserEvent(3L, ts(300), 0.5))
+      q.processAllAvailable()
+      in.addData(EventStreams.UserEvent(3L, ts(600), 0.5)) // push watermark again
+      q.processAllAvailable()
+      val rows = spark.table("idle")
+        .select("user_id", "n_events", "sum_value").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows.contains((1L, 2L, 3.0)), s"user 1 session missing: $rows")
+      assert(rows.contains((2L, 1L, 10.0)), s"user 2 session missing: $rows")
+      // in-batch gap split: same user, two bursts separated by > gap in ONE batch
+      val in2 = MemoryStream[EventStreams.UserEvent]
+      val q2 = EventStreams.idleSessionCloser(in2.toDS())
+        .writeStream.format("memory").queryName("idle2").outputMode(OutputMode.Append()).start()
+      try {
+        in2.addData(
+          EventStreams.UserEvent(7L, ts(0), 1.0),
+          EventStreams.UserEvent(7L, ts(100), 2.0)) // 100 min later — new session
+        q2.processAllAvailable()
+        val split = spark.table("idle2").select("user_id", "n_events").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toList
+        assert(split == List((7L, 1L))) // first burst closed by in-batch gap
+      } finally q2.stop()
+    } finally q.stop()
+  }
+
   test("cursor tracker: per-stream high-water mark advances across batches (S8 dual)") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[EventStreams.CursorEvent]
