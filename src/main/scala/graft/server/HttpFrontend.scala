@@ -19,14 +19,20 @@ import graft.sources.HttpClient
   *    `X-Compression: zstd` (reference `proto.go:196-204`), via the
   *    zstd-jni that ships with Spark.
   *
-  * The signed-token auth of the reference demo server (`main.go:34-98`) is a
-  * deployment concern and intentionally out of scope (SURVEY §2.5 C7).
+  * Signed-token auth (reference demo server, `main.go:34-98`) is opt-in:
+  * pass `authKeys` (allow-listed raw Ed25519 public keys) and every request
+  * must present a [[TokenAuth]]-signed Authorization token scoped to the
+  * request path (SURVEY §2.5 C7).
   */
 final class HttpFrontend(
     connectors: Map[String, SourceDef],
     baseClient: HttpClient, // raw transport: the per-request stack is built by Connector.transport
     port: Int = 0,
-    clock: () => Long = () => System.currentTimeMillis()) {
+    clock: () => Long = () => System.currentTimeMillis(),
+    // C7: non-empty → every request must carry an Authorization header
+    // holding a signed token ([[TokenAuth]]) whose embedded key is in this
+    // allow-list and whose prefix scope covers the request path
+    authKeys: Seq[Array[Byte]] = Nil) {
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
 
@@ -43,6 +49,16 @@ final class HttpFrontend(
 
   private def handle(ex: HttpExchange): Unit =
     try {
+      if (authKeys.nonEmpty) {
+        val auth = Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse("")
+        TokenAuth.verify(auth, ex.getRequestURI.getPath, authKeys,
+          now = () => clock() / 1000) match {
+          case Left(reason) =>
+            respond(ex, 401, _.write(s"""{"error":${graft.core.Json.write(graft.core.Json.mapper.valueToTree(reason))}}"""))
+            return
+          case Right(_) => ()
+        }
+      }
       val path = ex.getRequestURI.getPath.stripPrefix("/").stripSuffix("/")
       path.split('/') match {
         case Array("discover") =>

@@ -76,4 +76,40 @@ class HttpFrontendSpec extends AnyFunSuite {
     assert(post("/nope/read", "").statusCode() == 404)
     assert(post("/demo/frobnicate", "").statusCode() == 400)
   }
+
+  test("signed-token auth (C7, main.go:34-98): scope, expiry, allow-list, signature") {
+    val kp = TokenAuth.generateKeyPair()
+    val pub = TokenAuth.rawPublicKey(kp.getPublic)
+    val nowSec = 1700000000L
+    val authFe = new HttpFrontend(Map("demo" -> src), upstream,
+      clock = () => nowSec * 1000, authKeys = Seq(pub)).start()
+    try {
+      def call(path: String, auth: Option[String]): Int = {
+        val b = JRequest.newBuilder(URI.create(s"http://127.0.0.1:${authFe.boundPort}$path"))
+          .POST(JRequest.BodyPublishers.ofString(""))
+        auth.foreach(a => b.header("Authorization", a))
+        http.send(b.build(), JResponse.BodyHandlers.ofByteArray()).statusCode()
+      }
+      val good = TokenAuth.signToken(
+        TokenAuth.Token(nowSec + 3600, "/demo/", pub), kp.getPrivate)
+      assert(call("/demo/spec", Some(good)) == 200)
+      assert(call("/demo/spec", None) == 401)                       // missing token
+      assert(call("/nope/read", Some(good)) == 401)                 // path outside token scope
+      val expired = TokenAuth.signToken(
+        TokenAuth.Token(nowSec - 1, "/demo/", pub), kp.getPrivate)
+      assert(call("/demo/spec", Some(expired)) == 401)              // expired
+      val otherKp = TokenAuth.generateKeyPair()
+      val wrongKey = TokenAuth.signToken(                           // key not allow-listed
+        TokenAuth.Token(nowSec + 3600, "/demo/", TokenAuth.rawPublicKey(otherKp.getPublic)),
+        otherKp.getPrivate)
+      assert(call("/demo/spec", Some(wrongKey)) == 401)
+      val forged = TokenAuth.signToken(                             // embedded allow-listed key,
+        TokenAuth.Token(nowSec + 3600, "/demo/", pub), otherKp.getPrivate) // signed by another
+      assert(call("/demo/spec", Some(forged)) == 401)
+      assert(call("/demo/spec", Some("garbage")) == 401)            // malformed
+      // raw key round-trip: wire form ↔ JDK key
+      val rt = TokenAuth.rawPublicKey(TokenAuth.publicKeyFromRaw(pub))
+      assert(rt.toSeq == pub.toSeq)
+    } finally authFe.stop()
+  }
 }
