@@ -210,8 +210,41 @@ object PipelineQueries extends QueryPack {
        SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
        FROM u GROUP BY 1 ORDER BY 1"""
 
+  // -- overlapping token-window chunking ------------------------------------------
+  // Long documents → fixed-size training chunks with overlap (context-window
+  // prep). Pure per-row array work then ONE explode — no shuffle, no state;
+  // chunk boundaries are a deterministic function of the token index, so
+  // the output is stable under any partitioning. chunk=50 tokens,
+  // stride=40 (10-token overlap); a trailing remainder shorter than the
+  // overlap is absorbed by the previous chunk (no 1-token fragments).
+  private def qChunk(s: SparkSession, dir: String): DataFrame = {
+    val chunk = 50
+    val stride = 40
+    val toks = split(col("text"), " ")
+    val n = size(toks)
+    // number of chunks: 1 + ceil(max(0, n - chunk) / stride)
+    val nChunks = lit(1) + ceil(greatest(n - chunk, lit(0)).cast("double") / stride).cast("int")
+    t(s, dir, "documents")
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), nChunks - 1),
+          i => concat_ws(" ", slice(toks, i * stride + 1, lit(chunk))))).as(Seq("chunk_idx", "chunk_text")))
+      .withColumn("n_chunk_tokens", size(split(col("chunk_text"), " ")))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  private val qChunkSql =
+    """WITH d AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+       c AS (SELECT doc_id, tk,
+               1 + CAST(ceil(greatest(len(tk) - 50, 0) / 40.0) AS INT) AS n_chunks FROM d),
+       e AS (SELECT doc_id, tk, unnest(range(0, n_chunks)) AS chunk_idx FROM c)
+       SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+         array_to_string(list_slice(tk, chunk_idx*40 + 1, chunk_idx*40 + 50), ' ') AS chunk_text,
+         CAST(len(list_slice(tk, chunk_idx*40 + 1, chunk_idx*40 + 50)) AS INT) AS n_chunk_tokens
+       FROM e ORDER BY doc_id, chunk_idx"""
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_split" -> (qSplit _),
+    "pipeline_chunk_docs" -> (qChunk _),
     "pipeline_pack_batches" -> (qPack _),
     "pipeline_contamination" -> (qContamination _),
     "emb_quantize_int8" -> (qQuantize _),
@@ -221,6 +254,7 @@ object PipelineQueries extends QueryPack {
 
   override val oracles: Map[String, String] = Map(
     "pipeline_split" -> qSplitSql,
+    "pipeline_chunk_docs" -> qChunkSql,
     "pipeline_pack_batches" -> qPackSql,
     "pipeline_contamination" -> qContaminationSql,
     "emb_quantize_int8" -> qQuantizeSql,

@@ -1,48 +1,46 @@
 package graft.operators
 
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Bucketed-table co-located join: writing both sides bucketed by the join
-  * key lets Spark sort-merge-join WITHOUT a shuffle exchange on either side
-  * — the pre-partitioning strategy for repeated fact-fact joins at 100 TB
-  * (pay the shuffle once at write time, never again at read time).
+/** Bucketed co-located join: the join over two same-bucketed tables must
+  * plan with ZERO shuffle exchanges (the write-time bucketing IS the
+  * shuffle), and results must equal the plain-join answer.
   */
 class BucketingSpec extends AnyFunSuite {
   private lazy val spark = graft.SparkFixture.spark
   import spark.implicits._
 
-  test("join of two tables bucketed on the key plans no shuffle exchange") {
-    // default warehouse dir (spark-warehouse/ under cwd); tables dropped below
-    spark.sql("DROP TABLE IF EXISTS b_orders")
-    spark.sql("DROP TABLE IF EXISTS b_lines")
-
-    val orders = spark.range(0, 1000).select(col("id").as("okey"),
-      (col("id") % 7).cast("double").as("total"))
-    val lines = spark.range(0, 5000).select((col("id") % 1000).as("okey"),
-      (col("id") % 13).cast("double").as("qty"))
-    orders.write.bucketBy(8, "okey").sortBy("okey").saveAsTable("b_orders")
-    lines.write.bucketBy(8, "okey").sortBy("okey").saveAsTable("b_lines")
-
-    // disable broadcast so the join strategy is SMJ, the case bucketing serves
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+  test("join over same-bucketed tables plans with zero exchanges, same answer") {
+    val orders = (1L to 1000L).map(i => (i, s"status${i % 3}")).toDF("okey", "status")
+    val items = (1L to 3000L).map(i => (i % 1000 + 1, i * 1.5)).toDF("okey", "price")
+    Bucketing.writeBucketed(orders, "b_orders", buckets = 4, keys = Seq("okey"))
+    Bucketing.writeBucketed(items, "b_items", buckets = 4, keys = Seq("okey"))
     try {
-      val joined = spark.table("b_orders").join(spark.table("b_lines"), "okey")
-      joined.collect() // materialize through AQE
-      val plan = joined.queryExecution.executedPlan
-      val finalPlan = plan match {
-        case a: AdaptiveSparkPlanExec => a.executedPlan
-        case p => p
+      val joined = Bucketing.coLocatedJoin(spark, "b_orders", "b_items", Seq("okey"))
+        .groupBy("status").count()
+      joined.collect() // force final (adaptive) plan
+      val shuffles = joined.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
       }
-      val shuffles = finalPlan.collect { case e: ShuffleExchangeExec => e }
-      assert(shuffles.isEmpty, s"expected shuffle-free bucketed join, got:\n$finalPlan")
-      assert(joined.count() == 5000)
+      // one shuffle allowed for the AGGREGATION on `status`; the JOIN itself
+      // must not shuffle — so strictly fewer exchanges than the unbucketed
+      // dual (which needs one per join side + one for the agg)
+      assert(shuffles.size <= 1, s"expected at most the agg exchange, got ${shuffles.size}:\n" +
+        joined.queryExecution.executedPlan)
+      // and the pure join plans with ZERO exchanges
+      val pureJoin = Bucketing.coLocatedJoin(spark, "b_orders", "b_items", Seq("okey"))
+      pureJoin.collect()
+      val joinShuffles = pureJoin.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(joinShuffles.isEmpty, s"bucketed join must not shuffle:\n${pureJoin.queryExecution.executedPlan}")
+      // correctness: equals the plain join
+      val expected = orders.join(items, "okey").count()
+      assert(pureJoin.count() == expected)
     } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
       spark.sql("DROP TABLE IF EXISTS b_orders")
-      spark.sql("DROP TABLE IF EXISTS b_lines")
+      spark.sql("DROP TABLE IF EXISTS b_items")
     }
   }
 }
