@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -159,6 +160,74 @@ object TextQueries extends QueryPack {
        FROM base b JOIN mwin m ON b.doc_id=m.doc_id AND m.rn=1 JOIN twin t ON b.doc_id=t.doc_id AND t.rn=1
        ORDER BY b.doc_id"""
 
+  // -- TF-IDF: top discriminative terms per document -------------------------------------
+  // Corpus-level weighting: tf from one explode+groupBy, document frequency
+  // from the same aggregate (count of docs per term), idf = ln((N+1)/(df+1))+1
+  // (smoothed). Two shuffles total — (doc,term) and term — both on hashed
+  // small keys; the per-doc top-k is a window over the (doc,term) groups,
+  // never a global sort. Output bounded to the first 50 docs' top 3 terms.
+  private def qTfidf(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // corpus size as a broadcast 1-row aggregate, not a driver action
+    val nDf = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("tok"))
+    tf.join(dfreq, "tok").crossJoin(broadcast(nDf))
+      .withColumn("tfidf", col("tf") * (log((col("n_docs") + 1.0) / (col("df") + 1.0)) + 1.0))
+      .filter(col("doc_id") < 50)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("rn"), col("tok"), round(col("tfidf"), 4).as("tfidf"))
+      .orderBy("doc_id", "rn")
+  }
+
+  private val qTfidfSql =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),
+       tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+       dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+       n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+       scored AS (
+         SELECT tf.doc_id, tf.tok, tf.tf * (ln((n.n + 1.0) / (dfreq.df + 1.0)) + 1.0) AS tfidf
+         FROM tf JOIN dfreq USING (tok) CROSS JOIN n
+         WHERE tf.doc_id < 50)
+       SELECT doc_id, CAST(rn AS INT) AS rn, tok, round(tfidf, 4) AS tfidf FROM (
+         SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rn
+         FROM scored) WHERE rn <= 3 ORDER BY doc_id, rn"""
+
+  // -- unigram-distribution drift per source (KL divergence) -----------------------------
+  // Data-quality monitoring: how far each source's token distribution sits
+  // from the corpus-wide distribution — KL(p_source || p_corpus) over the
+  // source's observed tokens. One explode, two small aggregations; the join
+  // keys are (source, tok) and tok.
+  private def qUnigramKl(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+    val bySrc = toks.groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+    val srcTotals = bySrc.groupBy(col("source")).agg(sum(col("c")).as("src_n"))
+    val global = toks.groupBy(col("tok")).agg(count(lit(1)).as("g"))
+    val totDf = toks.agg(count(lit(1)).cast("double").as("total"))
+    bySrc.join(srcTotals, "source").join(global, "tok").crossJoin(broadcast(totDf))
+      .withColumn("term",
+        (col("c") / col("src_n")) * log((col("c") / col("src_n")) / (col("g") / col("total"))))
+      .groupBy(col("source"))
+      .agg(round(sum(col("term")), 4).as("kl"), sum(col("c")).as("n_tokens"))
+      .orderBy("source")
+  }
+
+  private val qUnigramKlSql =
+    """WITH toks AS (SELECT source, unnest(string_split(text,' ')) AS tok FROM documents),
+       by_src AS (SELECT source, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+       src_tot AS (SELECT source, sum(c) AS src_n FROM by_src GROUP BY 1),
+       corpus AS (SELECT tok, count(*) AS g FROM toks GROUP BY 1),
+       tot AS (SELECT count(*)*1.0 AS total FROM toks)
+       SELECT source,
+         round(sum((c/src_n) * ln((c/src_n) / (g/total))), 4) AS kl,
+         CAST(sum(c) AS BIGINT) AS n_tokens
+       FROM by_src JOIN src_tot USING (source) JOIN corpus USING (tok) CROSS JOIN tot
+       GROUP BY source ORDER BY source"""
+
   // -- repetition signals (Gopher/RefinedWeb-style quality filters) ----------------------
   // Per-document duplicate-content ratios: repeated tokens, repeated 2/3-
   // grams, and the most frequent token's share — the standard signals a
@@ -243,6 +312,8 @@ object TextQueries extends QueryPack {
     "text_bigrams" -> (qBigrams _),
     "text_lang_id" -> (qLangId _),
     "text_repetition" -> (qRepetition _),
+    "text_tfidf_topk" -> (qTfidf _),
+    "text_unigram_kl" -> (qUnigramKl _),
     "text_rolling_fp" -> (qRollingFp _))
 
   override val oracles: Map[String, String] = Map(
@@ -254,5 +325,7 @@ object TextQueries extends QueryPack {
     "text_bigrams" -> qBigramsSql,
     "text_lang_id" -> qLangIdSql,
     "text_repetition" -> qRepetitionSql,
+    "text_tfidf_topk" -> qTfidfSql,
+    "text_unigram_kl" -> qUnigramKlSql,
     "text_rolling_fp" -> qRollingFpSql)
 }
