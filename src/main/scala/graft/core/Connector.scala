@@ -244,14 +244,14 @@ object Connector {
     */
   def readDataFrames(spark: SparkSession, src: SourceDef, rc: RunConfig,
       client: HttpClient, baseDir: String = ""): Map[String, DataFrame] = {
+    // The task closures capture a STRIPPED copy of the def: transport()
+    // only needs (name, requestsPerSec), and shipping every other stream's
+    // runners per task would both bloat the closure and force unrelated
+    // runners to be serializable.
+    val srcCap = src.copy(httpStreams = Nil, fileStreams = Nil, dbStreams = Nil,
+      manualStreams = Nil, manualRunners = Nil)
+    val base = client
     val http = selected(src, rc).map { case (sd, runner) =>
-      // The task closure captures a STRIPPED copy of the def: transport()
-      // only needs (name, requestsPerSec), and shipping every other
-      // stream's runners per task would both bloat the closure and force
-      // unrelated runners to be serializable.
-      val srcCap = src.copy(httpStreams = Nil, fileStreams = Nil, dbStreams = Nil,
-        manualStreams = Nil, manualRunners = Nil)
-      val base = client
       val configStr = rc.config.map(Json.write)
       val stateStr = rc.states.get(sd.name).map(Json.write)
       val records: Dataset[String] = spark.range(0, 1, 1, numPartitions = 1)

@@ -22,6 +22,34 @@ object TextFunctions {
   def md5Hash60(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
 
+  /** Consecutive w-token n-grams of a token array, duplicates KEPT (the
+    * multiset — dedup with array_distinct where set semantics are wanted).
+    * The guard matters: `sequence(1, 0)` is DESCENDING `[1, 0]`, so short
+    * inputs must short-circuit to an empty array; that subtlety lives here
+    * once (consumed by Dedup.shingles, rollingHashes, and the repetition
+    * signals).
+    */
+  def ngrams(toks: Column, w: Int): Column =
+    when(size(toks) < w, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - lit(w - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(w)))))
+
+  /** Maximum element multiplicity of a string array in O(n log n) per row:
+    * sort, then one fold tracking the longest equal run. The naive
+    * count-per-distinct-element formulation is O(n × distinct) — quadratic
+    * on diverse documents, which at corpus scale dominates the pass.
+    */
+  def maxMultiplicity(arr: Column): Column =
+    aggregate(
+      array_sort(arr),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1).otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"), greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+
   /** Language marker-word profiles for the heuristic identifier. */
   private val profiles: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "is", "and", "of", "to", "a", "in"),
@@ -81,14 +109,8 @@ object TextFunctions {
     * overflow checks.
     */
   def rollingHashes(text: Column, w: Int,
-      hasher: Column => Column = xxhash64(_)): Column = {
-    val toks = tokens(text)
-    // sequence(1, 0) would be DESCENDING [1, 0]; guard short docs to empty.
-    when(size(toks) < w, array().cast("array<long>"))
-      .otherwise(transform(
-        sequence(lit(1), size(toks) - lit(w - 1)),
-        i => hasher(concat_ws(" ", slice(toks, i, lit(w))))))
-  }
+      hasher: Column => Column = xxhash64(_)): Column =
+    transform(ngrams(tokens(text), w), g => hasher(g))
 
   /** Winnowing fingerprint: the minimum rolling hash per document — a
     * compact signature stable under small edits away from the minimum.

@@ -41,18 +41,12 @@ object Dedup {
       .drop("__rn")
   }
 
-  /** Distinct word w-gram shingles of a text column (the unit of Jaccard).
-    * Guarded for short docs: Spark's sequence(1, 0) would generate a
-    * DESCENDING [1, 0] rather than an empty array.
+  /** Distinct word w-gram shingles of a text column (the unit of Jaccard) —
+    * the set view of [[graft.functions.TextFunctions.ngrams]] (which carries
+    * the short-doc guard).
     */
-  def shingles(text: Column, w: Int): Column = {
-    val toks = split(text, " ")
-    when(size(toks) < w, array().cast("array<string>"))
-      .otherwise(array_distinct(
-        transform(
-          sequence(lit(1), size(toks) - lit(w - 1)),
-          i => concat_ws(" ", slice(toks, i, lit(w))))))
-  }
+  def shingles(text: Column, w: Int): Column =
+    array_distinct(graft.functions.TextFunctions.ngrams(split(text, " "), w))
 
   /** MinHash signature of a shingle array: `nHashes` affine permutations
     * (h·a+b over the wrapping 64-bit ring) of a per-shingle xxhash64 base

@@ -237,18 +237,14 @@ object TextQueries extends QueryPack {
   private def qRepetition(s: SparkSession, dir: String): DataFrame = {
     val toks = split(col("text"), " ")
     val n = size(toks)
-    def grams(w: Int): Column =
-      when(n < w, array().cast("array<string>"))
-        .otherwise(transform(sequence(lit(1), n - lit(w - 1)),
-          i => concat_ws(" ", slice(toks, i, lit(w)))))
     def dupRatio(g: Column): Column =
       when(size(g) === 0, lit(0.0))
         .otherwise(lit(1.0) - size(array_distinct(g)).cast("double") / size(g))
     val dupTok = lit(1.0) - size(array_distinct(toks)).cast("double") / n
-    val topTok = array_max(transform(array_distinct(toks),
-      t => size(filter(toks, x => x === t)))).cast("double") / n
-    val dup2 = dupRatio(grams(2))
-    val dup3 = dupRatio(grams(3))
+    // sorted-run-length fold: O(n log n) per row, not O(n × distinct)
+    val topTok = TextFunctions.maxMultiplicity(toks).cast("double") / n
+    val dup2 = dupRatio(TextFunctions.ngrams(toks, 2))
+    val dup3 = dupRatio(TextFunctions.ngrams(toks, 3))
     t(s, dir, "documents").select(
       col("doc_id"),
       round(dupTok, 4).as("dup_token_ratio"),

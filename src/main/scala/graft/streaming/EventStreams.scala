@@ -137,13 +137,19 @@ object EventStreams {
             Iterator.single(ClosedSession(uid, s.start, s.lastTs, s.nEvents, s.sumValue))
           } else {
             val evs = it.toVector.sortBy(_.ts.getTime)
-            // a gap INSIDE the batch splits sessions: close all but the last
+            // a gap INSIDE the batch splits sessions: close all but the last.
+            // Late (out-of-order, within-watermark) events that land inside
+            // the open session's gap reach merge via min/max — lastTs must
+            // never REWIND (that would corrupt session_end and re-arm the
+            // idle timeout too early) and start extends backwards for
+            // events predating it.
             val (closed, open) = evs.foldLeft(
               (Vector.empty[ClosedSession], state.getOption)) { case ((done, cur), e) =>
               val t = e.ts.getTime / 1000
               cur match {
                 case Some(s) if t - s.lastTs <= gapSec =>
-                  (done, Some(s.copy(lastTs = t, nEvents = s.nEvents + 1,
+                  (done, Some(s.copy(start = math.min(s.start, t),
+                    lastTs = math.max(s.lastTs, t), nEvents = s.nEvents + 1,
                     sumValue = s.sumValue + e.value)))
                 case Some(s) =>
                   (done :+ ClosedSession(uid, s.start, s.lastTs, s.nEvents, s.sumValue),

@@ -40,6 +40,19 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(out == List("en", "es", "de"))
   }
 
+  test("maxMultiplicity: sorted-run fold equals brute-force per-token counts") {
+    val df = Seq("a b a c a b", "x", "q q q q", "m n o p").toDF("text")
+    val out = df.select(TextFunctions.maxMultiplicity(split(col("text"), " "))).as[Int].collect().toList
+    assert(out == List(3, 1, 4, 1))
+  }
+
+  test("ngrams keeps duplicates and guards short inputs (shared by shingles/rolling/repetition)") {
+    val df = Seq("a b a b a", "a b").toDF("text")
+    val g = df.select(TextFunctions.ngrams(split(col("text"), " "), 3)).as[Seq[String]].collect()
+    assert(g(0) == Seq("a b a", "b a b", "a b a")) // multiset: duplicate window kept
+    assert(g(1).isEmpty) // short input → empty, not the sequence(1,0) artifact
+  }
+
   test("minFingerprint stable under edits away from the minimum") {
     val base = "alpha beta gamma delta epsilon zeta eta"
     val edited = "alpha beta gamma delta epsilon zeta CHANGED"

@@ -180,6 +180,34 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("idle-session closer: late within-watermark event must not rewind lastTs") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[EventStreams.UserEvent]
+    val q = EventStreams.idleSessionCloser(in.toDS())
+      .writeStream.format("memory").queryName("idle_late").outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(EventStreams.UserEvent(9L, ts(10), 1.0))
+      q.processAllAvailable()
+      // late event (5 min earlier, inside the 30-min watermark): must merge
+      // backwards — extend start, NOT rewind lastTs / re-arm timeout earlier
+      in.addData(EventStreams.UserEvent(9L, ts(5), 2.0))
+      q.processAllAvailable()
+      in.addData(EventStreams.UserEvent(8L, ts(300), 0.1)) // advance event time → timeout
+      q.processAllAvailable()
+      in.addData(EventStreams.UserEvent(8L, ts(600), 0.1))
+      q.processAllAvailable()
+      val rows = spark.table("idle_late")
+        .select("user_id", "session_start", "session_end", "n_events", "sum_value").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+        .filter(_._1 == 9L)
+      assert(rows.length == 1)
+      val (_, start, end, n, sum) = rows.head
+      assert(start == ts(5).getTime / 1000 && end == ts(10).getTime / 1000,
+        s"expected [ts5, ts10] got [$start, $end]")
+      assert(n == 2 && sum == 3.0)
+    } finally q.stop()
+  }
+
   test("cursor tracker: per-stream high-water mark advances across batches (S8 dual)") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[EventStreams.CursorEvent]
