@@ -119,6 +119,36 @@ class PropertySpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("token auth: verify never throws on arbitrary input; honest round-trip always verifies") {
+    import graft.server.TokenAuth
+    val kp = TokenAuth.generateKeyPair()
+    val pub = TokenAuth.rawPublicKey(kp.getPublic)
+    // fuzz: arbitrary strings (incl. valid base64 of garbage) → Left, no throw
+    val junk = Gen.oneOf(
+      Gen.asciiPrintableStr,
+      Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue)).map(bs =>
+        java.util.Base64.getUrlEncoder.withoutPadding.encodeToString(bs.toArray)))
+    check(Prop.forAll(junk) { s =>
+      TokenAuth.verify(s, "/x", Seq(pub)).isLeft
+    })
+    // round-trip: any expiry in the future + any prefix of the path verifies;
+    // the probe path is uppercase so no lowercase prefix can collide with it
+    val pathGen = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(cs => "/" + cs.mkString)
+    check(Prop.forAllNoShrink(pathGen, Gen.choose(1, 5)) { (path, cut) =>
+      val prefix = path.take(math.min(path.length, cut + 1))
+      val tok = TokenAuth.Token(Long.MaxValue / 2000, prefix, pub)
+      val signed = TokenAuth.signToken(tok, kp.getPrivate)
+      TokenAuth.verify(signed, path, Seq(pub), now = () => 1700000000L).isRight &&
+        TokenAuth.verify(signed, "/OUTSIDE", Seq(pub), now = () => 1700000000L).isLeft
+    })
+    // key round-trip: generated keys survive the raw wire form
+    check(Prop.forAll(Gen.const(())) { _ =>
+      val k = TokenAuth.generateKeyPair()
+      val raw = TokenAuth.rawPublicKey(k.getPublic)
+      TokenAuth.rawPublicKey(TokenAuth.publicKeyFromRaw(raw)).toSeq == raw.toSeq
+    })
+  }
+
   test("marker pagination terminates whenever the marker chain reaches 0/empty") {
     val chain = Gen.listOf(Gen.choose(1, 9).map(_.toString))
     check(Prop.forAll(chain) { markers =>
