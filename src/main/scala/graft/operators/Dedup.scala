@@ -105,9 +105,12 @@ object Dedup {
     *   quadratic-in-bucket to `maxBucket²`. Default keeps every bucket
     *   (exact recall math as documented above).
     */
-  def lshCandidates(
-      docs: DataFrame, idCol: String, shingleCol: String,
-      nHashes: Int, r: Int, seed: Long, maxBucket: Int = Int.MaxValue): DataFrame = {
+  /** The (id, band_idx, band_hash) table of a corpus — the persistable unit
+    * of an LSH index: production pipelines compute this ONCE per corpus and
+    * store it; [[minHashIncremental]] joins fresh batches against it.
+    */
+  def bandTable(docs: DataFrame, idCol: String, shingleCol: String,
+      nHashes: Int, r: Int, seed: Long): DataFrame = {
     val nBands = nHashes / r
     // Signature materialized in its own projection (referenced nBands× below,
     // which blocks CollapseProject from re-inlining it into each band hash);
@@ -118,8 +121,13 @@ object Dedup {
     val bandHashes = array((0 until nBands).map { b =>
       hash(slice(col("__sig"), b * r + 1, r))
     }: _*)
-    val banded = sigd
-      .select(col(idCol), posexplode(bandHashes).as(Seq("band_idx", "band_hash")))
+    sigd.select(col(idCol), posexplode(bandHashes).as(Seq("band_idx", "band_hash")))
+  }
+
+  def lshCandidates(
+      docs: DataFrame, idCol: String, shingleCol: String,
+      nHashes: Int, r: Int, seed: Long, maxBucket: Int = Int.MaxValue): DataFrame = {
+    val banded = bandTable(docs, idCol, shingleCol, nHashes, r, seed)
     // Bucket-group rather than self-join: ONE pass over the upstream pipeline
     // and one shuffle on (band_idx, band_hash); a self-join would recompute
     // shingling + signatures once per side. Pairs are generated inside each
@@ -212,6 +220,46 @@ object Dedup {
     val docs = spread(df, id).select(id.as("__id"), shingleHashes(text, shingleWidth).as("__sh")).persist()
     val cands = lshCandidates(docs, "__id", "__sh", nHashes, r, seed, maxBucket)
     verifyJaccard(cands, docs, "__id", "__sh")
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Incremental near-dup: duplicates of a FRESH batch against an existing
+    * corpus (and within the batch itself) — the shape a production pipeline
+    * runs daily. The corpus is never self-joined and never re-banded per
+    * batch: its [[bandTable]] is the persistable index (recomputed here from
+    * text for self-containment; in production read it from storage), the
+    * small fresh batch's bands BROADCAST against it, so the corpus-side
+    * cost is one streamed scan of the band index — no corpus shuffle at
+    * all. Same (nHashes, r, seed) family as [[minHashDuplicates]] ⇒ same
+    * recall math; output equals the full-corpus run restricted to pairs
+    * touching the fresh batch (asserted in DedupSpec).
+    *
+    * @return (id_a, id_b, jaccard), id_a < id_b, jaccard >= threshold, each
+    *         pair containing at least one fresh id
+    */
+  def minHashIncremental(corpus: DataFrame, fresh: DataFrame, id: Column, text: Column,
+      shingleWidth: Int, threshold: Double,
+      nHashes: Int = 64, r: Int = 2, seed: Long = 42L): DataFrame = {
+    val corpusDocs = spread(corpus, id)
+      .select(id.as("__id"), shingleHashes(text, shingleWidth).as("__sh")).persist()
+    val freshDocs = spread(fresh, id)
+      .select(id.as("__id"), shingleHashes(text, shingleWidth).as("__sh")).persist()
+    val cBands = bandTable(corpusDocs, "__id", "__sh", nHashes, r, seed)
+      .withColumn("__is_fresh", lit(false))
+    val fBands = bandTable(freshDocs, "__id", "__sh", nHashes, r, seed)
+      .withColumn("__is_fresh", lit(true))
+    val cands = cBands.union(fBands)
+      .join(broadcast(fBands.select(col("band_idx"), col("band_hash"), col("__id").as("__f_id"))),
+        Seq("band_idx", "band_hash"))
+      // fresh×fresh pairs arrive in both orientations — keep one; corpus
+      // rows pair with every banded fresh id except themselves
+      .filter((!col("__is_fresh") && col("__f_id") =!= col("__id")) ||
+        (col("__is_fresh") && col("__f_id") < col("__id")))
+      .select(least(col("__f_id"), col("__id")).as("id_a"),
+        greatest(col("__f_id"), col("__id")).as("id_b"))
+      .distinct()
+    verifyJaccard(cands, corpusDocs.union(freshDocs), "__id", "__sh")
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }

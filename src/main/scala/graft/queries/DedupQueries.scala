@@ -94,6 +94,28 @@ object DedupQueries extends QueryPack {
 
   private val qNgramJaccardSql = minhashOracle.replace("%THRESH%", "0.7")
 
+  // -- incremental near-dup: fresh batch vs existing corpus --------------------------
+  // The daily-pipeline shape: docs with id >= 450 play the "fresh batch",
+  // the rest the standing corpus. The corpus is never self-joined — its
+  // band table is the (persistable) index and the fresh bands broadcast
+  // against it. Oracle = the exhaustive-Jaccard pair set restricted to
+  // pairs touching the fresh range (recall argument identical to
+  // dedup_minhash_lsh: same band family).
+  private def qIncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.minHashIncremental(
+      corpus = docs.filter(col("doc_id") < 450),
+      fresh = docs.filter(col("doc_id") >= 450),
+      id = col("doc_id"), text = col("text"), shingleWidth = 3, threshold = 0.8)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
+  private val qIncrementalDedupSql = {
+    val inner = minhashOracle.replace("%THRESH%", "0.8").replace("ORDER BY id_a, id_b", "")
+    s"SELECT * FROM ($inner) WHERE id_a >= 450 OR id_b >= 450 ORDER BY id_a, id_b"
+  }
+
   // -- duplicate clustering: minhash pairs → connected components → survivor ---------
   private def qClusters(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
@@ -186,6 +208,7 @@ object DedupQueries extends QueryPack {
     "dedup_exact" -> (qExact _),
     "dedup_keep_first" -> (qKeepFirst _),
     "dedup_minhash_lsh" -> (qMinHash _),
+    "dedup_incremental" -> (qIncrementalDedup _),
     "dedup_ngram_jaccard" -> (qNgramJaccard _),
     "dedup_clusters" -> (qClusters _),
     "dedup_simhash" -> (qSimHash _),
@@ -195,6 +218,7 @@ object DedupQueries extends QueryPack {
     "dedup_exact" -> qExactSql,
     "dedup_keep_first" -> qKeepFirstSql,
     "dedup_minhash_lsh" -> qMinHashSql,
+    "dedup_incremental" -> qIncrementalDedupSql,
     "dedup_ngram_jaccard" -> qNgramJaccardSql,
     "dedup_clusters" -> qClustersSql,
     "dedup_simhash" -> qSimHashSql,

@@ -152,6 +152,31 @@ class DedupSpec extends AnyFunSuite {
     assert(expected.nonEmpty)
   }
 
+  test("minHashIncremental == full-corpus run restricted to pairs touching the fresh batch") {
+    val all = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "completely different text about spark engines and scala"),
+      (4L, "the quick brown fox jumps over the lazy dog today"),
+      (5L, "completely different text about spark engines and rust"),
+      (6L, "yet another unrelated document mentioning nothing shared"))
+      .toDF("doc_id", "text")
+    val corpus = all.filter(col("doc_id") <= 3)
+    val fresh = all.filter(col("doc_id") > 3)
+    val inc = Dedup.minHashIncremental(corpus, fresh, col("doc_id"), col("text"),
+      shingleWidth = 3, threshold = 0.5)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val full = Dedup.minHashDuplicates(all, col("doc_id"), col("text"),
+      shingleWidth = 3, threshold = 0.5)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+      .filter(p => p._1 > 3 || p._2 > 3)
+    assert(inc == full, s"incremental $inc != full-restricted $full")
+    assert(inc.exists(p => p._1 == 1L && p._2 == 4L)) // cross corpus/fresh dup found
+    assert(inc.exists(p => p._1 == 3L && p._2 == 5L)) // near-dup across the boundary
+    // pairs entirely inside the corpus must NOT be re-emitted
+    assert(!inc.exists(p => p._1 <= 3 && p._2 <= 3))
+  }
+
   test("maxBucket caps hot LSH buckets: boilerplate mega-cliques are skipped, not exploded") {
     // 6 identical boilerplate docs (every band bucket has width 6) + one
     // genuine near-dup pair elsewhere in the corpus
