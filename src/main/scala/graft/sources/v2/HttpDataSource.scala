@@ -70,7 +70,7 @@ final class HttpTable(name0: String, schema0: StructType, props: Map[String, Str
   override def name(): String = s"graft-http:$name0"
   override def schema(): StructType = schema0
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val cursor = Option(options.get("connector"))
       .flatMap(ConnectorDefs.all.get)
@@ -154,6 +154,9 @@ final class HttpScanBuilder(full: StructType, props: Map[String, String],
 final class HttpScan(readSchema: StructType, val props: Map[String, String]) extends Scan with Batch {
   override def readSchema(): StructType = readSchema
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new HttpMicroBatchStream(readSchema, props)
   override def description(): String =
     s"graft-http connector=${props.getOrElse("connector", "?")} stream=${props.getOrElse("stream", "?")}"
 

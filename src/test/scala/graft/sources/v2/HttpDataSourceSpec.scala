@@ -194,6 +194,69 @@ class HttpDataSourceSpec extends AnyFunSuite {
     } finally s.stop(0)
   }
 
+  test("micro-batch streaming: cursor windows as checkpointed offsets, resume continues") {
+    import graft.core.{FieldDef, SourceDef, StreamDef}
+    import graft.sources.{HttpRequest, PaginatedStream, Pagination}
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val records = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    records.add("""{"id":1,"updated_at":"2024-01-01T01:00:00Z"}""")
+    records.add("""{"id":2,"updated_at":"2024-01-01T02:00:00Z"}""")
+    val s = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    s.createContext("/", ex => {
+      val body = s"""{"items":[${String.join(",", records)}],"next":null}"""
+        .getBytes(StandardCharsets.UTF_8)
+      ex.sendResponseHeaders(200, body.length)
+      ex.getResponseBody.write(body)
+      ex.close()
+    })
+    s.start()
+    try {
+      val url = s"http://127.0.0.1:${s.getAddress.getPort}"
+      val schema = StructType(Seq(
+        StructField("id", LongType), StructField("updated_at", StringType)))
+      graft.connectors.ConnectorDefs.register(SourceDef(
+        name = "msync-test",
+        httpStreams = Seq(StreamDef("events", schema, incremental = true,
+          iterateBy = Some(FieldDef(Seq("updated_at")))) -> new graft.core.HttpRunner {
+          override def stream(config: Option[com.fasterxml.jackson.databind.JsonNode],
+              state: Option[com.fasterxml.jackson.databind.JsonNode]): PaginatedStream = {
+            val from = state.flatMap(st => Option(st.get("To"))).map(_.asText)
+              .getOrElse("1970-01-01T00:00:00Z")
+            PaginatedStream(
+              HttpRequest(config.map(_.get("url").asText).getOrElse(url),
+                params = Seq("updated_at_min" -> from)),
+              Pagination.NextUrl("next"), Seq("items"))
+          }
+        })))
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-msync-ckpt").toString
+      val outDir = java.nio.file.Files.createTempDirectory("graft-msync-out").toString
+      def readWith(now: String) = spark.readStream.format("graft-http")
+        .option("connector", "msync-test").option("stream", "events")
+        .option("config", s"""{"url":"$url"}""")
+        .option("nowOverride", now)
+        .load()
+      def sync(now: String): Unit = {
+        // parquet sink: fault-tolerant, so the restart resumes from the
+        // checkpoint's committed offset (the memory sink can't recover)
+        val q = readWith(now).writeStream.format("parquet")
+          .option("path", outDir).option("checkpointLocation", ckpt).start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      // batch 1: window [epoch, 03:00) → both seed records
+      sync("2024-01-01T03:00:00Z")
+      val b1 = spark.read.parquet(outDir).select("id").collect().map(_.getLong(0)).sorted
+      assert(b1.toList == List(1L, 2L))
+      // new upstream record lands inside the NEXT window
+      records.add("""{"id":3,"updated_at":"2024-01-01T03:30:00Z"}""")
+      // restart from the same checkpoint with a later clock: the query must
+      // resume at the COMMITTED offset (03:00) — appending only the new
+      // record, no reprocessing, even though the server returns everything
+      sync("2024-01-01T05:00:00Z")
+      val b2 = spark.read.parquet(outDir).select("id").collect().map(_.getLong(0)).sorted
+      assert(b2.toList == List(1L, 2L, 3L), s"resume must append only the new record, got ${b2.toList}")
+    } finally s.stop(0)
+  }
+
   test("unknown connector/stream fail fast with the known set") {
     val e = intercept[Exception](spark.read.format("graft-http")
       .option("connector", "nope").load())
