@@ -76,15 +76,6 @@ object Dedup {
     Bridge.column(graft.functions.MinHashSig(Bridge.childExpr(hashCol), nHashes, seed))
   }
 
-  /** LSH candidate pairs: docs sharing at least one (band index, band hash)
-    * bucket. `r` = rows per band; bands = nHashes / r. With nHashes=64, r=2
-    * (32 bands), recall at Jaccard 0.8 is 1-(1-0.8^2)^32 ≈ 1-4e-15 —
-    * effectively exhaustive above the threshold while pruning the low-J mass.
-    *
-    * @param docs (id, shingles) — id column named `idCol`, shingle array
-    *             named `shingleCol`
-    * @return (id_a, id_b) candidate pairs, id_a < id_b, distinct
-    */
   /** Signature builder dispatching on the shingle column's type: hashed
     * shingles (array<bigint>, the scale path) feed MinHashSig directly;
     * string shingles get a hash pass first.
@@ -96,15 +87,6 @@ object Dedup {
       case _ => minHashSignature(col(shingleCol), nHashes, seed)
     }
 
-  /** @param maxBucket hot-bucket cap: buckets wider than this are SKIPPED
-    *   (their pairs are not generated). A pathologically hot bucket —
-    *   boilerplate/templated docs sharing a band — generates O(width²)
-    *   pairs and is the classic LSH scale hazard; docs that hot-collide on
-    *   one band almost surely collide on another, calmer band, so the
-    *   recall cost of capping is tiny while the worst-case cost drops from
-    *   quadratic-in-bucket to `maxBucket²`. Default keeps every bucket
-    *   (exact recall math as documented above).
-    */
   /** The (id, band_idx, band_hash) table of a corpus — the persistable unit
     * of an LSH index: production pipelines compute this ONCE per corpus and
     * store it; [[minHashIncremental]] joins fresh batches against it.
@@ -124,6 +106,23 @@ object Dedup {
     sigd.select(col(idCol), posexplode(bandHashes).as(Seq("band_idx", "band_hash")))
   }
 
+  /** LSH candidate pairs: docs sharing at least one (band index, band hash)
+    * bucket. `r` = rows per band; bands = nHashes / r. With nHashes=64, r=2
+    * (32 bands), recall at Jaccard 0.8 is 1-(1-0.8^2)^32 ≈ 1-4e-15 —
+    * effectively exhaustive above the threshold while pruning the low-J mass.
+    *
+    * @param docs (id, shingles) — id column named `idCol`, shingle array
+    *             named `shingleCol`
+    * @param maxBucket hot-bucket cap: buckets wider than this are SKIPPED
+    *   (their pairs are not generated). A pathologically hot bucket —
+    *   boilerplate/templated docs sharing a band — generates O(width²)
+    *   pairs and is the classic LSH scale hazard; docs that hot-collide on
+    *   one band almost surely collide on another, calmer band, so the
+    *   recall cost of capping is tiny while the worst-case cost drops from
+    *   quadratic-in-bucket to `maxBucket²`. Default keeps every bucket
+    *   (exact recall math as documented above).
+    * @return (id_a, id_b) candidate pairs, id_a < id_b, distinct
+    */
   def lshCandidates(
       docs: DataFrame, idCol: String, shingleCol: String,
       nHashes: Int, r: Int, seed: Long, maxBucket: Int = Int.MaxValue): DataFrame = {
@@ -230,28 +229,53 @@ object Dedup {
     * batch: its [[bandTable]] is the persistable index (recomputed here from
     * text for self-containment; in production read it from storage), the
     * small fresh batch's bands BROADCAST against it, so the corpus-side
-    * cost is one streamed scan of the band index — no corpus shuffle at
-    * all. Same (nHashes, r, seed) family as [[minHashDuplicates]] ⇒ same
-    * recall math; output equals the full-corpus run restricted to pairs
-    * touching the fresh batch (asserted in DedupSpec).
+    * cost is one streamed scan of the band index — no corpus shuffle on the
+    * batch path. Same (nHashes, r, seed) family as [[minHashDuplicates]] ⇒
+    * same recall math; output equals the full-corpus run restricted to
+    * pairs touching the fresh batch (asserted in DedupSpec).
     *
+    * Id collisions (a re-ingested, possibly edited document): the fresh
+    * version SUPERSEDES — corpus rows whose id appears in the fresh batch
+    * are dropped before pairing, so every comparison is against the new
+    * text and no pair fans out to conflicting duplicate rows.
+    *
+    * @param maxBucket same hot-bucket cap as [[lshCandidates]], applied to
+    *   the COMBINED (corpus + fresh) bucket width. When set, per-bucket
+    *   widths are aggregated — one pass over the band index that a
+    *   production pipeline persists alongside it at index-build time — and
+    *   hot buckets are excluded from both sides via a broadcast anti-join
+    *   (the hot list is tiny by definition).
     * @return (id_a, id_b, jaccard), id_a < id_b, jaccard >= threshold, each
     *         pair containing at least one fresh id
     */
   def minHashIncremental(corpus: DataFrame, fresh: DataFrame, id: Column, text: Column,
       shingleWidth: Int, threshold: Double,
-      nHashes: Int = 64, r: Int = 2, seed: Long = 42L): DataFrame = {
-    val corpusDocs = spread(corpus, id)
-      .select(id.as("__id"), shingleHashes(text, shingleWidth).as("__sh")).persist()
+      nHashes: Int = 64, r: Int = 2, seed: Long = 42L,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
     val freshDocs = spread(fresh, id)
       .select(id.as("__id"), shingleHashes(text, shingleWidth).as("__sh")).persist()
+    // fresh supersedes: a re-ingested id's old corpus row must not pair
+    val corpusDocs = spread(corpus, id)
+      .select(id.as("__id"), shingleHashes(text, shingleWidth).as("__sh"))
+      .join(freshDocs.select(col("__id")), Seq("__id"), "left_anti").persist()
     val cBands = bandTable(corpusDocs, "__id", "__sh", nHashes, r, seed)
       .withColumn("__is_fresh", lit(false))
     val fBands = bandTable(freshDocs, "__id", "__sh", nHashes, r, seed)
       .withColumn("__is_fresh", lit(true))
-    val cands = cBands.union(fBands)
-      .join(broadcast(fBands.select(col("band_idx"), col("band_hash"), col("__id").as("__f_id"))),
-        Seq("band_idx", "band_hash"))
+    val allBands = cBands.union(fBands)
+    val capped =
+      if (maxBucket == Int.MaxValue) allBands
+      else {
+        val hot = allBands.groupBy(col("band_idx"), col("band_hash"))
+          .agg(count(lit(1)).as("__w")).filter(col("__w") > maxBucket)
+          .select(col("band_idx"), col("band_hash"))
+        allBands.join(broadcast(hot), Seq("band_idx", "band_hash"), "left_anti")
+      }
+    // hot buckets are already absent from `capped`, so the equi-join below
+    // filters the broadcast fresh side implicitly
+    val freshSide = fBands.select(col("band_idx"), col("band_hash"), col("__id").as("__f_id"))
+    val cands = capped
+      .join(broadcast(freshSide), Seq("band_idx", "band_hash"))
       // fresh×fresh pairs arrive in both orientations — keep one; corpus
       // rows pair with every banded fresh id except themselves
       .filter((!col("__is_fresh") && col("__f_id") =!= col("__id")) ||

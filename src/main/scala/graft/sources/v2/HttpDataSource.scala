@@ -120,6 +120,8 @@ final class HttpScanBuilder(full: StructType, props: Map[String, String],
 
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = pushed
 
+  def cursor: Option[String] = cursorCol
+
   override def build(): Scan = {
     import org.apache.spark.sql.sources.{GreaterThan, GreaterThanOrEqual}
     // Chronological max of the pushed bounds becomes the cursor state
@@ -147,16 +149,25 @@ final class HttpScanBuilder(full: StructType, props: Map[String, String],
           props + ("state" -> s"""{"To":"${java.time.format.DateTimeFormatter.ISO_INSTANT.format(i)}"}""")
         case _ => props
       }
-    new HttpScan(required, effProps)
+    new HttpScan(required, effProps, cursorCol)
   }
 }
 
-final class HttpScan(readSchema: StructType, val props: Map[String, String]) extends Scan with Batch {
+final class HttpScan(readSchema: StructType, val props: Map[String, String],
+    cursorCol: Option[String] = None) extends Scan with Batch {
   override def readSchema(): StructType = readSchema
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new HttpMicroBatchStream(readSchema, props)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    // Streaming REQUIRES a cursor: without iterateBy every window would
+    // re-emit the entire stream on every trigger (unbounded duplication) —
+    // fail at planning, like the batch path's unknown-connector error.
+    val cursor = cursorCol.getOrElse(throw new IllegalArgumentException(
+      s"stream '${props.getOrElse("stream", "?")}' of connector " +
+        s"'${props.getOrElse("connector", "?")}' declares no iterateBy cursor; " +
+        "micro-batch streaming needs one to window the sync"))
+    new HttpMicroBatchStream(readSchema, props, cursor)
+  }
   override def description(): String =
     s"graft-http connector=${props.getOrElse("connector", "?")} stream=${props.getOrElse("stream", "?")}"
 

@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.json.{CreateJacksonParser, JacksonParser, JSONOptions}
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -29,45 +29,56 @@ import graft.sources.JdkHttpClient
   *  - offset = `{"to": <rfc3339>}`; the initial offset is the `state`
   *    option's `To` (or epoch for a first sync);
   *  - `latestOffset` = the current wall clock (overridable via the
-  *    `nowOverride` option for deterministic tests);
+  *    `nowOverride` option for deterministic tests), CLAMPED to never run
+  *    backwards past an already-issued offset — a clock regression (NTP
+  *    step, driver failover to a slow clock) must not re-cover committed
+  *    windows;
   *  - each batch plans ONE partition (cursor chains are sequential); the
   *    reader issues the runner's request with state `{"To": start}` — the
   *    incremental window pushdown — and additionally filters records to
   *    `start <= cursor < end` so batch boundaries are exact even when the
-  *    upstream API returns the full tail. Records with a missing/unparseable
-  *    cursor are kept (at-least-once; the engine-side dedup operators are
-  *    the downstream guard, same stance as the reference's at-least-once
-  *    delivery).
+  *    upstream API returns the full tail. Records with a missing or
+  *    unparseable cursor are DROPPED on this path: an incremental sync is
+  *    defined by its cursor, and keeping such records would re-emit them on
+  *    every trigger forever (use the batch read surface for cursorless
+  *    data).
   */
-final class HttpMicroBatchStream(readSchema: StructType, props: Map[String, String])
-    extends MicroBatchStream {
+final class HttpMicroBatchStream(readSchema: StructType, props: Map[String, String],
+    cursorField: String) extends MicroBatchStream {
 
-  private val options = new CaseInsensitiveStringMap(props.asJava)
+  private def parse(s: String): Instant = Instant.parse(s)
 
-  private def cursorField: Option[String] =
-    Option(options.get("connector")).flatMap(ConnectorDefs.all.get).flatMap { src =>
-      Option(options.get("stream"))
-        .flatMap(n => src.httpStreams.find(_._1.name == n))
-        .orElse(src.httpStreams.headOption)
-        .flatMap(_._1.iterateBy.map(_.dotted))
-    }
+  private val initialTo: String = props.get("state").map(Json.parse)
+    .flatMap(n => Option(n.get("To")).map(_.asText))
+    .getOrElse("1970-01-01T00:00:00Z")
 
-  override def initialOffset(): Offset =
-    CursorOffset(props.get("state").map(Json.parse)
-      .flatMap(n => Option(n.get("To")).map(_.asText))
-      .getOrElse("1970-01-01T00:00:00Z"))
+  // monotonic floor for latestOffset (see scaladoc); offsets this stream has
+  // already seen or issued never run backwards
+  @volatile private var hi: Instant = parse(initialTo)
 
-  override def latestOffset(): Offset =
-    CursorOffset(props.getOrElse("nowOverride", Instant.now().toString))
+  private def advance(i: Instant): Instant = synchronized {
+    if (i.isAfter(hi)) hi = i
+    hi
+  }
 
-  override def deserializeOffset(json: String): Offset =
-    CursorOffset(Json.parse(json).get("to").asText)
+  override def initialOffset(): Offset = CursorOffset(initialTo)
+
+  override def latestOffset(): Offset = {
+    val now = props.get("nowOverride").map(parse).getOrElse(Instant.now())
+    CursorOffset(advance(now).toString)
+  }
+
+  override def deserializeOffset(json: String): Offset = {
+    val to = Json.parse(json).get("to").asText
+    advance(parse(to))
+    CursorOffset(to)
+  }
 
   override def commit(end: Offset): Unit = () // Spark's offset log is the state store
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val (s, e) = (start.asInstanceOf[CursorOffset].to, end.asInstanceOf[CursorOffset].to)
-    if (s == e) Array.empty
+    if (!parse(e).isAfter(parse(s))) Array.empty // empty or inverted window: nothing to fetch
     else Array(HttpStreamPartition(s, e))
   }
 
@@ -85,7 +96,7 @@ final case class CursorOffset(to: String) extends Offset {
 final case class HttpStreamPartition(startTo: String, endTo: String) extends InputPartition
 
 final class HttpStreamReaderFactory(readSchema: StructType, props: Map[String, String],
-    cursorField: Option[String]) extends PartitionReaderFactory {
+    cursorField: String) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[HttpStreamPartition]
     new HttpStreamPartitionReader(readSchema, props, p, cursorField)
@@ -95,10 +106,13 @@ final class HttpStreamReaderFactory(readSchema: StructType, props: Map[String, S
 /** One micro-batch window: the standard transport stack (per-JVM budget,
   * retry outside pacing — same as the batch partition reader), the runner's
   * request issued with state `{"To": start}`, and an exact record-level
-  * window filter on the cursor field.
+  * window filter on the cursor field. Each record is parsed ONCE: the
+  * cursor is read from the parsed row when the cursor column survives
+  * projection (the common case), falling back to a raw-JSON extraction
+  * only when it was pruned or is nested.
   */
 final class HttpStreamPartitionReader(readSchema: StructType, props: Map[String, String],
-    part: HttpStreamPartition, cursorField: Option[String])
+    part: HttpStreamPartition, cursorField: String)
     extends PartitionReader[InternalRow] {
 
   private val client = {
@@ -113,22 +127,29 @@ final class HttpStreamPartitionReader(readSchema: StructType, props: Map[String,
   private val startI = parseInstant(part.startTo)
   private val endI = parseInstant(part.endTo)
 
-  private def inWindow(recordJson: String): Boolean = cursorField match {
-    case None => true
-    case Some(f) =>
-      val c = f.split('.').foldLeft(Json.parse(recordJson): com.fasterxml.jackson.databind.JsonNode) {
+  // fast path: top-level string cursor present in the (possibly pruned) schema
+  private val cursorIdx: Option[Int] =
+    if (cursorField.contains('.')) None
+    else readSchema.fieldNames.indexOf(cursorField) match {
+      case -1 => None
+      case i if readSchema.fields(i).dataType == StringType => Some(i)
+      case _ => None
+    }
+
+  private def inWindow(t: Instant): Boolean =
+    startI.forall(s => !t.isBefore(s)) && endI.forall(e => t.isBefore(e))
+
+  private def cursorFromRaw(recordJson: String): Option[Instant] = {
+    val c = cursorField.split('.')
+      .foldLeft(Json.parse(recordJson): com.fasterxml.jackson.databind.JsonNode) {
         (n, k) => if (n == null) null else n.get(k)
       }
-      Option(c).filterNot(_.isNull).map(_.asText).flatMap(parseInstant) match {
-        case Some(t) =>
-          startI.forall(s => !t.isBefore(s)) && endI.forall(e => t.isBefore(e))
-        case None => true // unparseable cursor: keep (at-least-once)
-      }
+    Option(c).filterNot(_.isNull).map(_.asText).flatMap(parseInstant)
   }
 
   private val records: Iterator[String] = {
     val stateProps = props + ("state" -> s"""{"To":"${part.startTo}"}""")
-    HttpScan.buildStream(stateProps).fetch(client).filter(inWindow)
+    HttpScan.buildStream(stateProps).fetch(client)
   }
 
   private val parser = new JacksonParser(readSchema,
@@ -140,10 +161,21 @@ final class HttpStreamPartitionReader(readSchema: StructType, props: Map[String,
   override def next(): Boolean =
     if (!records.hasNext) false
     else {
-      val rows = parser.parse(UTF8String.fromString(records.next()), createParser,
-        (s: UTF8String) => s)
+      val raw = records.next()
+      val rows = parser.parse(UTF8String.fromString(raw), createParser, (s: UTF8String) => s)
       if (rows.isEmpty) next()
-      else { current = rows.head.copy(); true }
+      else {
+        val row = rows.head
+        val cursor = cursorIdx match {
+          case Some(i) if !row.isNullAt(i) => parseInstant(row.getUTF8String(i).toString)
+          case Some(_) => None
+          case None => cursorFromRaw(raw)
+        }
+        cursor match {
+          case Some(t) if inWindow(t) => current = row.copy(); true
+          case _ => next() // outside window, or no usable cursor: dropped (see class doc)
+        }
+      }
     }
 
   override def get(): InternalRow = current

@@ -177,6 +177,21 @@ class DedupSpec extends AnyFunSuite {
     assert(!inc.exists(p => p._1 <= 3 && p._2 <= 3))
   }
 
+  test("minHashIncremental: re-ingested id supersedes its corpus version, no pair fan-out") {
+    val corpus = Seq(
+      (7L, "old totally different text nothing shared here at all whatsoever"),
+      (8L, "the quick brown fox jumps over the lazy dog right now")).toDF("doc_id", "text")
+    val fresh = Seq( // doc 7 was edited: it now duplicates corpus doc 8
+      (7L, "the quick brown fox jumps over the lazy dog right now")).toDF("doc_id", "text")
+    val out = Dedup.minHashIncremental(corpus, fresh, col("doc_id"), col("text"),
+      shingleWidth = 3, threshold = 0.5)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+    assert(out.length == 1, s"exactly one (7,8) row expected, got ${out.toList}")
+    val (a, b, j) = out.head
+    assert((a, b) == (7L, 8L))
+    assert(j == 1.0, s"jaccard must be computed against the NEW text (1.0), got $j")
+  }
+
   test("maxBucket caps hot LSH buckets: boilerplate mega-cliques are skipped, not exploded") {
     // 6 identical boilerplate docs (every band bucket has width 6) + one
     // genuine near-dup pair elsewhere in the corpus

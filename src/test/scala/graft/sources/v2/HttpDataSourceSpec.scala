@@ -257,6 +257,15 @@ class HttpDataSourceSpec extends AnyFunSuite {
     } finally s.stop(0)
   }
 
+  test("micro-batch streaming without an iterateBy cursor fails fast at planning") {
+    // sitoo products declares no cursor: every window would re-emit the
+    // whole stream on every trigger — must be rejected, not silently looped
+    val scan = new HttpScanBuilder(graft.connectors.ConnectorDefs.sitooProductSchema,
+      Map("connector" -> "sitoo", "stream" -> "products"), None).build()
+    val e = intercept[IllegalArgumentException](scan.toMicroBatchStream("/tmp/ckpt"))
+    assert(e.getMessage.contains("iterateBy"))
+  }
+
   test("unknown connector/stream fail fast with the known set") {
     val e = intercept[Exception](spark.read.format("graft-http")
       .option("connector", "nope").load())
