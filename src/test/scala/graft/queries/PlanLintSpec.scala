@@ -1,0 +1,38 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape lint over EVERY gate query: no query may plan a cartesian
+  * product, and nested-loop joins are allowed only where a tiny broadcast
+  * side is the deliberate design (documented whitelist). This is the
+  * automated version of the per-operator `.explain` audit — a future edit
+  * that degrades an equi-join into a nested loop fails here, not in the
+  * next round's bench.
+  */
+class PlanLintSpec extends AnyFunSuite {
+  private lazy val spark = graft.SparkFixture.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  // crossJoin against a broadcast handful (query set / seed centroids /
+  // one-row scalar aggregate) is the intended plan for these — the corpus
+  // side streams, nothing shuffles
+  private val bnljAllowed = Set(
+    "knn_cosine_brute",  // corpus × broadcast query set
+    "ann_ivf_coarse",    // corpus × 8 broadcast seed centroids
+    "text_tfidf_topk",   // × broadcast 1-row corpus-size aggregate
+    "text_unigram_kl")   // × broadcast 1-row total-count aggregate
+
+  test("no gate query plans a cartesian product; BNLJ only where whitelisted") {
+    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan =
+        try fn(spark, dir).queryExecution.executedPlan.toString
+        catch { case e: Throwable => fail(s"$name failed to plan: ${e.getMessage}") }
+      val cartesian = plan.contains("CartesianProduct")
+      val bnlj = plan.contains("BroadcastNestedLoopJoin") && !bnljAllowed.contains(name)
+      if (cartesian) Some(s"$name: CartesianProduct")
+      else if (bnlj) Some(s"$name: BroadcastNestedLoopJoin (not whitelisted)")
+      else None
+    }
+    assert(offenders.isEmpty, s"plan lint failures:\n${offenders.mkString("\n")}")
+  }
+}
