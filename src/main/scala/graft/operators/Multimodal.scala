@@ -68,6 +68,15 @@ object Multimodal {
     Bridge.column(graft.functions.ByteStride(Bridge.childExpr(payload), k))
   }
 
+  /** Per-frame RMS energy over the payload as signed 8-bit samples — the
+    * audio waveform feature primitive ([[graft.functions.FrameRms]],
+    * codegen; trailing partial frame included).
+    */
+  def frameRms(payload: org.apache.spark.sql.Column, frameLen: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftshim.Bridge
+    Bridge.column(graft.functions.FrameRms(Bridge.childExpr(payload), frameLen))
+  }
+
   // -- partition-parallel decode plumbing (the mapInPandas analogue) ------------
 
   /** Decoded feature row. */

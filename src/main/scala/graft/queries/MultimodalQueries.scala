@@ -80,13 +80,53 @@ object MultimodalQueries extends QueryPack {
          round(CASE WHEN n = 0 THEN 0.0 ELSE list_sum(bytes) * 1.0 / n END, 4) AS mean_intensity
        FROM b ORDER BY doc_id"""
 
+  // -- per-frame RMS energy (audio waveform features) ----------------------------
+  // Payload as signed 8-bit samples, 64-sample frames; per doc: frame count,
+  // the peak frame's index and its RMS. One codegen pass per row — the
+  // feature-extraction shape an audio pipeline runs corpus-wide.
+  private def qFrameEnergy(s: SparkSession, dir: String): DataFrame = {
+    val frames = Multimodal.frameRms(col("payload"), 64)
+    media(s, dir)
+      .select(col("doc_id"), frames.as("frames"))
+      .select(col("doc_id"),
+        size(col("frames")).as("n_frames"),
+        array_position(col("frames"), array_max(col("frames"))).cast("int").as("peak_frame"),
+        round(array_max(col("frames")), 4).as("peak_rms"))
+      .orderBy("doc_id")
+  }
+
+  // signed-byte re-derivation: hex pairs → unsigned 0..255 → v-256 when >127
+  private val qFrameEnergySql =
+    """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n FROM documents),
+       b AS (SELECT doc_id, n,
+           list_transform(range(0, n), i ->
+             CASE WHEN ((strpos('0123456789ABCDEF', substring(hx, CAST(i*2+1 AS INT), 1))-1)*16
+                 + strpos('0123456789ABCDEF', substring(hx, CAST(i*2+2 AS INT), 1))-1) > 127
+               THEN ((strpos('0123456789ABCDEF', substring(hx, CAST(i*2+1 AS INT), 1))-1)*16
+                 + strpos('0123456789ABCDEF', substring(hx, CAST(i*2+2 AS INT), 1))-1) - 256
+               ELSE ((strpos('0123456789ABCDEF', substring(hx, CAST(i*2+1 AS INT), 1))-1)*16
+                 + strpos('0123456789ABCDEF', substring(hx, CAST(i*2+2 AS INT), 1))-1) END) AS v
+         FROM h),
+       f AS (SELECT doc_id, n,
+           list_transform(range(0, CAST(ceil(n/64.0) AS INT)), fi ->
+             sqrt(list_sum(list_transform(list_slice(v, CAST(fi*64+1 AS INT), CAST(least((fi+1)*64, n) AS INT)),
+                  x -> x*x*1.0)) / (least((fi+1)*64, n) - fi*64))) AS frames
+         FROM b)
+       SELECT doc_id,
+         CAST(len(frames) AS INT) AS n_frames,
+         CAST(list_position(frames, list_max(frames)) AS INT) AS peak_frame,
+         round(list_max(frames), 4) AS peak_rms
+       FROM f ORDER BY doc_id"""
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_byte_features" -> (qByteFeatures _),
     "mm_stride_sample" -> (qStride _),
+    "mm_frame_energy" -> (qFrameEnergy _),
     "mm_decode_features" -> (qDecode _))
 
   override val oracles: Map[String, String] = Map(
     "mm_byte_features" -> qByteFeaturesSql,
     "mm_stride_sample" -> qStrideSql,
+    "mm_frame_energy" -> qFrameEnergySql,
     "mm_decode_features" -> qDecodeSql)
 }

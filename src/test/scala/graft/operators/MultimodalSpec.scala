@@ -31,6 +31,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(3).length == 0) // empty payload → empty sample
   }
 
+  test("frameRms == brute-force per-frame RMS over signed bytes, partial tail included") {
+    val m = Multimodal.mediaFromDocuments(docs)
+    val out = m.orderBy("doc_id")
+      .select(Multimodal.frameRms(col("payload"), 4)).as[Seq[Double]].collect()
+    val texts = docs.orderBy("doc_id").select("text").as[String].collect()
+    texts.zip(out).foreach { case (t, got) =>
+      val bytes = t.getBytes("UTF-8")
+      val expected = bytes.grouped(4).map { fr =>
+        math.sqrt(fr.map(b => b.toDouble * b).sum / fr.length)
+      }.toSeq
+      assert(got.size == expected.size)
+      got.zip(expected).foreach { case (g, e) => assert(math.abs(g - e) < 1e-12) }
+    }
+    assert(out(3).isEmpty) // empty payload → no frames
+    // signedness: bytes > 127 contribute as negatives, same magnitude
+    val hi = Seq((9L, Array(0xFF.toByte, 0x80.toByte))).toDF("doc_id", "payload")
+    val r = hi.select(Multimodal.frameRms(col("payload"), 2)).as[Seq[Double]].head()
+    assert(math.abs(r.head - math.sqrt((1.0 + 128.0 * 128) / 2)) < 1e-12)
+  }
+
   test("decodeFeatures: deterministic stub, one decoder per partition, streams rows") {
     val m = Multimodal.mediaFromDocuments(docs).repartition(2)
     val f1 = Multimodal.decodeFeatures(spark, m).collect().sortBy(_.doc_id)
