@@ -34,7 +34,9 @@ object GraftFunctions {
         exprs(2).eval().asInstanceOf[Number].intValue(),
         exprs(3).eval().asInstanceOf[Number].longValue())),
     fn("shingle_hashes", "shingle_hashes(text, w) - xxhash64 of each w-token window of a string",
-      exprs => ShingleHashes(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue())))
+      exprs => ShingleHashes(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue())),
+    fn("frame_rms", "frame_rms(bin, frameLen) - per-frame RMS of a binary as signed 8-bit samples",
+      exprs => FrameRms(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue())))
 
   def register(spark: SparkSession): Unit =
     fns.foreach { case (id, info, builder) =>

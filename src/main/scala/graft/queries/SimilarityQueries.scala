@@ -213,8 +213,46 @@ object SimilarityQueries extends QueryPack {
              FROM embeddings)
        WHERE pos - 1 < 4 GROUP BY label, pos ORDER BY label, pos"""
 
+  // -- embedding outliers: farthest vectors from their label centroid --------------
+  // Anomaly/quality signal over embedding space: mean vector per label (one
+  // aggregation), then each vector's L2 distance to its own centroid, top-3
+  // farthest per label. The centroid table is tiny → broadcast; the corpus
+  // is touched in one aggregation pass plus one map-side join.
+  private def qEmbOutliers(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cents = emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(avg(col("v").cast("double")).as("c"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
+      .select(col("label"), transform(col("pc"), x => x.getField("c")).as("centroid"))
+    val w = Window.partitionBy(col("label")).orderBy(col("dist").desc, col("vec_id"))
+    emb.join(broadcast(cents), "label")
+      .withColumn("dist", sqrt(l2sq(col("embedding"), col("centroid"))))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("label"), col("rn"), col("vec_id"), round(col("dist"), 4).as("dist"))
+      .orderBy("label", "rn")
+  }
+
+  private val qEmbOutliersSql =
+    """WITH expl AS (SELECT label, vec_id, generate_subscripts(embedding, 1) AS pos, unnest(embedding::DOUBLE[]) AS v
+                     FROM embeddings),
+       cents AS (SELECT label, pos, avg(v) AS c FROM expl GROUP BY 1, 2),
+       cvec AS (SELECT label, list(c ORDER BY pos) AS centroid FROM cents GROUP BY 1),
+       scored AS (
+         SELECT e.label, e.vec_id,
+           sqrt(list_sum(list_transform(range(1, len(e.embedding)+1),
+             i -> (e.embedding[i]::DOUBLE - cv.centroid[i]) * (e.embedding[i]::DOUBLE - cv.centroid[i])))) AS dist
+         FROM embeddings e JOIN cvec cv USING (label))
+       SELECT label, CAST(rn AS INT) AS rn, vec_id, round(dist, 4) AS dist FROM (
+         SELECT *, row_number() OVER (PARTITION BY label ORDER BY dist DESC, vec_id) AS rn
+         FROM scored) WHERE rn <= 3 ORDER BY label, rn"""
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_cosine_brute" -> (qKnn _),
+    "emb_outliers" -> (qEmbOutliers _),
     "ann_rhp_lsh" -> (qAnnLsh _),
     "ann_ivf_coarse" -> (qAnnIvf _),
     "emb_stats" -> (qEmbStats _),
@@ -222,6 +260,7 @@ object SimilarityQueries extends QueryPack {
 
   override val oracles: Map[String, String] = Map(
     "knn_cosine_brute" -> qKnnSql,
+    "emb_outliers" -> qEmbOutliersSql,
     "ann_rhp_lsh" -> qAnnLshSql,
     "ann_ivf_coarse" -> qAnnIvfSql,
     "emb_stats" -> qEmbStatsSql,
