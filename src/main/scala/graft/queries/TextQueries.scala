@@ -228,6 +228,32 @@ object TextQueries extends QueryPack {
        FROM by_src JOIN src_tot USING (source) JOIN corpus USING (tok) CROSS JOIN tot
        GROUP BY source ORDER BY source"""
 
+  // -- per-document unigram surprisal (perplexity proxy) ---------------------------------
+  // Average -ln p(token) under the corpus unigram distribution: the cheap
+  // quality/fluency proxy scored before any model-based filtering. One
+  // shuffle for the corpus counts, one token-keyed join (the tiny
+  // vocabulary could broadcast at real scale), one per-doc aggregation.
+  private def qSurprisal(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("g"))
+    val totDf = toks.agg(count(lit(1)).cast("double").as("total"))
+    toks.join(counts, "tok").crossJoin(broadcast(totDf))
+      .withColumn("surprisal", -log(col("g") / col("total")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), round(avg(col("surprisal")), 4).as("avg_surprisal"))
+      .orderBy("doc_id")
+  }
+
+  private val qSurprisalSql =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),
+       counts AS (SELECT tok, count(*) AS g FROM toks GROUP BY 1),
+       tot AS (SELECT count(*)*1.0 AS total FROM toks)
+       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         round(avg(-ln(g / total)), 4) AS avg_surprisal
+       FROM toks JOIN counts USING (tok) CROSS JOIN tot
+       GROUP BY doc_id ORDER BY doc_id"""
+
   // -- repetition signals (Gopher/RefinedWeb-style quality filters) ----------------------
   // Per-document duplicate-content ratios: repeated tokens, repeated 2/3-
   // grams, and the most frequent token's share — the standard signals a
@@ -310,6 +336,7 @@ object TextQueries extends QueryPack {
     "text_repetition" -> (qRepetition _),
     "text_tfidf_topk" -> (qTfidf _),
     "text_unigram_kl" -> (qUnigramKl _),
+    "text_surprisal" -> (qSurprisal _),
     "text_rolling_fp" -> (qRollingFp _))
 
   override val oracles: Map[String, String] = Map(
@@ -323,5 +350,6 @@ object TextQueries extends QueryPack {
     "text_repetition" -> qRepetitionSql,
     "text_tfidf_topk" -> qTfidfSql,
     "text_unigram_kl" -> qUnigramKlSql,
+    "text_surprisal" -> qSurprisalSql,
     "text_rolling_fp" -> qRollingFpSql)
 }

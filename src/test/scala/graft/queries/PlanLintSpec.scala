@@ -20,7 +20,8 @@ class PlanLintSpec extends AnyFunSuite {
     "knn_cosine_brute",  // corpus × broadcast query set
     "ann_ivf_coarse",    // corpus × 8 broadcast seed centroids
     "text_tfidf_topk",   // × broadcast 1-row corpus-size aggregate
-    "text_unigram_kl")   // × broadcast 1-row total-count aggregate
+    "text_unigram_kl",   // × broadcast 1-row total-count aggregate
+    "text_surprisal")    // × broadcast 1-row total-count aggregate
 
   test("no gate query plans a cartesian product; BNLJ only where whitelisted") {
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
