@@ -23,7 +23,8 @@ final case class ByteStride(child: Expression, k: Int) extends UnaryExpression {
 
   override def nullSafeEval(input: Any): Any = {
     val in = input.asInstanceOf[Array[Byte]]
-    val out = new Array[Byte]((in.length + k - 1) / k)
+    // long arithmetic: `len + k - 1` overflows Int for a huge user-supplied k
+    val out = new Array[Byte](((in.length.toLong + k - 1) / k).toInt)
     var i = 0
     while (i < out.length) { out(i) = in(i * k); i += 1 }
     out
@@ -34,7 +35,7 @@ final case class ByteStride(child: Expression, k: Int) extends UnaryExpression {
       val i = ctx.freshName("i")
       val out = ctx.freshName("out")
       s"""
-         |byte[] $out = new byte[($in.length + ${k - 1}) / $k];
+         |byte[] $out = new byte[(int) (((long) $in.length + ${k - 1}L) / $k)];
          |for (int $i = 0; $i < $out.length; $i++) { $out[$i] = $in[$i * $k]; }
          |${ev.value} = $out;
        """.stripMargin

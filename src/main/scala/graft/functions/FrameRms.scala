@@ -28,7 +28,9 @@ final case class FrameRms(child: Expression, frameLen: Int) extends UnaryExpress
 
   override def nullSafeEval(input: Any): Any = {
     val bytes = input.asInstanceOf[Array[Byte]]
-    val nFrames = (bytes.length + frameLen - 1) / frameLen
+    // long arithmetic: `len + frameLen - 1` overflows Int for a huge
+    // frameLen (user-callable via the registered SQL function)
+    val nFrames = ((bytes.length.toLong + frameLen - 1) / frameLen).toInt
     val out = new Array[Double](nFrames)
     var f = 0
     while (f < nFrames) {
@@ -56,7 +58,7 @@ final case class FrameRms(child: Expression, frameLen: Int) extends UnaryExpress
       val v = ctx.freshName("v")
       s"""
          |final byte[] $bytes = $in;
-         |final int $nFrames = ($bytes.length + $frameLen - 1) / $frameLen;
+         |final int $nFrames = (int) (((long) $bytes.length + $frameLen - 1) / $frameLen);
          |final double[] $out = new double[$nFrames];
          |for (int $f = 0; $f < $nFrames; $f++) {
          |  final int $start = $f * $frameLen;

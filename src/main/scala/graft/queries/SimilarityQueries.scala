@@ -220,10 +220,16 @@ object SimilarityQueries extends QueryPack {
   // is touched in one aggregation pass plus one map-side join.
   private def qEmbOutliers(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
+    // centroid components ROUNDED to 6 decimals (like emb_label_centroids):
+    // avg() accumulates in shuffle-fetch order, so unrounded centroids can
+    // differ in the last ulp between engines/runs — feeding that into a
+    // rank-3/4 boundary would make the gate flaky. After rounding, the
+    // distance inputs are bit-identical on both sides and the per-pair
+    // arithmetic is the same sequential-order double math as knn.
     val cents = emb
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy(col("label"), col("pos"))
-      .agg(avg(col("v").cast("double")).as("c"))
+      .agg(round(avg(col("v").cast("double")), 6).as("c"))
       .groupBy(col("label"))
       .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pc"))
       .select(col("label"), transform(col("pc"), x => x.getField("c")).as("centroid"))
@@ -239,7 +245,7 @@ object SimilarityQueries extends QueryPack {
   private val qEmbOutliersSql =
     """WITH expl AS (SELECT label, vec_id, generate_subscripts(embedding, 1) AS pos, unnest(embedding::DOUBLE[]) AS v
                      FROM embeddings),
-       cents AS (SELECT label, pos, avg(v) AS c FROM expl GROUP BY 1, 2),
+       cents AS (SELECT label, pos, round(avg(v), 6) AS c FROM expl GROUP BY 1, 2),
        cvec AS (SELECT label, list(c ORDER BY pos) AS centroid FROM cents GROUP BY 1),
        scored AS (
          SELECT e.label, e.vec_id,

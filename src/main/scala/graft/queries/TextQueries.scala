@@ -207,7 +207,8 @@ object TextQueries extends QueryPack {
     val bySrc = toks.groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
     val srcTotals = bySrc.groupBy(col("source")).agg(sum(col("c")).as("src_n"))
     val global = toks.groupBy(col("tok")).agg(count(lit(1)).as("g"))
-    val totDf = toks.agg(count(lit(1)).cast("double").as("total"))
+    // token total from the vocabulary-sized aggregate, not a corpus re-scan
+    val totDf = global.agg(sum(col("g")).cast("double").as("total"))
     bySrc.join(srcTotals, "source").join(global, "tok").crossJoin(broadcast(totDf))
       .withColumn("term",
         (col("c") / col("src_n")) * log((col("c") / col("src_n")) / (col("g") / col("total"))))
@@ -237,7 +238,9 @@ object TextQueries extends QueryPack {
     val toks = t(s, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
     val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("g"))
-    val totDf = toks.agg(count(lit(1)).cast("double").as("total"))
+    // token total from the vocabulary-sized aggregate — NOT a third pass
+    // over the exploded corpus
+    val totDf = counts.agg(sum(col("g")).cast("double").as("total"))
     toks.join(counts, "tok").crossJoin(broadcast(totDf))
       .withColumn("surprisal", -log(col("g") / col("total")))
       .groupBy(col("doc_id"))
