@@ -210,6 +210,26 @@ class DedupSpec extends AnyFunSuite {
     assert(uncapped.count(p => p._1 >= 10L && p._2 >= 10L) == 15) // default keeps all 6C2 pairs
   }
 
+  test("cosineJoinBlocked: block-count edge cases (1 stripe, more stripes than vectors)") {
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 12L).map(i => (i, Array.fill(6)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "emb")
+    val local = vecs.as[(Long, Array[Float])].collect().toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x).sum) * math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val expected = (for {
+      a <- local.keys; b <- local.keys if a < b
+      c = cos(local(a), local(b)) if c >= 0.1
+    } yield (a, b)).toSet
+    for (blocks <- Seq(1, 7, 64)) { // single stripe; odd count; stripes ≫ vectors
+      val got = Dedup.cosineJoinBlocked(vecs, col("vec_id"), col("emb"), threshold = 0.1, blocks = blocks)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(got == expected, s"blocks=$blocks: got $got expected $expected")
+    }
+    assert(expected.nonEmpty)
+  }
+
   test("cosineJoinBlocked stripes on a hash — non-numeric ids are not dropped") {
     val vecs = Seq(
       ("doc-a", Array(1f, 0f, 0f)),
