@@ -79,6 +79,53 @@ object RelationalQueries extends QueryPack {
        GROUP BY l_orderkey, o_orderdate
        ORDER BY revenue DESC, l_orderkey LIMIT 10"""
 
+  // -- q6: forecast revenue change (TPC-H Q6 shape) -------------------------
+  // Pure scan-side query: every predicate pushes into the parquet scan,
+  // the aggregate is a single map-side-combined global sum — the query
+  // whose entire cost at 100 TB is I/O, which is exactly the point.
+  private def q6(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1997-01-01")) &&
+        col("l_discount") >= 0.03 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  private val q6Sql =
+    """SELECT round(sum(l_extendedprice*l_discount),2) AS revenue, count(*) AS n_items
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+         AND l_discount >= 0.03 AND l_discount <= 0.07 AND l_quantity < 24"""
+
+  // -- q10: returned-item reporting (TPC-H Q10 shape) -----------------------
+  // Fact-fact join on orderkey (one shuffle), customer dimension joined
+  // AFTER the aggregation has shrunk the fact side to one row per customer.
+  private def q10(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= to_timestamp(lit("1996-10-01")) &&
+        col("o_orderdate") < to_timestamp(lit("1997-01-01")))
+    val l = t(s, dir, "lineitem").filter(col("l_returnflag") === lit("R"))
+    val revenue = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+    revenue
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("revenue"), col("c_acctbal"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  private val q10Sql =
+    """SELECT c_custkey, c_name,
+       round(sum(l_extendedprice*(1-l_discount)),2) AS revenue, c_acctbal
+       FROM customer JOIN orders ON c_custkey=o_custkey
+       JOIN lineitem ON l_orderkey=o_orderkey
+       WHERE o_orderdate >= TIMESTAMP '1996-10-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+         AND l_returnflag='R'
+       GROUP BY c_custkey, c_name, c_acctbal
+       ORDER BY revenue DESC, c_custkey LIMIT 20"""
+
   // -- q5: star-schema multi-join (TPC-H Q5 shape) --------------------------
   private def q5(s: SparkSession, dir: String): DataFrame = {
     val region = broadcast(t(s, dir, "region").filter(col("r_name") === lit("ASIA")))
@@ -438,6 +485,8 @@ object RelationalQueries extends QueryPack {
     "q1_pricing_summary" -> (q1 _),
     "q3_top_revenue" -> (q3 _),
     "q5_local_supplier" -> (q5 _),
+    "q6_forecast_revenue" -> (q6 _),
+    "q10_returned_items" -> (q10 _),
     "q_broadcast_part_agg" -> (qBroadcast _),
     "q_semi_join" -> (qSemi _),
     "q_anti_join" -> (qAnti _),
@@ -463,6 +512,8 @@ object RelationalQueries extends QueryPack {
   override val oracles: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
     "q3_top_revenue" -> q3Sql,
+    "q6_forecast_revenue" -> q6Sql,
+    "q10_returned_items" -> q10Sql,
     "q5_local_supplier" -> q5Sql,
     "q_broadcast_part_agg" -> qBroadcastSql,
     "q_semi_join" -> qSemiSql,
