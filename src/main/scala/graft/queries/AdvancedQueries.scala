@@ -164,7 +164,41 @@ object AdvancedQueries extends QueryPack {
        WHERE n_tokens >= 10 AND uniq_ratio > 0.3 AND lang = 'en'
        ORDER BY doc_id"""
 
+  // -- sketch error-bound gates -----------------------------------------------
+  // Approximate aggregates (HLL++ distinct counts, GK quantiles) produce
+  // engine-specific values, so the gate checks the EXACT result plus a
+  // relative-error flag computed by the engine itself — the sketches are
+  // deterministic given the data, so a regression in sketch plumbing (or an
+  // rsd/accuracy misconfiguration) flips the flag and breaks the hash.
+  private def qApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("exact"),
+        approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx"))
+      .select(col("l_returnflag"), col("exact"),
+        (abs(col("approx") - col("exact")) <= col("exact") * 0.05).as("approx_ok"))
+      .orderBy("l_returnflag")
+
+  private val qApproxDistinctSql =
+    """SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact, true AS approx_ok
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  private def qApproxQuantile(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(percentile(col("o_totalprice"), lit(0.5)).as("exact_p50"),
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("approx_p50"))
+      .select(col("o_orderpriority"), round(col("exact_p50"), 2).as("exact_p50"),
+        (abs(col("approx_p50") - col("exact_p50")) <= abs(col("exact_p50")) * 0.02).as("approx_ok"))
+      .orderBy("o_orderpriority")
+
+  private val qApproxQuantileSql =
+    """SELECT o_orderpriority, round(quantile_cont(o_totalprice, 0.5),2) AS exact_p50, true AS approx_ok
+       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_approx_distinct_bound" -> (qApproxDistinct _),
+    "q_approx_quantile_bound" -> (qApproxQuantile _),
     "q_percentiles" -> (qPercentiles _),
     "q_grouping_sets" -> (qGroupingSets _),
     "q_pivot" -> (qPivot _),
@@ -175,6 +209,8 @@ object AdvancedQueries extends QueryPack {
     "pipeline_training_set" -> (qTrainingSet _))
 
   override val oracles: Map[String, String] = Map(
+    "q_approx_distinct_bound" -> qApproxDistinctSql,
+    "q_approx_quantile_bound" -> qApproxQuantileSql,
     "q_percentiles" -> qPercentilesSql,
     "q_grouping_sets" -> qGroupingSetsSql,
     "q_pivot" -> qPivotSql,
