@@ -39,4 +39,32 @@ object Upsert {
       base.withColumn("__src", lit(0)).unionByName(changes.withColumn("__src", lit(1))),
       keys, col(versionCol), tieBreak = Seq(col("__src")))
       .drop("__src")
+
+  /** Broadcast-split CDC merge for a LARGE base — the 100 TB refinement the
+    * window formulation's scaladoc points at. [[apply]]'s window over a
+    * union re-shuffles the whole base every merge; here the base side is
+    * split by broadcasting the (small) change-key set:
+    *
+    *   survivors = base ANTI-JOIN changed-keys   (broadcast: no base shuffle)
+    *   contested = base SEMI-JOIN changed-keys   (broadcast: no base shuffle)
+    *   result    = survivors ∪ latest(contested ∪ changes)
+    *
+    * The base is scanned twice but never shuffled (zero base-side
+    * exchanges, asserted in UpsertSpec) — at scale a scan is bandwidth, a
+    * shuffle is bandwidth + disk + skew risk. Only change-batch-sized data
+    * enters the window. Pairs naturally with a bucketed base table: the
+    * survivors retain the storage layout for an exchange-free bucketed
+    * rewrite. Result rows equal [[apply]] exactly.
+    */
+  def mergeLargeBase(base: DataFrame, changes: DataFrame, keys: Seq[String],
+      versionCol: String): DataFrame = {
+    val changeKeys = changes.select(keys.map(col): _*).distinct()
+    val survivors = base.join(broadcast(changeKeys), keys, "left_anti")
+    val contested = base.join(broadcast(changeKeys), keys, "left_semi")
+    val merged = latestByKey(
+      contested.withColumn("__src", lit(0)).unionByName(changes.withColumn("__src", lit(1))),
+      keys, col(versionCol), tieBreak = Seq(col("__src")))
+      .drop("__src")
+    survivors.unionByName(merged)
+  }
 }

@@ -51,4 +51,35 @@ class UpsertSpec extends AnyFunSuite {
       .filter(col("k") === 3L).collect().toList
     assert(out == List(Row(3L, "c2", 30L)))
   }
+
+  test("mergeLargeBase == window upsert; base side never shuffles") {
+    val bigBase = (1L to 5000L).map(i => (i, s"v$i", 10L)).toDF("k", "v", "ver")
+    val changes = Seq(
+      (1L, "updated", 11L),   // newer: replaces
+      (2L, "stale", 9L),      // older: base survives
+      (1L, "mid", 10L),       // second version of same key in the batch
+      (9999L, "insert", 1L))  // new key
+      .toDF("k", "v", "ver")
+    val merged = Upsert.mergeLargeBase(bigBase, changes, Seq("k"), "ver")
+    val viaWindow = Upsert(bigBase, changes, Seq("k"), "ver")
+    assert(merged.collect().toSet == viaWindow.collect().toSet)
+    // All exchanges are CHANGE-batch-sized: 2 × the change-key distinct
+    // (built once per broadcast side) + 1 window input. The base feeds only
+    // the two BroadcastHashJoins — never shuffled (the window formulation
+    // shuffles every base row). Unwrap AQE first: its toString prints
+    // initial AND final plans, double-counting exchanges.
+    merged.collect()
+    val finalPlan = (merged.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }).toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(finalPlan).length
+    // ≤ 3: change-key distinct (AQE may reuse it across the two broadcast
+    // sides) + window input. The window formulation would ALSO shuffle the
+    // 5000-row base through the same key partitioning.
+    assert(exchanges <= 3 && exchanges >= 1,
+      s"expected only change-batch-sized exchanges, got $exchanges:\n$finalPlan")
+    assert("BroadcastHashJoin".r.findAllIn(finalPlan).length == 2,
+      s"expected the anti+semi broadcast key-split:\n$finalPlan")
+  }
 }
