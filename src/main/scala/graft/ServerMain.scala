@@ -18,10 +18,13 @@ import graft.sources.JdkHttpClient
   */
 object ServerMain {
   def main(args: Array[String]): Unit = {
-    val flags = args.sliding(2, 2).collect {
-      case Array(k, v) if k.startsWith("--") => k.stripPrefix("--") -> v
-    }.toMap
-    val port = flags.get("port").map(_.toInt).getOrElse(8080)
+    // value-flags found positionally (step 1, so a value-less flag like
+    // --auth anywhere in argv cannot shift them off a pair boundary)
+    def flagValue(name: String): Option[String] =
+      args.toList.sliding(2).collectFirst {
+        case List(`name`, v) if !v.startsWith("--") => v
+      }
+    val port = flagValue("--port").map(_.toInt).getOrElse(8080)
     val withAuth = args.contains("--auth")
     val authKeys = if (withAuth) {
       val kp = TokenAuth.generateKeyPair()

@@ -54,17 +54,20 @@ object Upsert {
     * shuffle is bandwidth + disk + skew risk. Only change-batch-sized data
     * enters the window. Pairs naturally with a bucketed base table: the
     * survivors retain the storage layout for an exchange-free bucketed
-    * rewrite. Result rows equal [[apply]] exactly.
+    * rewrite.
+    *
+    * Precondition (the invariant of an upsert-MAINTAINED table, which
+    * [[apply]] itself establishes on its output): base keys are non-null
+    * and unique. Under it the result equals [[apply]] exactly; outside it
+    * they diverge — the join-based key split can neither match null keys
+    * (SQL join semantics) nor collapse duplicate base rows the window
+    * formulation would dedup.
     */
   def mergeLargeBase(base: DataFrame, changes: DataFrame, keys: Seq[String],
       versionCol: String): DataFrame = {
     val changeKeys = changes.select(keys.map(col): _*).distinct()
     val survivors = base.join(broadcast(changeKeys), keys, "left_anti")
     val contested = base.join(broadcast(changeKeys), keys, "left_semi")
-    val merged = latestByKey(
-      contested.withColumn("__src", lit(0)).unionByName(changes.withColumn("__src", lit(1))),
-      keys, col(versionCol), tieBreak = Seq(col("__src")))
-      .drop("__src")
-    survivors.unionByName(merged)
+    survivors.unionByName(apply(contested, changes, keys, versionCol))
   }
 }
