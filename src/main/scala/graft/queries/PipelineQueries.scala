@@ -189,7 +189,11 @@ object PipelineQueries extends QueryPack {
       .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
         (col("o_totalprice") + 1000).as("o_totalprice"),
         (col("o_orderdate") + expr("INTERVAL 1 DAY")).as("o_orderdate"))
-    graft.operators.Upsert(base, changes, Seq("o_orderkey"), "o_orderdate")
+    // the SCALE-path formulation is the gate-checked one: broadcast key
+    // split, base never shuffled (mergeLargeBase; orders keys are unique
+    // and non-null, satisfying its precondition). Same oracle as the
+    // window formulation — UpsertSpec asserts their equality directly.
+    graft.operators.Upsert.mergeLargeBase(base, changes, Seq("o_orderkey"), "o_orderdate")
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("sum_price"))
       .orderBy("o_orderstatus")
