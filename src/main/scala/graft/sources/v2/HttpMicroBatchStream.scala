@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.json.{CreateJacksonParser, JacksonParser, JSONOptions}
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.types.{StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -44,9 +44,17 @@ import graft.sources.JdkHttpClient
   *    data).
   */
 final class HttpMicroBatchStream(readSchema: StructType, props: Map[String, String],
-    cursorField: String) extends MicroBatchStream {
+    cursorField: String) extends MicroBatchStream with SupportsAdmissionControl {
 
   private def parse(s: String): Instant = Instant.parse(s)
+
+  /** Catch-up admission control: `maxWindowSeconds` caps a single batch's
+    * cursor window, so a query restarted after a long idle period (or a
+    * first sync against years of history) drains the backlog in bounded
+    * windows instead of one giant fetch — Spark keeps scheduling batches
+    * until the offset catches up to the clock. Unset = unbounded windows.
+    */
+  private val maxWindowSec: Option[Long] = props.get("maxWindowSeconds").map(_.toLong)
 
   private val initialTo: String = props.get("state").map(Json.parse)
     .flatMap(n => Option(n.get("To")).map(_.asText))
@@ -66,6 +74,24 @@ final class HttpMicroBatchStream(readSchema: StructType, props: Map[String, Stri
   override def latestOffset(): Offset = {
     val now = props.get("nowOverride").map(parse).getOrElse(Instant.now())
     CursorOffset(advance(now).toString)
+  }
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  /** Admission-control variant: the window end is min(now, start + cap) —
+    * still clamped monotonic, and never behind `start` (a clock regression
+    * yields an empty window, not a re-covered one).
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = parse(start.asInstanceOf[CursorOffset].to)
+    val now = props.get("nowOverride").map(parse).getOrElse(Instant.now())
+    val end = maxWindowSec match {
+      case Some(cap) if now.isAfter(s.plusSeconds(cap)) => s.plusSeconds(cap)
+      case _ => now
+    }
+    val eff = if (end.isBefore(s)) s else end
+    advance(eff)
+    CursorOffset(eff.toString)
   }
 
   override def deserializeOffset(json: String): Offset = {

@@ -306,6 +306,57 @@ class HttpDataSourceSpec extends AnyFunSuite {
     } finally s.stop(0)
   }
 
+  test("admission control: maxWindowSeconds drains a backlog in bounded windows") {
+    import graft.core.{FieldDef, SourceDef, StreamDef}
+    import graft.sources.{HttpRequest, PaginatedStream, Pagination}
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val s = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    s.createContext("/", ex => {
+      // three records, one per hour of backlog
+      val body = ("""{"items":[{"id":1,"updated_at":"2024-03-01T00:20:00Z"},""" +
+        """{"id":2,"updated_at":"2024-03-01T01:20:00Z"},""" +
+        """{"id":3,"updated_at":"2024-03-01T02:20:00Z"}],"next":null}""").getBytes(StandardCharsets.UTF_8)
+      ex.sendResponseHeaders(200, body.length)
+      ex.getResponseBody.write(body)
+      ex.close()
+    })
+    s.start()
+    try {
+      val url = s"http://127.0.0.1:${s.getAddress.getPort}"
+      val schema = StructType(Seq(
+        StructField("id", LongType), StructField("updated_at", StringType)))
+      graft.connectors.ConnectorDefs.register(SourceDef(
+        name = "backlog-test",
+        httpStreams = Seq(StreamDef("events", schema, incremental = true,
+          iterateBy = Some(FieldDef(Seq("updated_at")))) -> new graft.core.HttpRunner {
+          override def stream(config: Option[com.fasterxml.jackson.databind.JsonNode],
+              state: Option[com.fasterxml.jackson.databind.JsonNode]): PaginatedStream =
+            PaginatedStream(
+              HttpRequest(config.map(_.get("url").asText).getOrElse(url)),
+              Pagination.NextUrl("next"), Seq("items"))
+        })))
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-backlog-ckpt").toString
+      val outDir = java.nio.file.Files.createTempDirectory("graft-backlog-out").toString
+      // 3h of backlog from the state cursor, 1h window cap → 3 micro-batches
+      val q = spark.readStream.format("graft-http")
+        .option("connector", "backlog-test").option("stream", "events")
+        .option("config", s"""{"url":"$url"}""")
+        .option("state", """{"To":"2024-03-01T00:00:00Z"}""")
+        .option("nowOverride", "2024-03-01T03:00:00Z")
+        .option("maxWindowSeconds", "3600")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+      val ids = spark.read.parquet(outDir).select("id").collect().map(_.getLong(0)).sorted
+      assert(ids.toList == List(1L, 2L, 3L))
+      // the offset log shows the capped cadence: one committed offset per
+      // 1h window, not a single catch-all batch
+      val offsets = new java.io.File(s"$ckpt/offsets").list().filterNot(_.startsWith(".")).sorted
+      assert(offsets.length >= 3, s"expected >=3 bounded windows, got ${offsets.toList}")
+    } finally s.stop(0)
+  }
+
   test("micro-batch streaming without an iterateBy cursor fails fast at planning") {
     // sitoo products declares no cursor: every window would re-emit the
     // whole stream on every trigger — must be rejected, not silently looped
