@@ -25,7 +25,9 @@ import graft.sources.HttpClient
   * request path (SURVEY §2.5 C7).
   */
 final class HttpFrontend(
-    connectors: Map[String, SourceDef],
+    // by-name: re-read per request so connectors registered after server
+    // start (ConnectorDefs.register) are served without a restart
+    connectors: => Map[String, SourceDef],
     baseClient: HttpClient, // raw transport: the per-request stack is built by Connector.transport
     port: Int = 0,
     clock: () => Long = () => System.currentTimeMillis(),
@@ -49,9 +51,19 @@ final class HttpFrontend(
 
   private def handle(ex: HttpExchange): Unit =
     try {
+      // Normalize before BOTH the auth scope check and routing, so the two
+      // agree on what a path means: /demo/../other must not pass a
+      // /demo/-scoped token's prefix check. normalize() resolves ./ and
+      // interior ../; a path that still escapes the root (leading ..) is
+      // rejected outright.
+      val normPath = ex.getRequestURI.normalize().getPath
+      if (normPath.startsWith("/..") || normPath == "..") {
+        respond(ex, 400, _.write("""{"error":"invalid path"}"""))
+        return
+      }
       if (authKeys.nonEmpty) {
         val auth = Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse("")
-        TokenAuth.verify(auth, ex.getRequestURI.getPath, authKeys,
+        TokenAuth.verify(auth, normPath, authKeys,
           now = () => clock() / 1000) match {
           case Left(reason) =>
             respond(ex, 401, _.write(s"""{"error":${graft.core.Json.write(graft.core.Json.mapper.valueToTree(reason))}}"""))
@@ -59,7 +71,7 @@ final class HttpFrontend(
           case Right(_) => ()
         }
       }
-      val path = ex.getRequestURI.getPath.stripPrefix("/").stripSuffix("/")
+      val path = normPath.stripPrefix("/").stripSuffix("/")
       path.split('/') match {
         case Array("discover") =>
           val names = connectors.keys.toSeq.sorted.map(n => s""""$n"""").mkString("[", ",", "]")

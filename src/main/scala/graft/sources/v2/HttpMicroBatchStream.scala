@@ -79,8 +79,13 @@ final class HttpMicroBatchStream(readSchema: StructType, props: Map[String, Stri
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
   /** Admission-control variant: the window end is min(now, start + cap) —
-    * still clamped monotonic, and never behind `start` (a clock regression
-    * yields an empty window, not a re-covered one).
+    * and, like the no-arg path, the RETURNED offset is the shared monotonic
+    * clamp `advance(eff)`: if an earlier call already issued a larger
+    * offset, re-issue that floor rather than handing Spark an offset below
+    * a previously-promised one (a clock regression after a larger no-arg
+    * `latestOffset` must not walk the stream backwards). The window cap
+    * bounds growth from `start`; an already-issued larger offset takes
+    * precedence because it was already promised.
     */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = parse(start.asInstanceOf[CursorOffset].to)
@@ -90,8 +95,7 @@ final class HttpMicroBatchStream(readSchema: StructType, props: Map[String, Stri
       case _ => now
     }
     val eff = if (end.isBefore(s)) s else end
-    advance(eff)
-    CursorOffset(eff.toString)
+    CursorOffset(advance(eff).toString)
   }
 
   override def deserializeOffset(json: String): Offset = {
@@ -139,7 +143,14 @@ final class HttpStreamReaderFactory(readSchema: StructType, props: Map[String, S
   */
 final class HttpStreamPartitionReader(readSchema: StructType, props: Map[String, String],
     part: HttpStreamPartition, cursorField: String)
-    extends PartitionReader[InternalRow] {
+    extends PartitionReader[InternalRow] with org.apache.spark.internal.Logging {
+
+  // Records dropped for a MISSING/UNPARSEABLE cursor are by-design data loss
+  // on this path (class doc) — count and log them so a transient upstream
+  // schema hiccup (null updated_at on a few rows) is observable instead of
+  // silent. Out-of-window records are normal (the API returned the tail)
+  // and are not counted.
+  private var droppedNoCursor: Long = 0L
 
   private val client = {
     val options = new CaseInsensitiveStringMap(props.asJava)
@@ -184,13 +195,13 @@ final class HttpStreamPartitionReader(readSchema: StructType, props: Map[String,
 
   private var current: InternalRow = _
 
-  override def next(): Boolean =
-    if (!records.hasNext) false
-    else {
+  // loop, not self-recursion: a long run of skipped records (dropped or
+  // out-of-window) must not grow the stack
+  override def next(): Boolean = {
+    while (records.hasNext) {
       val raw = records.next()
       val rows = parser.parse(UTF8String.fromString(raw), createParser, (s: UTF8String) => s)
-      if (rows.isEmpty) next()
-      else {
+      if (rows.nonEmpty) {
         val row = rows.head
         val cursor = cursorIdx match {
           case Some(i) if !row.isNullAt(i) => parseInstant(row.getUTF8String(i).toString)
@@ -198,12 +209,20 @@ final class HttpStreamPartitionReader(readSchema: StructType, props: Map[String,
           case None => cursorFromRaw(raw)
         }
         cursor match {
-          case Some(t) if inWindow(t) => current = row.copy(); true
-          case _ => next() // outside window, or no usable cursor: dropped (see class doc)
+          case Some(t) if inWindow(t) => current = row.copy(); return true
+          case Some(_) => () // outside window: the API returned the tail; expected
+          case None => droppedNoCursor += 1 // no usable cursor: dropped (see class doc)
         }
       }
     }
+    false
+  }
 
   override def get(): InternalRow = current
-  override def close(): Unit = ()
+  override def close(): Unit =
+    if (droppedNoCursor > 0) {
+      logWarning(s"micro-batch window [${part.startTo}, ${part.endTo}): dropped " +
+        s"$droppedNoCursor record(s) with missing/unparseable cursor '$cursorField' " +
+        "— permanent on the streaming path; check upstream cursor quality")
+    }
 }

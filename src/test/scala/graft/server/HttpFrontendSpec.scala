@@ -110,6 +110,25 @@ class HttpFrontendSpec extends AnyFunSuite {
       // raw key round-trip: wire form ↔ JDK key
       val rt = TokenAuth.rawPublicKey(TokenAuth.publicKeyFromRaw(pub))
       assert(rt.toSeq == pub.toSeq)
+      // dot-segment traversal: /demo/../nope/read normalizes to /nope/read,
+      // which is OUTSIDE the /demo/ scope — the scope check and the router
+      // must agree on the normalized path (401, not a scoped-path pass)
+      assert(call("/demo/../nope/read", Some(good)) == 401)
+      assert(call("/demo/./spec", Some(good)) == 200) // ./ normalizes harmlessly within scope
     } finally authFe.stop()
+  }
+
+  test("connectors registered after server start are served (live registry)") {
+    val registry = new scala.collection.concurrent.TrieMap[String, SourceDef]()
+    registry.put("demo", src)
+    val dynFe = new HttpFrontend(registry.toMap, upstream, clock = () => 1700000000000L).start()
+    try {
+      def discover(): String = http.send(
+        JRequest.newBuilder(URI.create(s"http://127.0.0.1:${dynFe.boundPort}/discover")).GET().build(),
+        JResponse.BodyHandlers.ofString()).body()
+      assert(discover() == """["demo"]""")
+      registry.put("late", src.copy(name = "late"))
+      assert(discover() == """["demo","late"]""") // no restart needed
+    } finally dynFe.stop()
   }
 }
