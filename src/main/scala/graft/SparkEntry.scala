@@ -21,7 +21,8 @@ object SparkEntry {
     MultimodalQueries,
     SinkQueries,
     AdvancedQueries,
-    PipelineQueries)
+    PipelineQueries,
+    TpchShapes)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

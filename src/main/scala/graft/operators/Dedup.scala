@@ -416,6 +416,83 @@ object Dedup {
         greatest(col("__id_l"), col("__id_r")).as("id_b"), col("cos"))
   }
 
+  /** Corpus-duplicated span detection (the windowed proxy for exact-substring
+    * dedup, Lee et al. 2022 "Deduplicating Training Data Makes Language
+    * Models Better"): every distinct w-token window of every document is
+    * hashed ([[shingleHashes]] — no window strings materialize); a window
+    * occurring in ≥ 2 documents is corpus-duplicated; each document is
+    * scored by the fraction of its windows that are duplicated and flagged
+    * keep/drop against `keepBelow`.
+    *
+    * The full suffix-array substring dedup is a driver-sized global sort;
+    * the fixed-width window approximation is the standard distributed proxy
+    * (it finds every duplicated run of ≥ w tokens, quantized to window
+    * granularity). Scale shape: one explode to (doc, window-hash) longs,
+    * one shuffle on the window hash for corpus-wide counts, one shuffle
+    * back on the doc id — both keys are 64-bit longs, never strings.
+    * Within-doc repeats are collapsed by the distinct (a doc does not make
+    * its own windows "duplicated"); two docs sharing a window both count it.
+    *
+    * @return (id, n_windows, n_dup, dup_frac, keep), one row per doc with
+    *         at least one window
+    */
+  def duplicatedSpans(df: DataFrame, id: Column, text: Column, w: Int,
+      keepBelow: Double): DataFrame = {
+    // persisted: the (doc, window) table feeds both the corpus-wide count
+    // and the per-doc rollup — one shingle pass, not two
+    val wins = spread(df, id)
+      .select(id.as("id"), explode(shingleHashes(text, w)).as("win"))
+      .persist()
+    // distinct per doc ⇒ count(*) per window == count of docs containing it
+    val counts = wins.groupBy(col("win")).agg(count(lit(1)).as("nd"))
+    wins.join(counts, "win")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_frac", round(col("n_dup").cast("double") / col("n_windows"), 4))
+      .withColumn("keep", col("dup_frac") < keepBelow)
+  }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023): cluster embeddings
+    * around `centroids` (nearest by L2, centroid-id tie-break — same
+    * deterministic assignment as the IVF ANN path), then find cosine
+    * near-duplicate pairs WITHIN each cell only. Cross-cell pairs are the
+    * documented recall tradeoff that buys away the O(n²) corpus join: with
+    * k cells the pair space drops by ~k while near-identical vectors land
+    * in the same cell (they are near-identical in the assignment metric
+    * too, except exactly at cell boundaries).
+    *
+    * Scale shape: centroids broadcast (k rows), assignment is one map pass
+    * over the corpus; the within-cell pairing is an equi-join on cell id —
+    * k must grow with the corpus (SemDeDup uses k ≈ √n) so cells stay
+    * task-sized; for cells too large for one task, compose with the
+    * stripe decomposition of [[cosineJoinBlocked]] on a (cell, stripe-pair)
+    * composite key.
+    *
+    * @param centroids (cent_id, cent) — small, broadcast
+    * @return (cell, id_a, id_b, cos) with cos >= threshold, id_a < id_b
+    */
+  def semanticDuplicates(df: DataFrame, id: Column, vec: Column,
+      centroids: DataFrame, threshold: Double): DataFrame = {
+    import graft.functions.VectorFunctions.{dot, l2sq, norm2}
+    val wAssign = Window.partitionBy(col("__id")).orderBy(col("__dist").asc, col("cent_id"))
+    val assigned = df.select(id.as("__id"), vec.as("__v"), norm2(vec).as("__nrm"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("__dist", l2sq(col("__v"), col("cent")))
+      .withColumn("__arn", row_number().over(wAssign))
+      .filter(col("__arn") === 1)
+      .select(col("__id"), col("__v"), col("__nrm"), col("cent_id").as("cell"))
+    val a = assigned.select(col("cell"), col("__id").as("id_a"),
+      col("__v").as("__va"), col("__nrm").as("__na"))
+    val b = assigned.select(col("cell"), col("__id").as("id_b"),
+      col("__v").as("__vb"), col("__nrm").as("__nb"))
+    a.join(b, Seq("cell")) // equi-join on the cell id: one shuffle, no cartesian
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+      .filter(col("cos") >= threshold)
+      .select(col("cell"), col("id_a"), col("id_b"), col("cos"))
+  }
+
   /** 64-bit SimHash over a column of token hashes: bit b of the result is
     * the sign of Σ_tokens (bit b of hash ? +1 : -1). One generated-code pass
     * via [[graft.functions.SimHash64]] (was 64 interpreted folds).

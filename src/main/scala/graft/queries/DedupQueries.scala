@@ -204,6 +204,60 @@ object DedupQueries extends QueryPack {
        WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
        ORDER BY id_a, id_b"""
 
+  // -- corpus-duplicated span fraction (windowed exact-substring dedup proxy) --------
+  // Lee et al.-style: a doc whose 5-token windows mostly appear in other
+  // docs is boilerplate/duplication; per-doc dup fraction + keep flag.
+  // Window identity is the xxhash64 shingle hash on the Spark side and the
+  // literal window string in DuckDB — identical counts up to 64-bit
+  // collisions (the same argument as dedup_ngram_jaccard's intersection).
+  private def qSpans(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicatedSpans(t(s, dir, "documents"), col("doc_id"), col("text"),
+      w = 5, keepBelow = 0.5)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
+  private val qSpansSql =
+    """WITH d AS (SELECT doc_id, list_distinct(list_transform(
+           range(1, greatest(len(string_split(text,' '))-3, 1)),
+           i -> string_split(text,' ')[i]||' '||string_split(text,' ')[i+1]||' '||
+                string_split(text,' ')[i+2]||' '||string_split(text,' ')[i+3]||' '||
+                string_split(text,' ')[i+4])) AS wins FROM documents),
+       w AS (SELECT doc_id, unnest(wins) AS win FROM d),
+       cnt AS (SELECT win, count(*) AS nd FROM w GROUP BY 1)
+       SELECT w.doc_id, count(*) AS n_windows,
+         CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+         round(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)*1.0/count(*), 4) AS dup_frac,
+         round(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)*1.0/count(*), 4) < 0.5 AS keep
+       FROM w JOIN cnt USING (win) GROUP BY w.doc_id ORDER BY doc_id"""
+
+  // -- SemDeDup-style semantic dedup: IVF cells, within-cell cosine pairs ------------
+  // Same deterministic seeded centroids as ann_ivf_coarse (first 8 corpus
+  // rows), so the oracle re-derives cell assignment identically. The 0.45
+  // threshold fits this synthetic corpus (within-cell cos maxes at ~0.49);
+  // production near-dup runs ≥ 0.9 — the operator is threshold-agnostic.
+  private def qSemantic(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent"))
+    Dedup.semanticDuplicates(emb, col("vec_id"), col("embedding"), cents, threshold = 0.45)
+      .select(col("cell"), col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+      .orderBy("id_a", "id_b")
+  }
+
+  private val qSemanticSql =
+    """WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent FROM embeddings WHERE vec_id < 8),
+       assigned AS (
+         SELECT vec_id, embedding, cent_id FROM (
+           SELECT e.vec_id, e.embedding, c.cent_id,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY list_distance(e.embedding::DOUBLE[], c.cent::DOUBLE[]) ASC, c.cent_id) AS arn
+           FROM embeddings e CROSS JOIN cents c) WHERE arn = 1)
+       SELECT a.cent_id AS cell, a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos
+       FROM assigned a JOIN assigned b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+       WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
+       ORDER BY id_a, id_b"""
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (qExact _),
     "dedup_keep_first" -> (qKeepFirst _),
@@ -212,6 +266,8 @@ object DedupQueries extends QueryPack {
     "dedup_ngram_jaccard" -> (qNgramJaccard _),
     "dedup_clusters" -> (qClusters _),
     "dedup_simhash" -> (qSimHash _),
+    "dedup_span_windows" -> (qSpans _),
+    "dedup_semantic" -> (qSemantic _),
     "dedup_embedding_cosine" -> (qEmbDup _))
 
   override val oracles: Map[String, String] = Map(
@@ -222,5 +278,7 @@ object DedupQueries extends QueryPack {
     "dedup_ngram_jaccard" -> qNgramJaccardSql,
     "dedup_clusters" -> qClustersSql,
     "dedup_simhash" -> qSimHashSql,
+    "dedup_span_windows" -> qSpansSql,
+    "dedup_semantic" -> qSemanticSql,
     "dedup_embedding_cosine" -> qEmbDupSql)
 }

@@ -246,8 +246,32 @@ object PipelineQueries extends QueryPack {
          CAST(len(list_slice(tk, chunk_idx*40 + 1, chunk_idx*40 + 50)) AS INT) AS n_chunk_tokens
        FROM e ORDER BY doc_id, chunk_idx"""
 
+  // -- per-source quota cap (RefinedWeb/CCNet-style per-domain limits) ---------------
+  // Cap every source at N docs, chosen deterministically by md5 order (a
+  // pseudo-random but reproducible pick — never orderBy(rand())). One
+  // shuffle on source; at scale the per-source top-N is a bounded-heap
+  // window, and a pathologically hot domain is exactly what the cap bounds.
+  private def qSourceCap(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+    t(s, dir, "documents")
+      .withColumn("pick", row_number().over(w))
+      .filter(col("pick") <= 10)
+      .select(col("source"), col("pick"), col("doc_id"))
+      .orderBy("source", "pick")
+  }
+
+  private val qSourceCapSql =
+    """SELECT source, CAST(pick AS INT) AS pick, doc_id FROM (
+         SELECT source, doc_id,
+           row_number() OVER (PARTITION BY source
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS pick
+         FROM documents)
+       WHERE pick <= 10 ORDER BY source, pick"""
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_split" -> (qSplit _),
+    "pipeline_source_cap" -> (qSourceCap _),
     "pipeline_chunk_docs" -> (qChunk _),
     "pipeline_pack_batches" -> (qPack _),
     "pipeline_contamination" -> (qContamination _),
@@ -258,6 +282,7 @@ object PipelineQueries extends QueryPack {
 
   override val oracles: Map[String, String] = Map(
     "pipeline_split" -> qSplitSql,
+    "pipeline_source_cap" -> qSourceCapSql,
     "pipeline_chunk_docs" -> qChunkSql,
     "pipeline_pack_batches" -> qPackSql,
     "pipeline_contamination" -> qContaminationSql,

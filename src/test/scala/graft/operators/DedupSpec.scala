@@ -241,6 +241,38 @@ class DedupSpec extends AnyFunSuite {
     assert(out == Set(("doc-a", "doc-b")))
   }
 
+  test("duplicatedSpans: cross-doc windows flag docs, unique docs stay clean") {
+    // docs 1 and 4 are identical (every window duplicated); doc 2 shares a
+    // long prefix with them; doc 3 shares nothing; doc 5 has no window
+    val out = Dedup.duplicatedSpans(docs, col("doc_id"), col("text"), w = 3, keepBelow = 0.5)
+      .select("id", "n_windows", "n_dup", "keep")
+      .as[(Long, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(!out.contains(5L)) // below window width: no row
+    assert(out(1L)._3 == out(1L)._2 && !out(1L)._4) // all windows duplicated → drop
+    assert(out(4L)._3 == out(4L)._2 && !out(4L)._4)
+    assert(out(3L)._3 == 0L && out(3L)._4) // unique doc → keep
+    assert(out(2L)._3 > 0L && out(2L)._3 < out(2L)._2) // partial overlap
+  }
+
+  test("semanticDuplicates: pairs only within cells, above threshold") {
+    val vecs = Seq(
+      (1L, Array(1f, 0f, 0f)),
+      (2L, Array(0.99f, 0.1f, 0f)),  // near-dup of 1, same cell
+      (3L, Array(0f, 1f, 0f)),       // other cell
+      (4L, Array(0.1f, 0.99f, 0f)),  // near-dup of 3, other cell
+      (5L, Array(0.7f, 0.7f, 0f)))   // between cells: pairs only within its own
+      .toDF("vec_id", "emb")
+    val cents = Seq((10L, Array(1f, 0f, 0f)), (20L, Array(0f, 1f, 0f)))
+      .toDF("cent_id", "cent")
+    val out = Dedup.semanticDuplicates(vecs, col("vec_id"), col("emb"), cents, threshold = 0.9)
+      .select("cell", "id_a", "id_b").as[(Long, Long, Long)].collect().toSet
+    assert(out.contains((10L, 1L, 2L)))
+    assert(out.contains((20L, 3L, 4L)))
+    // 5 assigns to cell 10 (tie broken by cent_id): cos(5,1)=cos(5,2)≈0.707 < 0.9
+    // and its high-cos partner set is empty → no cross-cell pair ever emitted
+    assert(out.forall { case (_, a, b) => Set(a, b).subsetOf(Set(1L, 2L, 3L, 4L)) })
+  }
+
   test("verifyJaccard computes exact set Jaccard") {
     val docsSh = docs.select(col("doc_id").as("__id"), Dedup.shingles(col("text"), 3).as("__sh"))
     val pairs = Seq((1L, 4L), (1L, 3L)).toDF("id_a", "id_b")

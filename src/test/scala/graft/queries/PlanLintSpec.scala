@@ -21,7 +21,9 @@ class PlanLintSpec extends AnyFunSuite {
     "ann_ivf_coarse",    // corpus × 8 broadcast seed centroids
     "text_tfidf_topk",   // × broadcast 1-row corpus-size aggregate
     "text_unigram_kl",   // × broadcast 1-row total-count aggregate
-    "text_surprisal")    // × broadcast 1-row total-count aggregate
+    "text_surprisal",    // × broadcast 1-row total-count aggregate
+    "dedup_semantic",    // corpus × 8 broadcast seed centroids (cell assignment)
+    "q22_inactive")      // × broadcast 1-row scalar-subquery aggregate
 
   test("no gate query plans a cartesian product; BNLJ only where whitelisted") {
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
