@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+import graft.streaming.StreamingDedup.DocEvent
+
+/** Streaming near-dup candidates == batch LSH candidates over the same
+  * corpus, including pairs that SPAN micro-batches (the whole point: a new
+  * arrival is checked against state, not against a re-scanned corpus).
+  */
+class StreamingDedupSpec extends AnyFunSuite {
+  private lazy val spark = graft.SparkFixture.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    DocEvent(1L, "the quick brown fox jumps over the lazy dog today"),
+    DocEvent(2L, "the quick brown fox jumps over the lazy dog tonight"),
+    DocEvent(3L, "completely different text about spark engines and scala"),
+    DocEvent(4L, "the quick brown fox jumps over the lazy dog today"))
+
+  private def batchCandidates(corpus: Seq[DocEvent], maxBucket: Int = 1000): Set[(Long, Long)] = {
+    val df = corpus.toDF()
+      .select(col("doc_id"), Dedup.shingleHashes(col("text"), 3).as("__sh"))
+    Dedup.lshCandidates(df, "doc_id", "__sh", nHashes = 64, r = 2, seed = 42L,
+      maxBucket = maxBucket)
+      .as[(Long, Long)].collect().toSet
+  }
+
+  test("stream candidates (distinct) == batch lshCandidates; cross-batch pairs found") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[DocEvent]
+    val q = StreamingDedup.nearDupCandidates(in.toDS())
+      .writeStream.format("memory").queryName("neardup")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    try {
+      in.addData(docs.take(2)); q.processAllAvailable()
+      val afterB1 = spark.table("neardup").as[(Long, Long)].collect().toSet
+      in.addData(docs.drop(2)); q.processAllAvailable()
+      val streamed = spark.table("neardup").as[(Long, Long)].collect().toSet
+      val batch = batchCandidates(docs)
+      assert(streamed == batch)
+      // (1,4) spans the two micro-batches: doc 4 arrived after doc 1's
+      // buckets were already state — it can only come from state lookups
+      assert((streamed -- afterB1).contains((1L, 4L)))
+      assert(!streamed.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated doc clean
+    } finally q.stop()
+  }
+
+  test("maxBucket caps state and pair generation (boilerplate flood)") {
+    implicit val sc = spark.sqlContext
+    // five identical docs: every band bucket fills with all five ids
+    val flood = (1L to 5L).map(i => DocEvent(i, "same boilerplate text repeated here always"))
+    val in = MemoryStream[DocEvent]
+    val q = StreamingDedup.nearDupCandidates(in.toDS(), maxBucket = 2)
+      .writeStream.format("memory").queryName("neardup_cap")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    try {
+      in.addData(flood.take(3)); q.processAllAvailable()
+      in.addData(flood.drop(3)); q.processAllAvailable()
+      val pairs = spark.table("neardup_cap").as[(Long, Long)].collect().toSet
+      // only the first 2 admitted ids per bucket pair up: exactly (1,2)
+      assert(pairs == Set((1L, 2L)))
+    } finally q.stop()
+  }
+}
