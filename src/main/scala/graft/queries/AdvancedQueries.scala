@@ -196,7 +196,38 @@ object AdvancedQueries extends QueryPack {
     """SELECT o_orderpriority, round(quantile_cont(o_totalprice, 0.5),2) AS exact_p50, true AS approx_ok
        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
 
+  // Count-min sketch heavy hitters: the CMS guarantees estimate >= exact
+  // and estimate <= exact + eps*N with probability >= confidence; the gate
+  // hashes the exact counts plus both engine-computed bound flags. The
+  // sketch is a tiny mergeable aggregate (eps=0.001, d=5 → ~100 KB) — the
+  // 100 TB path for frequency queries where exact per-key counts would
+  // shuffle every key. The driver-side sketch query (estimateCount per
+  // candidate key) runs on the handful of groups, not the corpus.
+  private def qHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val sk = ev.agg(count_min_sketch(col("event_type"), lit(0.001), lit(0.99), lit(42))
+      .as("sk"))
+    val estimate = udf { (bytes: Array[Byte], key: String) =>
+      org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(bytes)).estimateCount(key)
+    }
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    ev.groupBy(col("event_type")).agg(count(lit(1)).as("exact"))
+      .withColumn("total", sum(col("exact")).over(w))
+      .crossJoin(broadcast(sk))
+      .withColumn("est", estimate(col("sk"), col("event_type")))
+      .select(col("event_type"), col("exact"),
+        (col("est") >= col("exact")).as("cms_lower_ok"),
+        (col("est") <= col("exact") + ceil(col("total") * 0.001)).as("cms_upper_ok"))
+      .orderBy("event_type")
+  }
+
+  private val qHeavyHittersSql =
+    """SELECT event_type, count(*) AS exact, true AS cms_lower_ok, true AS cms_upper_ok
+       FROM events GROUP BY event_type ORDER BY event_type"""
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_heavy_hitters_bound" -> (qHeavyHitters _),
     "q_approx_distinct_bound" -> (qApproxDistinct _),
     "q_approx_quantile_bound" -> (qApproxQuantile _),
     "q_percentiles" -> (qPercentiles _),
@@ -209,6 +240,7 @@ object AdvancedQueries extends QueryPack {
     "pipeline_training_set" -> (qTrainingSet _))
 
   override val oracles: Map[String, String] = Map(
+    "q_heavy_hitters_bound" -> qHeavyHittersSql,
     "q_approx_distinct_bound" -> qApproxDistinctSql,
     "q_approx_quantile_bound" -> qApproxQuantileSql,
     "q_percentiles" -> qPercentilesSql,

@@ -269,9 +269,26 @@ object PipelineQueries extends QueryPack {
          FROM documents)
        WHERE pick <= 10 ORDER BY source, pick"""
 
+  // -- PII / pattern scrubbing ------------------------------------------------------
+  // Redaction over the events payload (the one column in this corpus with
+  // digit content); per-row redacted text + match count, byte-compared
+  // against DuckDB's regexp engine. Pure codegen map — runs at scan speed.
+  private def qPiiScrub(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Scrub.redact(t(s, dir, "events"), "props",
+      rules = Seq(graft.operators.Scrub.digitRun))
+      .select(col("event_id"), col("props_redacted"), col("n_redactions"))
+      .orderBy("event_id")
+
+  private val qPiiScrubSql =
+    """SELECT event_id,
+         regexp_replace(props, '[0-9]{2,}', '[NUM]', 'g') AS props_redacted,
+         CAST(len(regexp_extract_all(props, '[0-9]{2,}')) AS INT) AS n_redactions
+       FROM events ORDER BY event_id"""
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_split" -> (qSplit _),
     "pipeline_source_cap" -> (qSourceCap _),
+    "pipeline_pii_scrub" -> (qPiiScrub _),
     "pipeline_chunk_docs" -> (qChunk _),
     "pipeline_pack_batches" -> (qPack _),
     "pipeline_contamination" -> (qContamination _),
@@ -283,6 +300,7 @@ object PipelineQueries extends QueryPack {
   override val oracles: Map[String, String] = Map(
     "pipeline_split" -> qSplitSql,
     "pipeline_source_cap" -> qSourceCapSql,
+    "pipeline_pii_scrub" -> qPiiScrubSql,
     "pipeline_chunk_docs" -> qChunkSql,
     "pipeline_pack_batches" -> qPackSql,
     "pipeline_contamination" -> qContaminationSql,

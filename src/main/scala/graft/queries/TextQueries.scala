@@ -328,7 +328,50 @@ object TextQueries extends QueryPack {
        SELECT doc_id, list_min(hs) AS fp, CAST(len(hs) AS INT) AS n_windows
        FROM w ORDER BY doc_id"""
 
+  // -- composite quality gate (Dolma/Gopher-style rule stack) ------------------------
+  // The keep/drop decision a curation pipeline actually ships: several
+  // per-doc signals, each with a named rule, a single keep flag, and the
+  // comma-joined list of failed rules (so drops are attributable). All
+  // signals are per-row codegen maps — no shuffle; mean token length is
+  // derived from (chars - separators) / tokens, the same closed form the
+  // oracle uses, so no float divergence is possible.
+  private def qQualityGate(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val n = size(toks)
+    val meanLen = (length(col("text")) - n + 1).cast("double") / n
+    val topShare = TextFunctions.maxMultiplicity(toks).cast("double") / n
+    val reasons = concat_ws(",",
+      when(n < 30, lit("too_short")),
+      when(topShare > 0.12, lit("repetitive")),
+      when(meanLen < 4.2, lit("short_tokens")))
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      n.as("n_tok"),
+      round(meanLen, 4).as("mean_len"),
+      round(topShare, 4).as("top_share"),
+      (reasons === "").as("keep"),
+      reasons.as("drop_reasons"))
+      .orderBy("doc_id")
+  }
+
+  private val qQualityGateSql =
+    """WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents),
+       m AS (SELECT doc_id, len(tk) AS n_tok,
+               (len(text) - len(tk) + 1) * 1.0 / len(tk) AS mean_len,
+               list_max(list_transform(list_distinct(tk),
+                 t -> len(list_filter(tk, x -> x = t)))) * 1.0 / len(tk) AS top_share
+             FROM d),
+       r AS (SELECT *, concat_ws(',',
+               CASE WHEN n_tok < 30 THEN 'too_short' END,
+               CASE WHEN top_share > 0.12 THEN 'repetitive' END,
+               CASE WHEN mean_len < 4.2 THEN 'short_tokens' END) AS drop_reasons
+             FROM m)
+       SELECT doc_id, CAST(n_tok AS INT) AS n_tok, round(mean_len, 4) AS mean_len,
+         round(top_share, 4) AS top_share, drop_reasons = '' AS keep, drop_reasons
+       FROM r ORDER BY doc_id"""
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_quality_gate" -> (qQualityGate _),
     "text_token_stats" -> (qTokenStats _),
     "text_quality" -> (qQuality _),
     "text_bpe_count" -> (qBpeCount _),
@@ -343,6 +386,7 @@ object TextQueries extends QueryPack {
     "text_rolling_fp" -> (qRollingFp _))
 
   override val oracles: Map[String, String] = Map(
+    "text_quality_gate" -> qQualityGateSql,
     "text_token_stats" -> qTokenStatsSql,
     "text_quality" -> qQualitySql,
     "text_bpe_count" -> qBpeCountSql,

@@ -23,7 +23,8 @@ class PlanLintSpec extends AnyFunSuite {
     "text_unigram_kl",   // × broadcast 1-row total-count aggregate
     "text_surprisal",    // × broadcast 1-row total-count aggregate
     "dedup_semantic",    // corpus × 8 broadcast seed centroids (cell assignment)
-    "q22_inactive")      // × broadcast 1-row scalar-subquery aggregate
+    "q22_inactive",      // × broadcast 1-row scalar-subquery aggregate
+    "q_heavy_hitters_bound") // × broadcast 1-row count-min sketch
 
   test("no gate query plans a cartesian product; BNLJ only where whitelisted") {
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
