@@ -11,7 +11,7 @@ import graft.queries._
   */
 object SparkEntry {
 
-  private val packs: Seq[QueryPack] = Seq(
+  private[graft] val packs: Seq[QueryPack] = Seq(
     RelationalQueries,
     WindowQueries,
     EventQueries,

@@ -13,12 +13,9 @@ class EntryContractSpec extends AnyFunSuite {
   }
 
   test("no duplicate query names across packs; oracles ⊆ queries") {
-    val packs = Seq(
-      queries.RelationalQueries, queries.WindowQueries, queries.EventQueries,
-      queries.TextQueries, queries.DedupQueries, queries.SimilarityQueries,
-      queries.MultimodalQueries, queries.SinkQueries, queries.AdvancedQueries,
-      queries.PipelineQueries)
-    val allKeys = packs.flatMap(_.queries.keys)
+    // SparkEntry's own pack list — a copy here would silently miss packs
+    // added later (it did: TpchShapes)
+    val allKeys = SparkEntry.packs.flatMap(_.queries.keys)
     val dups = allKeys.groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }
     assert(dups.isEmpty, s"duplicate query names: $dups")
     assert(SparkEntry.queries.size == allKeys.size)
