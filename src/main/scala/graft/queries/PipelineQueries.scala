@@ -285,10 +285,52 @@ object PipelineQueries extends QueryPack {
          CAST(len(regexp_extract_all(props, '[0-9]{2,}')) AS INT) AS n_redactions
        FROM events ORDER BY event_id"""
 
+  // -- mixture resampling toward target language shares ------------------------------
+  // Dolma-style mixing: given target corpus shares per language, derive the
+  // per-language keep rate min(1, target_share·N / n_lang) and apply it with
+  // the deterministic md5 bucket (downsampling only — upsampling is a
+  // repeat-factor join, out of scope here). The rate table is one tiny
+  // aggregate broadcast back over the corpus: one aggregation pass + one
+  // map-side filter, partitioning-stable like every sampler in this pack.
+  // floor() on both sides: a raw CAST would truncate in Spark but
+  // round-half in DuckDB.
+  private def qMixture(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val targetShare = when(col("lang") === "en", 0.30)
+      .when(col("lang") === "zh", 0.25)
+      .otherwise(0.15)
+    val wAll = Window.partitionBy()
+    val rates = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_before"))
+      .withColumn("rate",
+        least(lit(1.0), targetShare * sum(col("n_before")).over(wAll) / col("n_before")))
+    val bucket = (conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4), 16, 10)
+      .cast("int") % 10000)
+    docs.join(broadcast(rates), "lang")
+      .filter(bucket < floor(col("rate") * 10000))
+      .groupBy(col("lang"), col("n_before"))
+      .agg(count(lit(1)).as("n_sampled"))
+      .select(col("lang"), col("n_before"), col("n_sampled"))
+      .orderBy("lang")
+  }
+
+  private val qMixtureSql =
+    """WITH rates AS (
+         SELECT lang, count(*) AS n_before,
+           least(1.0, (CASE WHEN lang = 'en' THEN 0.30
+                            WHEN lang = 'zh' THEN 0.25
+                            ELSE 0.15 END) * sum(count(*)) OVER () / count(*)) AS rate
+         FROM documents GROUP BY lang)
+       SELECT d.lang, r.n_before, count(*) AS n_sampled
+       FROM documents d JOIN rates r ON d.lang = r.lang
+       WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)) AS INT) % 10000
+             < floor(r.rate * 10000)
+       GROUP BY d.lang, r.n_before ORDER BY d.lang"""
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_split" -> (qSplit _),
     "pipeline_source_cap" -> (qSourceCap _),
     "pipeline_pii_scrub" -> (qPiiScrub _),
+    "pipeline_mixture_sample" -> (qMixture _),
     "pipeline_chunk_docs" -> (qChunk _),
     "pipeline_pack_batches" -> (qPack _),
     "pipeline_contamination" -> (qContamination _),
@@ -301,6 +343,7 @@ object PipelineQueries extends QueryPack {
     "pipeline_split" -> qSplitSql,
     "pipeline_source_cap" -> qSourceCapSql,
     "pipeline_pii_scrub" -> qPiiScrubSql,
+    "pipeline_mixture_sample" -> qMixtureSql,
     "pipeline_chunk_docs" -> qChunkSql,
     "pipeline_pack_batches" -> qPackSql,
     "pipeline_contamination" -> qContaminationSql,

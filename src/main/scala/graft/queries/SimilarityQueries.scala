@@ -180,6 +180,88 @@ object SimilarityQueries extends QueryPack {
          SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
          FROM scored) WHERE rn <= 5 ORDER BY query_id, rn"""
 
+  // -- product quantization + asymmetric distance (the memory-bound ANN path) ----
+  // PQ: split the 64-d vector into M=4 subspaces of 16 dims; per subspace,
+  // K=4 seeded centroids (sub-vectors of the first 4 corpus rows — same
+  // deterministic-seeding convention as IVF); each vector compresses to 4
+  // small codes (here 2 bits each — at scale 8 bits × 8-16 subspaces, the
+  // standard 64-128× compression that lets a trillion-vector index live in
+  // RAM). Queries score candidates by ADC — the sum over subspaces of the
+  // exact distance from the query's sub-vector to the NEIGHBOR'S ASSIGNED
+  // CENTROID — so the corpus side only ever touches codes, never floats.
+  //
+  // Plan: centroid sub-vector table is M×K = 16 rows (broadcast); encoding
+  // is one explode + window argmin per (vector, subspace); ADC joins codes
+  // to the tiny centroid table and the broadcast query sub-vectors on
+  // (subspace, code) — the corpus shuffles once on (vec_id, m) for the
+  // argmin and once for the per-(query, neighbor) sum. Fully deterministic
+  // (seeded centroids, argmin and rank tie-breaks on id) → oracle-checked.
+  private val (pqM, pqSubDim, pqK) = (4, 16, 4)
+
+  private def qAnnPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val ms = array((0 until pqM).map(lit(_)): _*)
+    def subSpaces(df: DataFrame, idAs: String): DataFrame = df
+      .select(col("vec_id").as(idAs), explode(ms).as("m"), col("embedding"))
+      .select(col(idAs), col("m"),
+        slice(col("embedding"), col("m") * pqSubDim + 1, lit(pqSubDim)).as("sub"))
+    val csubs = subSpaces(emb.filter(col("vec_id") < pqK), "cent_id")
+      .withColumnRenamed("sub", "centsub")
+    val wCode = Window.partitionBy(col("vec_id"), col("m"))
+      .orderBy(col("cdist").asc, col("cent_id"))
+    val codes = subSpaces(emb, "vec_id")
+      .join(broadcast(csubs), "m")
+      .withColumn("cdist", l2sq(col("sub"), col("centsub")))
+      .withColumn("crn", row_number().over(wCode))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("m"), col("cent_id").as("code"))
+    val qsubs = subSpaces(emb.filter(col("vec_id") < 10), "query_id")
+      .withColumnRenamed("sub", "qsub")
+    // ADC: per (query, neighbor, subspace) the distance to the neighbor's
+    // centroid, summed over subspaces
+    val w = Window.partitionBy(col("query_id")).orderBy(col("est_dist").asc, col("neighbor_id"))
+    codes
+      .join(broadcast(csubs.withColumnRenamed("cent_id", "code")), Seq("m", "code"))
+      .join(broadcast(qsubs), "m")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("term", l2sq(col("qsub"), col("centsub")))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum(col("term")).as("est_dist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("query_id"), col("neighbor_id"), round(col("est_dist"), 4).as("est_dist"),
+        col("rn"))
+      .orderBy("query_id", "rn")
+  }
+
+  private val qAnnPqSql =
+    """WITH ms AS (SELECT unnest([0,1,2,3]) AS m),
+       subs AS (SELECT vec_id, m, list_slice(embedding::DOUBLE[], m*16+1, m*16+16) AS sub
+                FROM embeddings CROSS JOIN ms),
+       csubs AS (SELECT vec_id AS cent_id, m, sub AS centsub FROM subs WHERE vec_id < 4),
+       codes AS (
+         SELECT vec_id, m, cent_id AS code FROM (
+           SELECT s.vec_id, s.m, c.cent_id,
+             row_number() OVER (PARTITION BY s.vec_id, s.m
+               ORDER BY list_distance(s.sub, c.centsub) ASC, c.cent_id) AS crn
+           FROM subs s JOIN csubs c ON s.m = c.m) WHERE crn = 1),
+       q AS (SELECT vec_id AS query_id, m, sub AS qsub FROM subs WHERE vec_id < 10),
+       adc AS (
+         -- exact element-wise squared sum (NOT list_distance^2: the sqrt
+         -- round-trip would perturb the low bits vs Spark's l2sq)
+         SELECT q.query_id, cd.vec_id AS neighbor_id,
+           sum(list_sum(list_transform(range(1, 17),
+             i -> (q.qsub[i] - c.centsub[i]) * (q.qsub[i] - c.centsub[i])))) AS est_dist
+         FROM codes cd
+         JOIN csubs c ON c.m = cd.m AND c.cent_id = cd.code
+         JOIN q ON q.m = cd.m
+         WHERE cd.vec_id != q.query_id
+         GROUP BY 1, 2)
+       SELECT query_id, neighbor_id, round(est_dist, 4) AS est_dist, CAST(rn AS INT) AS rn
+       FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY est_dist ASC, neighbor_id) AS rn FROM adc)
+       WHERE rn <= 5 ORDER BY query_id, rn"""
+
   // -- vector stats (dot/norm plumbing oracle) -----------------------------------
   private def qEmbStats(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings").select(
@@ -257,6 +339,7 @@ object SimilarityQueries extends QueryPack {
          FROM scored) WHERE rn <= 3 ORDER BY label, rn"""
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_pq_adc" -> (qAnnPq _),
     "knn_cosine_brute" -> (qKnn _),
     "emb_outliers" -> (qEmbOutliers _),
     "ann_rhp_lsh" -> (qAnnLsh _),
@@ -265,6 +348,7 @@ object SimilarityQueries extends QueryPack {
     "emb_label_centroids" -> (qCentroids _))
 
   override val oracles: Map[String, String] = Map(
+    "ann_pq_adc" -> qAnnPqSql,
     "knn_cosine_brute" -> qKnnSql,
     "emb_outliers" -> qEmbOutliersSql,
     "ann_rhp_lsh" -> qAnnLshSql,
