@@ -45,7 +45,9 @@ object Bench {
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // total over SUCCESSFUL queries only: summing the -1 failure sentinels
+    // would report a phantom speedup of ~1s per failed query
+    val total = results.map(_._2).filter(_ >= 0).sum
     // reps/agg: methodology marker — rounds 1-2 reported a single timed run,
     // round 3+ the min of 2; cross-round comparisons can detect the change.
     val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":2,"agg":"min","queries":$qs,"sf":"$sfDir"}"""

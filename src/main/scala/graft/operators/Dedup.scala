@@ -472,16 +472,29 @@ object Dedup {
     * @param centroids (cent_id, cent) — small, broadcast
     * @return (cell, id_a, id_b, cos) with cos >= threshold, id_a < id_b
     */
-  def semanticDuplicates(df: DataFrame, id: Column, vec: Column,
-      centroids: DataFrame, threshold: Double): DataFrame = {
-    import graft.functions.VectorFunctions.{dot, l2sq, norm2}
-    val wAssign = Window.partitionBy(col("__id")).orderBy(col("__dist").asc, col("cent_id"))
-    val assigned = df.select(id.as("__id"), vec.as("__v"), norm2(vec).as("__nrm"))
+  /** Deterministic nearest-centroid assignment — THE cell-assignment used
+    * by both semantic dedup and the IVF ANN query (one definition, one
+    * tie-break: L2 distance ascending, then centroid id). Centroids are a
+    * tiny broadcast `(cent_id, cent)` table; the corpus is one map pass.
+    *
+    * @return (__id, __v, cell)
+    */
+  def assignCells(df: DataFrame, id: Column, vec: Column, centroids: DataFrame): DataFrame = {
+    import graft.functions.VectorFunctions.l2sq
+    val w = Window.partitionBy(col("__id")).orderBy(col("__dist").asc, col("cent_id"))
+    df.select(id.as("__id"), vec.as("__v"))
       .crossJoin(broadcast(centroids))
       .withColumn("__dist", l2sq(col("__v"), col("cent")))
-      .withColumn("__arn", row_number().over(wAssign))
+      .withColumn("__arn", row_number().over(w))
       .filter(col("__arn") === 1)
-      .select(col("__id"), col("__v"), col("__nrm"), col("cent_id").as("cell"))
+      .select(col("__id"), col("__v"), col("cent_id").as("cell"))
+  }
+
+  def semanticDuplicates(df: DataFrame, id: Column, vec: Column,
+      centroids: DataFrame, threshold: Double): DataFrame = {
+    import graft.functions.VectorFunctions.{dot, norm2}
+    val assigned = assignCells(df, id, vec, centroids)
+      .withColumn("__nrm", norm2(col("__v")))
     val a = assigned.select(col("cell"), col("__id").as("id_a"),
       col("__v").as("__va"), col("__nrm").as("__na"))
     val b = assigned.select(col("cell"), col("__id").as("id_b"),

@@ -23,12 +23,19 @@ import graft.operators.Dedup
   */
 object PipelineQueries extends QueryPack {
 
+  /** The pack's shared bucketing identity: first 4 hex digits of
+    * md5(id-as-string) mod `mod`. md5 (not xxhash64) so the same assignment
+    * is reproducible in any engine — every sampler below and its SQL dual
+    * (`('0x'||substring(md5(CAST(id AS VARCHAR)),1,4))::INT % mod`) must
+    * share this one recipe.
+    */
+  private def md5Bucket(id: org.apache.spark.sql.Column, mod: Int): org.apache.spark.sql.Column =
+    conv(substring(md5(id.cast("string").cast("binary")), 1, 4), 16, 10).cast("int") % mod
+
   // -- deterministic hash split --------------------------------------------------
-  // Bucket = first 4 hex digits of md5(id) mod 10 → 8/1/1 split. md5 (not
-  // xxhash64) so the same assignment is reproducible in any engine.
+  // Bucket mod 10 → 8/1/1 split.
   private def qSplit(s: SparkSession, dir: String): DataFrame = {
-    val bucket = (conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4), 16, 10)
-      .cast("int") % 10)
+    val bucket = md5Bucket(col("doc_id"), 10)
     t(s, dir, "documents")
       .withColumn("split",
         when(bucket < 8, "train").when(bucket === 8, "valid").otherwise("test"))
@@ -159,8 +166,7 @@ object PipelineQueries extends QueryPack {
   // reproducible in any engine, stable under re-partitioning — never
   // sample() with a seed, whose output depends on partitioning.
   private def qStratified(s: SparkSession, dir: String): DataFrame = {
-    val bucket = (conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4), 16, 10)
-      .cast("int") % 100)
+    val bucket = md5Bucket(col("doc_id"), 100)
     val rate = when(col("lang") === "en", 50).otherwise(90) // keep 50% en, 90% rest
     t(s, dir, "documents")
       .filter(bucket < rate)
@@ -292,21 +298,23 @@ object PipelineQueries extends QueryPack {
   // repeat-factor join, out of scope here). The rate table is one tiny
   // aggregate broadcast back over the corpus: one aggregation pass + one
   // map-side filter, partitioning-stable like every sampler in this pack.
-  // floor() on both sides: a raw CAST would truncate in Spark but
-  // round-half in DuckDB.
+  // The keep rule is PURE INTEGER math on both sides: bucket/10000 <
+  // min(1, (s_pct/100)·N/n)  ⟺  bucket·n < s_pct·N·100 (the min(1,·) falls
+  // out since bucket ≤ 9999). A float formulation put rate·10000 exactly ON
+  // an integer boundary for one language (0.15·500/80 → 9375.0) where a
+  // 1-ulp cross-engine product difference would shift a whole md5 bucket.
   private def qMixture(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val targetShare = when(col("lang") === "en", 0.30)
-      .when(col("lang") === "zh", 0.25)
-      .otherwise(0.15)
+    val sPct = when(col("lang") === "en", 30L)
+      .when(col("lang") === "zh", 25L)
+      .otherwise(15L)
     val wAll = Window.partitionBy()
     val rates = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_before"))
-      .withColumn("rate",
-        least(lit(1.0), targetShare * sum(col("n_before")).over(wAll) / col("n_before")))
-    val bucket = (conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4), 16, 10)
-      .cast("int") % 10000)
+      .withColumn("s_pct", sPct)
+      .withColumn("n_total", sum(col("n_before")).over(wAll))
+    val bucket = md5Bucket(col("doc_id"), 10000).cast("long")
     docs.join(broadcast(rates), "lang")
-      .filter(bucket < floor(col("rate") * 10000))
+      .filter(bucket * col("n_before") < col("s_pct") * col("n_total") * 100L)
       .groupBy(col("lang"), col("n_before"))
       .agg(count(lit(1)).as("n_sampled"))
       .select(col("lang"), col("n_before"), col("n_sampled"))
@@ -316,14 +324,13 @@ object PipelineQueries extends QueryPack {
   private val qMixtureSql =
     """WITH rates AS (
          SELECT lang, count(*) AS n_before,
-           least(1.0, (CASE WHEN lang = 'en' THEN 0.30
-                            WHEN lang = 'zh' THEN 0.25
-                            ELSE 0.15 END) * sum(count(*)) OVER () / count(*)) AS rate
+           CASE WHEN lang = 'en' THEN 30 WHEN lang = 'zh' THEN 25 ELSE 15 END AS s_pct,
+           sum(count(*)) OVER () AS n_total
          FROM documents GROUP BY lang)
        SELECT d.lang, r.n_before, count(*) AS n_sampled
        FROM documents d JOIN rates r ON d.lang = r.lang
-       WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)) AS INT) % 10000
-             < floor(r.rate * 10000)
+       WHERE (CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)) AS INT) % 10000)
+             * r.n_before < r.s_pct * r.n_total * 100
        GROUP BY d.lang, r.n_before ORDER BY d.lang"""
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

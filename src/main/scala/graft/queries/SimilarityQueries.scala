@@ -141,12 +141,11 @@ object SimilarityQueries extends QueryPack {
     val emb = t(s, dir, "embeddings")
     val cents = emb.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent"))
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("dist").asc, col("cent_id"))
-    def assign(df: DataFrame): DataFrame = df.crossJoin(broadcast(cents))
-      .withColumn("dist", l2sq(col("embedding"), col("cent")))
-      .withColumn("arn", row_number().over(wAssign))
-      .filter(col("arn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cent_id"))
+    // shared assignment (one definition of the tie-break for IVF + SemDeDup)
+    def assign(df: DataFrame): DataFrame =
+      graft.operators.Dedup.assignCells(df, col("vec_id"), col("embedding"), cents)
+        .select(col("__id").as("vec_id"), col("__v").as("embedding"),
+          col("cell").as("cent_id"))
     val assigned = assign(emb)
     // Queries assigned from the filtered rows — building this broadcast must
     // not re-run the corpus-wide assignment pass.
@@ -220,13 +219,22 @@ object SimilarityQueries extends QueryPack {
     // ADC: per (query, neighbor, subspace) the distance to the neighbor's
     // centroid, summed over subspaces
     val w = Window.partitionBy(col("query_id")).orderBy(col("est_dist").asc, col("neighbor_id"))
+    // one conditional sum per subspace (each selects exactly ONE row), then
+    // a FIXED-ORDER left-associated addition — a plain sum() would merge
+    // the 4 terms in shuffle-fetch order, and with 2-bit codes many
+    // neighbors share identical code words: a 1-ulp association difference
+    // between two tied neighbors would defeat the neighbor_id tie-break
+    // and flip top-5 membership vs the oracle
+    val terms = (0 until pqM).map(i =>
+      sum(when(col("m") === i, col("term"))).as(s"t$i"))
     codes
       .join(broadcast(csubs.withColumnRenamed("cent_id", "code")), Seq("m", "code"))
       .join(broadcast(qsubs), "m")
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("term", l2sq(col("qsub"), col("centsub")))
       .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
-      .agg(sum(col("term")).as("est_dist"))
+      .agg(terms.head, terms.tail: _*)
+      .withColumn("est_dist", (0 until pqM).map(i => col(s"t$i")).reduce(_ + _))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5)
       .select(col("query_id"), col("neighbor_id"), round(col("est_dist"), 4).as("est_dist"),
@@ -246,17 +254,22 @@ object SimilarityQueries extends QueryPack {
                ORDER BY list_distance(s.sub, c.centsub) ASC, c.cent_id) AS crn
            FROM subs s JOIN csubs c ON s.m = c.m) WHERE crn = 1),
        q AS (SELECT vec_id AS query_id, m, sub AS qsub FROM subs WHERE vec_id < 10),
-       adc AS (
+       terms AS (
          -- exact element-wise squared sum (NOT list_distance^2: the sqrt
          -- round-trip would perturb the low bits vs Spark's l2sq)
-         SELECT q.query_id, cd.vec_id AS neighbor_id,
-           sum(list_sum(list_transform(range(1, 17),
-             i -> (q.qsub[i] - c.centsub[i]) * (q.qsub[i] - c.centsub[i])))) AS est_dist
+         SELECT q.query_id, cd.vec_id AS neighbor_id, cd.m,
+           list_sum(list_transform(range(1, 17),
+             i -> (q.qsub[i] - c.centsub[i]) * (q.qsub[i] - c.centsub[i]))) AS term
          FROM codes cd
          JOIN csubs c ON c.m = cd.m AND c.cent_id = cd.code
          JOIN q ON q.m = cd.m
-         WHERE cd.vec_id != q.query_id
-         GROUP BY 1, 2)
+         WHERE cd.vec_id != q.query_id),
+       adc AS (
+         -- fixed-order ((t0+t1)+t2)+t3, matching the engine's association
+         SELECT query_id, neighbor_id,
+           ((sum(CASE WHEN m=0 THEN term END) + sum(CASE WHEN m=1 THEN term END))
+            + sum(CASE WHEN m=2 THEN term END)) + sum(CASE WHEN m=3 THEN term END) AS est_dist
+         FROM terms GROUP BY 1, 2)
        SELECT query_id, neighbor_id, round(est_dist, 4) AS est_dist, CAST(rn AS INT) AS rn
        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                ORDER BY est_dist ASC, neighbor_id) AS rn FROM adc)

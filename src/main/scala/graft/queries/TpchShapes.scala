@@ -38,9 +38,14 @@ object TpchShapes extends QueryPack {
         (col("l_extendedprice") / col("l_quantity")).as("unit_price"))
     val mins = pl.groupBy(col("l_partkey")).agg(min(col("unit_price")).as("min_price"))
       .withColumnRenamed("l_partkey", "mk")
+    // min_price is emitted UNROUNDED: it is an exact element of the quotient
+    // set (min is order-independent, IEEE division is deterministic), so
+    // both engines produce the identical double — whereas round(x, 4) at a
+    // half-up boundary diverges (Spark rounds the shortest decimal repr,
+    // DuckDB the binary value; bit this at sf0.1).
     pl.join(mins, col("l_partkey") === col("mk") && col("unit_price") === col("min_price"))
       .select(col("l_partkey").as("p_partkey"), col("l_suppkey").as("s_suppkey"),
-        round(col("min_price"), 4).as("unit_price"))
+        col("min_price").as("unit_price"))
       .distinct()
       .orderBy("p_partkey", "s_suppkey")
   }
@@ -51,7 +56,7 @@ object TpchShapes extends QueryPack {
          FROM lineitem JOIN part ON l_partkey = p_partkey WHERE p_size < 5),
        mins AS (SELECT l_partkey, min(unit_price) AS min_price FROM pl GROUP BY 1)
        SELECT DISTINCT pl.l_partkey AS p_partkey, pl.l_suppkey AS s_suppkey,
-         round(min_price, 4) AS unit_price
+         min_price AS unit_price
        FROM pl JOIN mins ON pl.l_partkey = mins.l_partkey AND pl.unit_price = mins.min_price
        ORDER BY p_partkey, s_suppkey"""
 

@@ -53,11 +53,14 @@ final class HttpFrontend(
     try {
       // Normalize before BOTH the auth scope check and routing, so the two
       // agree on what a path means: /demo/../other must not pass a
-      // /demo/-scoped token's prefix check. normalize() resolves ./ and
-      // interior ../; a path that still escapes the root (leading ..) is
-      // rejected outright.
-      val normPath = ex.getRequestURI.normalize().getPath
-      if (normPath.startsWith("/..") || normPath == "..") {
+      // /demo/-scoped token's prefix check. Order matters: getPath DECODES
+      // percent-escapes first (%2e%2e is a dot-segment once decoded —
+      // normalizing the still-encoded URI would miss it), then the decoded
+      // path is normalized; any '..' segment that survives (a leading one
+      // escaping the root) is rejected outright.
+      val normPath = new java.net.URI(null, null, ex.getRequestURI.getPath, null)
+        .normalize().getPath
+      if (normPath.split('/').contains("..")) {
         respond(ex, 400, _.write("""{"error":"invalid path"}"""))
         return
       }

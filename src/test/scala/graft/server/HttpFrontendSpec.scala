@@ -114,7 +114,12 @@ class HttpFrontendSpec extends AnyFunSuite {
       // which is OUTSIDE the /demo/ scope — the scope check and the router
       // must agree on the normalized path (401, not a scoped-path pass)
       assert(call("/demo/../nope/read", Some(good)) == 401)
+      // percent-encoded dot-segments must decode BEFORE normalization:
+      // %2e%2e is '..' once decoded, so this also escapes the /demo/ scope
+      assert(call("/demo/%2e%2e/nope/read", Some(good)) == 401)
       assert(call("/demo/./spec", Some(good)) == 200) // ./ normalizes harmlessly within scope
+      assert(call("/..foo/read", Some(good)) == 401)  // '..'-PREFIXED segment is a normal name
+                                                      // (out of scope → 401, not a 400 reject)
     } finally authFe.stop()
   }
 
