@@ -370,7 +370,50 @@ object TextQueries extends QueryPack {
          round(top_share, 4) AS top_share, drop_reasons = '' AS keep, drop_reasons
        FROM r ORDER BY doc_id"""
 
+  // -- hashing-trick term-frequency featurizer (text → vector bridge) ---------------
+  // The HashingTF classic: token → md5-derived bucket, per-bucket counts as
+  // a dense 16-d vector, L2-normalized — the cheap featurizer that turns
+  // the documents table into input for every vector operator in this
+  // library (knn/ann/dedup/centroids) without a model. Pure per-row map
+  // (no shuffle, no vocabulary state — the whole point of the hashing
+  // trick at 100 TB); md5 leaf hash so the oracle re-derives each bucket,
+  // fixed-order folds so the norm is bit-identical on both engines.
+  private val tfDim = 16
+
+  // Gate output is SCALAR projections of the vector (first two components,
+  // norm, support size, argmax bucket) — the driver's hash-compare sorts on
+  // every output column and cannot order array values.
+  private def qHashingTf(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val buckets = transform(toks, t => pmod(TextFunctions.md5Hash60(t), lit(tfDim)))
+    val counts = array((0 until tfDim).map(b =>
+      size(filter(buckets, x => x === b)).cast("double")): _*)
+    val nrm = sqrt(aggregate(transform(counts, c => c * c), lit(0.0), (a, x) => a + x))
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      round(nrm, 6).as("norm"),
+      round(element_at(counts, 1) / nrm, 6).as("v0"),
+      round(element_at(counts, 2) / nrm, 6).as("v1"),
+      size(filter(counts, c => c > 0)).as("nnz"),
+      (array_position(counts, array_max(counts)) - 1).cast("int").as("top_bucket"))
+      .orderBy("doc_id")
+  }
+
+  private val qHashingTfSql =
+    s"""WITH d AS (SELECT doc_id, list_transform(string_split(text, ' '),
+           t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % $tfDim) AS bk FROM documents),
+       c AS (SELECT doc_id, list_transform(range(0, $tfDim),
+               b -> CAST(len(list_filter(bk, x -> x = b)) AS DOUBLE)) AS cnts FROM d),
+       n AS (SELECT doc_id, cnts,
+               sqrt(list_sum(list_transform(cnts, c -> c * c))) AS nrm FROM c)
+       SELECT doc_id, round(nrm, 6) AS norm,
+         round(cnts[1] / nrm, 6) AS v0, round(cnts[2] / nrm, 6) AS v1,
+         CAST(len(list_filter(cnts, c -> c > 0)) AS INT) AS nnz,
+         CAST(list_position(cnts, list_max(cnts)) - 1 AS INT) AS top_bucket
+       FROM n ORDER BY doc_id"""
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_hashing_tf" -> (qHashingTf _),
     "text_quality_gate" -> (qQualityGate _),
     "text_token_stats" -> (qTokenStats _),
     "text_quality" -> (qQuality _),
@@ -386,6 +429,7 @@ object TextQueries extends QueryPack {
     "text_rolling_fp" -> (qRollingFp _))
 
   override val oracles: Map[String, String] = Map(
+    "text_hashing_tf" -> qHashingTfSql,
     "text_quality_gate" -> qQualityGateSql,
     "text_token_stats" -> qTokenStatsSql,
     "text_quality" -> qQualitySql,

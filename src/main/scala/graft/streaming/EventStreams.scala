@@ -173,6 +173,49 @@ object EventStreams {
   def startToMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Append()) =
     df.writeStream.format("memory").queryName(name).outputMode(mode).start()
 
+  /** Streaming CDC materialization: each micro-batch of change rows merges
+    * last-write-wins into a keyed parquet snapshot via `foreachBatch` +
+    * [[graft.operators.Upsert.mergeLargeBase]] — the continuously-running
+    * dual of the batch `q_upsert_cdc` warehouse merge (and the destination
+    * side of the reference's incremental sync: persisted state advances the
+    * cursor, this advances the TABLE). The base is scanned but never
+    * shuffled, only change-batch-sized data enters the merge window.
+    *
+    * Snapshot swap is write-to-temp + directory rename: good enough for a
+    * demo sink and crash-safe per batch (the checkpoint replays an
+    * interrupted epoch; the merge is idempotent — re-applying the same
+    * change batch yields the same snapshot). A production deployment would
+    * commit through a table format (Delta/Iceberg) instead of renaming.
+    */
+  def startCdcMerge(changes: DataFrame, snapshotDir: String, keys: Seq[String],
+      versionCol: String, checkpointDir: String) =
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val batchDf = batch.toDF()
+        val snap = new java.io.File(snapshotDir)
+        val base =
+          if (snap.exists()) spark.read.parquet(snapshotDir)
+          else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            batchDf.schema)
+        val merged = graft.operators.Upsert.mergeLargeBase(base, batchDf, keys, versionCol)
+        val tmp = snapshotDir + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp) // materializes BEFORE the old snapshot moves
+        val old = new java.io.File(snapshotDir + ".old")
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(): Unit
+        }
+        if (old.exists()) rm(old)
+        if (snap.exists() && !snap.renameTo(old))
+          sys.error(s"snapshot swap failed: cannot move $snapshotDir aside")
+        if (!new java.io.File(tmp).renameTo(snap))
+          sys.error(s"snapshot swap failed: cannot move $tmp into place")
+      }
+      .start()
+
   /** Continuous protocol sink: stream micro-batches out as Airbyte RECORD
     * NDJSON files (one directory per epoch) — the streaming dual of the
     * reference's `read` sync, with the same distributed envelope encoder as
