@@ -77,6 +77,33 @@ object Multimodal {
     Bridge.column(graft.functions.FrameRms(Bridge.childExpr(payload), frameLen))
   }
 
+  /** 60-bit difference-hash (dHash) of a binary payload — the perceptual
+    * fingerprint for MEDIA near-dup detection: resample 61 bytes at evenly
+    * spaced positions (the "resize to a fixed grid" step of an image
+    * dHash, position i → byte at floor(i·len/61)), then bit i = whether
+    * sample i is less than sample i+1. Near-identical payloads (re-encoded,
+    * truncated, padded media) land within a small Hamming distance;
+    * pair-finding is the same pigeonhole band join as SimHash
+    * ([[Dedup.simHashDuplicates]]). 60 bits (not 64) keeps the value
+    * positive in a signed 64-bit lane, so every downstream shift/mask is
+    * SQL-re-derivable — the md5Hash60 convention.
+    *
+    * Built from codegen built-ins (hex/substring/conv) — a wide but static
+    * expression tree; the i·len/61 products stay far below 2^53 so the
+    * double floor is exact on any engine.
+    */
+  def pHash60(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val hx = hex(payload)
+    val m = length(payload)
+    def byteAt(i: Int) =
+      conv(hx.substr(floor(lit(i) * m / 61.0).cast("int") * 2 + 1, lit(2)), 16, 10)
+        .cast("long")
+    (0 until 60).map { i =>
+      when(byteAt(i) < byteAt(i + 1), lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
   // -- partition-parallel decode plumbing (the mapInPandas analogue) ------------
 
   /** Decoded feature row. */

@@ -54,6 +54,35 @@ object MultimodalQueries extends QueryPack {
          array_to_string(list_transform(range(0, n, 7), i -> substring(hx, CAST(i*2+1 AS INT), 2)), '') AS sample_hex
        FROM h ORDER BY doc_id"""
 
+  // -- perceptual fingerprint (media near-dup primitive) -------------------------
+  // The 60-bit dHash per payload plus its four 15-bit pigeonhole bands —
+  // the persistable index a media-dedup pipeline stores; pair-finding over
+  // it is the SimHash band join (dedup_simhash gates that machinery; this
+  // corpus has no perceptual near-dups — min pairwise Hamming is 12 — so
+  // the gate verifies the hash itself bit-exactly, and MultimodalSpec
+  // verifies pair detection on synthetic near-identical payloads).
+  private def qPhash(s: SparkSession, dir: String): DataFrame = {
+    val sig = Multimodal.pHash60(col("payload"))
+    val cols = col("doc_id") +: sig.as("phash") +: (0 until 4).map(b =>
+      shiftright(sig, b * 15).bitwiseAND(lit(32767L)).as(s"band$b"))
+    media(s, dir).select(cols: _*).orderBy("doc_id")
+  }
+
+  private val qPhashSql = {
+    val bytesCte = (0 to 60).map(i =>
+      s"('0x' || substr(hx, CAST(floor($i*m/61.0) AS INT)*2+1, 2))::BIGINT AS b$i").mkString(", ")
+    val bits = (0 until 60).map(i =>
+      s"(CASE WHEN b$i < b${i + 1} THEN (1::BIGINT << $i) ELSE 0 END)").mkString(" + ")
+    s"""WITH h AS (SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS m
+           FROM documents),
+       b AS (SELECT doc_id, $bytesCte FROM h),
+       sig AS (SELECT doc_id, $bits AS phash FROM b)
+       SELECT doc_id, phash,
+         (phash >> 0) & 32767 AS band0, (phash >> 15) & 32767 AS band1,
+         (phash >> 30) & 32767 AS band2, (phash >> 45) & 32767 AS band3
+       FROM sig ORDER BY doc_id"""
+  }
+
   // -- stubbed decode + featurize via mapPartitions ------------------------------
   private def qDecode(s: SparkSession, dir: String): DataFrame =
     Multimodal.decodeFeatures(s, media(s, dir)).toDF()
@@ -122,11 +151,13 @@ object MultimodalQueries extends QueryPack {
     "mm_byte_features" -> (qByteFeatures _),
     "mm_stride_sample" -> (qStride _),
     "mm_frame_energy" -> (qFrameEnergy _),
+    "mm_phash" -> (qPhash _),
     "mm_decode_features" -> (qDecode _))
 
   override val oracles: Map[String, String] = Map(
     "mm_byte_features" -> qByteFeaturesSql,
     "mm_stride_sample" -> qStrideSql,
     "mm_frame_energy" -> qFrameEnergySql,
+    "mm_phash" -> qPhashSql,
     "mm_decode_features" -> qDecodeSql)
 }

@@ -129,6 +129,34 @@ object TpchShapes extends QueryPack {
        FROM big JOIN orders ON o_orderkey = l_orderkey JOIN customer ON c_custkey = o_custkey
        ORDER BY o_totalprice DESC, o_orderkey LIMIT 20"""
 
+  // -- Q19 shape: disjunctive predicate pushdown (OR-of-ANDs join filter) ------
+  // The classic optimizer test: three brand/size/quantity conjunctions
+  // OR-ed across BOTH join sides. Catalyst must extract the common
+  // per-side disjunctions (p_brand IN..., l_quantity >= 20) into the scans
+  // while keeping the cross-side residual on the join — a plan that ships
+  // only candidate rows into the broadcast probe.
+  private def q19(s: SparkSession, dir: String): DataFrame = {
+    val branch1 = col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+      col("l_quantity") >= 20
+    val branch2 = col("p_brand") === "Brand#3" && col("p_size").between(10, 30) &&
+      col("l_quantity") >= 30
+    val branch3 = col("p_brand") === "Brand#5" && col("p_size").between(20, 40) &&
+      col("l_quantity") >= 40
+    t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .filter(branch1 || branch2 || branch3)
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+  }
+
+  private val q19Sql =
+    """SELECT count(*) AS n_items,
+       round(sum(l_extendedprice*(1-l_discount)), 2) AS revenue
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+       WHERE (p_brand='Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 20)
+          OR (p_brand='Brand#3' AND p_size BETWEEN 10 AND 30 AND l_quantity >= 30)
+          OR (p_brand='Brand#5' AND p_size BETWEEN 20 AND 40 AND l_quantity >= 40)"""
+
   // -- Q22 shape: wealthy-but-inactive customers (scalar subquery + anti) ------
   // The global average is one tiny aggregate broadcast as a cross join (the
   // decorrelation of Q22's scalar subquery); recent orders anti-join away
@@ -161,6 +189,7 @@ object TpchShapes extends QueryPack {
     "q12_priority" -> (q12 _),
     "q14_promo" -> (q14 _),
     "q18_large_orders" -> (q18 _),
+    "q19_disjunctive" -> (q19 _),
     "q22_inactive" -> (q22 _))
 
   override val oracles: Map[String, String] = Map(
@@ -168,5 +197,6 @@ object TpchShapes extends QueryPack {
     "q12_priority" -> q12Sql,
     "q14_promo" -> q14Sql,
     "q18_large_orders" -> q18Sql,
+    "q19_disjunctive" -> q19Sql,
     "q22_inactive" -> q22Sql)
 }

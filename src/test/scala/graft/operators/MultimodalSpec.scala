@@ -62,4 +62,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(h.width == 16 + ('h'.toInt % 64) * 16 && h.height == 16 + ('e'.toInt % 64) * 16)
     assert(math.abs(f1(3).mean_intensity) < 1e-9) // empty payload → 0 intensity
   }
+
+  test("pHash60: near-identical payloads within small Hamming; unrelated far; fixed-grid handles any length") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = ("x" * 40) + ("the quick brown fox jumps over the lazy dog, " * 4)
+    val rows = Seq(
+      (1L, base),
+      (2L, base.replace("lazy", "hazy")),            // near-identical
+      (3L, "completely unrelated content " * 8),     // far
+      (4L, base.take(30)))                           // shorter than the 61-sample grid
+      .toDF("id", "txt")
+      .select(col("id"), Multimodal.pHash60(encode(col("txt"), "UTF-8")).as("h"))
+    val h = rows.as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(h.values.forall(v => v >= 0 && v < (1L << 60))) // 60-bit positive
+    assert(ham(h(1L), h(2L)) <= 6, s"near-dup hamming ${ham(h(1L), h(2L))}")
+    assert(ham(h(1L), h(3L)) > 10, s"unrelated hamming ${ham(h(1L), h(3L))}")
+    assert(h(4L) != h(1L)) // short payload still hashes (grid positions repeat)
+  }
 }
