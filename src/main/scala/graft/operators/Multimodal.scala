@@ -96,8 +96,12 @@ object Multimodal {
     import org.apache.spark.sql.functions._
     val hx = hex(payload)
     val m = length(payload)
+    // long arithmetic: an Int product i*len overflows at ~36 MB payloads
+    // (ANSI: throws; legacy: wraps negative and reads bytes from the wrong
+    // end via negative substr)
     def byteAt(i: Int) =
-      conv(hx.substr(floor(lit(i) * m / 61.0).cast("int") * 2 + 1, lit(2)), 16, 10)
+      conv(hx.substr((floor(lit(i.toLong) * m.cast("long") / 61.0).cast("long") * 2L + 1L)
+        .cast("int"), lit(2)), 16, 10)
         .cast("long")
     (0 until 60).map { i =>
       when(byteAt(i) < byteAt(i + 1), lit(1L << i)).otherwise(lit(0L))

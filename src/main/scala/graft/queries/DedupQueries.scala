@@ -247,10 +247,13 @@ object DedupQueries extends QueryPack {
   private val qSemanticSql =
     """WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent FROM embeddings WHERE vec_id < 8),
        assigned AS (
+         -- argmin on the exact squared sum, matching Spark's l2sq ordering
          SELECT vec_id, embedding, cent_id FROM (
            SELECT e.vec_id, e.embedding, c.cent_id,
              row_number() OVER (PARTITION BY e.vec_id
-               ORDER BY list_distance(e.embedding::DOUBLE[], c.cent::DOUBLE[]) ASC, c.cent_id) AS arn
+               ORDER BY list_sum(list_transform(range(1, 65),
+                 i -> (e.embedding[i]::DOUBLE - c.cent[i]::DOUBLE)
+                    * (e.embedding[i]::DOUBLE - c.cent[i]::DOUBLE))) ASC, c.cent_id) AS arn
            FROM embeddings e CROSS JOIN cents c) WHERE arn = 1)
        SELECT a.cent_id AS cell, a.vec_id AS id_a, b.vec_id AS id_b,
          round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos

@@ -165,10 +165,13 @@ object SimilarityQueries extends QueryPack {
   private val qAnnIvfSql =
     """WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent FROM embeddings WHERE vec_id < 8),
        assigned AS (
+         -- argmin on the exact squared sum (see ann_pq_adc's codes CTE)
          SELECT vec_id, embedding, cent_id FROM (
            SELECT e.vec_id, e.embedding, c.cent_id,
              row_number() OVER (PARTITION BY e.vec_id
-               ORDER BY list_distance(e.embedding::DOUBLE[], c.cent::DOUBLE[]) ASC, c.cent_id) AS arn
+               ORDER BY list_sum(list_transform(range(1, 65),
+                 i -> (e.embedding[i]::DOUBLE - c.cent[i]::DOUBLE)
+                    * (e.embedding[i]::DOUBLE - c.cent[i]::DOUBLE))) ASC, c.cent_id) AS arn
            FROM embeddings e CROSS JOIN cents c) WHERE arn = 1),
        q AS (SELECT vec_id AS query_id, embedding AS q_emb, cent_id FROM assigned WHERE vec_id < 10),
        scored AS (
@@ -248,10 +251,15 @@ object SimilarityQueries extends QueryPack {
                 FROM embeddings CROSS JOIN ms),
        csubs AS (SELECT vec_id AS cent_id, m, sub AS centsub FROM subs WHERE vec_id < 4),
        codes AS (
+         -- argmin on the exact squared sum, matching Spark's l2sq ordering:
+         -- sqrt (list_distance) can collapse 1-ulp-distinct distances into
+         -- equal doubles and fall through to a different tie-break
          SELECT vec_id, m, cent_id AS code FROM (
            SELECT s.vec_id, s.m, c.cent_id,
              row_number() OVER (PARTITION BY s.vec_id, s.m
-               ORDER BY list_distance(s.sub, c.centsub) ASC, c.cent_id) AS crn
+               ORDER BY list_sum(list_transform(range(1, 17),
+                 i -> (s.sub[i] - c.centsub[i]) * (s.sub[i] - c.centsub[i]))) ASC,
+                 c.cent_id) AS crn
            FROM subs s JOIN csubs c ON s.m = c.m) WHERE crn = 1),
        q AS (SELECT vec_id AS query_id, m, sub AS qsub FROM subs WHERE vec_id < 10),
        terms AS (

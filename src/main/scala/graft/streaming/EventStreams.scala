@@ -196,6 +196,12 @@ object EventStreams {
         val spark = batch.sparkSession
         val batchDf = batch.toDF()
         val snap = new java.io.File(snapshotDir)
+        // recover an interrupted swap: a crash between "move snapshot aside"
+        // and "move tmp into place" leaves only the .old directory — restore
+        // it as the base instead of silently rebuilding from empty
+        val interrupted = new java.io.File(snapshotDir + ".old")
+        if (!snap.exists() && interrupted.exists() && !interrupted.renameTo(snap))
+          sys.error(s"snapshot recovery failed: cannot restore $interrupted")
         val base =
           if (snap.exists()) spark.read.parquet(snapshotDir)
           else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

@@ -19,17 +19,20 @@ import graft.operators.Dedup
   * candidate pair per prior occupant of any of its buckets.
   *
   * Semantics (matching the batch operator):
-  *  - the DISTINCT union of emitted pairs over all micro-batches equals
-  *    [[Dedup.lshCandidates]] over the union of all batches (spec-asserted);
-  *    pairs colliding in several bands are emitted at-least-once (the batch
-  *    op's `distinct()` becomes downstream dedup — e.g. the exact-verify
-  *    join is idempotent per pair);
+  *  - while no bucket exceeds `maxBucket`, the DISTINCT union of emitted
+  *    pairs over all micro-batches equals [[Dedup.lshCandidates]] over the
+  *    union of all batches (spec-asserted); pairs colliding in several
+  *    bands are emitted at-least-once (the batch op's `distinct()` becomes
+  *    downstream dedup — e.g. the exact-verify join is idempotent per pair);
   *  - `maxBucket` is the hot-bucket cap ([[Dedup.lshCandidates]]'s
   *    boilerplate hazard, which on an infinite stream is ALSO the state
   *    bound): once a bucket holds `maxBucket` ids, it stops accumulating
   *    and stops generating pairs — state per bucket is O(maxBucket), so
   *    total state is bounded by (buckets seen) × maxBucket regardless of
-  *    stream length.
+  *    stream length. When the cap BINDS the two operators intentionally
+  *    diverge: a stream cannot retract, so it keeps the pairs among the
+  *    first `maxBucket` admitted ids, whereas the batch op (which sees the
+  *    final bucket width up front) skips the hot bucket entirely.
   */
 object StreamingDedup {
 

@@ -33,4 +33,24 @@ class CdcMergeSpec extends AnyFunSuite {
         CdcChange(3, "c", 1), CdcChange(4, "d", 1)))
     } finally q.stop()
   }
+
+  test("interrupted swap: a snapshot stranded at .old is restored, not rebuilt from empty") {
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("cdc2").toString
+    val snapshot = s"$dir/snapshot"
+    val in = MemoryStream[CdcChange]
+    val q = EventStreams.startCdcMerge(in.toDF(), snapshot, Seq("k"), "version",
+      checkpointDir = s"$dir/ckpt")
+    try {
+      in.addData(CdcChange(1, "a", 1), CdcChange(2, "b", 1))
+      q.processAllAvailable()
+      // simulate a crash between "move snapshot aside" and "move tmp in":
+      // only the .old directory exists when the next batch runs
+      assert(new java.io.File(snapshot).renameTo(new java.io.File(snapshot + ".old")))
+      in.addData(CdcChange(3, "c", 1))
+      q.processAllAvailable()
+      val snap = spark.read.parquet(snapshot).as[CdcChange].collect().toSet
+      assert(snap == Set(CdcChange(1, "a", 1), CdcChange(2, "b", 1), CdcChange(3, "c", 1)))
+    } finally q.stop()
+  }
 }
