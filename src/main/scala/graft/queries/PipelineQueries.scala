@@ -333,11 +333,40 @@ object PipelineQueries extends QueryPack {
              * r.n_before < r.s_pct * r.n_total * 100
        GROUP BY d.lang, r.n_before ORDER BY d.lang"""
 
+  // -- quality-weighted soft sampling -------------------------------------------------
+  // DCLM/FineWeb-style soft filtering: instead of a hard keep/drop gate,
+  // each doc's keep PROBABILITY is its quality signal — here the distinct-
+  // token ratio as integer permil — applied via the md5 bucket. High-quality
+  // docs almost always survive, low-quality docs are downweighted but not
+  // erased (preserving distribution tails). Pure integer comparison
+  // (bucket < permil), pure map, partitioning-stable.
+  private def qSoftSample(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val permil = least(lit(1000), (lit(1000) * size(array_distinct(toks))) / size(toks))
+      .cast("int")
+    val bucket = md5Bucket(col("doc_id"), 1000)
+    t(s, dir, "documents")
+      .withColumn("kept", (bucket < permil).cast("int"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_before"), sum(col("kept")).as("n_kept"))
+      .orderBy("lang")
+  }
+
+  private val qSoftSampleSql =
+    """SELECT lang, count(*) AS n_before,
+         CAST(sum(CASE WHEN
+           CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT) % 1000
+           < least(1000, (1000 * len(list_distinct(string_split(text, ' '))))
+                         // len(string_split(text, ' ')))
+         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       FROM documents GROUP BY lang ORDER BY lang"""
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_split" -> (qSplit _),
     "pipeline_source_cap" -> (qSourceCap _),
     "pipeline_pii_scrub" -> (qPiiScrub _),
     "pipeline_mixture_sample" -> (qMixture _),
+    "pipeline_soft_sample" -> (qSoftSample _),
     "pipeline_chunk_docs" -> (qChunk _),
     "pipeline_pack_batches" -> (qPack _),
     "pipeline_contamination" -> (qContamination _),
@@ -351,6 +380,7 @@ object PipelineQueries extends QueryPack {
     "pipeline_source_cap" -> qSourceCapSql,
     "pipeline_pii_scrub" -> qPiiScrubSql,
     "pipeline_mixture_sample" -> qMixtureSql,
+    "pipeline_soft_sample" -> qSoftSampleSql,
     "pipeline_chunk_docs" -> qChunkSql,
     "pipeline_pack_batches" -> qPackSql,
     "pipeline_contamination" -> qContaminationSql,
