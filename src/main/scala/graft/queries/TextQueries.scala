@@ -257,6 +257,46 @@ object TextQueries extends QueryPack {
        FROM toks JOIN counts USING (tok) CROSS JOIN tot
        GROUP BY doc_id ORDER BY doc_id"""
 
+  // -- CCNet-style perplexity buckets ----------------------------------------------------
+  // The CCNet design: per LANGUAGE, rank documents by their (cheap-proxy)
+  // perplexity and cut into head/middle/tail terciles — relative,
+  // per-language thresholds instead of one global cutoff, so low-resource
+  // languages are not wiped out by a threshold tuned on English. Ranking
+  // uses the ROUNDED per-doc surprisal with a doc_id tie-break, so the
+  // ntile boundary is a pure function of values both engines agree on;
+  // bucket stats are min/max (order-independent), not averages.
+  private def qCcnetBuckets(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("g"))
+    val totDf = counts.agg(sum(col("g")).cast("double").as("total"))
+    val perDoc = toks.join(counts, "tok").crossJoin(broadcast(totDf))
+      .withColumn("surprisal", -log(col("g") / col("total")))
+      .groupBy(col("doc_id"))
+      .agg(round(avg(col("surprisal")), 4).as("s"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("s").asc, col("doc_id"))
+    perDoc.join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .withColumn("b", ntile(3).over(w))
+      .withColumn("bucket",
+        when(col("b") === 1, "head").when(col("b") === 2, "middle").otherwise("tail"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("s")).as("min_s"), max(col("s")).as("max_s"))
+      .orderBy("lang", "bucket")
+  }
+
+  private val qCcnetBucketsSql =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),
+       counts AS (SELECT tok, count(*) AS g FROM toks GROUP BY 1),
+       tot AS (SELECT count(*)*1.0 AS total FROM toks),
+       per AS (SELECT doc_id, round(avg(-ln(g / total)), 4) AS s
+               FROM toks JOIN counts USING (tok) CROSS JOIN tot GROUP BY doc_id),
+       j AS (SELECT d.lang, p.doc_id, p.s,
+               ntile(3) OVER (PARTITION BY d.lang ORDER BY p.s, p.doc_id) AS b
+             FROM per p JOIN documents d USING (doc_id))
+       SELECT lang, CASE WHEN b = 1 THEN 'head' WHEN b = 2 THEN 'middle' ELSE 'tail' END AS bucket,
+         count(*) AS n, min(s) AS min_s, max(s) AS max_s
+       FROM j GROUP BY 1, 2 ORDER BY lang, bucket"""
+
   // -- repetition signals (Gopher/RefinedWeb-style quality filters) ----------------------
   // Per-document duplicate-content ratios: repeated tokens, repeated 2/3-
   // grams, and the most frequent token's share — the standard signals a
@@ -426,6 +466,7 @@ object TextQueries extends QueryPack {
     "text_tfidf_topk" -> (qTfidf _),
     "text_unigram_kl" -> (qUnigramKl _),
     "text_surprisal" -> (qSurprisal _),
+    "text_ccnet_buckets" -> (qCcnetBuckets _),
     "text_rolling_fp" -> (qRollingFp _))
 
   override val oracles: Map[String, String] = Map(
@@ -442,5 +483,6 @@ object TextQueries extends QueryPack {
     "text_tfidf_topk" -> qTfidfSql,
     "text_unigram_kl" -> qUnigramKlSql,
     "text_surprisal" -> qSurprisalSql,
+    "text_ccnet_buckets" -> qCcnetBucketsSql,
     "text_rolling_fp" -> qRollingFpSql)
 }

@@ -24,7 +24,8 @@ class PlanLintSpec extends AnyFunSuite {
     "text_surprisal",    // × broadcast 1-row total-count aggregate
     "dedup_semantic",    // corpus × 8 broadcast seed centroids (cell assignment)
     "q22_inactive",      // × broadcast 1-row scalar-subquery aggregate
-    "q_heavy_hitters_bound") // × broadcast 1-row count-min sketch
+    "q_heavy_hitters_bound", // × broadcast 1-row count-min sketch
+    "text_ccnet_buckets")    // × broadcast 1-row total-count aggregate (as text_surprisal)
 
   test("no gate query plans a cartesian product; BNLJ only where whitelisted") {
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
