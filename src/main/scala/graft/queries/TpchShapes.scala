@@ -60,6 +60,51 @@ object TpchShapes extends QueryPack {
        FROM pl JOIN mins ON pl.l_partkey = mins.l_partkey AND pl.unit_price = mins.min_price
        ORDER BY p_partkey, s_suppkey"""
 
+  // -- Q4 shape: semi join with a non-equi residual ----------------------------
+  // EXISTS with an inequality ACROSS the two tables (shipdate vs orderdate):
+  // decorrelates to a LEFT SEMI join whose condition is key equality plus a
+  // cross-side residual — the residual cannot push to either scan, so the
+  // planner must keep it on the join while still using the equi part for
+  // the hash/merge key.
+  private def q4(s: SparkSession, dir: String): DataFrame = {
+    val late = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+    t(s, dir, "orders")
+      .join(late, col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_late"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val q4Sql =
+    """SELECT o_orderpriority, count(*) AS n_late
+       FROM orders WHERE EXISTS (SELECT 1 FROM lineitem
+         WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+       GROUP BY 1 ORDER BY 1"""
+
+  // -- Q16 shape: distinct-count after an anti join ----------------------------
+  // Suppliers with negative balance are excluded by NOT EXISTS (a broadcast
+  // anti join on the tiny supplier dimension), then the count is DISTINCT
+  // per group — the expand+two-phase-aggregate plan, fed only by surviving
+  // rows.
+  private def q16(s: SparkSession, dir: String): DataFrame = {
+    val bad = t(s, dir, "supplier").filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part").filter(col("p_size") < 8)),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"))
+      .orderBy("p_brand")
+  }
+
+  private val q16Sql =
+    """SELECT p_brand, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+       WHERE p_size < 8 AND NOT EXISTS
+         (SELECT 1 FROM supplier WHERE s_suppkey = l_suppkey AND s_acctbal < 0)
+       GROUP BY 1 ORDER BY 1"""
+
   // -- Q12 shape: priority shipping report (fact-fact join + CASE counts) ------
   // The selective shipdate filter lands in the parquet scan (PushedFilters);
   // one shuffle joins the two facts on orderkey; the conditional counts are
@@ -186,6 +231,8 @@ object TpchShapes extends QueryPack {
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q2_min_cost" -> (q2 _),
+    "q4_late_exists" -> (q4 _),
+    "q16_supplier_count" -> (q16 _),
     "q12_priority" -> (q12 _),
     "q14_promo" -> (q14 _),
     "q18_large_orders" -> (q18 _),
@@ -194,6 +241,8 @@ object TpchShapes extends QueryPack {
 
   override val oracles: Map[String, String] = Map(
     "q2_min_cost" -> q2Sql,
+    "q4_late_exists" -> q4Sql,
+    "q16_supplier_count" -> q16Sql,
     "q12_priority" -> q12Sql,
     "q14_promo" -> q14Sql,
     "q18_large_orders" -> q18Sql,
