@@ -54,4 +54,15 @@ object VectorFunctions {
 
   /** Popcount of the XOR — Hamming distance between two packed signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** 0-based index of the nearest centroid (squared L2, first-wins on exact
+    * ties) in an array-of-vectors column. Codegen ([[ArgminL2]]) — makes
+    * nearest-centroid assignment a map-only pass over a broadcast centroid
+    * array instead of an explode + window shuffle of n×k rows.
+    */
+  def argminL2(vec: Column, cents: Column): Column =
+    org.apache.spark.sql.graftshim.Bridge.column(
+      ArgminL2(
+        org.apache.spark.sql.graftshim.Bridge.childExpr(vec),
+        org.apache.spark.sql.graftshim.Bridge.childExpr(cents)))
 }

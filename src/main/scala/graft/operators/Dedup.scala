@@ -480,14 +480,21 @@ object Dedup {
     * @return (__id, __v, cell)
     */
   def assignCells(df: DataFrame, id: Column, vec: Column, centroids: DataFrame): DataFrame = {
-    import graft.functions.VectorFunctions.l2sq
-    val w = Window.partitionBy(col("__id")).orderBy(col("__dist").asc, col("cent_id"))
+    import graft.functions.VectorFunctions.argminL2
+    // Centroids collapse to ONE broadcast row of parallel (ids, vectors)
+    // arrays, sorted by cent_id so ArgminL2's first-wins tie-break realizes
+    // `ORDER BY dist ASC, cent_id ASC`. Assignment is then a codegen map
+    // pass over the corpus — the previous explode ×k + row_number() window
+    // shuffled and sorted n×k rows (at SemDeDup's k ≈ √n, n^1.5 rows) to
+    // answer a per-row question; this plan has zero shuffle exchanges.
+    val centArr = broadcast(centroids
+      .agg(array_sort(collect_list(struct(col("cent_id"), col("cent")))).as("__cs"))
+      .select(transform(col("__cs"), c => c.getField("cent_id")).as("__cids"),
+        transform(col("__cs"), c => c.getField("cent")).as("__cents")))
     df.select(id.as("__id"), vec.as("__v"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("__dist", l2sq(col("__v"), col("cent")))
-      .withColumn("__arn", row_number().over(w))
-      .filter(col("__arn") === 1)
-      .select(col("__id"), col("__v"), col("cent_id").as("cell"))
+      .crossJoin(centArr)
+      .select(col("__id"), col("__v"),
+        element_at(col("__cids"), argminL2(col("__v"), col("__cents")) + 1).as("cell"))
   }
 
   def semanticDuplicates(df: DataFrame, id: Column, vec: Column,

@@ -193,11 +193,12 @@ object SimilarityQueries extends QueryPack {
   // CENTROID — so the corpus side only ever touches codes, never floats.
   //
   // Plan: centroid sub-vector table is M×K = 16 rows (broadcast); encoding
-  // is one explode + window argmin per (vector, subspace); ADC joins codes
-  // to the tiny centroid table and the broadcast query sub-vectors on
-  // (subspace, code) — the corpus shuffles once on (vec_id, m) for the
-  // argmin and once for the per-(query, neighbor) sum. Fully deterministic
-  // (seeded centroids, argmin and rank tie-breaks on id) → oracle-checked.
+  // is a map-only codegen argmin per (vector, subspace) row against the
+  // broadcast per-subspace codebook; ADC joins codes to the tiny centroid
+  // table and the broadcast query sub-vectors on (subspace, code) — the
+  // corpus shuffles exactly once, for the per-(query, neighbor) sum. Fully
+  // deterministic (seeded centroids, argmin and rank tie-breaks on id) →
+  // oracle-checked.
   private val (pqM, pqSubDim, pqK) = (4, 16, 4)
 
   private def qAnnPq(s: SparkSession, dir: String): DataFrame = {
@@ -209,14 +210,23 @@ object SimilarityQueries extends QueryPack {
         slice(col("embedding"), col("m") * pqSubDim + 1, lit(pqSubDim)).as("sub"))
     val csubs = subSpaces(emb.filter(col("vec_id") < pqK), "cent_id")
       .withColumnRenamed("sub", "centsub")
-    val wCode = Window.partitionBy(col("vec_id"), col("m"))
-      .orderBy(col("cdist").asc, col("cent_id"))
+    // Codebook collapsed to one row per subspace (K sorted centroids, so
+    // ArgminL2's first-wins tie-break realizes `dist ASC, cent_id ASC`);
+    // encoding is then a codegen argmin per (vector, subspace) row after a
+    // broadcast hash join on m. The previous formulation shuffled n×M×K
+    // rows on (vec_id, m) for a row_number() window argmin; the only
+    // hashpartitioning exchange left on this path is the groupBy over the
+    // 16-row codebook itself (constant-size, corpus-independent).
+    val codebook = csubs
+      .groupBy(col("m"))
+      .agg(array_sort(collect_list(struct(col("cent_id"), col("centsub")))).as("__cs"))
+      .select(col("m"),
+        transform(col("__cs"), c => c.getField("cent_id")).as("__cids"),
+        transform(col("__cs"), c => c.getField("centsub")).as("__csubs"))
     val codes = subSpaces(emb, "vec_id")
-      .join(broadcast(csubs), "m")
-      .withColumn("cdist", l2sq(col("sub"), col("centsub")))
-      .withColumn("crn", row_number().over(wCode))
-      .filter(col("crn") === 1)
-      .select(col("vec_id"), col("m"), col("cent_id").as("code"))
+      .join(broadcast(codebook), "m")
+      .select(col("vec_id"), col("m"),
+        element_at(col("__cids"), argminL2(col("sub"), col("__csubs")) + 1).as("code"))
     val qsubs = subSpaces(emb.filter(col("vec_id") < 10), "query_id")
       .withColumnRenamed("sub", "qsub")
     // ADC: per (query, neighbor, subspace) the distance to the neighbor's

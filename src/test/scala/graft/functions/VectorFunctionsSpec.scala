@@ -51,6 +51,44 @@ class VectorFunctionsSpec extends AnyFunSuite {
     c.foreach(v => assert(math.abs(v - 1.0) < 1e-12))
   }
 
+  test("argminL2: nearest index, first-wins tie, null on empty/ragged/null-element") {
+    val cents = array(
+      array(lit(1.0f), lit(0.0f)), // idx 0
+      array(lit(0.0f), lit(1.0f)), // idx 1
+      array(lit(0.0f), lit(1.0f))) // idx 2: exact dup of 1 — tie must keep 1
+    val vecs = Seq(
+      (1L, Array(0.9f, 0.1f)), // nearest 0
+      (2L, Array(0.1f, 0.9f)), // nearest 1 (and 2, tied) → first wins: 1
+      (3L, Array(0.5f, 0.5f))) // exact tie between ALL → 0
+      .toDF("id", "v")
+    val out = vecs.select(col("id"), argminL2(col("v"), cents).as("i"))
+      .as[(Long, Int)].collect().toMap
+    assert(out == Map(1L -> 0, 2L -> 1, 3L -> 0))
+    // empty centroid array → null
+    val empty = vecs.select(argminL2(col("v"), array().cast("array<array<float>>"))).collect()
+    assert(empty.forall(_.isNullAt(0)))
+    // ragged centroid (length mismatch) → null
+    val ragged = vecs.select(argminL2(col("v"), array(array(lit(1.0f))))).collect()
+    assert(ragged.forall(_.isNullAt(0)))
+    // null vector → null
+    val nv = Seq(Option.empty[Array[Float]]).toDF("v")
+      .select(argminL2(col("v"), cents)).collect()
+    assert(nv(0).isNullAt(0))
+  }
+
+  test("argminL2: interpreted eval matches codegen (double centroids vs float vec)") {
+    // double-element centroids (the collect_list path can carry either type)
+    val cents = array(
+      array(lit(0.25), lit(-0.5)),
+      array(lit(0.24), lit(-0.5))) // 0.01 closer on dim 1 for v below
+    val df2 = Seq((Array(0.245f, -0.5f))).toDF("v")
+    val viaCodegen = df2.select(argminL2(col("v"), cents)).as[Int].head()
+    // the same argmin via the interpreted l2sq fold it replaced
+    val d0 = df2.select(l2sq(col("v"), array(lit(0.25), lit(-0.5)))).as[Double].head()
+    val d1 = df2.select(l2sq(col("v"), array(lit(0.24), lit(-0.5)))).as[Double].head()
+    assert(viaCodegen == (if (d0 <= d1) 0 else 1))
+  }
+
   test("rhp signature: deterministic, nBits range, similar vectors share more bits") {
     val sig = rhpSignature(col("a"), dim = 3, nBits = 16, seed = 7L)
     val s1 = df.select(sig).as[Long].collect()

@@ -273,6 +273,39 @@ class DedupSpec extends AnyFunSuite {
     assert(out.forall { case (_, a, b) => Set(a, b).subsetOf(Set(1L, 2L, 3L, 4L)) })
   }
 
+  test("assignCells: map-only plan (zero shuffle exchanges) == window argmin, incl. ties") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import graft.functions.VectorFunctions.l2sq
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent"))
+    val assigned = Dedup.assignCells(emb, col("vec_id"), col("embedding"), cents)
+    // plan shape: assignment must be a pure map pass over the corpus — the
+    // centroid collapse is a SinglePartition agg + broadcast, never a
+    // hashpartitioning shuffle (the explode+window formulation this replaced
+    // shuffled n×k rows on __id)
+    assigned.collect()
+    val plan = (assigned.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }).toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"assignCells must not shuffle the corpus:\n$plan")
+    // value parity with the formulation it replaced (ORDER BY dist, cent_id)
+    val w = Window.partitionBy(col("__id")).orderBy(col("__dist").asc, col("cent_id"))
+    val viaWindow = emb.select(col("vec_id").as("__id"), col("embedding").as("__v"))
+      .crossJoin(broadcast(cents))
+      .withColumn("__dist", l2sq(col("__v"), col("cent")))
+      .withColumn("__arn", row_number().over(w))
+      .filter(col("__arn") === 1)
+      .select(col("__id"), col("cent_id").as("cell"))
+      .as[(Long, Long)].collect().toMap
+    val viaArgmin = assigned.select(col("__id"), col("cell"))
+      .as[(Long, Long)].collect().toMap
+    assert(viaArgmin == viaWindow)
+  }
+
   test("verifyJaccard computes exact set Jaccard") {
     val docsSh = docs.select(col("doc_id").as("__id"), Dedup.shingles(col("text"), 3).as("__sh"))
     val pairs = Seq((1L, 4L), (1L, 3L)).toDF("id_a", "id_b")
