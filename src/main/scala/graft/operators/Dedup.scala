@@ -453,6 +453,62 @@ object Dedup {
       .withColumn("keep", col("dup_frac") < keepBelow)
   }
 
+  /** Exact maximal duplicated-span extraction — the upgrade from
+    * [[duplicatedSpans]]' per-doc dup FRACTION to Lee et al. §4 span
+    * semantics: merge adjacent corpus-duplicated windows into maximal runs
+    * and emit each run's token boundaries. A duplicated run of L ≥ w tokens
+    * produces L−w+1 consecutive duplicated window starts; conversely any
+    * chain of duplicated starts with gaps ≤ w covers a contiguous duplicated
+    * token region — so the merged [start_tok, end_tok] spans are exactly the
+    * maximal regions every token of which lies inside some corpus-duplicated
+    * window (gaps-and-islands with tolerance w).
+    *
+    * Scale shape: positional window hashes (one codegen pass, no window
+    * strings), one shuffle on the 64-bit window hash for corpus-wide doc
+    * counts, one shuffle back on the doc id for the per-doc run merge —
+    * identical key discipline to [[duplicatedSpans]]; the run merge itself
+    * is a per-doc sorted window over only the DUPLICATED positions (a small
+    * fraction of the corpus in healthy data).
+    *
+    * Cache contract: the (doc, pos, window-hash) table is persisted because
+    * it feeds both the corpus-wide count and the join back; the caller owns
+    * `spark.catalog.clearCache()` when done (same contract as
+    * [[minHashDuplicates]] / [[duplicatedSpans]] — Bench clears between
+    * queries).
+    *
+    * @param w window width in tokens (the minimum detectable span length)
+    * @return (id, run_idx, start_tok, end_tok, n_tokens) — token positions
+    *         0-based inclusive, run_idx 1-based in position order
+    */
+  def duplicatedSpanRuns(df: DataFrame, id: Column, text: Column, w: Int): DataFrame = {
+    import org.apache.spark.sql.graftshim.Bridge
+    // positional (NON-distinct) window hashes: array index i = the window
+    // starting at token i — unlike shingleHashes, whose array_distinct
+    // drops the positions this operator is about
+    val winsRaw = Bridge.column(graft.functions.ShingleHashes(Bridge.childExpr(text), w))
+    val wins = spread(df, id)
+      .select(id.as("id"), posexplode(winsRaw).as(Seq("pos", "win")))
+      .persist()
+    // corpus-duplicated = the window occurs in >= 2 DISTINCT docs (same
+    // definition as duplicatedSpans: within-doc repeats alone don't count,
+    // hence the (win, id) dedup before counting)
+    val dupWins = wins.select(col("win"), col("id")).distinct()
+      .groupBy(col("win")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") > 1)
+      .select(col("win"))
+    val byDoc = Window.partitionBy(col("id")).orderBy(col("pos"))
+    wins.join(dupWins, "win")
+      // within-doc repeated windows are one position set — dedup before the
+      // lag so a repeat doesn't produce a zero-gap phantom row in the run
+      .select(col("id"), col("pos")).distinct()
+      .withColumn("__new",
+        when(col("pos") - lag(col("pos"), 1).over(byDoc) > w, 1).otherwise(0))
+      .withColumn("run_idx", sum(col("__new")).over(byDoc) + 1)
+      .groupBy(col("id"), col("run_idx"))
+      .agg(min(col("pos")).as("start_tok"), (max(col("pos")) + lit(w - 1)).as("end_tok"))
+      .withColumn("n_tokens", col("end_tok") - col("start_tok") + 1)
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023): cluster embeddings
     * around `centroids` (nearest by L2, centroid-id tie-break — same
     * deterministic assignment as the IVF ANN path), then find cosine

@@ -230,6 +230,34 @@ object DedupQueries extends QueryPack {
          round(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)*1.0/count(*), 4) < 0.5 AS keep
        FROM w JOIN cnt USING (win) GROUP BY w.doc_id ORDER BY doc_id"""
 
+  // -- exact maximal duplicated-span runs (Lee et al. §4 span semantics) -------------
+  // The positional upgrade of dedup_span_windows: adjacent corpus-duplicated
+  // 5-token windows merge into maximal runs with token boundaries. Window
+  // identity is the xxhash64 shingle hash on the Spark side and the literal
+  // window string in DuckDB (same collision caveat as dedup_span_windows);
+  // the run merge is pure integer gaps-and-islands, exactly re-derived.
+  private def qSpanRuns(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicatedSpanRuns(t(s, dir, "documents"), col("doc_id"), col("text"), w = 5)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id", "run_idx")
+
+  private val qSpanRunsSql =
+    """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+       d AS (SELECT doc_id, list_transform(range(1, greatest(len(toks)-3, 1)),
+               i -> array_to_string(list_slice(toks, i, i+4), ' ')) AS wins FROM t),
+       w AS (SELECT doc_id, unnest(wins) AS win, generate_subscripts(wins, 1) - 1 AS pos FROM d),
+       cnt AS (SELECT win, count(DISTINCT doc_id) AS nd FROM w GROUP BY 1),
+       dp AS (SELECT DISTINCT doc_id, pos FROM w JOIN cnt USING (win) WHERE nd > 1),
+       r AS (SELECT doc_id, pos,
+               CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 5
+                 THEN 1 ELSE 0 END AS nw
+             FROM dp),
+       g AS (SELECT doc_id, pos,
+               sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) + 1 AS run_idx FROM r)
+       SELECT doc_id, CAST(run_idx AS BIGINT) AS run_idx, CAST(min(pos) AS INT) AS start_tok,
+         CAST(max(pos) + 4 AS INT) AS end_tok, CAST(max(pos) + 5 - min(pos) AS INT) AS n_tokens
+       FROM g GROUP BY doc_id, run_idx ORDER BY doc_id, run_idx"""
+
   // -- SemDeDup-style semantic dedup: IVF cells, within-cell cosine pairs ------------
   // Same deterministic seeded centroids as ann_ivf_coarse (first 8 corpus
   // rows), so the oracle re-derives cell assignment identically. The 0.45
@@ -270,6 +298,7 @@ object DedupQueries extends QueryPack {
     "dedup_clusters" -> (qClusters _),
     "dedup_simhash" -> (qSimHash _),
     "dedup_span_windows" -> (qSpans _),
+    "dedup_span_runs" -> (qSpanRuns _),
     "dedup_semantic" -> (qSemantic _),
     "dedup_embedding_cosine" -> (qEmbDup _))
 
@@ -282,6 +311,7 @@ object DedupQueries extends QueryPack {
     "dedup_clusters" -> qClustersSql,
     "dedup_simhash" -> qSimHashSql,
     "dedup_span_windows" -> qSpansSql,
+    "dedup_span_runs" -> qSpanRunsSql,
     "dedup_semantic" -> qSemanticSql,
     "dedup_embedding_cosine" -> qEmbDupSql)
 }

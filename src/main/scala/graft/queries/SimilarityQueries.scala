@@ -293,6 +293,59 @@ object SimilarityQueries extends QueryPack {
                ORDER BY est_dist ASC, neighbor_id) AS rn FROM adc)
        WHERE rn <= 5 ORDER BY query_id, rn"""
 
+  // -- ANN quality gate: recall@5 of every approximate path vs brute force -------
+  // Joins each ANN path's top-5 against the exact brute-force top-5 and emits
+  // per-path recall as an oracled scalar — the quality regression gate: a
+  // future corpus or parameter change can keep every per-path hash green yet
+  // silently degrade retrieval quality; this pins recall itself. Denominator
+  // is the full true-neighbor set (5 × #queries), so a path returning fewer
+  // than 5 candidates (possible for LSH) is penalized, not excused.
+  // Scale shape: each path's result is ~5 rows/query; the brute set
+  // broadcasts; the union is a few small map passes — cost is dominated by
+  // the underlying path queries themselves.
+  private def qAnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val brute = bruteTop5(s, dir).select(col("query_id"), col("neighbor_id"))
+    val paths = Seq(
+      "ann_ivf_coarse" -> qAnnIvf(s, dir),
+      "ann_pq_adc" -> qAnnPq(s, dir),
+      "ann_rhp_lsh" -> lshTop5(s, dir))
+    val retrieved = paths.map { case (name, df) =>
+      df.select(lit(name).as("path"), col("query_id"), col("neighbor_id"))
+    }.reduce(_ unionAll _)
+    val bruteTotal = brute.agg(count(lit(1)).as("n_true"))
+    retrieved
+      .join(broadcast(brute.withColumn("__hit", lit(1))),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("path"))
+      .agg(sum(coalesce(col("__hit"), lit(0))).as("n_hits"),
+        count(lit(1)).as("n_returned"))
+      .crossJoin(broadcast(bruteTotal))
+      .withColumn("recall_at_5", round(col("n_hits").cast("double") / col("n_true"), 4))
+      .select(col("path"), col("n_hits"), col("n_returned"), col("recall_at_5"))
+      .orderBy("path")
+  }
+
+  /** Oracle dual: the three path SQLs and the brute SQL inlined as
+    * subqueries (DuckDB permits WITH inside a parenthesized subquery), so
+    * the oracle re-derives every path end-to-end and then the recall join.
+    */
+  private val qAnnRecallSql =
+    s"""WITH brute AS (SELECT query_id, neighbor_id FROM ($qKnnSql)),
+       ivf AS (SELECT query_id, neighbor_id FROM ($qAnnIvfSql)),
+       pq AS (SELECT query_id, neighbor_id FROM ($qAnnPqSql)),
+       lsh AS (SELECT query_id, neighbor_id FROM ($qAnnLshSql)),
+       allp AS (
+         SELECT 'ann_ivf_coarse' AS path, query_id, neighbor_id FROM ivf
+         UNION ALL SELECT 'ann_pq_adc', query_id, neighbor_id FROM pq
+         UNION ALL SELECT 'ann_rhp_lsh', query_id, neighbor_id FROM lsh),
+       tot AS (SELECT count(*) AS n_true FROM brute)
+       SELECT path,
+         CAST(sum(CASE WHEN b.query_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+         CAST(count(*) AS BIGINT) AS n_returned,
+         round(sum(CASE WHEN b.query_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / n_true, 4) AS recall_at_5
+       FROM allp a LEFT JOIN brute b USING (query_id, neighbor_id) CROSS JOIN tot
+       GROUP BY path, n_true ORDER BY path"""
+
   // -- vector stats (dot/norm plumbing oracle) -----------------------------------
   private def qEmbStats(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings").select(
@@ -371,6 +424,7 @@ object SimilarityQueries extends QueryPack {
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_pq_adc" -> (qAnnPq _),
+    "ann_recall_at_5" -> (qAnnRecall _),
     "knn_cosine_brute" -> (qKnn _),
     "emb_outliers" -> (qEmbOutliers _),
     "ann_rhp_lsh" -> (qAnnLsh _),
@@ -380,6 +434,7 @@ object SimilarityQueries extends QueryPack {
 
   override val oracles: Map[String, String] = Map(
     "ann_pq_adc" -> qAnnPqSql,
+    "ann_recall_at_5" -> qAnnRecallSql,
     "knn_cosine_brute" -> qKnnSql,
     "emb_outliers" -> qEmbOutliersSql,
     "ann_rhp_lsh" -> qAnnLshSql,

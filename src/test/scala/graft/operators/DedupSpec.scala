@@ -254,6 +254,43 @@ class DedupSpec extends AnyFunSuite {
     assert(out(2L)._3 > 0L && out(2L)._3 < out(2L)._2) // partial overlap
   }
 
+  test("duplicatedSpanRuns: maximal span boundaries, gap split, within-doc repeats don't count") {
+    val d = Seq(
+      // docs 10/11 share "a b c d e f" (tokens 0-5 of 10, 2-7 of 11) and
+      // "s t u" (tokens 10-12 of 10, 12-14 of 11), separated by > w unique
+      // tokens on each side → exactly two runs per doc
+      (10L, "a b c d e f p1 q1 r1 z1 s t u"),
+      (11L, "x y a b c d e f p2 q2 r2 z2 s t u"),
+      // doc 12 repeats "m n o" twice WITHIN itself only → no duplicated runs
+      (12L, "m n o k1 k2 k3 m n o"),
+      (13L, "totally unrelated tokens here throughout"))
+      .toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpanRuns(d, col("doc_id"), col("text"), w = 3)
+      .select("id", "run_idx", "start_tok", "end_tok", "n_tokens")
+      .as[(Long, Long, Int, Int, Int)].collect().toSet
+    assert(out == Set(
+      (10L, 1L, 0, 5, 6), (10L, 2L, 10, 12, 3),
+      (11L, 1L, 2, 7, 6), (11L, 2L, 12, 14, 3)))
+  }
+
+  test("duplicatedSpanRuns: runs separated by a gap of exactly w merge; w+1 split") {
+    // shared windows at starts 0 and 3 (w=3): gap == w → windows are
+    // adjacent ([0,2] and [3,5]) → ONE merged run [0,5]
+    val touching = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c q1 q2 d e f"))  // shares "a b c" (start 0) and "d e f"
+      .toDF("doc_id", "text")
+    val r1 = Dedup.duplicatedSpanRuns(touching, col("doc_id"), col("text"), w = 3)
+      .filter(col("id") === 1L)
+      .select("run_idx", "start_tok", "end_tok").as[(Long, Int, Int)].collect().toSet
+    assert(r1 == Set((1L, 0, 5)))
+    // doc 2's copies sit at starts 0 and 5: gap 5 > w → two runs
+    val r2 = Dedup.duplicatedSpanRuns(touching, col("doc_id"), col("text"), w = 3)
+      .filter(col("id") === 2L)
+      .select("run_idx", "start_tok", "end_tok").as[(Long, Int, Int)].collect().toSet
+    assert(r2 == Set((1L, 0, 2), (2L, 5, 7)))
+  }
+
   test("semanticDuplicates: pairs only within cells, above threshold") {
     val vecs = Seq(
       (1L, Array(1f, 0f, 0f)),
