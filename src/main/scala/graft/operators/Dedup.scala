@@ -340,7 +340,22 @@ object Dedup {
         .select(col("id"), coalesce(col("rep0"), col("id")).as("rep"))
     }
     edges.persist() // re-read every propagation round on this path only
+    // Each generation is localCheckpoint'd (eager), NOT merely persisted:
+    // gen i+1's plan references gen i TWICE (the union arm and the neighbor
+    // join), so without lineage truncation the logical plan DOUBLES per
+    // round — exponential planning cost that OOMs long before the data
+    // does (a 12-round chain blew the heap just RENDERING the plan).
+    // Checkpointing makes every round's plan constant-size; the superseded
+    // generation's checkpoint storage is dropped as soon as the next one
+    // materializes, so at most two corpus-sized generations are ever live.
+    // `edges` and the FINAL labels stay cached for the caller (same
+    // clearCache contract as minHashDuplicates).
+    def dropCheckpoint(df: DataFrame): Unit = df.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
     var labels = ids.select(col(idCol).as("id"), col(idCol).as("rep"))
+    var labelsCheckpointed = false
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -350,10 +365,12 @@ object Dedup {
       val next = labels.select(col("id"), col("rep"))
         .union(viaNeighbors)
         .groupBy("id").agg(min("rep").as("rep"))
-        .persist()
+        .localCheckpoint() // eager: materializes + truncates lineage
       val changed = next.join(labels.withColumnRenamed("rep", "prev"), "id")
         .filter(col("rep") =!= col("prev")).limit(1).count() > 0
+      if (labelsCheckpointed) dropCheckpoint(labels)
       labels = next
+      labelsCheckpointed = true
       converged = !changed
       iter += 1
     }
@@ -432,6 +449,13 @@ object Dedup {
     * back on the doc id — both keys are 64-bit longs, never strings.
     * Within-doc repeats are collapsed by the distinct (a doc does not make
     * its own windows "duplicated"); two docs sharing a window both count it.
+    *
+    * Cache contract: the (doc, window-hash) table stays persisted because
+    * both output consumers (corpus-wide count + per-doc rollup) read it and
+    * the returned frame is lazy; the caller owns
+    * `spark.catalog.clearCache()` when done — same contract as
+    * [[minHashDuplicates]] / [[duplicatedSpanRuns]] (Bench clears between
+    * queries).
     *
     * @return (id, n_windows, n_dup, dup_frac, keep), one row per doc with
     *         at least one window

@@ -69,8 +69,11 @@ object MultimodalQueries extends QueryPack {
   }
 
   private val qPhashSql = {
+    // m > 0 guard mirrors pHash60's: on an empty payload the unguarded
+    // ('0x' || '')::BIGINT is a conversion ERROR in DuckDB (not a NULL), so
+    // one empty document would fail the whole oracle query
     val bytesCte = (0 to 60).map(i =>
-      s"('0x' || substr(hx, CAST(floor($i*m/61.0) AS INT)*2+1, 2))::BIGINT AS b$i").mkString(", ")
+      s"(CASE WHEN m > 0 THEN ('0x' || substr(hx, CAST(floor($i*m/61.0) AS INT)*2+1, 2))::BIGINT ELSE 0 END) AS b$i").mkString(", ")
     val bits = (0 until 60).map(i =>
       s"(CASE WHEN b$i < b${i + 1} THEN (1::BIGINT << $i) ELSE 0 END)").mkString(" + ")
     s"""WITH h AS (SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS m
@@ -108,6 +111,30 @@ object MultimodalQueries extends QueryPack {
          CAST(CASE WHEN media_type = 'image' THEN 0 ELSE n * 10 END AS BIGINT) AS duration_ms,
          round(CASE WHEN n = 0 THEN 0.0 ELSE list_sum(bytes) * 1.0 / n END, 4) AS mean_intensity
        FROM b ORDER BY doc_id"""
+
+  // -- REAL image decode via javax.imageio (encode→decode round trip) ------------
+  // Synthetic gradient PNGs (dimensions + mean intensity are closed-form in
+  // doc_id — see Multimodal.syntheticPng) are encoded partition-parallel,
+  // then decoded back by the real ImageIoDecoder through the same
+  // mapPartitions plumbing as the stub path. The oracle re-derives the
+  // analytic features in SQL, so the full round trip — AWT raster encode,
+  // PNG bytes, ImageIO decode, channel-sum mean — is hash-verified.
+  private def qDecodeReal(s: SparkSession, dir: String): DataFrame = {
+    val imgs = Multimodal.syntheticImages(s, t(s, dir, "documents"))
+    Multimodal.decodeFeatures(s, imgs, () => new Multimodal.ImageIoDecoder).toDF()
+      .select(col("doc_id"), col("width"), col("height"), col("duration_ms"),
+        round(col("mean_intensity"), 4).as("mean_intensity"))
+      .orderBy("doc_id")
+  }
+
+  private val qDecodeRealSql =
+    """SELECT doc_id,
+       CAST(8 + doc_id % 8 AS INT) AS width,
+       CAST(8 + doc_id % 5 AS INT) AS height,
+       CAST(0 AS BIGINT) AS duration_ms,
+       round(list_sum(list_transform(range(0, CAST(8 + doc_id % 8 AS INT)),
+         x -> (x*255) // (7 + doc_id % 8))) * 1.0 / (8 + doc_id % 8), 4) AS mean_intensity
+       FROM documents ORDER BY doc_id"""
 
   // -- per-frame RMS energy (audio waveform features) ----------------------------
   // Payload as signed 8-bit samples, 64-sample frames; per doc: frame count,
@@ -152,12 +179,14 @@ object MultimodalQueries extends QueryPack {
     "mm_stride_sample" -> (qStride _),
     "mm_frame_energy" -> (qFrameEnergy _),
     "mm_phash" -> (qPhash _),
-    "mm_decode_features" -> (qDecode _))
+    "mm_decode_features" -> (qDecode _),
+    "mm_decode_real" -> (qDecodeReal _))
 
   override val oracles: Map[String, String] = Map(
     "mm_byte_features" -> qByteFeaturesSql,
     "mm_stride_sample" -> qStrideSql,
     "mm_frame_energy" -> qFrameEnergySql,
     "mm_phash" -> qPhashSql,
-    "mm_decode_features" -> qDecodeSql)
+    "mm_decode_features" -> qDecodeSql,
+    "mm_decode_real" -> qDecodeRealSql)
 }

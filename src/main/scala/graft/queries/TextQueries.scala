@@ -261,10 +261,14 @@ object TextQueries extends QueryPack {
   // The CCNet design: per LANGUAGE, rank documents by their (cheap-proxy)
   // perplexity and cut into head/middle/tail terciles — relative,
   // per-language thresholds instead of one global cutoff, so low-resource
-  // languages are not wiped out by a threshold tuned on English. Ranking
-  // uses the ROUNDED per-doc surprisal with a doc_id tie-break, so the
-  // ntile boundary is a pure function of values both engines agree on;
-  // bucket stats are min/max (order-independent), not averages.
+  // languages are not wiped out by a threshold tuned on English.
+  // Ranking key: the SUM of integer-quantized per-token surprisals divided
+  // once by the token count — integer sums are accumulation-order-exact, so
+  // unlike ranking on the rounded float avg (whose partial-sum order can
+  // perturb a value sitting ON a rounding boundary and flip tercile
+  // membership), the key is bit-identical across engines/partitionings as
+  // long as the per-token quantization agrees (margin asserted in
+  // TextQueriesSpec). Bucket stats are min/max (order-independent).
   private def qCcnetBuckets(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
@@ -272,9 +276,11 @@ object TextQueries extends QueryPack {
     val totDf = counts.agg(sum(col("g")).cast("double").as("total"))
     val perDoc = toks.join(counts, "tok").crossJoin(broadcast(totDf))
       .withColumn("surprisal", -log(col("g") / col("total")))
+      .withColumn("q", floor(col("surprisal") * lit(1e6) + lit(0.5)))
       .groupBy(col("doc_id"))
-      .agg(round(avg(col("surprisal")), 4).as("s"))
-    val w = Window.partitionBy(col("lang")).orderBy(col("s").asc, col("doc_id"))
+      .agg(round(avg(col("surprisal")), 4).as("s"),
+        (sum(col("q")).cast("double") / count(lit(1))).as("rk"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("rk").asc, col("doc_id"))
     perDoc.join(docs.select(col("doc_id"), col("lang")), "doc_id")
       .withColumn("b", ntile(3).over(w))
       .withColumn("bucket",
@@ -288,10 +294,11 @@ object TextQueries extends QueryPack {
     """WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents),
        counts AS (SELECT tok, count(*) AS g FROM toks GROUP BY 1),
        tot AS (SELECT count(*)*1.0 AS total FROM toks),
-       per AS (SELECT doc_id, round(avg(-ln(g / total)), 4) AS s
+       per AS (SELECT doc_id, round(avg(-ln(g / total)), 4) AS s,
+               sum(CAST(floor(-ln(g / total) * 1e6 + 0.5) AS BIGINT)) * 1.0 / count(*) AS rk
                FROM toks JOIN counts USING (tok) CROSS JOIN tot GROUP BY doc_id),
        j AS (SELECT d.lang, p.doc_id, p.s,
-               ntile(3) OVER (PARTITION BY d.lang ORDER BY p.s, p.doc_id) AS b
+               ntile(3) OVER (PARTITION BY d.lang ORDER BY p.rk, p.doc_id) AS b
              FROM per p JOIN documents d USING (doc_id))
        SELECT lang, CASE WHEN b = 1 THEN 'head' WHEN b = 2 THEN 'middle' ELSE 'tail' END AS bucket,
          count(*) AS n, min(s) AS min_s, max(s) AS max_s

@@ -14,9 +14,17 @@ import org.apache.spark.sql.functions._
   *                    CASE-count by group after a selective date filter)
   *  - q14_promo:      conditional-sum ratio over a broadcast dimension join,
   *                    single-row output (Q14's promo revenue share)
+  *  - q4_late:        EXISTS with a cross-side inequality residual — left
+  *                    semi join keyed on the equi part, the non-equi kept
+  *                    on the join (Q4's late-lineitem order priorities)
+  *  - q16_supplier:   distinct-count after an anti join (Q16's supplier
+  *                    count with excluded-supplier NOT IN)
   *  - q18_large:      aggregate-then-semi-join — the HAVING subquery
   *                    collapses the fact side before any wide join touches
   *                    it (Q18's large-volume customers)
+  *  - q19_disjunctive: OR-of-ANDs predicate across both join sides — the
+  *                    per-side disjunctions must reach the scans, the
+  *                    cross-side residual stays on the join (Q19)
   *  - q22_inactive:   scalar aggregate subquery as a join-free broadcast +
   *                    anti join (Q22's wealthy-but-inactive customers)
   *
@@ -154,13 +162,19 @@ object TpchShapes extends QueryPack {
   // The lineitem aggregate + HAVING collapses the fact side to a handful of
   // orderkeys BEFORE any join: the shrunken side then broadcasts through
   // orders and customer — neither big table shuffles for the joins.
+  // Deliberately NO broadcast() hints: the aggregate's size is
+  // data-dependent (the HAVING is selective, but the planner can't bound
+  // it statically), and a forced hint on an unbounded side is how a 100×
+  // run OOMs the driver. AQE observes the aggregate's RUNTIME size and
+  // converts the sort-merge joins to broadcast joins itself — asserted
+  // with a negative control in TpchShapesSpec.
   private def q18(s: SparkSession, dir: String): DataFrame = {
     val big = t(s, dir, "lineitem")
       .groupBy(col("l_orderkey"))
       .agg(sum(col("l_quantity")).as("total_qty"))
       .filter(col("total_qty") > 300)
-    val ob = t(s, dir, "orders").join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
-    t(s, dir, "customer").join(broadcast(ob), col("c_custkey") === col("o_custkey"))
+    val ob = t(s, dir, "orders").join(big, col("o_orderkey") === col("l_orderkey"))
+    t(s, dir, "customer").join(ob, col("c_custkey") === col("o_custkey"))
       .select(col("c_custkey"), col("o_orderkey"),
         col("o_orderdate").cast("date").as("o_date"), col("o_totalprice"), col("total_qty"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))

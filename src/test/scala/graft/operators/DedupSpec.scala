@@ -84,6 +84,24 @@ class DedupSpec extends AnyFunSuite {
     assert(dist == out)
   }
 
+  test("clusterRepresentatives fallback: superseded label generations are unpersisted") {
+    // a 12-node chain needs several propagation rounds (diameter ~11,
+    // halved per round by min-label adoption) — enough generations that a
+    // leak would be visible in the persistent-RDD census
+    val ids = (1L to 12L).map(Tuple1(_)).toDF("doc_id")
+    val pairs = (1L to 11L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    spark.catalog.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val out = Dedup.clusterRepresentatives(pairs, ids, "doc_id", driverEdgeLimit = 0)
+      .orderBy("id").as[(Long, Long)].collect()
+    assert(out.forall(_._2 == 1L)) // one component, min label 1
+    // only `edges` + the FINAL labels generation may remain cached; every
+    // superseded generation must be gone
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after - before <= 2, s"leaked cached generations: $before -> $after")
+    spark.catalog.clearCache()
+  }
+
   test("jaccardJoin (AllPairs prefix filter) == brute-force pairwise Jaccard") {
     val out = Dedup.jaccardJoin(docs, col("doc_id"), col("text"), 3, threshold = 0.5)
       .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()

@@ -63,6 +63,50 @@ class MultimodalSpec extends AnyFunSuite {
     assert(math.abs(f1(3).mean_intensity) < 1e-9) // empty payload → 0 intensity
   }
 
+  test("ImageIoDecoder: real PNG round trip, partition-parallel, analytic features") {
+    // ids 0..19 cover every (width, height) = (8+id%8, 8+id%5) combination
+    val ids = spark.range(0, 20).toDF("doc_id")
+    val media = Multimodal.syntheticImages(spark, ids).repartition(4)
+    // payloads are REAL PNGs (magic bytes), non-trivially sized
+    val heads = media.select(substring(col("payload"), 1, 8)).as[Array[Byte]].collect()
+    val pngMagic = Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte)
+    assert(heads.forall(_.take(4).sameElements(pngMagic)))
+    val out = Multimodal.decodeFeatures(spark, media, () => new Multimodal.ImageIoDecoder)
+      .collect().map(f => f.doc_id -> f).toMap
+    (0L until 20L).foreach { id =>
+      val f = out(id)
+      val w = (8 + id % 8).toInt
+      assert(f.width == w && f.height == (8 + id % 5).toInt && f.duration_ms == 0L)
+      val expMean = (0 until w).map(x => (x * 255) / (w - 1)).sum.toDouble / w
+      assert(math.abs(f.mean_intensity - expMean) < 1e-12,
+        s"id=$id mean ${f.mean_intensity} vs $expMean")
+    }
+  }
+
+  test("ImageIoDecoder: BMP decodes too; garbage/empty payloads yield the failure marker") {
+    val img = new java.awt.image.BufferedImage(5, 3, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 3).foreach(y => (0 until 5).foreach(x => img.setRGB(x, y, 0x646464))) // gray 100
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bos)
+    val media = Seq(
+      (1L, "image", bos.toByteArray),
+      (2L, "image", "not an image at all".getBytes("UTF-8")),
+      (3L, "image", Array.emptyByteArray))
+      .toDF("doc_id", "media_type", "payload")
+    val out = Multimodal.decodeFeatures(spark, media, () => new Multimodal.ImageIoDecoder)
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(out(1L).width == 5 && out(1L).height == 3 &&
+      math.abs(out(1L).mean_intensity - 100.0) < 1e-12)
+    assert(out(2L).width == -1 && out(2L).height == -1 && out(2L).mean_intensity == 0.0)
+    assert(out(3L).width == -1 && out(3L).height == -1)
+  }
+
+  test("pHash60: empty payload is explicit 0 on the guarded path") {
+    val h = Seq((1L, "")).toDF("id", "txt")
+      .select(Multimodal.pHash60(encode(col("txt"), "UTF-8"))).as[Long].head()
+    assert(h == 0L)
+  }
+
   test("pHash60: near-identical payloads within small Hamming; unrelated far; fixed-grid handles any length") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

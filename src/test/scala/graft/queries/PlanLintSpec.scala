@@ -25,7 +25,10 @@ class PlanLintSpec extends AnyFunSuite {
     "dedup_semantic",    // corpus × 8 broadcast seed centroids (cell assignment)
     "q22_inactive",      // × broadcast 1-row scalar-subquery aggregate
     "q_heavy_hitters_bound", // × broadcast 1-row count-min sketch
-    "text_ccnet_buckets")    // × broadcast 1-row total-count aggregate (as text_surprisal)
+    "text_ccnet_buckets",    // × broadcast 1-row total-count aggregate (as text_surprisal)
+    "ann_recall_at_5")       // × broadcast 1-row true-neighbor-count aggregate
+                             //   (plus the whitelisted sub-plans of the three
+                             //   ANN paths + brute force it composes)
 
   test("no gate query plans a cartesian product; BNLJ only where whitelisted") {
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
