@@ -156,13 +156,15 @@ object DedupQueries extends QueryPack {
   // stays xxhash64 (fast path, same operator, covered by DedupSpec).
   private def qSimHash(s: SparkSession, dir: String): DataFrame =
     Dedup.simHashDuplicates(t(s, dir, "documents"), col("doc_id"), col("text"), maxDist = 3,
-      hasher = graft.functions.TextFunctions.md5Hash60)
+      hasher = graft.functions.TextFunctions.md5Hash60, sigBits = 60)
       .orderBy("id_a", "id_b")
 
   // The exact SQL dual, generated bit-by-bit: per-token 60-bit md5-prefix
   // hashes; simhash bit b = majority vote (ties set, matching SimHash64's
   // `2*count >= n`); bits 60-63 are always 0 for 60-bit inputs on both
-  // sides; 4 pigeonhole bands of 16 bits; pairwise Hamming via
+  // sides, so the 4 pigeonhole bands are 15 bits over the LIVE bit range
+  // (sigBits=60 — 16-bit bands would waste 4 dead bits of top-band entropy
+  // and triple the candidate volume at scale); pairwise Hamming via
   // bit_count(xor). All values stay positive (< 2^60), so shifts and masks
   // agree between engines' signed 64-bit lanes.
   private val qSimHashSql = {
@@ -175,7 +177,7 @@ object DedupQueries extends QueryPack {
        tok AS (SELECT doc_id, unnest(th) AS h FROM d),
        cnt AS (SELECT doc_id, count(*) AS n, $bitCounts FROM tok GROUP BY doc_id),
        sig AS (SELECT doc_id, $sigTerms AS s FROM cnt),
-       bands AS (SELECT doc_id, s, b, (s >> (16*b)) & 65535 AS v
+       bands AS (SELECT doc_id, s, b, (s >> (15*b)) & 32767 AS v
                  FROM sig CROSS JOIN (SELECT unnest([0,1,2,3]) AS b) bl),
        pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.s AS sa, b.s AS sb
                  FROM bands a JOIN bands b ON a.b = b.b AND a.v = b.v AND a.doc_id < b.doc_id)

@@ -184,11 +184,16 @@ object SimilarityQueries extends QueryPack {
 
   // -- product quantization + asymmetric distance (the memory-bound ANN path) ----
   // PQ: split the 64-d vector into M=4 subspaces of 16 dims; per subspace,
-  // K=4 seeded centroids (sub-vectors of the first 4 corpus rows — same
+  // K=16 seeded centroids (sub-vectors of the first 16 corpus rows — same
   // deterministic-seeding convention as IVF); each vector compresses to 4
-  // small codes (here 2 bits each — at scale 8 bits × 8-16 subspaces, the
+  // small codes (4 bits each — at scale 8 bits × 8-16 subspaces, the
   // standard 64-128× compression that lets a trillion-vector index live in
-  // RAM). Queries score candidates by ADC — the sum over subspaces of the
+  // RAM). K=16 over K=4 matters for retrieval quality, not just fidelity:
+  // 2-bit codes give only 256 distinct code words corpus-wide, so most
+  // candidates TIE on estimated distance and top-5 degenerates to the id
+  // tie-break (recall@5 ≈ 0.16 on the test corpus); 4-bit codes give 65536
+  // words and distinct estimates (recall pinned by ann_recall_at_5).
+  // Queries score candidates by ADC — the sum over subspaces of the
   // exact distance from the query's sub-vector to the NEIGHBOR'S ASSIGNED
   // CENTROID — so the corpus side only ever touches codes, never floats.
   //
@@ -199,7 +204,7 @@ object SimilarityQueries extends QueryPack {
   // corpus shuffles exactly once, for the per-(query, neighbor) sum. Fully
   // deterministic (seeded centroids, argmin and rank tie-breaks on id) →
   // oracle-checked.
-  private val (pqM, pqSubDim, pqK) = (4, 16, 4)
+  private val (pqM, pqSubDim, pqK) = (4, 16, 16)
 
   private def qAnnPq(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
@@ -256,10 +261,10 @@ object SimilarityQueries extends QueryPack {
   }
 
   private val qAnnPqSql =
-    """WITH ms AS (SELECT unnest([0,1,2,3]) AS m),
+    s"""WITH ms AS (SELECT unnest([0,1,2,3]) AS m),
        subs AS (SELECT vec_id, m, list_slice(embedding::DOUBLE[], m*16+1, m*16+16) AS sub
                 FROM embeddings CROSS JOIN ms),
-       csubs AS (SELECT vec_id AS cent_id, m, sub AS centsub FROM subs WHERE vec_id < 4),
+       csubs AS (SELECT vec_id AS cent_id, m, sub AS centsub FROM subs WHERE vec_id < $pqK),
        codes AS (
          -- argmin on the exact squared sum, matching Spark's l2sq ordering:
          -- sqrt (list_distance) can collapse 1-ulp-distinct distances into

@@ -272,6 +272,36 @@ class DedupSpec extends AnyFunSuite {
     assert(out(2L)._3 > 0L && out(2L)._3 < out(2L)._2) // partial overlap
   }
 
+  test("simHashDuplicates == brute-force Hamming pairs, incl. non-divisible band widths and sigBits=60") {
+    val rnd = new scala.util.Random(7)
+    val baseToks = Vector.fill(30)(rnd.alphanumeric.take(6).mkString)
+    val docs = (0 until 40).map { i =>
+      val t2 = (0 until rnd.nextInt(4)).foldLeft(baseToks)((v, _) =>
+        v.updated(rnd.nextInt(v.size), rnd.alphanumeric.take(6).mkString))
+      (i.toLong, t2.mkString(" "))
+    }.toDF("doc_id", "text")
+    // maxDist=2 → 3 bands over 64 bits (non-divisible: widths 22/21/21).
+    // The old fixed 64/3=21 banding covered only bits 0..62 — a pair whose
+    // third differing bit sat at bit 63 was silently missed.
+    for ((hasher, sigBits) <- Seq(
+        ((c: org.apache.spark.sql.Column) => xxhash64(c), 64),
+        ((c: org.apache.spark.sql.Column) => graft.functions.TextFunctions.md5Hash60(c), 60));
+        maxDist <- Seq(2, 3)) {
+      val got = Dedup.simHashDuplicates(docs, col("doc_id"), col("text"), maxDist,
+          hasher, sigBits)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val sigs = docs
+        .select(col("doc_id"), Dedup.simHash64(Dedup.tokenHashes(col("text"), hasher)).as("s"))
+        .as[(Long, Long)].collect()
+      val want = (for {
+        a <- sigs; b <- sigs
+        if a._1 < b._1 && java.lang.Long.bitCount(a._2 ^ b._2) <= maxDist
+      } yield (a._1, b._1)).toSet
+      assert(got == want, s"hasherBits=$sigBits maxDist=$maxDist: $got vs $want")
+      assert(want.nonEmpty, s"degenerate fixture at maxDist=$maxDist") // non-vacuous
+    }
+  }
+
   test("duplicatedSpanRuns: maximal span boundaries, gap split, within-doc repeats don't count") {
     val d = Seq(
       // docs 10/11 share "a b c d e f" (tokens 0-5 of 10, 2-7 of 11) and
