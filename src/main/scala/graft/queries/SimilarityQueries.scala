@@ -137,10 +137,14 @@ object SimilarityQueries extends QueryPack {
   // -- k seed centroids (deterministic seed vectors = first k corpus rows),
   // -- then search only the query's cell. Fully deterministic (seeded
   // -- centroids, argmin with cent_id tie-break) → oracle-checked.
-  private def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
+  /** IVF search over a given (cent_id, cent) table: assign every vector to
+    * its nearest centroid (the [[graft.operators.Dedup.assignCells]]
+    * broadcast-argmin map pass), then score only the query's cell. The
+    * centroid table is the pluggable index: seeded (ann_ivf_coarse) or
+    * k-means-trained (ann_ivf_trained).
+    */
+  private def ivfTop5(s: SparkSession, dir: String, cents: DataFrame): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    val cents = emb.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cent"))
     // shared assignment (one definition of the tie-break for IVF + SemDeDup)
     def assign(df: DataFrame): DataFrame =
       graft.operators.Dedup.assignCells(df, col("vec_id"), col("embedding"), cents)
@@ -162,17 +166,37 @@ object SimilarityQueries extends QueryPack {
       .orderBy("query_id", "rn")
   }
 
-  private val qAnnIvfSql =
-    """WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent FROM embeddings WHERE vec_id < 8),
-       assigned AS (
-         -- argmin on the exact squared sum (see ann_pq_adc's codes CTE)
+  private def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    ivfTop5(s, dir, emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent")))
+  }
+
+  /** IVF over cells TRAINED by [[graft.operators.KMeans]] (k=8, 2 Lloyd
+    * iterations) instead of raw seed rows — the production IVF shape
+    * (FAISS-style coarse quantizer). Its recall sits next to the seeded
+    * variant's in ann_recall_at_5, so the value of training is itself an
+    * oracle-pinned number.
+    */
+  private def qAnnIvfTrained(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    ivfTop5(s, dir,
+      graft.operators.KMeans.fit(emb, col("vec_id"), col("embedding"), k = 8, iters = 2))
+  }
+
+  /** The search body given a cents CTE (cent_id, cent): assignment argmin on
+    * the exact squared sum (see ann_pq_adc's codes CTE), cell-restricted
+    * scoring, top-5.
+    */
+  private def ivfSqlBody(centsCte: String) =
+    s"""assigned AS (
          SELECT vec_id, embedding, cent_id FROM (
            SELECT e.vec_id, e.embedding, c.cent_id,
              row_number() OVER (PARTITION BY e.vec_id
                ORDER BY list_sum(list_transform(range(1, 65),
                  i -> (e.embedding[i]::DOUBLE - c.cent[i]::DOUBLE)
                     * (e.embedding[i]::DOUBLE - c.cent[i]::DOUBLE))) ASC, c.cent_id) AS arn
-           FROM embeddings e CROSS JOIN cents c) WHERE arn = 1),
+           FROM embeddings e CROSS JOIN $centsCte c) WHERE arn = 1),
        q AS (SELECT vec_id AS query_id, embedding AS q_emb, cent_id FROM assigned WHERE vec_id < 10),
        scored AS (
          SELECT q.query_id, a.vec_id AS neighbor_id,
@@ -181,6 +205,10 @@ object SimilarityQueries extends QueryPack {
        SELECT query_id, neighbor_id, round(cos, 4) AS cos, CAST(rn AS INT) AS rn FROM (
          SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
          FROM scored) WHERE rn <= 5 ORDER BY query_id, rn"""
+
+  private val qAnnIvfSql =
+    s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent FROM embeddings WHERE vec_id < 8),
+       ${ivfSqlBody("cents")}"""
 
   // -- product quantization + asymmetric distance (the memory-bound ANN path) ----
   // PQ: split the 64-d vector into M=4 subspaces of 16 dims; per subspace,
@@ -312,6 +340,7 @@ object SimilarityQueries extends QueryPack {
     val brute = bruteTop5(s, dir).select(col("query_id"), col("neighbor_id"))
     val paths = Seq(
       "ann_ivf_coarse" -> qAnnIvf(s, dir),
+      "ann_ivf_trained" -> qAnnIvfTrained(s, dir),
       "ann_pq_adc" -> qAnnPq(s, dir),
       "ann_rhp_lsh" -> lshTop5(s, dir))
     val retrieved = paths.map { case (name, df) =>
@@ -330,17 +359,22 @@ object SimilarityQueries extends QueryPack {
       .orderBy("path")
   }
 
-  /** Oracle dual: the three path SQLs and the brute SQL inlined as
-    * subqueries (DuckDB permits WITH inside a parenthesized subquery), so
-    * the oracle re-derives every path end-to-end and then the recall join.
+  /** Oracle dual: the path SQLs and the brute SQL inlined as subqueries
+    * (DuckDB permits WITH inside a parenthesized subquery), so the oracle
+    * re-derives every path — including the full k-means training chain of
+    * the trained-IVF path — end-to-end and then the recall join. (lazy: it
+    * textually references SQL vals declared further down the object; by the
+    * time the `oracles` map forces it, they are initialized.)
     */
-  private val qAnnRecallSql =
+  private lazy val qAnnRecallSql =
     s"""WITH brute AS (SELECT query_id, neighbor_id FROM ($qKnnSql)),
        ivf AS (SELECT query_id, neighbor_id FROM ($qAnnIvfSql)),
+       ivftr AS (SELECT query_id, neighbor_id FROM ($qAnnIvfTrainedSql)),
        pq AS (SELECT query_id, neighbor_id FROM ($qAnnPqSql)),
        lsh AS (SELECT query_id, neighbor_id FROM ($qAnnLshSql)),
        allp AS (
          SELECT 'ann_ivf_coarse' AS path, query_id, neighbor_id FROM ivf
+         UNION ALL SELECT 'ann_ivf_trained', query_id, neighbor_id FROM ivftr
          UNION ALL SELECT 'ann_pq_adc', query_id, neighbor_id FROM pq
          UNION ALL SELECT 'ann_rhp_lsh', query_id, neighbor_id FROM lsh),
        tot AS (SELECT count(*) AS n_true FROM brute)
@@ -350,6 +384,69 @@ object SimilarityQueries extends QueryPack {
          round(sum(CASE WHEN b.query_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / n_true, 4) AS recall_at_5
        FROM allp a LEFT JOIN brute b USING (query_id, neighbor_id) CROSS JOIN tot
        GROUP BY path, n_true ORDER BY path"""
+
+  // -- distributed k-means (the trainer for SemDeDup / IVF centroid tables) -------
+  // Two Lloyd iterations from the deterministic seed convention (first 8
+  // corpus rows), then the final assignment's membership counts plus the
+  // leading centroid components. The oracle re-derives the ENTIRE trainer —
+  // three assignment passes and two rounded mean updates — in SQL, so the
+  // iterative operator itself is hash-verified, not just one step.
+  private def qKmeans(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cents = graft.operators.KMeans.fit(emb, col("vec_id"), col("embedding"), k = 8, iters = 2)
+    val counts = graft.operators.Dedup.assignCells(emb, col("vec_id"), col("embedding"), cents)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+    cents.join(counts, cents("cent_id") === counts("cell"), "left")
+      .select(cents("cent_id").as("cell"), coalesce(col("n"), lit(0L)).as("n"),
+        element_at(col("cent"), 1).as("c0"), element_at(col("cent"), 2).as("c1"))
+      .orderBy("cell")
+  }
+
+  private def kmAssign(cents: String, out: String) =
+    s"""$out AS (
+       SELECT vec_id, embedding, cell FROM (
+         SELECT e.vec_id, e.embedding, c.cent_id AS cell,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_sum(list_transform(range(1, 65),
+               i -> (e.embedding[i]::DOUBLE - c.cent[i]) * (e.embedding[i]::DOUBLE - c.cent[i]))) ASC,
+               c.cent_id) AS arn
+         FROM embeddings e CROSS JOIN $cents c) WHERE arn = 1)"""
+
+  private def kmUpdate(assignCte: String, prevCents: String, out: String) =
+    s"""${out}_u AS (
+         SELECT cell, pos, round(avg(v), 6) AS c FROM (
+           SELECT cell, generate_subscripts(embedding, 1) AS pos,
+                  unnest(embedding::DOUBLE[]) AS v
+           FROM $assignCte) GROUP BY 1, 2),
+       $out AS (
+         SELECT p.cent_id, coalesce(u.cent, p.cent) AS cent
+         FROM $prevCents p LEFT JOIN (
+           SELECT cell AS cent_id, list(c ORDER BY pos) AS cent
+           FROM ${out}_u GROUP BY 1) u USING (cent_id))"""
+
+  /** The k=8, iters=2 training chain (KMeans.fit's oracle dual): seeds →
+    * assign → rounded-mean update, twice; final centroids land in CTE c2.
+    */
+  private val kmTrainCtes =
+    s"""c0 AS (SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cent
+           FROM embeddings WHERE vec_id < 8),
+       ${kmAssign("c0", "a1")},
+       ${kmUpdate("a1", "c0", "c1")},
+       ${kmAssign("c1", "a2")},
+       ${kmUpdate("a2", "c1", "c2")}"""
+
+  private val qKmeansSql =
+    s"""WITH $kmTrainCtes,
+       ${kmAssign("c2", "a3")}
+       SELECT cc.cent_id AS cell, CAST(coalesce(cnt.n, 0) AS BIGINT) AS n,
+         cc.cent[1] AS c0, cc.cent[2] AS c1
+       FROM c2 cc LEFT JOIN (SELECT cell, count(*) AS n FROM a3 GROUP BY 1) cnt
+         ON cnt.cell = cc.cent_id
+       ORDER BY cell"""
+
+  private val qAnnIvfTrainedSql =
+    s"""WITH $kmTrainCtes,
+       ${ivfSqlBody("c2")}"""
 
   // -- vector stats (dot/norm plumbing oracle) -----------------------------------
   private def qEmbStats(s: SparkSession, dir: String): DataFrame =
@@ -434,6 +531,8 @@ object SimilarityQueries extends QueryPack {
     "emb_outliers" -> (qEmbOutliers _),
     "ann_rhp_lsh" -> (qAnnLsh _),
     "ann_ivf_coarse" -> (qAnnIvf _),
+    "ann_ivf_trained" -> (qAnnIvfTrained _),
+    "emb_kmeans" -> (qKmeans _),
     "emb_stats" -> (qEmbStats _),
     "emb_label_centroids" -> (qCentroids _))
 
@@ -444,6 +543,8 @@ object SimilarityQueries extends QueryPack {
     "emb_outliers" -> qEmbOutliersSql,
     "ann_rhp_lsh" -> qAnnLshSql,
     "ann_ivf_coarse" -> qAnnIvfSql,
+    "ann_ivf_trained" -> qAnnIvfTrainedSql,
+    "emb_kmeans" -> qKmeansSql,
     "emb_stats" -> qEmbStatsSql,
     "emb_label_centroids" -> qCentroidsSql)
 }

@@ -26,9 +26,11 @@ class PlanLintSpec extends AnyFunSuite {
     "q22_inactive",      // × broadcast 1-row scalar-subquery aggregate
     "q_heavy_hitters_bound", // × broadcast 1-row count-min sketch
     "text_ccnet_buckets",    // × broadcast 1-row total-count aggregate (as text_surprisal)
-    "ann_recall_at_5")       // × broadcast 1-row true-neighbor-count aggregate
+    "ann_recall_at_5",       // × broadcast 1-row true-neighbor-count aggregate
                              //   (plus the whitelisted sub-plans of the three
                              //   ANN paths + brute force it composes)
+    "emb_kmeans",            // corpus × broadcast k-centroid row (assignCells)
+    "ann_ivf_trained")       // same assignCells broadcast, trained centroids
 
   test("no gate query plans a cartesian product; BNLJ only where whitelisted") {
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
