@@ -37,7 +37,7 @@ object BenchScale {
     fs.mkdirs()
 
     def reps(df: DataFrame)(copy: (DataFrame, Int) => DataFrame): DataFrame =
-      (0 until Reps).map(k => copy(df, k)).reduce(_ unionAll _)
+      (0 until Reps).map(k => copy(df, k)).reduce(_ union _)
 
     val docs = spark.read.parquet(s"$srcDir/documents.parquet")
     val nDocs = docs.agg(max(col("doc_id"))).head().getLong(0) + 1

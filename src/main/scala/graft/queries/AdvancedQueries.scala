@@ -226,7 +226,33 @@ object AdvancedQueries extends QueryPack {
     """SELECT event_type, count(*) AS exact, true AS cms_lower_ok, true AS cms_upper_ok
        FROM events GROUP BY event_type ORDER BY event_type"""
 
+  // -- Z-order curve values (the data-layout key, bit-exact in SQL) ---------------
+  // The interleaved key Compaction.zorderWrite clusters by; computing it on
+  // order/customer keys pins the bit arithmetic against the oracle (the
+  // layout EFFECT — multi-dimensional file pruning — is asserted by
+  // ZOrderSpec's scan-row-count comparison, which SQL can't express).
+  private def qZorder(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(col("o_orderkey") < 500)
+      .select(col("o_orderkey"),
+        (col("o_orderkey") % 1024).as("zx"),
+        (col("o_custkey") % 1024).as("zy"),
+        graft.operators.Compaction.zorder(
+          col("o_orderkey") % 1024, col("o_custkey") % 1024, bits = 10).as("z"))
+      .orderBy("o_orderkey")
+
+  private val qZorderSql = {
+    // fully parenthesized: << vs & vs | precedence is not portable SQL
+    val terms = (0 until 10).map(i =>
+      s"((((o_orderkey % 1024) >> $i) & 1) << ${2 * i}) + ((((o_custkey % 1024) >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" + ")
+    s"""SELECT o_orderkey, o_orderkey % 1024 AS zx, o_custkey % 1024 AS zy,
+       CAST($terms AS BIGINT) AS z
+       FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey"""
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_zorder_value" -> (qZorder _),
     "q_heavy_hitters_bound" -> (qHeavyHitters _),
     "q_approx_distinct_bound" -> (qApproxDistinct _),
     "q_approx_quantile_bound" -> (qApproxQuantile _),
@@ -240,6 +266,7 @@ object AdvancedQueries extends QueryPack {
     "pipeline_training_set" -> (qTrainingSet _))
 
   override val oracles: Map[String, String] = Map(
+    "q_zorder_value" -> qZorderSql,
     "q_heavy_hitters_bound" -> qHeavyHittersSql,
     "q_approx_distinct_bound" -> qApproxDistinctSql,
     "q_approx_quantile_bound" -> qApproxQuantileSql,

@@ -345,7 +345,7 @@ object SimilarityQueries extends QueryPack {
       "ann_rhp_lsh" -> lshTop5(s, dir))
     val retrieved = paths.map { case (name, df) =>
       df.select(lit(name).as("path"), col("query_id"), col("neighbor_id"))
-    }.reduce(_ unionAll _)
+    }.reduce(_ union _)
     val bruteTotal = brute.agg(count(lit(1)).as("n_true"))
     retrieved
       .join(broadcast(brute.withColumn("__hit", lit(1))),

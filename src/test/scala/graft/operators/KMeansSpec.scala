@@ -25,9 +25,9 @@ class KMeansSpec extends AnyFunSuite {
     assert(near(c(2)._2, Seq(-10.0, 4.9667)))
     val assigned = Dedup.assignCells(vecs, col("vec_id"), col("v"), cents)
       .select(col("__id").as[Long], col("cell").as[Long]).collect().toMap
-    assert(assigned.filterKeys(Set(1L, 4L, 5L)).values.toSet == Set(1L))
-    assert(assigned.filterKeys(Set(2L, 6L, 7L)).values.toSet == Set(2L))
-    assert(assigned.filterKeys(Set(3L, 8L, 9L)).values.toSet == Set(3L))
+    assert(Set(1L, 4L, 5L).map(assigned) == Set(1L))
+    assert(Set(2L, 6L, 7L).map(assigned) == Set(2L))
+    assert(Set(3L, 8L, 9L).map(assigned) == Set(3L))
     // deterministic across runs
     val c2 = KMeans.fit(vecs, col("vec_id"), col("v"), k = 3, iters = 3)
       .orderBy("cent_id").as[(Long, Seq[Double])].collect()
