@@ -25,9 +25,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, I
   * this is the same preference rung as [[DotProduct]]/[[RhpSignature]].
   *
   * Null handling: null vector or null centroid-array yields null; an EMPTY
-  * centroid array, a null centroid element, or a length-mismatched centroid
-  * also yield null (the poisoned-sum semantics `l2sq` has on ragged input —
-  * there is no meaningful argmin to return).
+  * centroid array, a null centroid element, a length-mismatched centroid,
+  * or a null ELEMENT inside the vector or any centroid also yield null (the
+  * poisoned-sum semantics `l2sq` has on null/ragged input — there is no
+  * meaningful argmin to return; reading a null slot as 0.0 would return a
+  * confidently wrong index). Element checks are generated only when the
+  * array type's containsNull says they can occur.
   */
 final case class ArgminL2(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -54,6 +57,11 @@ final case class ArgminL2(left: Expression, right: Expression)
   private def centIsFloat: Boolean =
     right.dataType.asInstanceOf[ArrayType].elementType
       .asInstanceOf[ArrayType].elementType == FloatType
+  private def vecMayHoldNull: Boolean =
+    left.dataType.asInstanceOf[ArrayType].containsNull
+  private def centMayHoldNull: Boolean =
+    right.dataType.asInstanceOf[ArrayType].elementType
+      .asInstanceOf[ArrayType].containsNull
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val vec = a.asInstanceOf[ArrayData]
@@ -73,6 +81,8 @@ final case class ArgminL2(left: Expression, right: Expression)
       var s = 0.0
       var i = 0
       while (i < n) {
+        if ((vecMayHoldNull && vec.isNullAt(i)) || (centMayHoldNull && c.isNullAt(i)))
+          return null
         val d = (if (vf) vec.getFloat(i).toDouble else vec.getDouble(i)) -
           (if (cf) c.getFloat(i).toDouble else c.getDouble(i))
         s += d * d
@@ -97,23 +107,34 @@ final case class ArgminL2(left: Expression, right: Expression)
       val d = ctx.freshName("d")
       val best = ctx.freshName("best")
       val bestIdx = ctx.freshName("bestIdx")
+      val bad = ctx.freshName("bad")
+      val nullElemCheck =
+        if (vecMayHoldNull || centMayHoldNull) {
+          val checks = Seq(
+            if (vecMayHoldNull) Some(s"$vec.isNullAt($i)") else None,
+            if (centMayHoldNull) Some(s"$c.isNullAt($i)") else None).flatten
+          s"if (${checks.mkString(" || ")}) { $bad = true; break; }"
+        } else ""
       s"""
          |final int $n = $vec.numElements();
          |final int $k = $cents.numElements();
          |double $best = Double.POSITIVE_INFINITY;
          |int $bestIdx = -1;
+         |boolean $bad = false;
          |for (int $j = 0; $j < $k; $j++) {
-         |  if ($cents.isNullAt($j)) { $bestIdx = -1; break; }
+         |  if ($cents.isNullAt($j)) { $bad = true; break; }
          |  org.apache.spark.sql.catalyst.util.ArrayData $c = $cents.getArray($j);
-         |  if ($c.numElements() != $n) { $bestIdx = -1; break; }
+         |  if ($c.numElements() != $n) { $bad = true; break; }
          |  double $s = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullElemCheck
          |    double $d = (double) $vec.$getV($i) - (double) $c.$getC($i);
          |    $s += $d * $d;
          |  }
+         |  if ($bad) break;
          |  if ($s < $best) { $best = $s; $bestIdx = $j; }
          |}
-         |if ($bestIdx < 0) {
+         |if ($bad || $bestIdx < 0) {
          |  ${ev.isNull} = true;
          |} else {
          |  ${ev.value} = $bestIdx;

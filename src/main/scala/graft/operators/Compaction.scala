@@ -66,11 +66,19 @@ object Compaction {
     */
   def zorder(x: Column, y: Column, bits: Int = 16): Column = {
     require(bits > 0 && bits <= 31, "bits must be in [1, 31]")
+    val lim = 1L << bits
     val (xl, yl) = (x.cast("long"), y.cast("long"))
-    (0 until bits).map { i =>
+    val z = (0 until bits).map { i =>
       shiftleft(shiftright(xl, i).bitwiseAND(lit(1L)), 2 * i) +
         shiftleft(shiftright(yl, i).bitwiseAND(lit(1L)), 2 * i + 1)
     }.reduce(_ + _)
+    // inputs beyond `bits` would silently ALIAS (high bits discarded):
+    // distant rows share a z value, files keep wide min/max ranges, and the
+    // pruning promise silently fails — fail loudly instead
+    when(xl < 0 || xl >= lim || yl < 0 || yl >= lim,
+      raise_error(concat(lit(s"zorder: inputs must be in [0, $lim): ("),
+        xl.cast("string"), lit(", "), yl.cast("string"), lit(")"))).cast("long"))
+      .otherwise(z)
   }
 
   /** Z-order clustered layout: range-partition on the interleaved key (file

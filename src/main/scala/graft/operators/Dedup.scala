@@ -348,12 +348,13 @@ object Dedup {
     // Checkpointing makes every round's plan constant-size; the superseded
     // generation's checkpoint storage is dropped as soon as the next one
     // materializes, so at most two corpus-sized generations are ever live.
-    // `edges` and the FINAL labels stay cached for the caller (same
-    // clearCache contract as minHashDuplicates).
-    def dropCheckpoint(df: DataFrame): Unit = df.queryExecution.logical match {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(blocking = false)
-      case _ => ()
-    }
+    // `edges` stays catalog-cached (clearCache frees it, as with
+    // minHashDuplicates). The FINAL labels generation is RDD-level
+    // checkpoint storage, which catalog.clearCache() does NOT touch — it
+    // cannot be dropped here (localCheckpoint truncates lineage, so
+    // unpersisting it would destroy the very data the returned frame
+    // serves); it is freed by the ContextCleaner once the caller releases
+    // the returned DataFrame.
     var labels = ids.select(col(idCol).as("id"), col(idCol).as("rep"))
     var labelsCheckpointed = false
     var iter = 0
@@ -368,7 +369,7 @@ object Dedup {
         .localCheckpoint() // eager: materializes + truncates lineage
       val changed = next.join(labels.withColumnRenamed("rep", "prev"), "id")
         .filter(col("rep") =!= col("prev")).limit(1).count() > 0
-      if (labelsCheckpointed) dropCheckpoint(labels)
+      if (labelsCheckpointed) dropLocalCheckpoint(labels)
       labels = next
       labelsCheckpointed = true
       converged = !changed
@@ -376,6 +377,17 @@ object Dedup {
     }
     labels
   }
+
+  /** Drop the checkpoint storage behind a localCheckpoint'd frame — the
+    * cleanup for SUPERSEDED generations of an iterative loop (the frame must
+    * never be read again: localCheckpoint truncates lineage, so the dropped
+    * data is not recomputable).
+    */
+  private[operators] def dropLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   /** Exact cosine-similarity self-join via BLOCK-PAIR decomposition — the
     * scale-shaped plan for exhaustive pairwise scoring.
@@ -574,7 +586,16 @@ object Dedup {
     df.select(id.as("__id"), vec.as("__v"))
       .crossJoin(centArr)
       .select(col("__id"), col("__v"),
-        element_at(col("__cids"), argminL2(col("__v"), col("__cents")) + 1).as("cell"))
+        argminL2(col("__v"), col("__cents")).as("__am"), col("__cids"))
+      // argmin is null when no centroid applies (empty centroid table, null
+      // vector, dimension mismatch) — drop those rows BEFORE element_at so
+      // (a) the degenerate empty-centroids input yields an EMPTY frame, as
+      // the pre-ArgminL2 formulation did, and (b) ANSI element_at never
+      // sees a null index (its codegen error check fires on the slot's
+      // default value even for null inputs)
+      .filter(col("__am").isNotNull)
+      .select(col("__id"), col("__v"),
+        element_at(col("__cids"), col("__am") + 1).as("cell"))
   }
 
   def semanticDuplicates(df: DataFrame, id: Column, vec: Column,
@@ -632,15 +653,23 @@ object Dedup {
   def simHashDuplicates(df: DataFrame, id: Column, text: Column, maxDist: Int,
       hasher: Column => Column = xxhash64(_), sigBits: Int = 64): DataFrame = {
     require(sigBits > 0 && sigBits <= 64, "sigBits must be in (0, 64]")
+    // each band needs >= 1 live bit — zero-width bands would mask to 0 and
+    // merge the whole corpus into one bucket
+    require(maxDist >= 0 && maxDist + 1 <= sigBits,
+      s"maxDist + 1 (${maxDist + 1}) bands need at least that many live bits ($sigBits)")
     val nBands = maxDist + 1
     val starts = (0 to nBands).map(b => (b * sigBits) / nBands)
+    // width == 64 (the single-band maxDist=0, sigBits=64 case) must mask to
+    // all-ones: (1L << 64) is 1L on the JVM (shift count mod 64), so the
+    // naive (1L << width) - 1 would collapse every signature to bucket 0
+    def mask(width: Int): Long = if (width == 64) -1L else (1L << width) - 1
     val sigs = spread(df, id)
       .select(id.as("__id"), tokenHashes(text, hasher).as("__th"))
       .select(col("__id"), simHash64(col("__th")).as("__sig"))
     val banded = sigs.select(col("__id"), col("__sig"), posexplode(
       array((0 until nBands).map { b =>
         val width = starts(b + 1) - starts(b)
-        shiftright(col("__sig"), starts(b)).bitwiseAND(lit((1L << width) - 1))
+        shiftright(col("__sig"), starts(b)).bitwiseAND(lit(mask(width)))
       }: _*)).as(Seq("band_idx", "band_val")))
     // Bucket-group (one pass, one shuffle) rather than a self-join that
     // would recompute hashing+signatures per side; signatures ride along in

@@ -53,10 +53,12 @@ object KMeans {
           transform(col("pc"), p => p.getField("c")).as("newc"))
       // a cell that captured no points keeps its previous centroid (k is
       // preserved; the standard empty-cluster policy short of re-seeding)
-      cents = cents
+      val next = cents
         .join(updated, Seq("cent_id"), "left")
         .select(col("cent_id"), coalesce(col("newc"), col("cent")).as("cent"))
         .localCheckpoint()
+      Dedup.dropLocalCheckpoint(cents) // superseded generation (k rows)
+      cents = next
     }
     cents
   }

@@ -159,9 +159,13 @@ object Multimodal {
     */
   final class ImageIoDecoder extends MediaDecoder {
     override def decode(mediaType: String, payload: Array[Byte]): MediaFeatures.Raw = {
+      // NonFatal, not just IOException: the JDK codec plugins throw runtime
+      // exceptions (IndexOutOfBounds, NegativeArraySize, CMMException, …) on
+      // corrupt payloads — any of them must become the failure marker, not a
+      // task failure
       val img =
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-        catch { case _: java.io.IOException => null }
+        catch { case scala.util.control.NonFatal(_) => null }
       if (img == null) MediaFeatures.Raw(-1, -1, 0L, 0.0)
       else {
         val (w, h) = (img.getWidth, img.getHeight)
@@ -192,8 +196,12 @@ object Multimodal {
     * media column to decode).
     */
   def syntheticPng(id: Long): Array[Byte] = {
-    val w = (8 + (id % 8)).toInt
-    val h = (8 + (id % 5)).toInt
+    // floorMod: Scala % yields negative remainders for negative ids, which
+    // would make w = 1 and the gradient divide 0/0. The SQL dual's closed
+    // form applies to the (non-negative) fixture id domain; floorMod keeps
+    // the function total on any long without changing it there.
+    val w = 8 + java.lang.Math.floorMod(id, 8L).toInt
+    val h = 8 + java.lang.Math.floorMod(id, 5L).toInt
     val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
     while (y < h) {

@@ -76,6 +76,23 @@ class VectorFunctionsSpec extends AnyFunSuite {
     assert(nv(0).isNullAt(0))
   }
 
+  test("argminL2: null ELEMENT in vector or centroid yields null, not a 0.0-substituted index") {
+    val cents = array(
+      array(lit(0.0), lit(0.0)),
+      array(lit(5.0), lit(5.0)))
+    // vector with a null element: reading it as 0.0 would confidently pick
+    // centroid 0 — the l2sq poisoned-null contract demands null instead
+    val vNull = Seq(Tuple1(Seq[Option[Double]](Some(1.0), None)))
+      .toDF("v").select(col("v").cast("array<double>").as("v"))
+    assert(vNull.select(argminL2(col("v"), cents)).collect()(0).isNullAt(0))
+    // centroid with a null element likewise
+    val centsNull = array(
+      array(lit(0.0), org.apache.spark.sql.functions.lit(null).cast("double")),
+      array(lit(5.0), lit(5.0)))
+    val vOk = Seq(Tuple1(Array(0.1, 0.1))).toDF("v")
+    assert(vOk.select(argminL2(col("v"), centsNull)).collect()(0).isNullAt(0))
+  }
+
   test("argminL2: interpreted eval matches codegen (double centroids vs float vec)") {
     // double-element centroids (the collect_list path can carry either type)
     val cents = array(

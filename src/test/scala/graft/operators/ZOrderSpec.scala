@@ -29,6 +29,14 @@ class ZOrderSpec extends AnyFunSuite {
     assert(ref(0, 0, 10) == 0 && ref(1, 0, 10) == 1 && ref(0, 1, 10) == 2 && ref(1, 1, 10) == 3)
   }
 
+  test("zorder rejects out-of-range inputs instead of silently aliasing high bits") {
+    val bad = Seq((70000L, 1L)).toDF("x", "y")
+      .select(Compaction.zorder(col("x"), col("y"), 16))
+    val e = intercept[Exception](bad.collect())
+    assert(e.getMessage != null && e.toString.toLowerCase.contains("zorder"),
+      s"expected the zorder range error, got $e")
+  }
+
   test("narrow y-slice prunes most of the z layout, none of the x-sorted layout") {
     val tmp = java.nio.file.Files.createTempDirectory("zorder").toString
     val n = 256
