@@ -47,7 +47,7 @@ object Main {
       flags.get("config").map(c => s"""{"type":"CONFIG","config":${fileOrInline(c)}}"""),
       flags.get("state").map(s => s"""{"type":"STATE","state":{"data":${fileOrInline(s)}}}"""),
       flags.get("catalog").map(c => s"""{"type":"CATALOG","catalog":${fileOrInline(c)}}""")).flatten
-    val rc = RunConfig.parse(control.iterator, src.streamDefs.map(_.name))
+    val rc = RunConfig.parse(control.iterator)
     val client = Connector.transport(src, new JdkHttpClient())
     Connector.handle(src, cmd, rc, out, client)
   }

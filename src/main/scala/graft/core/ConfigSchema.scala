@@ -28,9 +28,24 @@ object ConfigSchema {
         case t if t == classOf[Boolean] || t == classOf[java.lang.Boolean] => """"type":"boolean""""
         case _ => """"type":"string""""
       }
+      // defaults typed to the field (an integer field's default must be an
+      // unquoted number, not "5"); hints/string defaults JSON-escaped — a
+      // quote or backslash in either would otherwise emit malformed spec
+      // JSON
+      def jstr(s: String): String = Json.write(Json.mapper.valueToTree(s))
+      val isNum = Seq(classOf[Int], classOf[Long], classOf[Double], classOf[Float],
+        classOf[java.lang.Integer], classOf[java.lang.Long],
+        classOf[java.lang.Double], classOf[java.lang.Float]).contains(f.getType)
+      val isBool = f.getType == classOf[Boolean] || f.getType == classOf[java.lang.Boolean]
       val extra =
-        defaults.get(f.getName).map(d => s""","default":"$d"""").getOrElse("") +
-          hints.get(f.getName).map(h => s""","description":"$h"""").getOrElse("")
+        defaults.get(f.getName).map { d =>
+          val raw =
+            if (isNum && d.toDoubleOption.isDefined) d
+            else if (isBool && (d == "true" || d == "false")) d
+            else jstr(d)
+          s""","default":$raw"""
+        }.getOrElse("") +
+          hints.get(f.getName).map(h => s""","description":${jstr(h)}""").getOrElse("")
       s""""${f.getName}":{$base$extra}"""
     }
     val required = fields.map(f => s""""${f.getName}"""").mkString(",")

@@ -102,7 +102,7 @@ final case class SourceDef(
     * `sourcedef.go:120-126`, `proto.go:299-303`).
     */
   def spec: String =
-    s"""{"documentationUrl":"$docsUrl","supportsIncremental":$supportsIncremental,"connectionSpecification":$configSchema}"""
+    s"""{"documentationUrl":${Json.write(Json.mapper.valueToTree(docsUrl))},"supportsIncremental":$supportsIncremental,"connectionSpecification":$configSchema}"""
 }
 
 object Connector {
@@ -173,8 +173,14 @@ object Connector {
     w.writeStatus(failed.isEmpty, failed.mkString("; "))
   }
 
+  /** CATALOG selection predicate — applies to EVERY stream kind (http,
+    * file, db, manual); None = all selected.
+    */
+  private def isSelected(rc: RunConfig)(name: String): Boolean =
+    rc.selectedStreams.forall(_.contains(name))
+
   private def selected(src: SourceDef, rc: RunConfig): Seq[(StreamDef, HttpRunner)] =
-    src.httpStreams.filter { case (sd, _) => rc.selectedStreams.forall(_.contains(sd.name)) }
+    src.httpStreams.filter { case (sd, _) => isSelected(rc)(sd.name) }
 
   /** Full sync: streams run concurrently bounded by `src.concurrency`
     * (reference errgroup + semaphore throttler, `sourcedef.go:153-186`);
@@ -185,6 +191,12 @@ object Connector {
   private def read(src: SourceDef, rc: RunConfig, w: ProtoWriter, httpClient: HttpClient): Unit = {
     val streams = selected(src, rc)
     streams.foreach { case (sd, _) => w.openStream(sd) }
+    // manual streams are opened UP FRONT too: the Singer dialect emits each
+    // stream's SCHEMA from openStream, and a RECORD with no preceding
+    // SCHEMA is rejected by real Singer targets; Airbyte's openStream is a
+    // registration no-op, so this is dialect-safe
+    val manualOk = isSelected(rc) _
+    src.manualStreams.filter(sd => manualOk(sd.name)).foreach(w.openStream)
     val lock = new Object
     val firstError = new AtomicReference[Throwable]()
     val pool = java.util.concurrent.Executors.newFixedThreadPool(math.max(1, src.concurrency))
@@ -212,12 +224,19 @@ object Connector {
         val ctx = new ManualContext {
           override val client: HttpClient = httpClient
           override val config: Option[JsonNode] = rc.config
-          override def stream(name: String): ManualStream = new ManualStream {
-            override def emit(recordJson: String): Unit =
-              lock.synchronized(w.writeRecord(name, recordJson))
-            override def emitState(stateJson: String): Unit =
-              lock.synchronized(w.writeState(name, stateJson))
-          }
+          override def stream(name: String): ManualStream =
+            // a CATALOG-deselected manual stream swallows its emissions —
+            // the runner may push to several streams and must not break
+            // when one is deselected, but deselected records must not leak
+            if (!manualOk(name)) new ManualStream {
+              override def emit(recordJson: String): Unit = ()
+              override def emitState(stateJson: String): Unit = ()
+            } else new ManualStream {
+              override def emit(recordJson: String): Unit =
+                lock.synchronized(w.writeRecord(name, recordJson))
+              override def emitState(stateJson: String): Unit =
+                lock.synchronized(w.writeState(name, stateJson))
+            }
         }
         src.manualRunners.foreach { r =>
           try r.run(ctx)
@@ -262,14 +281,19 @@ object Connector {
         }(org.apache.spark.sql.Encoders.STRING)
       sd.name -> spark.read.schema(sd.schema).json(records)
     }
-    val files = src.fileStreams.map { case (sd, pathOf) =>
-      sd.name -> spark.read.schema(sd.schema).parquet(pathOf(baseDir))
-    }
+    // file/db streams honor the CATALOG selection exactly like http streams
+    // ("every (selected) stream" is the documented contract — a deselected
+    // db stream must not issue JDBC work once acted on)
+    val files = src.fileStreams.filter { case (sd, _) => isSelected(rc)(sd.name) }
+      .map { case (sd, pathOf) =>
+        sd.name -> spark.read.schema(sd.schema).parquet(pathOf(baseDir))
+      }
     // Db streams: native JDBC relation. Projection to the DECLARED columns is
     // pushed into the database's SELECT by Spark's JDBC source (as are simple
     // filters); with `partitioning` set the scan issues numPartitions range
     // queries in parallel from the executors (S11 scale path).
-    val dbs = src.dbStreams.map { case (sd, db) =>
+    val dbs = src.dbStreams.filter { case (sd, _) => isSelected(rc)(sd.name) }
+      .map { case (sd, db) =>
       val props = new java.util.Properties()
       db.properties.foreach { case (k, v) => props.setProperty(k, v) }
       val df = db.partitioning match {

@@ -35,9 +35,11 @@ object RunConfig {
 
   /** Parse the NDJSON control stream (reference `integ.Open`,
     * `proto.go:44-108`, incl. the global-state explode of `proto.go:90-101`:
-    * a state doc under key "" is a map streamName→state fanned out to each).
+    * a state doc under key "" is a map streamName→state fanned out by its
+    * OWN keys — the reference does not consult the stream registry here
+    * either, so this signature takes none).
     */
-  def parse(lines: Iterator[String], knownStreams: Seq[String]): RunConfig = {
+  def parse(lines: Iterator[String]): RunConfig = {
     var format = ""
     var config: Option[JsonNode] = None
     val states = mutable.Map[String, JsonNode]()
@@ -132,6 +134,13 @@ object ProtoWriter {
       case "singer" => new SingerWriter(out, clock)
       case other => throw new IllegalArgumentException(s"unknown format: $other")
     }
+
+  /** Registry membership — lets frontends reject an unknown format BEFORE
+    * committing a response status, mirroring the reference's `protos[format]`
+    * lookup failing before any output (`proto.go:103-107`).
+    */
+  def supported(format: String): Boolean =
+    format == "" || format == "airbyte" || format == "singer"
 }
 
 /** Airbyte NDJSON dialect (reference `pkg/airbyte/proto.go`,
@@ -199,6 +208,10 @@ final class SingerWriter(out: Writer, clock: () => Long) extends ProtoWriter {
     }}""")
   }
 
+  // time_extracted as INTEGER epoch seconds is deliberate reference wire
+  // parity (`pkg/singer/singer.go:29`, NewNumberInt(time.Now().Unix())) —
+  // the Singer spec itself says RFC3339, but compatibility with the
+  // reference's own consumers governs here.
   override def writeRecord(stream: String, dataJson: String): Unit =
     emit(s"""{"type":"RECORD","stream":"$stream","time_extracted":${clock() / 1000},"record":$dataJson}""")
 

@@ -27,15 +27,20 @@ final class FileStateStore(dir: String) {
   }
 
   def loadAll(): Map[String, JsonNode] = {
-    val it = Files.list(base).iterator()
-    val out = Map.newBuilder[String, JsonNode]
-    while (it.hasNext) {
-      val p = it.next()
-      val n = p.getFileName.toString
-      if (n.endsWith(".json"))
-        out += n.stripSuffix(".json") -> Json.parse(Files.readString(p))
-    }
-    out.result()
+    // Files.list must be closed (javadoc) — it holds a directory fd; a
+    // long-running server calling loadAll per sync would leak one per call
+    val stream = Files.list(base)
+    try {
+      val it = stream.iterator()
+      val out = Map.newBuilder[String, JsonNode]
+      while (it.hasNext) {
+        val p = it.next()
+        val n = p.getFileName.toString
+        if (n.endsWith(".json"))
+          out += n.stripSuffix(".json") -> Json.parse(Files.readString(p))
+      }
+      out.result()
+    } finally stream.close()
   }
 
   def save(stream: String, stateJson: String): Unit = {

@@ -38,16 +38,22 @@ final class HttpFrontend(
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
 
+  // A real pool, NOT setExecutor(null): the null executor runs every handler
+  // on the single dispatcher thread, so one long /read sync would serialize
+  // the entire multiplex frontend ("one server fronting many connectors").
+  private val pool = java.util.concurrent.Executors.newCachedThreadPool(
+    (r: Runnable) => { val t = new Thread(r, "graft-http"); t.setDaemon(true); t })
+
   def boundPort: Int = server.getAddress.getPort
 
   def start(): HttpFrontend = {
     server.createContext("/", handle _)
-    server.setExecutor(null)
+    server.setExecutor(pool)
     server.start()
     this
   }
 
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = { server.stop(0); pool.shutdown() }
 
   private def handle(ex: HttpExchange): Unit =
     try {
@@ -83,7 +89,18 @@ final class HttpFrontend(
           (connectors.get(connector), Cmd.parse(cmdStr)) match {
             case (Some(src), Some(cmd)) =>
               val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
-              val rc = RunConfig.parse(body.linesIterator, src.streamDefs.map(_.name))
+              val rc = RunConfig.parse(body.linesIterator)
+              // Validate the dialect BEFORE committing a response status:
+              // once respond() sends 200/chunked, a ProtoWriter failure
+              // inside the streaming lambda can only be swallowed and the
+              // client would see an empty success. The reference fails its
+              // protos[format] lookup before any output too
+              // (proto.go:103-107).
+              if (!graft.core.ProtoWriter.supported(rc.format)) {
+                respond(ex, 400, _.write(s"""{"error":${graft.core.Json.write(
+                  graft.core.Json.mapper.valueToTree(s"unknown format '${rc.format}'"))}}"""))
+                return
+              }
               // Full transport stack per request (retry OUTSIDE pacing, so
               // every physical attempt draws a token — matching Main and
               // Connector.transport's invariant; wrapping pacing around an

@@ -59,7 +59,12 @@ final class JdkHttpClient(timeoutMs: Long = 30000) extends HttpClient {
   // @transient: the JDK client object is not serializable; an instance that
   // already served a driver-side call must still ride into a task closure
   // (the deserialized copy lazily re-creates its transport).
+  // NORMAL redirect policy (http→https upgrades allowed, never downgrades):
+  // the JDK default is Redirect.NEVER, under which a 301-ing API endpoint
+  // passes RetryingClient (3xx is not an error there) and fails later with
+  // a cryptic JSON parse error on the redirect body
   @transient private lazy val client = java.net.http.HttpClient.newBuilder()
+    .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
     .connectTimeout(java.time.Duration.ofMillis(timeoutMs)).build()
   override def get(req: HttpRequest): HttpResponse = {
     val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(req.fullUrl))
@@ -94,7 +99,11 @@ final class RetryingClient(
           val delay = resp.header("Retry-After").flatMap(_.toLongOption).map(_ * 1000)
             .getOrElse(baseDelayMs << attempt)
           sleep(delay); attempt += 1
-        } else if (resp.status >= 400) {
+        } else if (resp.status >= 300) {
+          // >= 300, not 400: transports follow redirects themselves (see
+          // JdkHttpClient), so a surviving 3xx is a redirect loop / protocol
+          // downgrade / misconfiguration — surface it as an HTTP error
+          // instead of letting the caller JSON-parse an HTML redirect body
           throw new RuntimeException(s"HTTP ${resp.status} for ${req.fullUrl}: ${resp.body.take(200)}")
         } else return resp
       }

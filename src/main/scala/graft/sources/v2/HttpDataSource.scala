@@ -61,7 +61,15 @@ final class HttpTableProvider extends TableProvider with DataSourceRegister {
       properties: JMap[String, String]): Table = {
     val options = new CaseInsensitiveStringMap(properties)
     val (sd, _) = streamDefOf(options)
-    new HttpTable(sd.name, sd.schema, properties.asScala.toMap)
+    // Normalize option keys to lowercase ONCE at the provider boundary:
+    // downstream code does plain props.get(...) in several places, and
+    // option casing must not silently change behavior (e.g. .option("Total",
+    // ...) previously fell back to a single sequential partition). All
+    // literal lookups below this point use lowercase keys.
+    val normalized = properties.asScala.map {
+      case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v
+    }.toMap
+    new HttpTable(sd.name, sd.schema, normalized)
   }
 }
 
@@ -178,7 +186,8 @@ final class HttpScan(readSchema: StructType, val props: Map[String, String],
       case (off: Pagination.Offset, Some(n)) if n > off.num =>
         // one partition per page range: the DSv2 split of the reference's
         // offset loop (SURVEY §2 S6)
-        val pagesPerPart = math.max(1, props.get("pagesPerPartition").map(_.toInt).getOrElse(4))
+        val pagesPerPart = // key lowercase: props normalized at getTable
+          math.max(1, props.get("pagesperpartition").map(_.toInt).getOrElse(4))
         val chunk = off.num * pagesPerPart
         (0 until n by chunk).map(lo => HttpPartition(lo, math.min(n - lo, chunk)): InputPartition).toArray
       case _ => Array(HttpPartition(0, -1)) // sequential chain: single reader

@@ -54,7 +54,7 @@ final class HttpMicroBatchStream(readSchema: StructType, props: Map[String, Stri
     * windows instead of one giant fetch — Spark keeps scheduling batches
     * until the offset catches up to the clock. Unset = unbounded windows.
     */
-  private val maxWindowSec: Option[Long] = props.get("maxWindowSeconds").map(_.toLong)
+  private val maxWindowSec: Option[Long] = props.get("maxwindowseconds").map(_.toLong)
 
   private val initialTo: String = props.get("state").map(Json.parse)
     .flatMap(n => Option(n.get("To")).map(_.asText))
@@ -72,7 +72,7 @@ final class HttpMicroBatchStream(readSchema: StructType, props: Map[String, Stri
   override def initialOffset(): Offset = CursorOffset(initialTo)
 
   override def latestOffset(): Offset = {
-    val now = props.get("nowOverride").map(parse).getOrElse(Instant.now())
+    val now = props.get("nowoverride").map(parse).getOrElse(Instant.now())
     CursorOffset(advance(now).toString)
   }
 
@@ -89,7 +89,7 @@ final class HttpMicroBatchStream(readSchema: StructType, props: Map[String, Stri
     */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = parse(start.asInstanceOf[CursorOffset].to)
-    val now = props.get("nowOverride").map(parse).getOrElse(Instant.now())
+    val now = props.get("nowoverride").map(parse).getOrElse(Instant.now())
     val end = maxWindowSec match {
       case Some(cap) if now.isAfter(s.plusSeconds(cap)) => s.plusSeconds(cap)
       case _ => now

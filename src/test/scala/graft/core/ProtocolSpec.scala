@@ -20,8 +20,7 @@ class ProtocolSpec extends AnyFunSuite {
     val rc = RunConfig.parse(Iterator(
       """{"type":"SETTINGS","settings":{"format":"singer"}}""",
       """{"type":"CONFIG","config":{"api_key":"k"}}""",
-      """{"type":"STATE","state":{"data":{"orders":{"To":"2024-01-01T00:00:00Z"}}}}"""),
-      Seq("orders", "users"))
+      """{"type":"STATE","state":{"data":{"orders":{"To":"2024-01-01T00:00:00Z"}}}}"""))
     assert(rc.format == "singer")
     assert(rc.config.get.get("api_key").asText == "k")
     assert(rc.states("orders").get("To").asText == "2024-01-01T00:00:00Z")
@@ -29,16 +28,14 @@ class ProtocolSpec extends AnyFunSuite {
 
   test("global state under \"\" fans out to all streams (proto.go:90-101, stubs/airbyte-state.json)") {
     val rc = RunConfig.parse(Iterator(
-      """{"type":"STATE","state":{"data":{"":{"orders":{"To":"t1"},"users":{"To":"t2"}}}}}"""),
-      Seq("orders", "users"))
+      """{"type":"STATE","state":{"data":{"":{"orders":{"To":"t1"},"users":{"To":"t2"}}}}}"""))
     assert(rc.states.keySet == Set("orders", "users"))
     assert(rc.states("users").get("To").asText == "t2")
   }
 
   test("catalog selection honored when present") {
     val rc = RunConfig.parse(Iterator(
-      """{"type":"CATALOG","catalog":{"streams":[{"stream":{"name":"orders"}}]}}"""),
-      Seq("orders", "users"))
+      """{"type":"CATALOG","catalog":{"streams":[{"stream":{"name":"orders"}}]}}"""))
     assert(rc.selectedStreams.contains(Set("orders")))
   }
 
@@ -62,8 +59,7 @@ class ProtocolSpec extends AnyFunSuite {
     // top-level `name` fallback must fire, not yield an empty selection that
     // silently syncs ALL streams.
     val rc = RunConfig.parse(Iterator(
-      """{"type":"CATALOG","catalog":{"streams":[{"name":"users"}]}}"""),
-      Seq("orders", "users"))
+      """{"type":"CATALOG","catalog":{"streams":[{"name":"users"}]}}"""))
     assert(rc.selectedStreams.contains(Set("users")))
   }
 
@@ -175,6 +171,29 @@ class ProtocolSpec extends AnyFunSuite {
     assert(emitted == 1, s"probe must stop after the first emit, saw $emitted")
   }
 
+  test("singer read: manual streams emit SCHEMA before RECORD; deselected manual streams swallowed") {
+    val pushedDef = StreamDef("pushed", ordersDef.schema)
+    val otherDef = StreamDef("other", ordersDef.schema)
+    val manualSrc = SourceDef(name = "manual-singer",
+      manualStreams = Seq(pushedDef, otherDef),
+      manualRunners = Seq(new ManualRunner {
+        override def run(ctx: ManualContext): Unit = {
+          ctx.stream("pushed").emit("""{"id":1}""")
+          ctx.stream("other").emit("""{"id":2}""")
+        }
+      }))
+    val rc = RunConfig("singer", None, Map.empty, selectedStreams = Some(Set("pushed")))
+    val out = new StringWriter
+    Connector.handle(manualSrc, Cmd.Read, rc, out, client)
+    val lines = out.toString.linesIterator.toList
+    val schemaIdx = lines.indexWhere(l => l.contains("\"SCHEMA\"") && l.contains("\"pushed\""))
+    val recordIdx = lines.indexWhere(l => l.contains("\"RECORD\"") && l.contains("\"pushed\""))
+    assert(schemaIdx >= 0 && recordIdx > schemaIdx,
+      s"SCHEMA must precede RECORD for manual streams:\n${lines.mkString("\n")}")
+    // deselected manual stream: neither SCHEMA nor RECORD leak
+    assert(!lines.exists(_.contains("\"other\"")), lines.mkString("\n"))
+  }
+
   test("runner error becomes in-band LOG, sync continues (K8, proto.go:314-332)") {
     val bad: HttpClient = (_: HttpRequest) => throw new RuntimeException("api down")
     val out = new StringWriter
@@ -199,6 +218,20 @@ class ProtocolSpec extends AnyFunSuite {
     assert(n.at("/properties/page_size/type").asText == "integer")
     assert((0 until n.at("/required").size).map(i => n.at(s"/required/$i").asText).toSet ==
       Set("shop", "token", "page_size"))
+  }
+
+  test("config schema: quotes in hints are escaped; numeric defaults emit unquoted") {
+    val schema = ConfigSchema.of[ShopifyTestConfig](
+      defaults = Map("page_size" -> "50", "shop" -> "a \"quoted\" shop\\name"),
+      hints = Map("shop" -> """the "admin" store, path C:\x"""))
+    val n = Json.parse(schema) // malformed JSON would throw right here
+    assert(n.at("/properties/shop/default").asText == "a \"quoted\" shop\\name")
+    assert(n.at("/properties/shop/description").asText == """the "admin" store, path C:\x""")
+    assert(n.at("/properties/page_size/default").isInt &&
+      n.at("/properties/page_size/default").asInt == 50)
+    // docsUrl with a quote must not break the spec document either
+    val src = SourceDef(name = "esc", docsUrl = """https://x/"docs"""")
+    assert(Json.parse(src.spec).get("documentationUrl").asText == """https://x/"docs"""")
   }
 
   test("state store round-trips and orders write-then-state (SURVEY §7a)") {

@@ -72,6 +72,13 @@ class HttpFrontendSpec extends AnyFunSuite {
     assert(decompressed.startsWith("""{"type":"SPEC""""))
   }
 
+  test("unknown SETTINGS format → 400 with an error body, never an empty 200") {
+    val r = post("/demo/read", """{"type":"SETTINGS","settings":{"format":"csv"}}""")
+    assert(r.statusCode() == 400, s"got ${r.statusCode()}")
+    val body = new String(r.body(), java.nio.charset.StandardCharsets.UTF_8)
+    assert(body.contains("unknown format") && body.contains("csv"), body)
+  }
+
   test("unknown connector → 404, unknown command → 400") {
     assert(post("/nope/read", "").statusCode() == 404)
     assert(post("/demo/frobnicate", "").statusCode() == 400)

@@ -98,6 +98,18 @@ class PaginationSpec extends AnyFunSuite {
     assert(e.getMessage.contains("404"))
   }
 
+  test("retrying client surfaces a surviving 3xx as an HTTP error, not a parse failure") {
+    // transports follow redirects themselves; a 3xx that reaches the retry
+    // layer (redirect loop, protocol downgrade) must be an explicit error —
+    // previously it passed as success and the caller JSON-parsed the
+    // redirect's HTML body
+    val c = new Script(HttpResponse(301, "<html>moved</html>",
+      Map("Location" -> "https://elsewhere")))
+    val rc = new RetryingClient(c, maxRetries = 2, baseDelayMs = 1, sleep = _ => ())
+    val e = intercept[RuntimeException](rc.get(HttpRequest("http://x/old")))
+    assert(e.getMessage.contains("301"), e.getMessage)
+  }
+
   test("rate limiter paces to the configured rate with burst headroom") {
     var now = 0L
     val rl = new RateLimiter(permitsPerSec = 10, burst = 2, nanoClock = () => now)

@@ -74,6 +74,14 @@ class HttpDataSourceSpec extends AnyFunSuite {
     assert(df.select("productid").distinct().count() == TOTAL) // ranges don't overlap
   }
 
+  test("option keys are case-insensitive end to end (.option(\"Total\") still splits)") {
+    // previously Total/PagesPerPartition were looked up case-sensitively in
+    // planInputPartitions and silently fell back to one sequential partition
+    val df = read().option("Total", TOTAL.toString).option("PagesPerPartition", "1").load()
+    assert(df.rdd.getNumPartitions == 3, s"got ${df.rdd.getNumPartitions}")
+    assert(df.count() == TOTAL)
+  }
+
   test("cursor filter pushdown: predicate becomes incremental request state (P3)") {
     import org.apache.spark.sql.sources.GreaterThan
     // builder-level: shopify orders' iterateBy column is updated_at
