@@ -15,7 +15,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 object GraftFunctions {
 
   private def fn(name: String, usage: String, builder: Seq[Expression] => Expression) =
-    (FunctionIdentifier(name), new ExpressionInfo("graft", name, usage), builder)
+    // 5-arg constructor (className, db, name, usage, extended): the 3-arg
+    // overload is (className, db, NAME) — passing usage there made
+    // DESCRIBE FUNCTION report the usage sentence as the function's name
+    (FunctionIdentifier(name), new ExpressionInfo("graft.functions", null, name, usage, ""), builder)
 
   private val fns = Seq(
     fn("dot_product", "dot_product(a, b) - double-precision dot product of two float/double arrays",
@@ -36,7 +39,9 @@ object GraftFunctions {
     fn("shingle_hashes", "shingle_hashes(text, w) - xxhash64 of each w-token window of a string",
       exprs => ShingleHashes(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue())),
     fn("frame_rms", "frame_rms(bin, frameLen) - per-frame RMS of a binary as signed 8-bit samples",
-      exprs => FrameRms(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue())))
+      exprs => FrameRms(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue())),
+    fn("argmin_l2", "argmin_l2(vec, centroids) - 0-based index of the nearest centroid by squared L2; first wins ties",
+      exprs => ArgminL2(exprs(0), exprs(1))))
 
   def register(spark: SparkSession): Unit =
     fns.foreach { case (id, info, builder) =>

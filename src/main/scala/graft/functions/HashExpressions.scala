@@ -105,6 +105,10 @@ final case class SimHash64(child: Expression) extends UnaryExpression {
       }
       j += 1
     }
+    // empty input → 0L, not all-ones: the tie rule 2*count >= n holds
+    // vacuously at n=0 and 0xFF..F would sit at small Hamming distance from
+    // mostly-set real signatures, inviting spurious near-dup candidates
+    if (n == 0) return 0L
     var sig = 0L
     var b = 0
     while (b < 64) {
@@ -133,8 +137,10 @@ final case class SimHash64(child: Expression) extends UnaryExpression {
          |  }
          |}
          |long $sig = 0L;
-         |for (int $b = 0; $b < 64; $b++) {
-         |  if (2 * $counts[$b] >= $n) $sig |= (1L << $b);
+         |if ($n > 0) {
+         |  for (int $b = 0; $b < 64; $b++) {
+         |    if (2 * $counts[$b] >= $n) $sig |= (1L << $b);
+         |  }
          |}
          |${ev.value} = $sig;
        """.stripMargin

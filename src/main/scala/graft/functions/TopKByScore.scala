@@ -32,6 +32,23 @@ final case class TopKByScore(
 
   require(k > 0, "k must be positive")
 
+  // analysis-time type validation: without it a string score passes
+  // analysis and dies mid-job with ClassCastException in update(); Decimal
+  // is excluded too (spark's Decimal is not a java.lang.Number)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def plainNumeric(t: DataType): Boolean = t match {
+      case _: DecimalType => false
+      case _: NumericType => true
+      case _ => false
+    }
+    if (plainNumeric(score.dataType) && plainNumeric(id.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "topk_by_score expects non-decimal numeric (score, id), got " +
+          s"${score.dataType.catalogString} and ${id.dataType.catalogString}")
+  }
+
   override def children: Seq[Expression] = Seq(score, id)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(StructType(Seq(

@@ -68,7 +68,16 @@ object AsOfJoin {
         leftCols.filterNot(keyCols.contains).map(col) :+
         lit(null).cast(payloadType).as(payload): _*)
 
-    val r = right
+    // ASOF semantics: a right row with a NULL event time (or NULL key) can
+    // never match anything — but under the union+window encoding a NULL ts
+    // sorts NULLS FIRST, i.e. "before all time", and its payload would be
+    // carried onto every left row with no earlier real match; NULL keys
+    // would likewise meet in the same window partition though an equality
+    // join never matches NULL = NULL. Drop such right rows up front.
+    val rightUsable = keyCols.foldLeft(right.filter(col(rightTime).isNotNull)) {
+      (df, k) => df.filter(col(k).isNotNull)
+    }
+    val r = rightUsable
       .withColumn(ts, col(rightTime))
       .withColumn(tag, lit(0))
       .select((keyCols.map(col) :+ col(ts) :+ col(tag)) ++

@@ -29,6 +29,10 @@ object RangeJoin {
       points: DataFrame, pointCol: String,
       intervals: DataFrame, loCol: String, hiCol: String,
       bucketWidth: Double): DataFrame = {
+    // 0 or negative width → Infinity/NaN buckets → an error or a silently
+    // empty join; NaN width likewise
+    require(bucketWidth > 0 && !bucketWidth.isNaN,
+      s"bucketWidth must be positive, got $bucketWidth")
     val b = lit(bucketWidth)
     val expanded = intervals.withColumn("__bucket",
       explode(sequence(floor(col(loCol) / b), floor(col(hiCol) / b))))

@@ -21,13 +21,19 @@ import org.apache.spark.sql.functions._
 object SkewJoin {
 
   /** Inner-join `big ⋈ small` on equality `keys`, spreading the big side
-    * over `nSalts` sub-keys. The salt is derived by hashing the big side's
-    * whole row (deterministic, no rand()).
+    * over `nSalts` sub-keys. The salt is a per-ROW counter
+    * (monotonically_increasing_id mod nSalts), not a row-content hash: a
+    * hot key whose mass comes from many IDENTICAL rows (common after
+    * narrow projections) hashes every copy to the same salt and the whole
+    * mass still lands on one reducer — the exact failure the operator
+    * exists to prevent. The join RESULT is independent of which salt a row
+    * gets (the small side carries every salt), so the counter's
+    * partition-layout sensitivity is harmless; no rand() involved.
     */
   def saltedInner(big: DataFrame, small: DataFrame, keys: Seq[String], nSalts: Int): DataFrame = {
     require(nSalts > 0)
     val saltedBig = big.withColumn("__salt",
-      pmod(hash(big.columns.map(col).toIndexedSeq: _*), lit(nSalts)))
+      pmod(monotonically_increasing_id(), lit(nSalts.toLong)).cast("int"))
     val saltedSmall = small.withColumn("__salt",
       explode(sequence(lit(0), lit(nSalts - 1))))
     saltedBig.join(saltedSmall, keys :+ "__salt").drop("__salt")

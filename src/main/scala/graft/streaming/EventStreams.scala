@@ -37,9 +37,10 @@ object EventStreams {
   /** Native session windows: 30-minute gap sessionization (the streaming
     * dual of the batch lag/running-sum formulation).
     */
-  def sessionStats(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+  def sessionStats(events: DataFrame, gap: String = "30 minutes",
+      late: String = "30 minutes"): DataFrame =
     events
-      .withWatermark("ts", "30 minutes")
+      .withWatermark("ts", late)
       .groupBy(col("user_id"), session_window(col("ts"), gap).as("win"))
       .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
       .select(col("user_id"), unix_timestamp(col("win.start")).as("session_start"),
@@ -138,15 +139,25 @@ object EventStreams {
           } else {
             val evs = it.toVector.sortBy(_.ts.getTime)
             // a gap INSIDE the batch splits sessions: close all but the last.
-            // Late (out-of-order, within-watermark) events that land inside
-            // the open session's gap reach merge via min/max — lastTs must
-            // never REWIND (that would corrupt session_end and re-arm the
-            // idle timeout too early) and start extends backwards for
-            // events predating it.
+            // Late (out-of-order, within-watermark) events merge only when
+            // they land inside [start - gap, lastTs + gap] of the open
+            // session: lastTs never REWINDS (that would corrupt session_end
+            // and re-arm the idle timeout too early), start extends
+            // backwards at most one gap. An event OLDER than start - gap
+            // belongs to a SEPARATE, already-idle-expired session — when the
+            // watermark delay exceeds the session gap the old condition
+            // (t - lastTs <= gap, vacuously true for any t < lastTs) would
+            // have merged it and rewound start across an arbitrary silence.
+            // The single-open-session state model emits such a stray as its
+            // own singleton session (batch session_window would merge
+            // several strays within one gap — the documented divergence of
+            // this bounded-state encoding).
             val (closed, open) = evs.foldLeft(
               (Vector.empty[ClosedSession], state.getOption)) { case ((done, cur), e) =>
               val t = e.ts.getTime / 1000
               cur match {
+                case Some(s) if t < s.start - gapSec =>
+                  (done :+ ClosedSession(uid, t, t, 1, e.value), Some(s))
                 case Some(s) if t - s.lastTs <= gapSec =>
                   (done, Some(s.copy(start = math.min(s.start, t),
                     lastTs = math.max(s.lastTs, t), nEvents = s.nEvents + 1,

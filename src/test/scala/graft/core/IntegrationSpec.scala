@@ -83,5 +83,10 @@ class IntegrationSpec extends AnyFunSuite {
     val sig = spark.sql("SELECT rhp_signature(a, 2, 8, 7) s FROM vt").as[Long].head()
     assert(sig >= 0 && sig < 256)
     assert(spark.sql("SELECT size(shingle_hashes('a b c d', 2)) n").as[Int].head() == 3)
+    assert(spark.sql(
+      "SELECT argmin_l2(array(0.1f, 0.9f), array(array(1.0f, 0.0f), array(0.0f, 1.0f))) i")
+      .as[Int].head() == 1)
+    // empty hash array: explicit 0, not the vacuous all-ones of 2*0 >= 0
+    assert(spark.sql("SELECT simhash64(cast(array() as array<bigint>)) s").as[Long].head() == 0L)
   }
 }

@@ -41,6 +41,15 @@ class TopKSpec extends AnyFunSuite {
     assert(out == Seq(9.0, 1.0))
   }
 
+  test("non-numeric score is rejected at analysis time, not mid-job") {
+    val df = Seq(("x", 1L)).toDF("s", "id")
+    val e = intercept[Exception] {
+      df.agg(graft.functions.TopK.topK(col("s"), col("id"), 3)).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("topk_by_score") ||
+      e.toString.contains("DATATYPE_MISMATCH"), e.toString)
+  }
+
   test("buffer byte round-trip preserves contents") {
     val b = new TopKBuffer(3)
     Seq((1.0, 1L), (5.0, 2L), (3.0, 3L), (9.0, 4L)).foreach { case (s, i) => b.offer(s, i) }

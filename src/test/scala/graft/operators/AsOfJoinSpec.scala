@@ -45,6 +45,24 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out == List(Row(1, 30L, null, "newy")))
   }
 
+  test("null right time / null keys never match (ASOF null semantics)") {
+    // a right row with NULL time would sort NULLS FIRST ("before all time")
+    // and its payload would be carried onto unmatched left rows; null keys
+    // would meet in the same window partition though NULL = NULL never
+    // matches in an equality join
+    val left = Seq((Some(1), 10L, "a"), (None: Option[Int], 10L, "nk"))
+      .toDF("k", "t", "lv")
+    val right = Seq((Some(1), Some(99L), "late"), (Some(1), None: Option[Long], "nullts"),
+      (None: Option[Int], Some(1L), "nullkey"))
+      .toDF("k", "rt", "rv")
+    val out = AsOfJoin(left, right, keyCols = Seq("k"), leftTime = "t", rightTime = "rt",
+      rightCols = Seq("rv"))
+      .select("lv", "rv").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // key-1 left row: only right rows are at t=99 (after) and null-ts → no match;
+    // null-key left row: the null-key right row must NOT attach
+    assert(out == Set(("a", null), ("nk", null)), s"got $out")
+  }
+
   test("equal timestamps are inclusive (right row at left time matches)") {
     val left = Seq((1, 10L)).toDF("k", "t")
     val right = Seq((1, 10L, "exact")).toDF("k", "rt", "rv")

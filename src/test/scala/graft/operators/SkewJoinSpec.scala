@@ -22,6 +22,21 @@ class SkewJoinSpec extends AnyFunSuite {
     assert(spread > 1)
   }
 
+  test("identical duplicate rows of a hot key spread across salts (per-row counter, not row hash)") {
+    // 200 IDENTICAL rows: a row-content hash gives them all one salt and
+    // the hot mass still lands on one reducer; the per-row counter spreads
+    // them. Observed via the same salt expression the operator uses.
+    val big = spark.range(0, 200).select(lit(1L).as("k"), lit("same").as("v"))
+    val salts = big.withColumn("__salt",
+        pmod(monotonically_increasing_id(), lit(8L)).cast("int"))
+      .select("__salt").distinct().count()
+    assert(salts > 1, s"expected identical rows spread over >1 salt, got $salts")
+    // and the result is still exactly the plain join
+    val small = Seq((1L, "dim")).toDF("k", "d")
+    val out = SkewJoin.saltedInner(big, small, Seq("k"), nSalts = 8)
+    assert(out.count() == 200)
+  }
+
   test("empty small side yields empty result, not an error") {
     val big = Seq((1L, "a")).toDF("k", "v")
     val small = Seq.empty[(Long, String)].toDF("k", "name")

@@ -208,6 +208,35 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("idle-session closer: stray event older than start-gap becomes its own session, no rewind") {
+    // watermark (2h) far exceeds the gap (10min): the old merge condition
+    // (t - lastTs <= gap, vacuously true for any t < lastTs) would have
+    // merged a 50-minute-older stray into the open session and rewound its
+    // start across the silence
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[EventStreams.UserEvent]
+    val q = EventStreams.idleSessionCloser(in.toDS(), gapSec = 600, late = "2 hours")
+      .writeStream.format("memory").queryName("idle_stray").outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(EventStreams.UserEvent(9L, ts(60), 1.0))
+      q.processAllAvailable()
+      in.addData(EventStreams.UserEvent(9L, ts(10), 2.0)) // 50 min before start, gap is 10 min
+      q.processAllAvailable()
+      in.addData(EventStreams.UserEvent(8L, ts(300), 0.1)) // advance event time → timeout
+      q.processAllAvailable()
+      in.addData(EventStreams.UserEvent(8L, ts(600), 0.1))
+      q.processAllAvailable()
+      val rows = spark.table("idle_stray")
+        .select("user_id", "session_start", "session_end", "n_events", "sum_value").collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getLong(0)))
+        .filter(_._5 == 9L).map(t => (t._1, t._2, t._3, t._4)).toSet
+      assert(rows == Set(
+        (ts(10).getTime / 1000, ts(10).getTime / 1000, 1L, 2.0),  // stray: singleton session
+        (ts(60).getTime / 1000, ts(60).getTime / 1000, 1L, 1.0)), // open session untouched
+        s"got $rows")
+    } finally q.stop()
+  }
+
   test("cursor tracker: per-stream high-water mark advances across batches (S8 dual)") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[EventStreams.CursorEvent]
