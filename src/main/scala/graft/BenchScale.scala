@@ -101,13 +101,13 @@ object BenchScale {
     // same methodology as Bench: untimed warmup, then min of 2 timed reps,
     // clearCache between runs (documented cache contract of the dedup ops)
     qs.foreach { case (_, fn) =>
-      try fn(spark, outDir).count() catch { case _: Throwable => () }
+      try Bench.materialize(fn(spark, outDir)) catch { case _: Throwable => () }
     }
     spark.catalog.clearCache()
     val results = qs.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
-        val ok = try { fn(spark, outDir).count(); true } catch { case _: Throwable => false }
+        val ok = try { Bench.materialize(fn(spark, outDir)); true } catch { case _: Throwable => false }
         val t = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
         if (ok) Some(t) else None

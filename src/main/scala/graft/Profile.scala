@@ -16,7 +16,7 @@ object Profile {
     names.foreach { n =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        SparkEntry.queries(n)(spark, sfDir).count()
+        Bench.materialize(SparkEntry.queries(n)(spark, sfDir))
         (System.nanoTime() - t0) / 1e9
       }
       println(f"[profile] $n%-28s ${times.map(t => f"$t%.2f").mkString("  ")}")

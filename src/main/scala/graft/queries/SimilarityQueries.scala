@@ -135,26 +135,60 @@ object SimilarityQueries extends QueryPack {
 
   // -- IVF-style coarse quantization: assign every vector to its nearest of
   // -- k seed centroids (deterministic seed vectors = first k corpus rows),
-  // -- then search only the query's cell. Fully deterministic (seeded
-  // -- centroids, argmin with cent_id tie-break) → oracle-checked.
+  // -- then search the query's `nprobe` nearest cells. Fully deterministic
+  // -- (seeded centroids, argmin with cent_id tie-break) → oracle-checked.
+
+  /** Cells probed per query. Single-probe is the classic IVF recall trap —
+    * a true neighbor just across the query's cell boundary is invisible
+    * (measured recall@5 0.80/0.82 on the seeded/trained variants); probing
+    * the nearest 4 of 8 cells lifts recall@5 to 0.90/0.94 (pinned by
+    * ann_recall_at_5) while still scanning ~nprobe/k of the corpus. The
+    * seeded variant needs all 4 (unbalanced raw-row centroids); at a
+    * production k (√n cells) the same recall comes much cheaper per probe.
+    */
+  private val ivfNprobe = 4
+
+  /** Top-`nprobe` nearest cells per query vector: the multi-probe dual of
+    * [[graft.operators.Dedup.assignCells]]. Same 1-row broadcast centroid
+    * array, same (distance, cent_id) tie-break — realized by sorting
+    * (dist, cent_id) structs, so `array_sort`'s lexicographic struct order
+    * IS the `ORDER BY dist ASC, cent_id ASC` of the oracle's row_number.
+    * Map-only over the (small) query side; the corpus never sees this.
+    *
+    * @return (query_id, q_emb, cent_id) — `nprobe` rows per query
+    */
+  private def probeCells(queries: DataFrame, cents: DataFrame, nprobe: Int): DataFrame = {
+    val centArr = broadcast(cents
+      .agg(array_sort(collect_list(struct(col("cent_id"), col("cent")))).as("__cs")))
+    queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .crossJoin(centArr)
+      .select(col("query_id"), col("q_emb"),
+        explode(transform(
+          slice(array_sort(transform(col("__cs"), c =>
+            struct(l2sq(col("q_emb"), c.getField("cent")).as("dist"),
+              c.getField("cent_id").as("cent_id")))), 1, nprobe),
+          x => x.getField("cent_id"))).as("cent_id"))
+  }
+
   /** IVF search over a given (cent_id, cent) table: assign every vector to
     * its nearest centroid (the [[graft.operators.Dedup.assignCells]]
-    * broadcast-argmin map pass), then score only the query's cell. The
-    * centroid table is the pluggable index: seeded (ann_ivf_coarse) or
-    * k-means-trained (ann_ivf_trained).
+    * broadcast-argmin map pass), then score only the query's `nprobe`
+    * nearest cells ([[probeCells]]). The centroid table is the pluggable
+    * index: seeded (ann_ivf_coarse) or k-means-trained (ann_ivf_trained).
+    * Each corpus vector lives in exactly one cell and a query's probed
+    * cells are distinct, so no (query, neighbor) pair can duplicate — the
+    * scoring join needs no dedup.
     */
   private def ivfTop5(s: SparkSession, dir: String, cents: DataFrame): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    // shared assignment (one definition of the tie-break for IVF + SemDeDup)
-    def assign(df: DataFrame): DataFrame =
-      graft.operators.Dedup.assignCells(df, col("vec_id"), col("embedding"), cents)
+    val assigned =
+      graft.operators.Dedup.assignCells(emb, col("vec_id"), col("embedding"), cents)
         .select(col("__id").as("vec_id"), col("__v").as("embedding"),
           col("cell").as("cent_id"))
-    val assigned = assign(emb)
-    // Queries assigned from the filtered rows — building this broadcast must
+    // Queries probed from the filtered rows — building this broadcast must
     // not re-run the corpus-wide assignment pass.
-    val queriesDf = assign(emb.filter(col("vec_id") < 10))
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("cent_id"))
+    val queriesDf = probeCells(emb.filter(col("vec_id") < 10), cents, ivfNprobe)
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
     assigned.select(col("vec_id").as("neighbor_id"), col("embedding"), col("cent_id"))
       .join(broadcast(queriesDf), Seq("cent_id"))
@@ -184,20 +218,41 @@ object SimilarityQueries extends QueryPack {
       graft.operators.KMeans.fit(emb, col("vec_id"), col("embedding"), k = 8, iters = 2))
   }
 
+  /** `ORDER BY`-ready squared-L2 distance between a vector expr and a
+    * centroid expr — the one distance definition every oracle-side argmin /
+    * probe ranking uses (exact squared sum, never sqrt: list_distance's
+    * sqrt round-trip can collapse 1-ulp-distinct distances into equal
+    * doubles and fall through to a different tie-break).
+    */
+  private def l2SqlDist(vec: String, cent: String): String =
+    s"""list_sum(list_transform(range(1, 65),
+       i -> ($vec[i]::DOUBLE - $cent[i]::DOUBLE)
+          * ($vec[i]::DOUBLE - $cent[i]::DOUBLE)))"""
+
+  /** The query-side multi-probe CTE: `nprobe` nearest cells per query
+    * (dist ASC, cent_id tie-break — the SQL dual of [[probeCells]]).
+    */
+  private def probeSqlCte(centsCte: String, out: String) =
+    s"""$out AS (
+         SELECT vec_id AS query_id, embedding AS q_emb, cent_id FROM (
+           SELECT e.vec_id, e.embedding, c.cent_id,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY ${l2SqlDist("e.embedding", "c.cent")} ASC, c.cent_id) AS arn
+           FROM embeddings e CROSS JOIN $centsCte c
+           WHERE e.vec_id < 10) WHERE arn <= $ivfNprobe)"""
+
   /** The search body given a cents CTE (cent_id, cent): assignment argmin on
-    * the exact squared sum (see ann_pq_adc's codes CTE), cell-restricted
-    * scoring, top-5.
+    * the exact squared sum (see ann_pq_adc's codes CTE), multi-probe
+    * cell-restricted scoring, top-5.
     */
   private def ivfSqlBody(centsCte: String) =
     s"""assigned AS (
          SELECT vec_id, embedding, cent_id FROM (
            SELECT e.vec_id, e.embedding, c.cent_id,
              row_number() OVER (PARTITION BY e.vec_id
-               ORDER BY list_sum(list_transform(range(1, 65),
-                 i -> (e.embedding[i]::DOUBLE - c.cent[i]::DOUBLE)
-                    * (e.embedding[i]::DOUBLE - c.cent[i]::DOUBLE))) ASC, c.cent_id) AS arn
+               ORDER BY ${l2SqlDist("e.embedding", "c.cent")} ASC, c.cent_id) AS arn
            FROM embeddings e CROSS JOIN $centsCte c) WHERE arn = 1),
-       q AS (SELECT vec_id AS query_id, embedding AS q_emb, cent_id FROM assigned WHERE vec_id < 10),
+       ${probeSqlCte(centsCte, "q")},
        scored AS (
          SELECT q.query_id, a.vec_id AS neighbor_id,
            list_cosine_similarity(q.q_emb::DOUBLE[], a.embedding::DOUBLE[]) AS cos
@@ -234,33 +289,44 @@ object SimilarityQueries extends QueryPack {
   // oracle-checked.
   private val (pqM, pqSubDim, pqK) = (4, 16, 16)
 
-  private def qAnnPq(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings")
+  /** (id, m, sub): each vector exploded into its M subspace slices. */
+  private def pqSubSpaces(df: DataFrame, idAs: String): DataFrame = {
     val ms = array((0 until pqM).map(lit(_)): _*)
-    def subSpaces(df: DataFrame, idAs: String): DataFrame = df
-      .select(col("vec_id").as(idAs), explode(ms).as("m"), col("embedding"))
+    df.select(col("vec_id").as(idAs), explode(ms).as("m"), col("embedding"))
       .select(col(idAs), col("m"),
         slice(col("embedding"), col("m") * pqSubDim + 1, lit(pqSubDim)).as("sub"))
-    val csubs = subSpaces(emb.filter(col("vec_id") < pqK), "cent_id")
+  }
+
+  /** Per-subspace centroid sub-vectors (cent_id, m, centsub) — the raw
+    * M×K-row PQ codebook (seeded: sub-vectors of the first K corpus rows).
+    */
+  private def pqCsubs(emb: DataFrame): DataFrame =
+    pqSubSpaces(emb.filter(col("vec_id") < pqK), "cent_id")
       .withColumnRenamed("sub", "centsub")
-    // Codebook collapsed to one row per subspace (K sorted centroids, so
-    // ArgminL2's first-wins tie-break realizes `dist ASC, cent_id ASC`);
-    // encoding is then a codegen argmin per (vector, subspace) row after a
-    // broadcast hash join on m. The previous formulation shuffled n×M×K
-    // rows on (vec_id, m) for a row_number() window argmin; the only
-    // hashpartitioning exchange left on this path is the groupBy over the
-    // 16-row codebook itself (constant-size, corpus-independent).
-    val codebook = csubs
-      .groupBy(col("m"))
-      .agg(array_sort(collect_list(struct(col("cent_id"), col("centsub")))).as("__cs"))
-      .select(col("m"),
-        transform(col("__cs"), c => c.getField("cent_id")).as("__cids"),
-        transform(col("__cs"), c => c.getField("centsub")).as("__csubs"))
-    val codes = subSpaces(emb, "vec_id")
+
+  // Codebook collapsed to one row per subspace (K sorted centroids, so
+  // ArgminL2's first-wins tie-break realizes `dist ASC, cent_id ASC`);
+  // encoding is then a codegen argmin per (vector, subspace) row after a
+  // broadcast hash join on m. The previous formulation shuffled n×M×K
+  // rows on (vec_id, m) for a row_number() window argmin; the only
+  // hashpartitioning exchange left on this path is the groupBy over the
+  // 16-row codebook itself (constant-size, corpus-independent).
+  private def pqCodebook(csubs: DataFrame): DataFrame = csubs
+    .groupBy(col("m"))
+    .agg(array_sort(collect_list(struct(col("cent_id"), col("centsub")))).as("__cs"))
+    .select(col("m"),
+      transform(col("__cs"), c => c.getField("cent_id")).as("__cids"),
+      transform(col("__cs"), c => c.getField("centsub")).as("__csubs"))
+
+  private def qAnnPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val csubs = pqCsubs(emb)
+    val codebook = pqCodebook(csubs)
+    val codes = pqSubSpaces(emb, "vec_id")
       .join(broadcast(codebook), "m")
       .select(col("vec_id"), col("m"),
         element_at(col("__cids"), argminL2(col("sub"), col("__csubs")) + 1).as("code"))
-    val qsubs = subSpaces(emb.filter(col("vec_id") < 10), "query_id")
+    val qsubs = pqSubSpaces(emb.filter(col("vec_id") < 10), "query_id")
       .withColumnRenamed("sub", "qsub")
     // ADC: per (query, neighbor, subspace) the distance to the neighbor's
     // centroid, summed over subspaces
@@ -326,6 +392,106 @@ object SimilarityQueries extends QueryPack {
                ORDER BY est_dist ASC, neighbor_id) AS rn FROM adc)
        WHERE rn <= 5 ORDER BY query_id, rn"""
 
+  // -- IVF-PQ composed ANN (the FAISS IVFADC layout) -----------------------------
+  // The production-scale composition: a TRAINED coarse quantizer routes
+  // (k-means cells, multi-probe), PQ/ADC codes score within the probed
+  // cells. The corpus side is touched by exactly two map passes — cell
+  // assignment (broadcast-argmin) and subspace encode (broadcast-codebook
+  // argmin) — with the cell id riding along the code rows, so the index a
+  // deployment would persist is literally this codes table: (vec_id, cell,
+  // m, code) — 4×4-bit codes + a cell id per vector, floats never stored.
+  // Scoring joins codes to the 16-row centroid table and the broadcast
+  // (query × probed-cell × subspace) side; the only corpus shuffle is the
+  // per-(query, neighbor) ADC sum. Deterministic end-to-end (trained
+  // centroids are KMeans' rounded means; every argmin/rank ties on id) →
+  // the oracle re-derives training + assignment + encoding + ADC in SQL.
+  private def qAnnIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cents = graft.operators.KMeans.fit(emb, col("vec_id"), col("embedding"), k = 8, iters = 2)
+    val csubs = pqCsubs(emb)
+    val codebook = pqCodebook(csubs)
+    // assignment first, then the subspace explode — cell rides along, no
+    // join back against a separate assignment table
+    val codes = graft.operators.Dedup.assignCells(emb, col("vec_id"), col("embedding"), cents)
+      .select(col("__id").as("vec_id"), col("cell"), explode(
+        array((0 until pqM).map(lit(_)): _*)).as("m"), col("__v").as("embedding"))
+      .select(col("vec_id"), col("cell"), col("m"),
+        slice(col("embedding"), col("m") * pqSubDim + 1, lit(pqSubDim)).as("sub"))
+      .join(broadcast(codebook), "m")
+      .select(col("vec_id"), col("cell"), col("m"),
+        element_at(col("__cids"), argminL2(col("sub"), col("__csubs")) + 1).as("code"))
+    // query side: nprobe nearest cells per query, then subspace slices of
+    // each probed copy — (query × cell × m), tiny, broadcast
+    val qsubs = probeCells(emb.filter(col("vec_id") < 10), cents, ivfNprobe)
+      .select(col("query_id"), col("cent_id").as("cell"), explode(
+        array((0 until pqM).map(lit(_)): _*)).as("m"), col("q_emb"))
+      .select(col("query_id"), col("cell"), col("m"),
+        slice(col("q_emb"), col("m") * pqSubDim + 1, lit(pqSubDim)).as("qsub"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("est_dist").asc, col("neighbor_id"))
+    // same fixed-order ADC association as ann_pq_adc (see the comment there)
+    val terms = (0 until pqM).map(i =>
+      sum(when(col("m") === i, col("term"))).as(s"t$i"))
+    codes
+      .join(broadcast(csubs.withColumnRenamed("cent_id", "code")), Seq("m", "code"))
+      .join(broadcast(qsubs), Seq("cell", "m"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("term", l2sq(col("qsub"), col("centsub")))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(terms.head, terms.tail: _*)
+      .withColumn("est_dist", (0 until pqM).map(i => col(s"t$i")).reduce(_ + _))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("query_id"), col("neighbor_id"), round(col("est_dist"), 4).as("est_dist"),
+        col("rn"))
+      .orderBy("query_id", "rn")
+  }
+
+  /** Oracle dual: k-means training chain (c2) + corpus cell assignment +
+    * PQ encode + multi-probe routing + ADC, all re-derived in SQL. (lazy:
+    * textually references kmTrainCtes / kmAssign declared further down the
+    * object — initialized by the time the `oracles` map forces this.)
+    */
+  private lazy val qAnnIvfPqSql =
+    s"""WITH $kmTrainCtes,
+       ${kmAssign("c2", "acell")},
+       ms AS (SELECT unnest([0,1,2,3]) AS m),
+       subs AS (SELECT vec_id, m, list_slice(embedding::DOUBLE[], m*16+1, m*16+16) AS sub
+                FROM embeddings CROSS JOIN ms),
+       csubs AS (SELECT vec_id AS cent_id, m, sub AS centsub FROM subs WHERE vec_id < $pqK),
+       codes AS (
+         SELECT vec_id, m, cent_id AS code FROM (
+           SELECT s.vec_id, s.m, c.cent_id,
+             row_number() OVER (PARTITION BY s.vec_id, s.m
+               ORDER BY list_sum(list_transform(range(1, 17),
+                 i -> (s.sub[i] - c.centsub[i]) * (s.sub[i] - c.centsub[i]))) ASC,
+                 c.cent_id) AS crn
+           FROM subs s JOIN csubs c ON s.m = c.m) WHERE crn = 1),
+       qp AS (SELECT vec_id AS query_id, cent_id AS cell FROM (
+           SELECT e.vec_id, c.cent_id,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY ${l2SqlDist("e.embedding", "c.cent")} ASC, c.cent_id) AS arn
+           FROM embeddings e CROSS JOIN c2 c WHERE e.vec_id < 10) WHERE arn <= $ivfNprobe),
+       q AS (SELECT vec_id AS query_id, m, sub AS qsub FROM subs WHERE vec_id < 10),
+       terms AS (
+         SELECT qp.query_id, cd.vec_id AS neighbor_id, cd.m,
+           list_sum(list_transform(range(1, 17),
+             i -> (q.qsub[i] - c.centsub[i]) * (q.qsub[i] - c.centsub[i]))) AS term
+         FROM codes cd
+         JOIN acell a ON a.vec_id = cd.vec_id
+         JOIN qp ON qp.cell = a.cell
+         JOIN csubs c ON c.m = cd.m AND c.cent_id = cd.code
+         JOIN q ON q.query_id = qp.query_id AND q.m = cd.m
+         WHERE cd.vec_id != qp.query_id),
+       adc AS (
+         SELECT query_id, neighbor_id,
+           ((sum(CASE WHEN m=0 THEN term END) + sum(CASE WHEN m=1 THEN term END))
+            + sum(CASE WHEN m=2 THEN term END)) + sum(CASE WHEN m=3 THEN term END) AS est_dist
+         FROM terms GROUP BY 1, 2)
+       SELECT query_id, neighbor_id, round(est_dist, 4) AS est_dist, CAST(rn AS INT) AS rn
+       FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY est_dist ASC, neighbor_id) AS rn FROM adc)
+       WHERE rn <= 5 ORDER BY query_id, rn"""
+
   // -- ANN quality gate: recall@5 of every approximate path vs brute force -------
   // Joins each ANN path's top-5 against the exact brute-force top-5 and emits
   // per-path recall as an oracled scalar — the quality regression gate: a
@@ -337,10 +503,16 @@ object SimilarityQueries extends QueryPack {
   // broadcasts; the union is a few small map passes — cost is dominated by
   // the underlying path queries themselves.
   private def qAnnRecall(s: SparkSession, dir: String): DataFrame = {
+    // The true-neighbor table feeds TWO consumers (the hit join and the
+    // denominator count) — materialized once via localCheckpoint (~50 rows)
+    // so the brute-force corpus scan behind it runs once, not twice. Frame
+    // is auto-freed by the ContextCleaner when the result is released.
     val brute = bruteTop5(s, dir).select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint()
     val paths = Seq(
       "ann_ivf_coarse" -> qAnnIvf(s, dir),
       "ann_ivf_trained" -> qAnnIvfTrained(s, dir),
+      "ann_ivfpq_adc" -> qAnnIvfPq(s, dir),
       "ann_pq_adc" -> qAnnPq(s, dir),
       "ann_rhp_lsh" -> lshTop5(s, dir))
     val retrieved = paths.map { case (name, df) =>
@@ -370,11 +542,13 @@ object SimilarityQueries extends QueryPack {
     s"""WITH brute AS (SELECT query_id, neighbor_id FROM ($qKnnSql)),
        ivf AS (SELECT query_id, neighbor_id FROM ($qAnnIvfSql)),
        ivftr AS (SELECT query_id, neighbor_id FROM ($qAnnIvfTrainedSql)),
+       ivfpq AS (SELECT query_id, neighbor_id FROM ($qAnnIvfPqSql)),
        pq AS (SELECT query_id, neighbor_id FROM ($qAnnPqSql)),
        lsh AS (SELECT query_id, neighbor_id FROM ($qAnnLshSql)),
        allp AS (
          SELECT 'ann_ivf_coarse' AS path, query_id, neighbor_id FROM ivf
          UNION ALL SELECT 'ann_ivf_trained', query_id, neighbor_id FROM ivftr
+         UNION ALL SELECT 'ann_ivfpq_adc', query_id, neighbor_id FROM ivfpq
          UNION ALL SELECT 'ann_pq_adc', query_id, neighbor_id FROM pq
          UNION ALL SELECT 'ann_rhp_lsh', query_id, neighbor_id FROM lsh),
        tot AS (SELECT count(*) AS n_true FROM brute)
@@ -526,6 +700,7 @@ object SimilarityQueries extends QueryPack {
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_pq_adc" -> (qAnnPq _),
+    "ann_ivfpq_adc" -> (qAnnIvfPq _),
     "ann_recall_at_5" -> (qAnnRecall _),
     "knn_cosine_brute" -> (qKnn _),
     "emb_outliers" -> (qEmbOutliers _),
@@ -538,6 +713,7 @@ object SimilarityQueries extends QueryPack {
 
   override val oracles: Map[String, String] = Map(
     "ann_pq_adc" -> qAnnPqSql,
+    "ann_ivfpq_adc" -> qAnnIvfPqSql,
     "ann_recall_at_5" -> qAnnRecallSql,
     "knn_cosine_brute" -> qKnnSql,
     "emb_outliers" -> qEmbOutliersSql,

@@ -30,7 +30,9 @@ class PlanLintSpec extends AnyFunSuite {
                              //   (plus the whitelisted sub-plans of the three
                              //   ANN paths + brute force it composes)
     "emb_kmeans",            // corpus × broadcast k-centroid row (assignCells)
-    "ann_ivf_trained")       // same assignCells broadcast, trained centroids
+    "ann_ivf_trained",       // same assignCells broadcast, trained centroids
+    "ann_ivfpq_adc")         // assignCells + probeCells 1-row centroid-array
+                             //   broadcasts (trained cells route, PQ scores)
 
   test("no gate query plans a cartesian product; BNLJ only where whitelisted") {
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
