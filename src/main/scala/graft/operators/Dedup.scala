@@ -193,9 +193,11 @@ object Dedup {
         col("a.tok") === col("b.tok") && col("a.__id") < col("b.__id"))
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
       .distinct()
-    verifyJaccard(cands, docs, "__id", "__sh")
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    materializeAndRelease(
+      verifyJaccard(cands, docs, "__id", "__sh")
+        .filter(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"), col("jaccard")),
+      docs)
   }
 
   /** Full MinHash+LSH near-dup pipeline: candidates → exact verification →
@@ -210,17 +212,37 @@ object Dedup {
   def spread(df: DataFrame, by: Column): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism, by)
 
+  /** Materialize `result` eagerly (localCheckpoint), then drop the
+    * intermediate caches it was built from — the self-cleaning tail every
+    * multi-consumer dedup operator shares. The returned frame owns NO cache
+    * contract: intermediates are already gone when this returns, and the
+    * result's (pair-table-sized, corpus-small) checkpoint storage is freed
+    * by the ContextCleaner once the caller releases the frame —
+    * `spark.catalog.clearCache()` neither needed nor able to touch it. A
+    * long-lived server calling dedup per request therefore cannot
+    * accumulate dead cached RDDs (previously a documented caller-must-
+    * clearCache footgun).
+    */
+  private def materializeAndRelease(result: DataFrame, intermediates: DataFrame*): DataFrame = {
+    val out = result.localCheckpoint() // eager: runs the pipeline now
+    intermediates.foreach(_.unpersist(blocking = false))
+    out
+  }
+
   def minHashDuplicates(
       df: DataFrame, id: Column, text: Column, shingleWidth: Int,
       threshold: Double, nHashes: Int = 64, r: Int = 2, seed: Long = 42L,
       maxBucket: Int = Int.MaxValue): DataFrame = {
     // Shingle hashes are consumed by candidate generation AND (twice) by the
-    // Jaccard verify join — persist so the byte-scan runs once, not 3×.
+    // Jaccard verify join — persist so the byte-scan runs once, not 3×;
+    // released before return (see materializeAndRelease).
     val docs = spread(df, id).select(id.as("__id"), shingleHashes(text, shingleWidth).as("__sh")).persist()
     val cands = lshCandidates(docs, "__id", "__sh", nHashes, r, seed, maxBucket)
-    verifyJaccard(cands, docs, "__id", "__sh")
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    materializeAndRelease(
+      verifyJaccard(cands, docs, "__id", "__sh")
+        .filter(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"), col("jaccard")),
+      docs)
   }
 
   /** Incremental near-dup: duplicates of a FRESH batch against an existing
@@ -283,9 +305,11 @@ object Dedup {
       .select(least(col("__f_id"), col("__id")).as("id_a"),
         greatest(col("__f_id"), col("__id")).as("id_b"))
       .distinct()
-    verifyJaccard(cands, corpusDocs.union(freshDocs), "__id", "__sh")
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    materializeAndRelease(
+      verifyJaccard(cands, corpusDocs.union(freshDocs), "__id", "__sh")
+        .filter(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"), col("jaccard")),
+      freshDocs, corpusDocs)
   }
 
   /** Duplicate-cluster assignment: connected components over the near-dup
@@ -348,13 +372,13 @@ object Dedup {
     // Checkpointing makes every round's plan constant-size; the superseded
     // generation's checkpoint storage is dropped as soon as the next one
     // materializes, so at most two corpus-sized generations are ever live.
-    // `edges` stays catalog-cached (clearCache frees it, as with
-    // minHashDuplicates). The FINAL labels generation is RDD-level
-    // checkpoint storage, which catalog.clearCache() does NOT touch — it
-    // cannot be dropped here (localCheckpoint truncates lineage, so
-    // unpersisting it would destroy the very data the returned frame
-    // serves); it is freed by the ContextCleaner once the caller releases
-    // the returned DataFrame.
+    // `edges` is unpersisted as soon as the loop converges (the final
+    // labels are checkpoint-materialized — nothing re-reads edges). The
+    // FINAL labels generation is RDD-level checkpoint storage, which
+    // catalog.clearCache() does NOT touch — it cannot be dropped here
+    // (localCheckpoint truncates lineage, so unpersisting it would destroy
+    // the very data the returned frame serves); it is freed by the
+    // ContextCleaner once the caller releases the returned DataFrame.
     var labels = ids.select(col(idCol).as("id"), col(idCol).as("rep"))
     var labelsCheckpointed = false
     var iter = 0
@@ -375,6 +399,7 @@ object Dedup {
       converged = !changed
       iter += 1
     }
+    edges.unpersist(blocking = false)
     labels
   }
 
@@ -462,26 +487,26 @@ object Dedup {
     * Within-doc repeats are collapsed by the distinct (a doc does not make
     * its own windows "duplicated"); two docs sharing a window both count it.
     *
-    * Cache contract: the (doc, window-hash) table stays persisted because
-    * both output consumers (corpus-wide count + per-doc rollup) read it and
-    * the returned frame is lazy; the caller owns
-    * `spark.catalog.clearCache()` when done — same contract as
-    * [[minHashDuplicates]] / [[duplicatedSpanRuns]] (Bench clears between
-    * queries).
+    * No cache, no contract: the corpus-wide doc count per window is a
+    * window function over the (doc, window-hash) table — `shingleHashes`
+    * dedups per doc, so `count(*) OVER (PARTITION BY win)` IS the number
+    * of docs containing the window — which lets one pipeline serve both
+    * the count and the per-doc rollup in a single pass (the former
+    * two-consumer formulation persisted the exploded table and obliged
+    * callers to `clearCache()`). One shuffle on the window hash, one on
+    * the doc id. A pathologically hot window (boilerplate in many docs)
+    * concentrates its rows in one window partition — the same skew the
+    * former count-join had on its build side.
     *
     * @return (id, n_windows, n_dup, dup_frac, keep), one row per doc with
     *         at least one window
     */
   def duplicatedSpans(df: DataFrame, id: Column, text: Column, w: Int,
       keepBelow: Double): DataFrame = {
-    // persisted: the (doc, window) table feeds both the corpus-wide count
-    // and the per-doc rollup — one shingle pass, not two
-    val wins = spread(df, id)
+    val byWin = Window.partitionBy(col("win"))
+    spread(df, id)
       .select(id.as("id"), explode(shingleHashes(text, w)).as("win"))
-      .persist()
-    // distinct per doc ⇒ count(*) per window == count of docs containing it
-    val counts = wins.groupBy(col("win")).agg(count(lit(1)).as("nd"))
-    wins.join(counts, "win")
+      .withColumn("nd", count(lit(1)).over(byWin))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_windows"),
         sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_dup"))
@@ -506,11 +531,13 @@ object Dedup {
     * is a per-doc sorted window over only the DUPLICATED positions (a small
     * fraction of the corpus in healthy data).
     *
-    * Cache contract: the (doc, pos, window-hash) table is persisted because
-    * it feeds both the corpus-wide count and the join back; the caller owns
-    * `spark.catalog.clearCache()` when done (same contract as
-    * [[minHashDuplicates]] / [[duplicatedSpans]] — Bench clears between
-    * queries).
+    * No cache, no contract: the corpus-wide distinct-doc count per window
+    * is computed in-pipeline — a row_number over (win, id) flags each
+    * window's first position per doc, and summing the flags over the
+    * window partition counts DISTINCT docs (within-doc repeats contribute
+    * one) — so the positional table feeds a single linear pipeline instead
+    * of the former two consumers (persist + count-join + caller-owned
+    * `clearCache()`).
     *
     * @param w window width in tokens (the minimum detectable span length)
     * @return (id, run_idx, start_tok, end_tok, n_tokens) — token positions
@@ -522,21 +549,21 @@ object Dedup {
     // starting at token i — unlike shingleHashes, whose array_distinct
     // drops the positions this operator is about
     val winsRaw = Bridge.column(graft.functions.ShingleHashes(Bridge.childExpr(text), w))
-    val wins = spread(df, id)
-      .select(id.as("id"), posexplode(winsRaw).as(Seq("pos", "win")))
-      .persist()
-    // corpus-duplicated = the window occurs in >= 2 DISTINCT docs (same
-    // definition as duplicatedSpans: within-doc repeats alone don't count,
-    // hence the (win, id) dedup before counting)
-    val dupWins = wins.select(col("win"), col("id")).distinct()
-      .groupBy(col("win")).agg(count(lit(1)).as("nd"))
-      .filter(col("nd") > 1)
-      .select(col("win"))
+    val byWinDoc = Window.partitionBy(col("win"), col("id")).orderBy(col("pos"))
+    val byWin = Window.partitionBy(col("win"))
     val byDoc = Window.partitionBy(col("id")).orderBy(col("pos"))
-    wins.join(dupWins, "win")
-      // within-doc repeated windows are one position set — dedup before the
-      // lag so a repeat doesn't produce a zero-gap phantom row in the run
-      .select(col("id"), col("pos")).distinct()
+    spread(df, id)
+      .select(id.as("id"), posexplode(winsRaw).as(Seq("pos", "win")))
+      // corpus-duplicated = the window occurs in >= 2 DISTINCT docs (same
+      // definition as duplicatedSpans: within-doc repeats alone don't
+      // count — only a doc's FIRST occurrence of a window raises the flag)
+      .withColumn("__first",
+        when(row_number().over(byWinDoc) === 1, 1L).otherwise(0L))
+      .withColumn("nd", sum(col("__first")).over(byWin))
+      .filter(col("nd") > 1)
+      // (id, pos) is unique by construction (posexplode), so every
+      // duplicated position enters the gaps-and-islands merge exactly once
+      .select(col("id"), col("pos"))
       .withColumn("__new",
         when(col("pos") - lag(col("pos"), 1).over(byDoc) > w, 1).otherwise(0))
       .withColumn("run_idx", sum(col("__new")).over(byDoc) + 1)

@@ -29,6 +29,13 @@ import org.apache.spark.sql.functions._
   * its logical plan every round (the [[Dedup.clusterRepresentatives]]
   * lesson; k rows make the checkpoint free).
   *
+  * Storage note: the RETURNED centroid frame is localCheckpoint-pinned (k
+  * rows) until the ContextCleaner collects it after the caller drops the
+  * frame — `spark.catalog.clearCache()` does NOT free checkpoint storage,
+  * so a long-lived session fitting repeatedly holds one k-row pin per
+  * still-referenced result (superseded in-loop generations are dropped
+  * eagerly each round; only the live result pins).
+  *
   * @param k     number of clusters (centroid count)
   * @param iters fixed Lloyd iterations (assignment + mean update)
   * @return (cent_id, cent) — cent_id is the seeding row's id (stable

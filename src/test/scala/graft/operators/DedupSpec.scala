@@ -145,6 +145,34 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup operators leave no dead caches behind (zero caller cache contract)") {
+    // Previously minHashDuplicates / duplicatedSpans / duplicatedSpanRuns /
+    // jaccardJoin / minHashIncremental persisted intermediates and obliged
+    // callers to spark.catalog.clearCache() — a leak in any long-lived
+    // process. Now every operator either runs cache-free or eagerly
+    // materializes its result and unpersists its intermediates before
+    // returning: the only pinned storage after a call may be the
+    // localCheckpoint behind the RETURNED frame itself (freed by the
+    // ContextCleaner when the caller drops it), never an intermediate.
+    spark.catalog.clearCache()
+    val beforeIds = spark.sparkContext.getPersistentRDDs.keySet
+    val results = Seq(
+      Dedup.minHashDuplicates(docs, col("doc_id"), col("text"), 3, 0.5),
+      Dedup.duplicatedSpans(docs, col("doc_id"), col("text"), 3, 0.5),
+      Dedup.duplicatedSpanRuns(docs, col("doc_id"), col("text"), 3),
+      Dedup.jaccardJoin(docs, col("doc_id"), col("text"), 3, 0.5),
+      Dedup.minHashIncremental(docs.filter(col("doc_id") <= 3),
+        docs.filter(col("doc_id") > 3), col("doc_id"), col("text"), 3, 0.5))
+    results.foreach(_.count()) // consume fully
+    val returnedCheckpoints = results.flatMap(_.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd.id)
+      case _ => None
+    }).toSet
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet --
+      beforeIds -- returnedCheckpoints
+    assert(leaked.isEmpty, s"operators leaked cached RDDs: $leaked")
+  }
+
   test("cosineJoinBlocked: exact pairwise answer, no nested-loop join in the plan") {
     val rnd = new scala.util.Random(7)
     val vecs = (0L until 40L).map(i => (i, Array.fill(8)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "emb")
