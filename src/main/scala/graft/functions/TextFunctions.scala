@@ -62,8 +62,16 @@ object TextFunctions {
     * Deterministic tie-break (lexicographically larger lang code wins) via
     * struct ordering inside `array_max`.
     */
-  def langId(text: Column): Column = {
-    val toks = tokens(lower(text))
+  def langId(text: Column): Column = langIdFromTokens(tokens(lower(text)))
+
+  /** [[langId]] over an already-staged lowered-token array. Callers scoring
+    * a whole corpus should bind the token array to its own projection
+    * column first (`.select(tokens(lower(text)).as("tk"))`) and pass the
+    * attribute: each per-language filter re-evaluates its input expression
+    * tree, so handing this an inline `tokens(lower(text))` tree re-splits
+    * the text once per language (the staged form splits once per row).
+    */
+  def langIdFromTokens(toks: Column): Column = {
     val scored = profiles.map { case (lang, markers) =>
       struct(
         size(filter(toks, x => x.isInCollection(markers))).as("score"),
@@ -85,15 +93,51 @@ object TextFunctions {
     * and argmax per-language profile hits — pure built-ins (substring over a
     * position sequence), no UDF, deterministic tie-break as in [[langId]].
     */
-  def langIdNgram(text: Column): Column = {
-    val t = lower(text)
-    val grams = transform(
-      sequence(lit(1), greatest(length(t) - 2, lit(0))),
-      i => t.substr(i, lit(3)))
+  def langIdNgram(text: Column): Column = langIdNgramFromGrams(trigrams(lower(text)))
+
+  /** All sliding 3-char windows of an (already-lowered) text column.
+    * IMPORTANT for corpus-wide callers: pass an ATTRIBUTE, not an inline
+    * `lower(text)` tree — the per-element lambda references the input, so
+    * an inline subtree is re-evaluated once per character position
+    * (quadratic in document length); see the staging note on
+    * [[langIdFromTokens]].
+    */
+  def trigrams(lowered: Column): Column =
+    transform(
+      sequence(lit(1), greatest(length(lowered) - 2, lit(0))),
+      i => lowered.substr(i, lit(3)))
+
+  /** [[langIdNgram]] over an already-staged trigram array (same staging
+    * rationale as [[langIdFromTokens]]). Kept as the interpreted
+    * cross-check of the codegen [[langIdNgramHits]] path (spec-verified
+    * equal).
+    */
+  def langIdNgramFromGrams(grams: Column): Column = {
     val scored = trigramProfiles.map { case (lang, prof) =>
       struct(
         size(filter(grams, g => g.isInCollection(prof))).as("score"),
         lit(lang).as("lang"))
+    }
+    array_max(array(scored: _*)).getField("lang")
+  }
+
+  /** Per-language trigram hit counts of an (already-lowered) text column in
+    * one codegen byte scan ([[TrigramProfileHits]]) — the corpus-scale
+    * scoring path: no trigram array materializes, no per-profile re-scan.
+    * Index order matches [[trigramProfiles]].
+    */
+  def langIdNgramHits(lowered: Column): Column = {
+    import org.apache.spark.sql.graftshim.Bridge
+    Bridge.column(TrigramProfileHits(
+      Bridge.childExpr(lowered), trigramProfiles.map(_._2)))
+  }
+
+  /** Argmax language from a staged [[langIdNgramHits]] array (same
+    * larger-lang-code tie-break as [[langIdNgram]]).
+    */
+  def langIdNgramFromHits(hits: Column): Column = {
+    val scored = trigramProfiles.zipWithIndex.map { case ((lang, _), i) =>
+      struct(element_at(hits, i + 1).as("score"), lit(lang).as("lang"))
     }
     array_max(array(scored: _*)).getField("lang")
   }

@@ -94,8 +94,28 @@ object Multimodal {
     */
   def pHash60(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
-    val hx = hex(payload)
-    val m = length(payload)
+    pHash60FromHex(hex(payload), length(payload))
+  }
+
+  /** Codegen single-pass dHash ([[graft.functions.DHash60]]) — the corpus
+    * scan path; bit-identical to [[pHash60]] (spec-verified), which remains
+    * the SQL-re-derivable reference formulation the oracle mirrors.
+    */
+  def pHash60Fast(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftshim.Bridge
+    Bridge.column(graft.functions.DHash60(Bridge.childExpr(payload)))
+  }
+
+  /** [[pHash60]] over an ALREADY-STAGED hex string + byte length. Corpus
+    * scans should bind `hex(payload)` / `length(payload)` to their own
+    * projection columns and pass the attributes: the bit tree references
+    * the hex input ~120 times (two sampled bytes per bit), so handing this
+    * an inline `hex(payload)` tree re-hex-encodes the payload per
+    * reference (measured 6 s for 5 000 docs at sf0.1 vs ~1 s staged).
+    */
+  def pHash60FromHex(hx: org.apache.spark.sql.Column,
+      m: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
     // long arithmetic: an Int product i*len overflows at ~36 MB payloads
     // (ANSI: throws; legacy: wraps negative and reads bytes from the wrong
     // end via negative substr)

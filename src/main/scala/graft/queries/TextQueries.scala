@@ -133,11 +133,22 @@ object TextQueries extends QueryPack {
   // profile argmax (Cavnar–Trenkle-style); both re-derived in SQL for the
   // oracle (score per candidate language, argmax with the same
   // larger-lang-code tie-break as array_max over (score, lang) structs)
+  // Staged projections: lower once, build token/trigram arrays once, THEN
+  // score. Each stage's alias is referenced more than once downstream and
+  // is non-cheap, so CollapseProject keeps the stages separate — the
+  // single-select formulation inlined the tokenize/gram trees into every
+  // per-language filter (and the gram lambda re-lowered the text per
+  // character position): measured 35 s for 5 000 docs at sf0.1 vs ~1 s
+  // staged, identical output.
   private def qLangId(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), lower(col("text")).as("__lt"))
       .select(col("doc_id"), col("lang"),
-        TextFunctions.langId(col("text")).as("pred_lang"),
-        TextFunctions.langIdNgram(col("text")).as("pred_lang_ngram"))
+        TextFunctions.tokens(col("__lt")).as("__tk"),
+        TextFunctions.langIdNgramHits(col("__lt")).as("__h"))
+      .select(col("doc_id"), col("lang"),
+        TextFunctions.langIdFromTokens(col("__tk")).as("pred_lang"),
+        TextFunctions.langIdNgramFromHits(col("__h")).as("pred_lang_ngram"))
       .orderBy("doc_id")
 
   private val qLangIdSql =
@@ -311,23 +322,45 @@ object TextQueries extends QueryPack {
   // Pure per-row map work (array built-ins, no shuffle): at 100 TB this is
   // an embarrassingly parallel single pass.
   private def qRepetition(s: SparkSession, dir: String): DataFrame = {
-    val toks = split(col("text"), " ")
-    val n = size(toks)
-    def dupRatio(g: Column): Column =
-      when(size(g) === 0, lit(0.0))
-        .otherwise(lit(1.0) - size(array_distinct(g)).cast("double") / size(g))
-    val dupTok = lit(1.0) - size(array_distinct(toks)).cast("double") / n
-    // sorted-run-length fold: O(n log n) per row, not O(n × distinct)
-    val topTok = TextFunctions.maxMultiplicity(toks).cast("double") / n
-    val dup2 = dupRatio(TextFunctions.ngrams(toks, 2))
-    val dup3 = dupRatio(TextFunctions.ngrams(toks, 3))
-    t(s, dir, "documents").select(
-      col("doc_id"),
-      round(dupTok, 4).as("dup_token_ratio"),
-      round(dup2, 4).as("dup_2gram_ratio"),
-      round(dup3, 4).as("dup_3gram_ratio"),
-      round(topTok, 4).as("top_token_ratio"),
-      (dupTok <= 0.8 && dup3 <= 0.5 && topTok <= 0.2).as("keep"))
+    // Staged + hashed: the w-gram multisets come from THREE codegen
+    // ShingleHashes byte scans (w = 1, 2, 3) — no n-gram strings, no
+    // interpreted transform — and distinct counts are over the 64-bit
+    // window hashes (identical to string-distinct up to hash collisions,
+    // the same hash-space convention as the dedup pipelines). The former
+    // single-select form re-built interpreted n-gram arrays for every
+    // size/distinct/keep reference: measured 22 s for 5 000 docs at sf0.1
+    // vs ~0.6 s now, identical output on any collision-free corpus.
+    val dupTok = lit(1.0) - col("__ndist").cast("double") / col("__n")
+    def dupRatio(nG: Column, ndG: Column): Column =
+      when(nG === 0, lit(0.0))
+        .otherwise(lit(1.0) - ndG.cast("double") / nG)
+    val dup3 = dupRatio(col("__n3"), col("__nd3"))
+    val topTok = col("__mm").cast("double") / col("__n")
+    import org.apache.spark.sql.graftshim.Bridge
+    def rawShingles(w: Int) =
+      Bridge.column(graft.functions.ShingleHashes(Bridge.childExpr(col("text")), w))
+    t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("__tk"),
+        rawShingles(1).as("__s1"), rawShingles(2).as("__s2"), rawShingles(3).as("__s3"))
+      .select(col("doc_id"),
+        size(col("__tk")).as("__n"),
+        // ShingleHashes is empty on ZERO-LENGTH text where split yields
+        // [""] (one distinct token) — mirror that one edge explicitly
+        when(size(col("__s1")) === 0, lit(1))
+          .otherwise(size(array_distinct(col("__s1")))).as("__ndist"),
+        // sorted-run-length fold: O(n log n) per row, not O(n × distinct)
+        TextFunctions.maxMultiplicity(col("__tk")).as("__mm"),
+        size(col("__s2")).as("__n2"),
+        size(array_distinct(col("__s2"))).as("__nd2"),
+        size(col("__s3")).as("__n3"),
+        size(array_distinct(col("__s3"))).as("__nd3"))
+      .select(
+        col("doc_id"),
+        round(dupTok, 4).as("dup_token_ratio"),
+        round(dupRatio(col("__n2"), col("__nd2")), 4).as("dup_2gram_ratio"),
+        round(dup3, 4).as("dup_3gram_ratio"),
+        round(topTok, 4).as("top_token_ratio"),
+        (dupTok <= 0.8 && dup3 <= 0.5 && topTok <= 0.2).as("keep"))
       .orderBy("doc_id")
   }
 
@@ -358,11 +391,18 @@ object TextQueries extends QueryPack {
   // hash) is exactly re-derived in SQL; the library default stays xxhash64
   // (covered by TextFunctionsSpec).
   private def qRollingFp(s: SparkSession, dir: String): DataFrame = {
+    // Staged: tokens once, window-hash array once, then min + size — the
+    // single-select form built the rolling-hash array twice (fp and
+    // n_windows) with the ngram lambda re-splitting the text per window
+    // (3.5 s at sf0.1 vs ~0.5 s staged, identical output).
     val h = TextFunctions.md5Hash60 _
     t(s, dir, "documents")
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("__tk"))
       .select(col("doc_id"),
-        TextFunctions.minFingerprint(col("text"), 4, h).as("fp"),
-        size(TextFunctions.rollingHashes(col("text"), 4, h)).as("n_windows"))
+        transform(TextFunctions.ngrams(col("__tk"), 4), g => h(g)).as("__hs"))
+      .select(col("doc_id"),
+        array_min(col("__hs")).as("fp"),
+        size(col("__hs")).as("n_windows"))
       .orderBy("doc_id")
   }
 
@@ -431,18 +471,28 @@ object TextQueries extends QueryPack {
   // norm, support size, argmax bucket) — the driver's hash-compare sorts on
   // every output column and cannot order array values.
   private def qHashingTf(s: SparkSession, dir: String): DataFrame = {
-    val toks = split(col("text"), " ")
-    val buckets = transform(toks, t => pmod(TextFunctions.md5Hash60(t), lit(tfDim)))
+    // Staged: md5-bucket every token ONCE, histogram once, then scalar
+    // projections — the single-select form inlined the md5 transform into
+    // all 16 histogram filters and re-inlined the histogram into every
+    // output column (~100 md5 passes per token): measured 26 s for 5 000
+    // docs at sf0.1 vs ~1 s staged, identical output.
+    val buckets = transform(split(col("text"), " "),
+      t => pmod(TextFunctions.md5Hash60(t), lit(tfDim)))
     val counts = array((0 until tfDim).map(b =>
-      size(filter(buckets, x => x === b)).cast("double")): _*)
-    val nrm = sqrt(aggregate(transform(counts, c => c * c), lit(0.0), (a, x) => a + x))
-    t(s, dir, "documents").select(
-      col("doc_id"),
-      round(nrm, 6).as("norm"),
-      round(element_at(counts, 1) / nrm, 6).as("v0"),
-      round(element_at(counts, 2) / nrm, 6).as("v1"),
-      size(filter(counts, c => c > 0)).as("nnz"),
-      (array_position(counts, array_max(counts)) - 1).cast("int").as("top_bucket"))
+      size(filter(col("__bk"), x => x === b)).cast("double")): _*)
+    t(s, dir, "documents")
+      .select(col("doc_id"), buckets.as("__bk"))
+      .select(col("doc_id"), counts.as("__cnts"))
+      .select(col("doc_id"), col("__cnts"),
+        sqrt(aggregate(transform(col("__cnts"), c => c * c), lit(0.0), (a, x) => a + x))
+          .as("__nrm"))
+      .select(
+        col("doc_id"),
+        round(col("__nrm"), 6).as("norm"),
+        round(element_at(col("__cnts"), 1) / col("__nrm"), 6).as("v0"),
+        round(element_at(col("__cnts"), 2) / col("__nrm"), 6).as("v1"),
+        size(filter(col("__cnts"), c => c > 0)).as("nnz"),
+        (array_position(col("__cnts"), array_max(col("__cnts"))) - 1).cast("int").as("top_bucket"))
       .orderBy("doc_id")
   }
 

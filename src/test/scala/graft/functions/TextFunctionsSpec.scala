@@ -40,6 +40,45 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(out == List("en", "es", "de"))
   }
 
+  test("TrigramProfileHits (codegen) == staged HOF trigram scoring, incl. multibyte + short docs") {
+    val texts = Seq(
+      "the thing and the other thing",
+      "la casa de los perros de madrid",
+      "die kinder und der hund schlafen",
+      "le chien et le chat de paris",
+      "的是了我不在他的是了",   // multibyte (3-byte UTF-8) — code-point windows
+      "ab",                      // shorter than one trigram
+      "",                        // empty
+      "aaaa the the")            // self-overlapping + repeated grams
+    val df = texts.toDF("text")
+    val viaCodegen = df
+      .select(lower(col("text")).as("lt"))
+      .select(TextFunctions.langIdNgramFromHits(
+        TextFunctions.langIdNgramHits(col("lt"))).as("p"))
+      .as[String].collect().toList
+    val viaHof = df
+      .select(lower(col("text")).as("lt"))
+      .select(TextFunctions.langIdNgramFromGrams(
+        TextFunctions.trigrams(col("lt"))).as("p"))
+      .as[String].collect().toList
+    assert(viaCodegen == viaHof)
+    // and the underlying counts agree with a driver-side sliding count
+    val hits = df.select(lower(col("text")).as("lt"))
+      .select(TextFunctions.langIdNgramHits(col("lt"))).as[Seq[Int]].collect()
+    val profiles = Seq(
+      Seq("the", "he ", " th", "ing", "and", " an", "ion", " of", "ed ", "is "),
+      Seq(" de", "de ", " la", "la ", "os ", "el ", " el", "ión", "es ", "ue "),
+      Seq(" de", "de ", "es ", " le", "le ", "ent", "et ", " et", "que", "ion"),
+      Seq("er ", "en ", "ch ", " de", "der", "die", " di", "ein", "sch", "und"))
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val lt = t.toLowerCase
+      val cps = lt.codePoints().toArray
+      val windows = (0 to cps.length - 3).map(j => new String(cps, j, 3))
+      val expected = profiles.map(p => windows.count(p.contains))
+      assert(hits(i) == expected, s"doc $i '$t': ${hits(i)} vs $expected")
+    }
+  }
+
   test("maxMultiplicity: sorted-run fold equals brute-force per-token counts") {
     val df = Seq("a b a c a b", "x", "q q q q", "m n o p").toDF("text")
     val out = df.select(TextFunctions.maxMultiplicity(split(col("text"), " "))).as[Int].collect().toList

@@ -107,6 +107,29 @@ class MultimodalSpec extends AnyFunSuite {
     assert(h == 0L)
   }
 
+  test("pHash60Fast (codegen DHash60) == built-ins pHash60 bit-exactly, incl. empty/short/high bytes") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // high bytes (>127) exercise unsigned-byte comparison; lengths around
+    // the 61-sample grid exercise the floor-index arithmetic
+    val payloads = Seq(
+      Array.emptyByteArray,
+      Array[Byte](1),
+      Array[Byte](-1, -128, 127, 0, -1),
+      Array.tabulate(60)(i => i.toByte),
+      Array.tabulate(61)(i => (255 - i).toByte),
+      Array.tabulate(62)(i => ((i * 37) % 256).toByte),
+      Array.fill(500)(rnd.nextInt(256).toByte),
+      Array.fill(4096)(rnd.nextInt(256).toByte))
+    val df = payloads.zipWithIndex.map { case (p, i) => (i.toLong, p) }.toDF("id", "payload")
+    val out = df.select(col("id"),
+        Multimodal.pHash60(col("payload")).as("ref"),
+        Multimodal.pHash60Fast(col("payload")).as("fast"))
+      .as[(Long, Long, Long)].collect()
+    out.foreach { case (id, ref, fast) => assert(ref == fast, s"payload $id: $ref != $fast") }
+  }
+
   test("pHash60: near-identical payloads within small Hamming; unrelated far; fixed-grid handles any length") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
