@@ -39,8 +39,11 @@ object ConfigSchema {
       val isBool = f.getType == classOf[Boolean] || f.getType == classOf[java.lang.Boolean]
       val extra =
         defaults.get(f.getName).map { d =>
+          // finite only: "NaN"/"Infinity" satisfy toDoubleOption but are
+          // not valid JSON number literals — emitting them unquoted would
+          // produce a malformed spec; fall back to the quoted string
           val raw =
-            if (isNum && d.toDoubleOption.isDefined) d
+            if (isNum && d.toDoubleOption.exists(v => !v.isNaN && !v.isInfinite)) d
             else if (isBool && (d == "true" || d == "false")) d
             else jstr(d)
           s""","default":$raw"""

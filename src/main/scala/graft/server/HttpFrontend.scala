@@ -34,14 +34,22 @@ final class HttpFrontend(
     // C7: non-empty → every request must carry an Authorization header
     // holding a signed token ([[TokenAuth]]) whose embedded key is in this
     // allow-list and whose prefix scope covers the request path
-    authKeys: Seq[Array[Byte]] = Nil) {
+    authKeys: Seq[Array[Byte]] = Nil,
+    // handler-pool width = max concurrent syncs (each /read is a full
+    // connector sync; see the pool comment below)
+    maxConcurrent: Int = 8) {
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
 
   // A real pool, NOT setExecutor(null): the null executor runs every handler
   // on the single dispatcher thread, so one long /read sync would serialize
   // the entire multiplex frontend ("one server fronting many connectors").
-  private val pool = java.util.concurrent.Executors.newCachedThreadPool(
+  // BOUNDED (not newCachedThreadPool): each /read runs a full connector
+  // sync, so an unbounded pool would let a request burst spawn unbounded
+  // concurrent syncs/threads; beyond `maxConcurrent` requests queue on the
+  // server's accept backlog instead.
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(
+    maxConcurrent,
     (r: Runnable) => { val t = new Thread(r, "graft-http"); t.setDaemon(true); t })
 
   def boundPort: Int = server.getAddress.getPort

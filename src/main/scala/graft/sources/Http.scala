@@ -103,7 +103,12 @@ final class RetryingClient(
           // >= 300, not 400: transports follow redirects themselves (see
           // JdkHttpClient), so a surviving 3xx is a redirect loop / protocol
           // downgrade / misconfiguration — surface it as an HTTP error
-          // instead of letting the caller JSON-parse an HTML redirect body
+          // instead of letting the caller JSON-parse an HTML redirect body.
+          // 304 Not Modified is deliberately included: this client never
+          // sends conditional validators (no If-None-Match/If-Modified-
+          // Since anywhere in the stack), so a 304 can only mean a
+          // misconfigured upstream; if conditional GETs are ever added,
+          // special-case 304 here first.
           throw new RuntimeException(s"HTTP ${resp.status} for ${req.fullUrl}: ${resp.body.take(200)}")
         } else return resp
       }
