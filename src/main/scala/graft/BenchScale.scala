@@ -3,12 +3,11 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Scale-stress bench tier: the dedup / ANN / pipeline / text packs on a
-  * SYNTHETIC 10× replication of sf0.1 (there is no driver-generated sf1).
-  * This is the measured data point behind the scaladocs' scale claims
-  * (bounded task memory, no n² blowup): a query whose time grows much
-  * faster than the 10× data ratio has a super-linear plan regardless of
-  * what its sf0.1 time looked like.
+/** Scale-stress bench tier: EVERY gate query on a SYNTHETIC 10× replication
+  * of sf0.1 (there is no driver-generated sf1). This is the measured data
+  * point behind the scaladocs' scale claims (bounded task memory, no n²
+  * blowup): a query whose time grows much faster than the 10× data ratio
+  * has a super-linear plan regardless of what its sf0.1 time looked like.
   *
   * Replication is STRUCTURE-PRESERVING, not duplication-inflating: naive
   * row copies would make every document a 10-way near-dup clique and every
@@ -20,9 +19,16 @@ import org.apache.spark.sql.functions._
   *  - embeddings: ids shifted; dimensions circularly rotated by 7k — norms
   *    and within-replica cosines are exactly preserved, cross-replica
   *    cosines decorrelate (no synthetic near-dup inflation);
-  *  - events / orders: ids (and user/customer keys) shifted so per-key
-  *    group sizes stay constant while key cardinality grows 10× — the
-  *    correct scale direction for groupBy/window/session shapes.
+  *  - events / TPC-H facts: every key shifted by k times ITS OWN
+  *    dimension's cardinality — customer/orders/lineitem/part/supplier
+  *    foreign keys stay aligned across replicas (an orders row in replica
+  *    k points at the replica-k copy of its customer), so join
+  *    selectivities and per-key group sizes are preserved while key
+  *    cardinality grows 10×: the correct scale direction for
+  *    join/groupBy/window/session shapes;
+  *  - nation / region: copied once (fixed 25/5-row dimension tables — at
+  *    any real scale these stay constant; per-nation group sizes grow 10×,
+  *    which IS the production behavior of a fixed-cardinality dimension).
   * The fixed-size query/centroid sets (vec_id < 10 / < 8) land in replica 0
   * only: a growing corpus under a constant query set, which is exactly the
   * production scale path of the ANN queries.
@@ -31,26 +37,37 @@ object BenchScale {
 
   val Reps = 10
 
+  /** Bump when the synthesis recipe changes — a stale _DONE from an older
+    * recipe (e.g. the 4-table round-5 tier) must not satisfy the guard.
+    */
+  private val Version = "v2-all-tables"
+
   def synthesize(spark: SparkSession, srcDir: String, outDir: String): Unit = {
     val fs = new java.io.File(outDir)
-    if (new java.io.File(fs, "_DONE").exists()) return
+    val done = new java.io.File(fs, "_DONE")
+    if (done.exists() &&
+      scala.util.Try(java.nio.file.Files.readString(done.toPath).trim).toOption
+        .contains(Version)) return
     fs.mkdirs()
 
+    def maxOf(df: DataFrame, c: String): Long = df.agg(max(col(c))).head().getLong(0) + 1
     def reps(df: DataFrame)(copy: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until Reps).map(k => copy(df, k)).reduce(_ union _)
+    def write(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
 
     val docs = spark.read.parquet(s"$srcDir/documents.parquet")
-    val nDocs = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+    val nDocs = maxOf(docs, "doc_id")
     reps(docs) { (df, k) =>
       val text =
         if (k == 0) col("text")
         else concat_ws(" ", transform(split(col("text"), " "), t => concat(lit(s"r${k}_"), t)))
       df.select((col("doc_id") + lit(k * nDocs)).as("doc_id"), text.as("text"),
         col("lang"), col("source"), length(text).cast("long").as("n_chars"))
-    }.write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    }.pipe(write(_, "documents"))
 
     val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
-    val nVec = emb.agg(max(col("vec_id"))).head().getLong(0) + 1
+    val nVec = maxOf(emb, "vec_id")
     reps(emb) { (df, k) =>
       val shift = (k * 7) % 64
       val rotated =
@@ -59,32 +76,74 @@ object BenchScale {
           slice(col("embedding"), 1, shift))
       df.select((col("vec_id") + lit(k * nVec)).as("vec_id"),
         rotated.as("embedding"), col("label"))
-    }.write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    }.pipe(write(_, "embeddings"))
 
     // events.ts is TIMESTAMP(NANOS) in the source; QueryPack.t reads it as a
     // raw long (legacy conf) — replicate from the RAW read so the written
     // copy keeps the same long column the reader expects.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val events = spark.read.parquet(s"$srcDir/events.parquet")
-    val nEv = events.agg(max(col("event_id"))).head().getLong(0) + 1
-    val nUsr = events.agg(max(col("user_id"))).head().getLong(0) + 1
+    val nEv = maxOf(events, "event_id")
+    val nUsr = maxOf(events, "user_id")
     reps(events) { (df, k) =>
       df.select((col("event_id") + lit(k * nEv)).as("event_id"), col("ts"),
         (col("user_id") + lit(k * nUsr)).as("user_id"),
         col("event_type"), col("value"), col("props"))
-    }.write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    }.pipe(write(_, "events"))
 
+    // TPC-H: dimension cardinalities come from the OWNING table so fact-
+    // table foreign keys shift onto the matching replica's dimension rows
+    val customer = spark.read.parquet(s"$srcDir/customer.parquet")
+    val supplier = spark.read.parquet(s"$srcDir/supplier.parquet")
+    val part = spark.read.parquet(s"$srcDir/part.parquet")
     val orders = spark.read.parquet(s"$srcDir/orders.parquet")
-    val nOrd = orders.agg(max(col("o_orderkey"))).head().getLong(0) + 1
-    val nCust = orders.agg(max(col("o_custkey"))).head().getLong(0) + 1
+    val nCust = maxOf(customer, "c_custkey")
+    val nSupp = maxOf(supplier, "s_suppkey")
+    val nPart = maxOf(part, "p_partkey")
+    val nOrd = maxOf(orders, "o_orderkey")
+
+    reps(customer) { (df, k) =>
+      df.select((col("c_custkey") + lit(k * nCust)).as("c_custkey"),
+        col("c_name"), col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+    }.pipe(write(_, "customer"))
+
+    reps(supplier) { (df, k) =>
+      df.select((col("s_suppkey") + lit(k * nSupp)).as("s_suppkey"),
+        col("s_name"), col("s_nationkey"), col("s_acctbal"))
+    }.pipe(write(_, "supplier"))
+
+    reps(part) { (df, k) =>
+      df.select((col("p_partkey") + lit(k * nPart)).as("p_partkey"),
+        col("p_name"), col("p_brand"), col("p_type"), col("p_size"),
+        col("p_retailprice"))
+    }.pipe(write(_, "part"))
+
     reps(orders) { (df, k) =>
       df.select((col("o_orderkey") + lit(k * nOrd)).as("o_orderkey"),
         (col("o_custkey") + lit(k * nCust)).as("o_custkey"),
         col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
         col("o_orderpriority"))
-    }.write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+    }.pipe(write(_, "orders"))
 
-    new java.io.File(fs, "_DONE").createNewFile()
+    val lineitem = spark.read.parquet(s"$srcDir/lineitem.parquet")
+    reps(lineitem) { (df, k) =>
+      df.select((col("l_orderkey") + lit(k * nOrd)).as("l_orderkey"),
+        (col("l_partkey") + lit(k * nPart)).as("l_partkey"),
+        (col("l_suppkey") + lit(k * nSupp)).as("l_suppkey"),
+        col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax"), col("l_returnflag"),
+        col("l_linestatus"), col("l_shipdate"))
+    }.pipe(write(_, "lineitem"))
+
+    // fixed-cardinality dimensions: copied once, not replicated
+    write(spark.read.parquet(s"$srcDir/nation.parquet"), "nation")
+    write(spark.read.parquet(s"$srcDir/region.parquet"), "region")
+
+    java.nio.file.Files.writeString(done.toPath, Version + "\n")
+  }
+
+  private implicit final class Piped[A](private val a: A) extends AnyVal {
+    def pipe[B](f: A => B): B = f(a)
   }
 
   def main(args: Array[String]): Unit = {
@@ -94,12 +153,11 @@ object BenchScale {
     val spark = LocalSession.build()
     synthesize(spark, srcDir, outDir)
 
-    val packs: Seq[queries.QueryPack] =
-      Seq(queries.DedupQueries, queries.SimilarityQueries,
-        queries.PipelineQueries, queries.TextQueries)
-    val qs = packs.flatMap(_.queries).toMap
+    // EVERY gate query (round 5 covered only the dedup/ANN/pipeline/text
+    // packs — the relational/window/TPC-H shapes had no scale data point)
+    val qs = SparkEntry.queries
     // same methodology as Bench: untimed warmup, then min of 2 timed reps,
-    // clearCache between runs (documented cache contract of the dedup ops)
+    // clearCache between runs
     qs.foreach { case (_, fn) =>
       try Bench.materialize(fn(spark, outDir)) catch { case _: Throwable => () }
     }
