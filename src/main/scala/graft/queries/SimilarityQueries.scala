@@ -407,7 +407,12 @@ object SimilarityQueries extends QueryPack {
   // the oracle re-derives training + assignment + encoding + ADC in SQL.
   private def qAnnIvfPq(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    val cents = graft.operators.KMeans.fit(emb, col("vec_id"), col("embedding"), k = 8, iters = 2)
+    ivfPqTop5(s, dir,
+      graft.operators.KMeans.fit(emb, col("vec_id"), col("embedding"), k = 8, iters = 2))
+  }
+
+  private def ivfPqTop5(s: SparkSession, dir: String, cents: DataFrame): DataFrame = {
+    val emb = t(s, dir, "embeddings")
     val csubs = pqCsubs(emb)
     val codebook = pqCodebook(csubs)
     // assignment first, then the subspace explode — cell rides along, no
@@ -509,10 +514,16 @@ object SimilarityQueries extends QueryPack {
     // is auto-freed by the ContextCleaner when the result is released.
     val brute = bruteTop5(s, dir).select(col("query_id"), col("neighbor_id"))
       .localCheckpoint()
+    // ONE k-means training for both trained paths (KMeans.fit materializes
+    // eagerly, so building the trained-IVF and IVF-PQ paths independently
+    // here would run the whole Lloyd chain twice)
+    val emb = t(s, dir, "embeddings")
+    val trainedCents =
+      graft.operators.KMeans.fit(emb, col("vec_id"), col("embedding"), k = 8, iters = 2)
     val paths = Seq(
       "ann_ivf_coarse" -> qAnnIvf(s, dir),
-      "ann_ivf_trained" -> qAnnIvfTrained(s, dir),
-      "ann_ivfpq_adc" -> qAnnIvfPq(s, dir),
+      "ann_ivf_trained" -> ivfTop5(s, dir, trainedCents),
+      "ann_ivfpq_adc" -> ivfPqTop5(s, dir, trainedCents),
       "ann_pq_adc" -> qAnnPq(s, dir),
       "ann_rhp_lsh" -> lshTop5(s, dir))
     val retrieved = paths.map { case (name, df) =>

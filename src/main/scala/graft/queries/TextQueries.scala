@@ -391,15 +391,17 @@ object TextQueries extends QueryPack {
   // hash) is exactly re-derived in SQL; the library default stays xxhash64
   // (covered by TextFunctionsSpec).
   private def qRollingFp(s: SparkSession, dir: String): DataFrame = {
-    // Staged: tokens once, window-hash array once, then min + size — the
-    // single-select form built the rolling-hash array twice (fp and
-    // n_windows) with the ngram lambda re-splitting the text per window
-    // (3.5 s at sf0.1 vs ~0.5 s staged, identical output).
-    val h = TextFunctions.md5Hash60 _
+    // Codegen: the whole rolling-hash array comes from ONE Md5ShingleHashes
+    // byte scan (a window's byte range IS the concat_ws(" ") string),
+    // staged so fp and n_windows read the attribute — the original
+    // single-select form built an interpreted per-window md5 array twice,
+    // re-splitting the text per window (3.5 s at sf0.1 vs ~0.2 s now,
+    // identical output).
+    import org.apache.spark.sql.graftshim.Bridge
+    val windowHashes = Bridge.column(
+      graft.functions.Md5ShingleHashes(Bridge.childExpr(col("text")), 4))
     t(s, dir, "documents")
-      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("__tk"))
-      .select(col("doc_id"),
-        transform(TextFunctions.ngrams(col("__tk"), 4), g => h(g)).as("__hs"))
+      .select(col("doc_id"), windowHashes.as("__hs"))
       .select(col("doc_id"),
         array_min(col("__hs")).as("fp"),
         size(col("__hs")).as("n_windows"))
@@ -471,17 +473,20 @@ object TextQueries extends QueryPack {
   // norm, support size, argmax bucket) — the driver's hash-compare sorts on
   // every output column and cannot order array values.
   private def qHashingTf(s: SparkSession, dir: String): DataFrame = {
-    // Staged: md5-bucket every token ONCE, histogram once, then scalar
-    // projections — the single-select form inlined the md5 transform into
-    // all 16 histogram filters and re-inlined the histogram into every
-    // output column (~100 md5 passes per token): measured 26 s for 5 000
-    // docs at sf0.1 vs ~1 s staged, identical output.
-    val buckets = transform(split(col("text"), " "),
-      t => pmod(TextFunctions.md5Hash60(t), lit(tfDim)))
+    // Staged + codegen: token hashes come from ONE Md5ShingleHashes byte
+    // scan (w=1 windows ARE the split tokens, empty-input parity
+    // included), then histogram once, then scalar projections — the
+    // original single-select form inlined an interpreted per-token md5
+    // lambda into all 16 histogram filters and re-inlined the histogram
+    // into every output column (~100 md5 passes per token): measured 26 s
+    // for 5 000 docs at sf0.1 vs ~0.4 s now, identical output.
+    import org.apache.spark.sql.graftshim.Bridge
+    val tokenHashes = Bridge.column(
+      graft.functions.Md5ShingleHashes(Bridge.childExpr(col("text")), 1))
     val counts = array((0 until tfDim).map(b =>
       size(filter(col("__bk"), x => x === b)).cast("double")): _*)
     t(s, dir, "documents")
-      .select(col("doc_id"), buckets.as("__bk"))
+      .select(col("doc_id"), transform(tokenHashes, h => pmod(h, lit(tfDim))).as("__bk"))
       .select(col("doc_id"), counts.as("__cnts"))
       .select(col("doc_id"), col("__cnts"),
         sqrt(aggregate(transform(col("__cnts"), c => c * c), lit(0.0), (a, x) => a + x))

@@ -79,6 +79,32 @@ class TextFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("Md5ShingleHashes (codegen) == md5Hash60 over string ngrams, incl. split-on-empty parity") {
+    import org.apache.spark.sql.graftshim.Bridge
+    def md5Shingles(w: Int) = Bridge.column(
+      graft.functions.Md5ShingleHashes(Bridge.childExpr(col("text")), w))
+    val df = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a b",               // shorter than w=4
+      "",                  // split('') = [''] → one empty token at w=1
+      "x",                 // single token
+      "a  b c",            // empty token from the double space
+      "日本語 テキスト の 例 です") // multibyte tokens
+      .toDF("text")
+    for (w <- Seq(1, 2, 4)) {
+      val viaCodegen = df.select(md5Shingles(w)).as[Seq[Long]].collect().toSeq
+      val viaStrings = df.select(
+        transform(TextFunctions.ngrams(split(col("text"), " "), w),
+          g => TextFunctions.md5Hash60(g))).as[Seq[Long]].collect().toSeq
+      assert(viaCodegen == viaStrings, s"w=$w mismatch")
+    }
+    // split('') = [''] → exactly one window at w=1: the empty token's hash
+    val emptyRow = df.select(md5Shingles(1)).as[Seq[Long]].collect()(2)
+    val emptyTokenHash = df.limit(1)
+      .select(TextFunctions.md5Hash60(lit(""))).as[Long].head()
+    assert(emptyRow == Seq(emptyTokenHash))
+  }
+
   test("maxMultiplicity: sorted-run fold equals brute-force per-token counts") {
     val df = Seq("a b a c a b", "x", "q q q q", "m n o p").toDF("text")
     val out = df.select(TextFunctions.maxMultiplicity(split(col("text"), " "))).as[Int].collect().toList
