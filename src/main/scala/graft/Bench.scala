@@ -12,6 +12,21 @@ object Bench {
   def materialize(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
+  /** Free the localCheckpoint storage pinned inside a CONSUMED frame's plan
+    * (the eager dedup operators and the recall gate's shared brute table
+    * checkpoint at build time). catalog.clearCache() cannot touch
+    * checkpoint storage and the ContextCleaner only reclaims it at the
+    * next driver GC (periodic default: 30 min) — long after later timed
+    * reps have run — so the bench frees it deterministically. Safe only
+    * because the frame is never read again (checkpoint lineage is
+    * truncated; the data is not recomputable).
+    */
+  def releaseCheckpoints(df: DataFrame): Unit =
+    df.queryExecution.logical.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = LocalSession.build()
@@ -21,7 +36,11 @@ object Bench {
     // cache — costs a long-lived cluster amortizes to zero; the timed pass
     // below measures steady-state execution, which is what scales.
     SparkEntry.queries.foreach { case (_, fn) =>
-      try materialize(fn(spark, sfDir)) catch { case _: Throwable => () }
+      try {
+        val df = fn(spark, sfDir)
+        materialize(df)
+        releaseCheckpoints(df)
+      } catch { case _: Throwable => () }
     }
     // Drop DataFrames persisted inside query builders (each call persists a
     // fresh copy; the warmup's copies would sit in storage memory under the
@@ -39,13 +58,15 @@ object Bench {
       // a real slow success with a near-zero time; all-failed → -1 marker.
       val times = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
-        val ok = try { materialize(fn(spark, sfDir)); true } catch { case _: Throwable => false }
+        val built =
+          try { val df = fn(spark, sfDir); materialize(df); Some(df) }
+          catch { case _: Throwable => None }
         val t = (System.nanoTime() - t0) / 1e9
-        // Outside the timed region: queries that persist intermediates would
-        // otherwise stack dead caches across the pass and bleed GC noise
-        // into later timings.
+        // Outside the timed region: dead caches/checkpoints from this rep
+        // would otherwise sit in storage memory under later timings.
+        built.foreach(releaseCheckpoints)
         spark.catalog.clearCache()
-        if (ok) Some(t) else None
+        if (built.isDefined) Some(t) else None
       }
       name -> (if (times.isEmpty) -1.0 else times.min)
     }

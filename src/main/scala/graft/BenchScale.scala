@@ -1,5 +1,7 @@
 package graft
 
+import scala.util.chaining._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -142,10 +144,6 @@ object BenchScale {
     java.nio.file.Files.writeString(done.toPath, Version + "\n")
   }
 
-  private implicit final class Piped[A](private val a: A) extends AnyVal {
-    def pipe[B](f: A => B): B = f(a)
-  }
-
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val outDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_sf1")
@@ -159,16 +157,23 @@ object BenchScale {
     // same methodology as Bench: untimed warmup, then min of 2 timed reps,
     // clearCache between runs
     qs.foreach { case (_, fn) =>
-      try Bench.materialize(fn(spark, outDir)) catch { case _: Throwable => () }
+      try {
+        val df = fn(spark, outDir)
+        Bench.materialize(df)
+        Bench.releaseCheckpoints(df)
+      } catch { case _: Throwable => () }
     }
     spark.catalog.clearCache()
     val results = qs.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
-        val ok = try { Bench.materialize(fn(spark, outDir)); true } catch { case _: Throwable => false }
+        val built =
+          try { val df = fn(spark, outDir); Bench.materialize(df); Some(df) }
+          catch { case _: Throwable => None }
         val t = (System.nanoTime() - t0) / 1e9
+        built.foreach(Bench.releaseCheckpoints)
         spark.catalog.clearCache()
-        if (ok) Some(t) else None
+        if (built.isDefined) Some(t) else None
       }
       name -> (if (times.isEmpty) -1.0 else times.min)
     }

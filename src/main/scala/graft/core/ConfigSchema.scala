@@ -39,11 +39,13 @@ object ConfigSchema {
       val isBool = f.getType == classOf[Boolean] || f.getType == classOf[java.lang.Boolean]
       val extra =
         defaults.get(f.getName).map { d =>
-          // finite only: "NaN"/"Infinity" satisfy toDoubleOption but are
-          // not valid JSON number literals — emitting them unquoted would
-          // produce a malformed spec; fall back to the quoted string
+          // emit unquoted only when the default IS a JSON number literal:
+          // toDoubleOption alone also accepts "NaN"/"Infinity"/"5d"/hex
+          // floats/padded whitespace — all malformed inside spec JSON;
+          // anything non-literal falls back to the quoted string
+          val jsonNumber = "-?(0|[1-9][0-9]*)(\\.[0-9]+)?([eE][+-]?[0-9]+)?"
           val raw =
-            if (isNum && d.toDoubleOption.exists(v => !v.isNaN && !v.isInfinite)) d
+            if (isNum && d.matches(jsonNumber)) d
             else if (isBool && (d == "true" || d == "false")) d
             else jstr(d)
           s""","default":$raw"""

@@ -175,6 +175,15 @@ object Dedup {
     */
   def jaccardJoin(df: DataFrame, id: Column, text: Column, shingleWidth: Int,
       threshold: Double): DataFrame = {
+    val (result, intermediates) = jaccardJoinLazy(df, id, text, shingleWidth, threshold)
+    materializeAndRelease(result, intermediates: _*)
+  }
+
+  /** Lazy plan + persisted intermediates behind [[jaccardJoin]] (see
+    * [[minHashDuplicatesLazy]] for why the split exists).
+    */
+  private[graft] def jaccardJoinLazy(df: DataFrame, id: Column, text: Column,
+      shingleWidth: Int, threshold: Double): (DataFrame, Seq[DataFrame]) = {
     // Ascending sort = the global token order for the prefix theorem. The
     // theorem's precondition is that __sh is a SET: shingleHashes dedups
     // (array_distinct) before the sort, so prefixLen below is derived from
@@ -193,11 +202,10 @@ object Dedup {
         col("a.tok") === col("b.tok") && col("a.__id") < col("b.__id"))
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
       .distinct()
-    materializeAndRelease(
-      verifyJaccard(cands, docs, "__id", "__sh")
-        .filter(col("jaccard") >= threshold)
-        .select(col("id_a"), col("id_b"), col("jaccard")),
-      docs)
+    (verifyJaccard(cands, docs, "__id", "__sh")
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard")),
+      Seq(docs))
   }
 
   /** Full MinHash+LSH near-dup pipeline: candidates → exact verification →
@@ -233,16 +241,29 @@ object Dedup {
       df: DataFrame, id: Column, text: Column, shingleWidth: Int,
       threshold: Double, nHashes: Int = 64, r: Int = 2, seed: Long = 42L,
       maxBucket: Int = Int.MaxValue): DataFrame = {
+    val (result, intermediates) =
+      minHashDuplicatesLazy(df, id, text, shingleWidth, threshold, nHashes, r, seed, maxBucket)
+    materializeAndRelease(result, intermediates: _*)
+  }
+
+  /** The LAZY plan behind [[minHashDuplicates]] plus the intermediates it
+    * persists — split out so plan-shape lint (PlanLintSpec) can inspect the
+    * join pipeline that the eager public operator executes and then hides
+    * behind its checkpoint scan.
+    */
+  private[graft] def minHashDuplicatesLazy(
+      df: DataFrame, id: Column, text: Column, shingleWidth: Int,
+      threshold: Double, nHashes: Int = 64, r: Int = 2, seed: Long = 42L,
+      maxBucket: Int = Int.MaxValue): (DataFrame, Seq[DataFrame]) = {
     // Shingle hashes are consumed by candidate generation AND (twice) by the
     // Jaccard verify join — persist so the byte-scan runs once, not 3×;
-    // released before return (see materializeAndRelease).
+    // released before the public operator returns (materializeAndRelease).
     val docs = spread(df, id).select(id.as("__id"), shingleHashes(text, shingleWidth).as("__sh")).persist()
     val cands = lshCandidates(docs, "__id", "__sh", nHashes, r, seed, maxBucket)
-    materializeAndRelease(
-      verifyJaccard(cands, docs, "__id", "__sh")
-        .filter(col("jaccard") >= threshold)
-        .select(col("id_a"), col("id_b"), col("jaccard")),
-      docs)
+    (verifyJaccard(cands, docs, "__id", "__sh")
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard")),
+      Seq(docs))
   }
 
   /** Incremental near-dup: duplicates of a FRESH batch against an existing
@@ -274,6 +295,19 @@ object Dedup {
       shingleWidth: Int, threshold: Double,
       nHashes: Int = 64, r: Int = 2, seed: Long = 42L,
       maxBucket: Int = Int.MaxValue): DataFrame = {
+    val (result, intermediates) = minHashIncrementalLazy(
+      corpus, fresh, id, text, shingleWidth, threshold, nHashes, r, seed, maxBucket)
+    materializeAndRelease(result, intermediates: _*)
+  }
+
+  /** Lazy plan + persisted intermediates behind [[minHashIncremental]] (see
+    * [[minHashDuplicatesLazy]] for why the split exists).
+    */
+  private[graft] def minHashIncrementalLazy(
+      corpus: DataFrame, fresh: DataFrame, id: Column, text: Column,
+      shingleWidth: Int, threshold: Double,
+      nHashes: Int = 64, r: Int = 2, seed: Long = 42L,
+      maxBucket: Int = Int.MaxValue): (DataFrame, Seq[DataFrame]) = {
     val freshDocs = spread(fresh, id)
       .select(id.as("__id"), shingleHashes(text, shingleWidth).as("__sh")).persist()
     // fresh supersedes: a re-ingested id's old corpus row must not pair
@@ -305,11 +339,10 @@ object Dedup {
       .select(least(col("__f_id"), col("__id")).as("id_a"),
         greatest(col("__f_id"), col("__id")).as("id_b"))
       .distinct()
-    materializeAndRelease(
-      verifyJaccard(cands, corpusDocs.union(freshDocs), "__id", "__sh")
-        .filter(col("jaccard") >= threshold)
-        .select(col("id_a"), col("id_b"), col("jaccard")),
-      freshDocs, corpusDocs)
+    (verifyJaccard(cands, corpusDocs.union(freshDocs), "__id", "__sh")
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard")),
+      Seq(freshDocs, corpusDocs))
   }
 
   /** Duplicate-cluster assignment: connected components over the near-dup

@@ -289,12 +289,18 @@ object SimilarityQueries extends QueryPack {
   // oracle-checked.
   private val (pqM, pqSubDim, pqK) = (4, 16, 16)
 
-  /** (id, m, sub): each vector exploded into its M subspace slices. */
-  private def pqSubSpaces(df: DataFrame, idAs: String): DataFrame = {
+  /** (id, carry…, m, sub): each vector exploded into its M subspace slices
+    * — THE one definition of the PQ subspace layout (codebook, corpus
+    * encode, and query sides all slice through here, so a layout change
+    * cannot silently diverge between them). Input must expose `vec_id` and
+    * `embedding`; `carry` columns (e.g. the IVF cell id) ride along.
+    */
+  private def pqSubSpaces(df: DataFrame, idAs: String, carry: Seq[String] = Nil): DataFrame = {
     val ms = array((0 until pqM).map(lit(_)): _*)
-    df.select(col("vec_id").as(idAs), explode(ms).as("m"), col("embedding"))
-      .select(col(idAs), col("m"),
-        slice(col("embedding"), col("m") * pqSubDim + 1, lit(pqSubDim)).as("sub"))
+    df.select(col("vec_id").as(idAs) +: carry.map(col) :+
+        explode(ms).as("m") :+ col("embedding"): _*)
+      .select(col(idAs) +: carry.map(col) :+ col("m") :+
+        slice(col("embedding"), col("m") * pqSubDim + 1, lit(pqSubDim)).as("sub"): _*)
   }
 
   /** Per-subspace centroid sub-vectors (cent_id, m, centsub) — the raw
@@ -417,21 +423,19 @@ object SimilarityQueries extends QueryPack {
     val codebook = pqCodebook(csubs)
     // assignment first, then the subspace explode — cell rides along, no
     // join back against a separate assignment table
-    val codes = graft.operators.Dedup.assignCells(emb, col("vec_id"), col("embedding"), cents)
-      .select(col("__id").as("vec_id"), col("cell"), explode(
-        array((0 until pqM).map(lit(_)): _*)).as("m"), col("__v").as("embedding"))
-      .select(col("vec_id"), col("cell"), col("m"),
-        slice(col("embedding"), col("m") * pqSubDim + 1, lit(pqSubDim)).as("sub"))
+    val assigned = graft.operators.Dedup.assignCells(emb, col("vec_id"), col("embedding"), cents)
+      .select(col("__id").as("vec_id"), col("cell"), col("__v").as("embedding"))
+    val codes = pqSubSpaces(assigned, "vec_id", Seq("cell"))
       .join(broadcast(codebook), "m")
       .select(col("vec_id"), col("cell"), col("m"),
         element_at(col("__cids"), argminL2(col("sub"), col("__csubs")) + 1).as("code"))
     // query side: nprobe nearest cells per query, then subspace slices of
     // each probed copy — (query × cell × m), tiny, broadcast
-    val qsubs = probeCells(emb.filter(col("vec_id") < 10), cents, ivfNprobe)
-      .select(col("query_id"), col("cent_id").as("cell"), explode(
-        array((0 until pqM).map(lit(_)): _*)).as("m"), col("q_emb"))
-      .select(col("query_id"), col("cell"), col("m"),
-        slice(col("q_emb"), col("m") * pqSubDim + 1, lit(pqSubDim)).as("qsub"))
+    val probed = probeCells(emb.filter(col("vec_id") < 10), cents, ivfNprobe)
+      .select(col("query_id").as("vec_id"), col("cent_id").as("cell"),
+        col("q_emb").as("embedding"))
+    val qsubs = pqSubSpaces(probed, "query_id", Seq("cell"))
+      .withColumnRenamed("sub", "qsub")
     val w = Window.partitionBy(col("query_id")).orderBy(col("est_dist").asc, col("neighbor_id"))
     // same fixed-order ADC association as ann_pq_adc (see the comment there)
     val terms = (0 until pqM).map(i =>

@@ -44,13 +44,18 @@ final class HttpFrontend(
   // A real pool, NOT setExecutor(null): the null executor runs every handler
   // on the single dispatcher thread, so one long /read sync would serialize
   // the entire multiplex frontend ("one server fronting many connectors").
-  // BOUNDED (not newCachedThreadPool): each /read runs a full connector
-  // sync, so an unbounded pool would let a request burst spawn unbounded
-  // concurrent syncs/threads; beyond `maxConcurrent` requests queue on the
-  // server's accept backlog instead.
-  private val pool = java.util.concurrent.Executors.newFixedThreadPool(
-    maxConcurrent,
-    (r: Runnable) => { val t = new Thread(r, "graft-http"); t.setDaemon(true); t })
+  // BOUNDED END TO END (not newCachedThreadPool, and not a fixed pool with
+  // the default unbounded queue — that would still accept and buffer a
+  // burst's exchanges without limit): `maxConcurrent` threads, a small
+  // bounded queue, and caller-runs overflow. Overflow work executing on
+  // the dispatcher thread stalls accept(), so further connections wait in
+  // the OS listen backlog — real backpressure instead of unbounded
+  // threads (cached pool) or unbounded queued fds (fixed pool).
+  private val pool = new java.util.concurrent.ThreadPoolExecutor(
+    maxConcurrent, maxConcurrent, 60L, java.util.concurrent.TimeUnit.SECONDS,
+    new java.util.concurrent.ArrayBlockingQueue[Runnable](2 * maxConcurrent),
+    (r: Runnable) => { val t = new Thread(r, "graft-http"); t.setDaemon(true); t },
+    new java.util.concurrent.ThreadPoolExecutor.CallerRunsPolicy)
 
   def boundPort: Int = server.getAddress.getPort
 

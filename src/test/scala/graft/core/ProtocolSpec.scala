@@ -234,6 +234,23 @@ class ProtocolSpec extends AnyFunSuite {
     assert(Json.parse(src.spec).get("documentationUrl").asText == """https://x/"docs"""")
   }
 
+  test("config schema: non-JSON numeric defaults fall back to quoted strings, spec stays valid") {
+    // all of these satisfy Java's parseDouble but are NOT JSON number
+    // literals — emitted raw they would corrupt the whole spec document
+    for (bad <- Seq("NaN", "Infinity", "-Infinity", "5d", "1f", "0x1p3", " 5", "05")) {
+      val schema = ConfigSchema.of[ShopifyTestConfig](defaults = Map("page_size" -> bad))
+      val n = Json.parse(schema) // malformed JSON would throw right here
+      assert(n.at("/properties/page_size/default").isTextual,
+        s"'$bad' must be emitted quoted, got: ${n.at("/properties/page_size/default")}")
+    }
+    // real JSON number literals still emit unquoted
+    for (good <- Seq("50", "-3", "2.5", "1e3", "0", "0.5")) {
+      val n = Json.parse(ConfigSchema.of[ShopifyTestConfig](defaults = Map("page_size" -> good)))
+      assert(n.at("/properties/page_size/default").isNumber,
+        s"'$good' must be emitted unquoted")
+    }
+  }
+
   test("state store round-trips and orders write-then-state (SURVEY §7a)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-state").toString
     val st = new FileStateStore(dir)

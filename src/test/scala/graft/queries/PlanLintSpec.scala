@@ -47,4 +47,34 @@ class PlanLintSpec extends AnyFunSuite {
     }
     assert(offenders.isEmpty, s"plan lint failures:\n${offenders.mkString("\n")}")
   }
+
+  // The eager dedup operators (minHashDuplicates / jaccardJoin /
+  // minHashIncremental) materialize before returning, so the gate-query
+  // lint above only sees their checkpoint scan — lint the LAZY pipelines
+  // directly so a future edit degrading the LSH/verify joins into a
+  // nested loop still fails here.
+  test("dedup operator pipelines (pre-materialization) plan no cartesian/BNLJ") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Dedup
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val fresh = docs.filter(col("doc_id") % 2 === 1)
+    val pipelines = Seq(
+      "minHashDuplicates" ->
+        Dedup.minHashDuplicatesLazy(docs, col("doc_id"), col("text"), 3, 0.5),
+      "jaccardJoin" ->
+        Dedup.jaccardJoinLazy(docs, col("doc_id"), col("text"), 3, 0.5),
+      "minHashIncremental" ->
+        Dedup.minHashIncrementalLazy(corpus, fresh, col("doc_id"), col("text"), 3, 0.5))
+    val offenders = pipelines.flatMap { case (name, (result, intermediates)) =>
+      val plan = result.queryExecution.executedPlan.toString
+      // planning registered the intermediates' (lazy) persist markers —
+      // drop them so this lint leaves no cache state behind
+      intermediates.foreach(_.unpersist(blocking = false))
+      if (plan.contains("CartesianProduct")) Some(s"$name: CartesianProduct")
+      else if (plan.contains("BroadcastNestedLoopJoin")) Some(s"$name: BroadcastNestedLoopJoin")
+      else None
+    }
+    assert(offenders.isEmpty, s"dedup pipeline lint failures:\n${offenders.mkString("\n")}")
+  }
 }

@@ -42,6 +42,25 @@ class HttpFrontendSpec extends AnyFunSuite {
     http.send(b.build(), JResponse.BodyHandlers.ofByteArray())
   }
 
+  test("burst beyond the bounded pool+queue stays live (caller-runs backpressure, no drops)") {
+    // maxConcurrent=1 → 1 pool thread + 2 queue slots; 8 concurrent
+    // requests overflow into caller-runs on the dispatcher. Every request
+    // must still complete 200 — bounded resources degrade to serialized
+    // service, never to rejected/dropped exchanges.
+    val burstFe = new HttpFrontend(Map("demo" -> src), upstream,
+      clock = () => 1700000000000L, maxConcurrent = 1).start()
+    try {
+      val futures = (1 to 8).map { _ =>
+        http.sendAsync(
+          JRequest.newBuilder(
+            URI.create(s"http://127.0.0.1:${burstFe.boundPort}/discover")).GET().build(),
+          JResponse.BodyHandlers.ofString())
+      }
+      val codes = futures.map(_.get(30, java.util.concurrent.TimeUnit.SECONDS).statusCode())
+      assert(codes.forall(_ == 200), s"burst statuses: $codes")
+    } finally burstFe.stop()
+  }
+
   test("GET /discover lists connectors (proto.go:149-160)") {
     val r = http.send(JRequest.newBuilder(URI.create(url("/discover"))).GET().build(),
       JResponse.BodyHandlers.ofString())
