@@ -114,6 +114,53 @@ object PipelineQueries extends QueryPack {
        FROM train JOIN bench USING (tok)
        GROUP BY doc_id ORDER BY doc_id"""
 
+  // -- NEAR-DUP benchmark contamination ----------------------------------------------
+  // The exact-shingle gate above catches verbatim leakage; real eval
+  // contamination is usually a lightly-edited copy, which only a near-dup
+  // check finds (the Lee et al. / GPT-3 appendix-C lesson). Eval set =
+  // doc_id % 7 == 0 (a denser stand-in than the exact gate's % 97, so the
+  // gate is non-vacuous on the test corpora); a train doc contaminates an
+  // eval doc when 3-token-shingle Jaccard >= 0.8. Composed from
+  // Dedup.minHashIncremental with train as the corpus and the (small) eval
+  // suite as the fresh side — the production shape: the corpus-sized train
+  // set is banded but NEVER self-joined or re-shuffled, the eval suite
+  // broadcasts, and LSH recall above 0.8 with (nHashes=64, r=2) is
+  // 1-(1-0.8^2)^32 ≈ 1-4e-15, so the exhaustive-Jaccard oracle is exact.
+  private def qContaminationFuzzy(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.minHashIncremental(
+      corpus = docs.filter(col("doc_id") % 7 =!= 0),
+      fresh = docs.filter(col("doc_id") % 7 === 0),
+      id = col("doc_id"), text = col("text"), shingleWidth = 3, threshold = 0.8)
+    pairs
+      // eval-eval near-dups (both ids in the suite) are not contamination
+      .filter((col("id_a") % 7 === 0) =!= (col("id_b") % 7 === 0))
+      .select(
+        when(col("id_a") % 7 === 0, col("id_a")).otherwise(col("id_b")).as("bench_id"),
+        col("jaccard"))
+      .groupBy(col("bench_id"))
+      .agg(count(lit(1)).as("n_train_dups"), round(max(col("jaccard")), 4).as("max_jaccard"))
+      .orderBy("bench_id")
+  }
+
+  private val qContaminationFuzzySql =
+    """WITH d AS (
+         SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(string_split(text,' '))-1, 1)),
+                i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS sh
+         FROM documents),
+       toks AS (SELECT doc_id, unnest(sh) AS tok FROM d),
+       sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+       inter AS (SELECT t.doc_id AS train_id, e.doc_id AS bench_id, count(*) AS i
+                 FROM toks t JOIN toks e ON t.tok = e.tok
+                 WHERE t.doc_id % 7 != 0 AND e.doc_id % 7 = 0
+                 GROUP BY 1, 2),
+       j AS (SELECT bench_id, train_id, i*1.0/(st.sz + se.sz - i) AS jac
+             FROM inter JOIN sizes st ON train_id = st.doc_id
+                        JOIN sizes se ON bench_id = se.doc_id)
+       SELECT bench_id, CAST(count(*) AS BIGINT) AS n_train_dups,
+              round(max(jac), 4) AS max_jaccard
+       FROM j WHERE jac >= 0.8 GROUP BY bench_id ORDER BY bench_id"""
+
   // -- int8 symmetric quantization -------------------------------------------------
   // scale = 127 / max|x|; q = floor(x*scale + 0.5) — explicit floor-based
   // half-up so Spark and DuckDB round identically (their round() halfway
@@ -370,6 +417,7 @@ object PipelineQueries extends QueryPack {
     "pipeline_chunk_docs" -> (qChunk _),
     "pipeline_pack_batches" -> (qPack _),
     "pipeline_contamination" -> (qContamination _),
+    "pipeline_contamination_fuzzy" -> (qContaminationFuzzy _),
     "emb_quantize_int8" -> (qQuantize _),
     "pipeline_class_weights" -> (qClassWeights _),
     "pipeline_stratified_sample" -> (qStratified _),
@@ -384,6 +432,7 @@ object PipelineQueries extends QueryPack {
     "pipeline_chunk_docs" -> qChunkSql,
     "pipeline_pack_batches" -> qPackSql,
     "pipeline_contamination" -> qContaminationSql,
+    "pipeline_contamination_fuzzy" -> qContaminationFuzzySql,
     "emb_quantize_int8" -> qQuantizeSql,
     "pipeline_class_weights" -> qClassWeightsSql,
     "pipeline_stratified_sample" -> qStratifiedSql,
