@@ -41,6 +41,29 @@ class TextFunctionsSpec extends AnyFunSuite {
   }
 
   test("TrigramProfileHits (codegen) == staged HOF trigram scoring, incl. multibyte + short docs") {
+    // fixed edge cases + seeded random mixed-script strings (ASCII, 2- and
+    // 3-byte UTF-8, and ASTRAL code points — emoji are surrogate PAIRS in
+    // Java strings, so a UTF-16-unit window would disagree with the
+    // code-point windows both the expression and substr() use)
+    val rnd = new scala.util.Random(23)
+    val alphabet = "abcdefgh的是了我éüß 😀🤖".toCharArray
+    def randText(): String = {
+      val sb = new StringBuilder
+      val n = rnd.nextInt(60)
+      var i = 0
+      while (i < n) {
+        val c = alphabet(rnd.nextInt(alphabet.length))
+        // keep surrogate pairs intact: a high half always brings its low;
+        // a standalone low half is skipped (unpaired surrogates don't
+        // round-trip UTF-8 and would make the comparison about encoder
+        // fallback behavior, not window semantics)
+        if (Character.isHighSurrogate(c)) {
+          sb.append(c).append(alphabet(alphabet.indexOf(c) + 1))
+        } else if (!Character.isLowSurrogate(c)) sb.append(c)
+        i += 1
+      }
+      sb.toString
+    }
     val texts = Seq(
       "the thing and the other thing",
       "la casa de los perros de madrid",
@@ -49,7 +72,8 @@ class TextFunctionsSpec extends AnyFunSuite {
       "的是了我不在他的是了",   // multibyte (3-byte UTF-8) — code-point windows
       "ab",                      // shorter than one trigram
       "",                        // empty
-      "aaaa the the")            // self-overlapping + repeated grams
+      "aaaa the the") ++          // self-overlapping + repeated grams
+      (1 to 60).map(_ => randText())
     val df = texts.toDF("text")
     val viaCodegen = df
       .select(lower(col("text")).as("lt"))
@@ -83,13 +107,21 @@ class TextFunctionsSpec extends AnyFunSuite {
     import org.apache.spark.sql.graftshim.Bridge
     def md5Shingles(w: Int) = Bridge.column(
       graft.functions.Md5ShingleHashes(Bridge.childExpr(col("text")), w))
-    val df = Seq(
+    // fixed edges + seeded random texts over a tiny alphabet (forces
+    // repeated tokens, empty tokens from double spaces, leading/trailing
+    // spaces — every token-boundary case the byte-walk must agree on)
+    val rnd = new scala.util.Random(31)
+    val toks = Seq("a", "bb", "ccc", "的是", "", "x")
+    def randDoc(): String =
+      (1 to rnd.nextInt(12)).map(_ => toks(rnd.nextInt(toks.length))).mkString(" ")
+    val df = (Seq(
       "the quick brown fox jumps over the lazy dog",
       "a b",               // shorter than w=4
       "",                  // split('') = [''] → one empty token at w=1
       "x",                 // single token
       "a  b c",            // empty token from the double space
-      "日本語 テキスト の 例 です") // multibyte tokens
+      "日本語 テキスト の 例 です") ++ // multibyte tokens
+      (1 to 80).map(_ => randDoc()))
       .toDF("text")
     for (w <- Seq(1, 2, 4)) {
       val viaCodegen = df.select(md5Shingles(w)).as[Seq[Long]].collect().toSeq

@@ -119,9 +119,10 @@ class MultimodalSpec extends AnyFunSuite {
       Array[Byte](-1, -128, 127, 0, -1),
       Array.tabulate(60)(i => i.toByte),
       Array.tabulate(61)(i => (255 - i).toByte),
-      Array.tabulate(62)(i => ((i * 37) % 256).toByte),
-      Array.fill(500)(rnd.nextInt(256).toByte),
-      Array.fill(4096)(rnd.nextInt(256).toByte))
+      Array.tabulate(62)(i => ((i * 37) % 256).toByte)) ++
+      // randomized lengths across the 61-sample grid boundary (0..~1000)
+      (1 to 150).map(_ => Array.fill(rnd.nextInt(1000))(rnd.nextInt(256).toByte)) :+
+      Array.fill(4096)(rnd.nextInt(256).toByte)
     val df = payloads.zipWithIndex.map { case (p, i) => (i.toLong, p) }.toDF("id", "payload")
     val out = df.select(col("id"),
         Multimodal.pHash60(col("payload")).as("ref"),
