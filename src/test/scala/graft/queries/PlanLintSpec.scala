@@ -24,6 +24,8 @@ class PlanLintSpec extends AnyFunSuite {
     "text_surprisal",    // × broadcast 1-row total-count aggregate
     "dedup_semantic",    // corpus × 8 broadcast seed centroids (cell assignment)
     "q22_inactive",      // × broadcast 1-row scalar-subquery aggregate
+    "q11_important_stock", // × broadcast 1-row global-value aggregate (HAVING)
+    "q15_top_supplier",    // × broadcast 1-row max-over-self aggregate
     "q_heavy_hitters_bound", // × broadcast 1-row count-min sketch
     "text_ccnet_buckets",    // × broadcast 1-row total-count aggregate (as text_surprisal)
     "ann_recall_at_5",       // × broadcast 1-row true-neighbor-count aggregate
