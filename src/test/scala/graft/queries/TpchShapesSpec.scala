@@ -32,6 +32,29 @@ class TpchShapesSpec extends AnyFunSuite {
     assert(TpchShapes.queries("q18_large_orders")(spark, dir).count() > 0)
   }
 
+  test("q13: every customer lands in exactly one histogram bucket (outer join keeps zero-groups)") {
+    import org.apache.spark.sql.functions.sum
+    val hist = TpchShapes.queries("q13_order_dist")(spark, dir)
+    val total = hist.agg(sum("custdist")).head.getLong(0)
+    val nCust = spark.read.parquet(s"$dir/customer.parquet").count()
+    assert(total == nCust,
+      s"histogram covers $total customers but the table has $nCust — the outer join dropped rows")
+  }
+
+  test("q15: all returned suppliers share the single maximum revenue") {
+    val rows = TpchShapes.queries("q15_top_supplier")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Double]("total_rev")).distinct.length == 1,
+      "q15 returned rows with differing revenue — the max-over-self compare is broken")
+  }
+
+  test("q13: the priority filter is pushed below the outer join into the orders scan") {
+    val plan = TpchShapes.queries("q13_order_dist")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("4-NOT SPECIFIED"),
+      s"expected the o_orderpriority predicate in the orders scan's PushedFilters:\n$plan")
+  }
+
   test("q18 negative control: static planner alone (no AQE conversion) keeps SMJ") {
     val prevJoin = spark.conf.get("spark.sql.adaptive.enabled")
     val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
