@@ -744,7 +744,10 @@ object Dedup {
           struct(x.getField("__id").as("id_a"), y.getField("__id").as("id_b"),
             bit_count(x.getField("__sig").bitwiseXOR(y.getField("__sig"))).as("hamming")))))).as("p"))
       .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
-      .distinct()
+      // filter BEFORE distinct: hamming is a pure function of the pair, and
+      // over-distance candidates are the bulk of the band join's output —
+      // dropping them map-side keeps them out of the dedup shuffle entirely
       .filter(col("hamming") <= maxDist)
+      .distinct()
   }
 }
