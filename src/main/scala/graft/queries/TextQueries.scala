@@ -514,7 +514,70 @@ object TextQueries extends QueryPack {
          CAST(list_position(cnts, list_max(cnts)) - 1 AS INT) AS top_bucket
        FROM n ORDER BY doc_id"""
 
+  // -- model-based quality filter (fastText/DCLM-shape linear classifier) -----
+  // The production pattern behind fastText-style quality filtering (CCNet,
+  // DCLM, FineWeb): a LINEAR model over bag-of-words features scores every
+  // document map-side, and the keep decision is a threshold on the score.
+  // Features are the L2-normalized hashing-TF vector above; the "trained"
+  // weights are a deterministic seeded rational vector (n/23) inlined into
+  // BOTH sides as decimal literals, the same device as RHP-LSH's
+  // hyperplanes — so the full inference pipeline (tokenize → hash → bucket
+  // → normalize → dot → threshold) is re-derived in the oracle SQL.
+  //
+  // The gate scores the raw LOGIT, not sigmoid(logit): monotone in the
+  // score, so the keep threshold is equivalent (at 0 instead of 0.5) —
+  // and it avoids exp(), whose libm vs JVM last-ulp differences would be
+  // the only cross-engine divergence in an otherwise bit-identical
+  // pipeline. Map-only: no shuffle, scales embarrassingly.
+  private val qmWeights: Seq[Double] =
+    (0 until tfDim).map(b => (((b * 37 + 11) % 23) - 11) / 23.0)
+  private val qmBias = -0.25
+
+  private def qQualityModel(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftshim.Bridge
+    val tokenHashes = Bridge.column(
+      graft.functions.Md5ShingleHashes(Bridge.childExpr(col("text")), 1))
+    val counts = array((0 until tfDim).map(b =>
+      size(filter(col("__bk"), x => x === b)).cast("double")): _*)
+    val wLit = array(qmWeights.map(lit): _*)
+    // staged projections (same lesson as qHashingTf): __logit lands in its
+    // own select so the round() and the threshold below reference ONE
+    // computed column instead of re-inlining the fold twice per row
+    t(s, dir, "documents")
+      .select(col("doc_id"), transform(tokenHashes, h => pmod(h, lit(tfDim))).as("__bk"))
+      .select(col("doc_id"), counts.as("__cnts"))
+      .select(col("doc_id"), col("__cnts"),
+        sqrt(aggregate(transform(col("__cnts"), c => c * c), lit(0.0), (a, x) => a + x))
+          .as("__nrm"))
+      .select(col("doc_id"),
+        (when(col("__nrm") > 0,
+          aggregate(zip_with(col("__cnts"), wLit, (c, w) => c * w), lit(0.0), (a, x) => a + x)
+            / col("__nrm"))
+          .otherwise(lit(0.0)) + lit(qmBias)).as("__logit"))
+      // + 0.0 canonicalizes IEEE negative zero: a logit in (-5e-7, 0)
+      // rounds to -0.0, which the engines render differently
+      .select(col("doc_id"), (round(col("__logit"), 6) + lit(0.0)).as("quality_logit"),
+        (col("__logit") >= 0).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  private val qQualityModelSql = {
+    val wList = qmWeights.mkString("[", ", ", "]")
+    s"""WITH d AS (SELECT doc_id, list_transform(string_split(text, ' '),
+           t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % $tfDim) AS bk FROM documents),
+       c AS (SELECT doc_id, list_transform(range(0, $tfDim),
+               b -> CAST(len(list_filter(bk, x -> x = b)) AS DOUBLE)) AS cnts FROM d),
+       n AS (SELECT doc_id, cnts,
+               sqrt(list_sum(list_transform(cnts, c -> c * c))) AS nrm FROM c),
+       l AS (SELECT doc_id,
+               (CASE WHEN nrm > 0 THEN list_dot_product(cnts, $wList) / nrm
+                     ELSE 0 END) + ($qmBias) AS logit FROM n)
+       SELECT doc_id, round(logit, 6) + 0.0 AS quality_logit, logit >= 0 AS keep
+       FROM l ORDER BY doc_id"""
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_quality_model" -> (qQualityModel _),
     "text_hashing_tf" -> (qHashingTf _),
     "text_quality_gate" -> (qQualityGate _),
     "text_token_stats" -> (qTokenStats _),
@@ -532,6 +595,7 @@ object TextQueries extends QueryPack {
     "text_rolling_fp" -> (qRollingFp _))
 
   override val oracles: Map[String, String] = Map(
+    "text_quality_model" -> qQualityModelSql,
     "text_hashing_tf" -> qHashingTfSql,
     "text_quality_gate" -> qQualityGateSql,
     "text_token_stats" -> qTokenStatsSql,

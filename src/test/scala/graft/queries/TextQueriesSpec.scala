@@ -14,6 +14,31 @@ class TextQueriesSpec extends AnyFunSuite {
   private lazy val spark = graft.SparkFixture.spark
   import spark.implicits._
 
+  test("quality model: keep flag is the sign of the logit, and scoring is map-only") {
+    val dir = "/root/testdata/sf0.001"
+    val out = TextQueries.queries("text_quality_model")(spark, dir)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // keep is derived from the UNROUNDED logit; the rounded column agrees
+    // everywhere except within half an ulp of the last rounded digit
+    rows.foreach { r =>
+      val logit = r.getAs[Double]("quality_logit")
+      val keep = r.getAs[Boolean]("keep")
+      if (math.abs(logit) > 1e-6)
+        assert(keep == (logit >= 0), s"keep flag disagrees with logit sign: $r")
+    }
+    // both classes occur — a degenerate all-keep/all-drop model would make
+    // the gate (and the threshold semantics) vacuous
+    assert(rows.count(_.getAs[Boolean]("keep")) > 0)
+    assert(rows.count(!_.getAs[Boolean]("keep")) > 0)
+    // map-only inference: no aggregation/join shuffle anywhere — the only
+    // exchange is the output sort's rangepartitioning (which AQE's plan
+    // string may print twice, so assert on kind rather than count)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning") && !plan.contains("Join"),
+      s"expected shuffle-free map-side scoring, got:\n$plan")
+  }
+
   test("ccnet quantization margin: every distinct per-token surprisal sits far from a boundary") {
     for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
       val docs = spark.read.parquet(s"$dir/documents.parquet")
