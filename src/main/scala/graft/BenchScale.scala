@@ -164,8 +164,11 @@ object BenchScale {
       } catch { case _: Throwable => () }
     }
     spark.catalog.clearCache()
+    // same env-tunable rep count as Bench (min reported; marker in JSON)
+    val nReps = sys.env.get("SPARK_GRAFT_BENCH_REPS").flatMap(_.toIntOption)
+      .filter(_ >= 1).getOrElse(2)
     val results = qs.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).flatMap { _ =>
+      val times = (1 to nReps).flatMap { _ =>
         val t0 = System.nanoTime()
         val built =
           try { val df = fn(spark, outDir); Bench.materialize(df); Some(df) }
@@ -181,7 +184,7 @@ object BenchScale {
     val qjson = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val json = s"""{"metric":"total_sf1","value":${fmt(total)},"unit":"sec","reps":2,"agg":"min","scale":"10x-$srcDir","queries":$qjson}"""
+    val json = s"""{"metric":"total_sf1","value":${fmt(total)},"unit":"sec","reps":$nReps,"agg":"min","scale":"10x-$srcDir","queries":$qjson}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(artifact), json + "\n")
     catch { case _: Throwable => () }
     println(json)
