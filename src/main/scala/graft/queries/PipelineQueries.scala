@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.VectorFunctions._
 import graft.operators.Dedup
 
 /** Training-data pipeline operators beyond curation filtering: deterministic
@@ -408,6 +409,110 @@ object PipelineQueries extends QueryPack {
          THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
        FROM documents GROUP BY lang ORDER BY lang"""
 
+  // -- duplicate-cluster-atomic train/test split ------------------------------------
+  // The naive hash split above (pipeline_split) leaks: two near-duplicate
+  // documents can land in train and test, so the eval set contains
+  // lightly-edited copies of training data. The leakage-safe split assigns
+  // the WHOLE duplicate cluster by hashing its representative id — every
+  // member inherits the cluster's split. Composed from the library's own
+  // near-dup machinery (minHashDuplicates → clusterRepresentatives), so the
+  // cluster structure is the same one the dedup gates verify; the split
+  // itself stays the pack's pure-map md5-bucket recipe, applied to `rep`
+  // instead of the doc's own id. n_naive_leaks counts the docs the naive
+  // split would have placed outside their cluster's split — the measured
+  // size of the leak this operator closes (0 for singletons by definition).
+  // Scale shape: pairs/closure cost is the dedup pipeline's (banded LSH,
+  // bounded union-find); the split assignment adds one broadcast-joined map
+  // pass — the corpus never shuffles for the split itself.
+  private def qClusterSplit(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.minHashDuplicates(docs,
+      id = col("doc_id"), text = col("text"), shingleWidth = 3, threshold = 0.8)
+    def splitOf(c: org.apache.spark.sql.Column) = {
+      val b = md5Bucket(c, 10)
+      when(b < 8, "train").when(b === 8, "valid").otherwise("test")
+    }
+    Dedup.clusterRepresentatives(pairs, docs, "doc_id")
+      .withColumn("split", splitOf(col("rep")))
+      .withColumn("leak", (splitOf(col("id")) =!= col("split")).cast("long"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("rep")).as("n_clusters"),
+        sum(col("leak")).as("n_naive_leaks"))
+      .orderBy("split")
+  }
+
+  // oracle: the dedup_clusters recursive-CTE closure (exhaustive Jaccard
+  // pairs, min reachable id), then the same md5-bucket split of rep vs id
+  private val qClusterSplitSql =
+    """WITH RECURSIVE d AS (
+         SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(string_split(text,' '))-1, 1)),
+                i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS sh
+         FROM documents),
+       toks AS (SELECT doc_id, unnest(sh) AS tok FROM d),
+       sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+       inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+                 FROM toks a JOIN toks b ON a.tok=b.tok AND a.doc_id < b.doc_id GROUP BY 1,2),
+       pairs AS (
+         SELECT id_a, id_b FROM inter
+         JOIN sizes sa ON id_a=sa.doc_id JOIN sizes sb ON id_b=sb.doc_id
+         WHERE i*1.0/(sa.sz+sb.sz-i) >= 0.8),
+       edges AS (SELECT id_a, id_b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+       walk(id, lbl) AS (
+         SELECT doc_id, doc_id FROM documents
+         UNION
+         SELECT e.id_b, w.lbl FROM walk w JOIN edges e ON e.id_a = w.id),
+       reps AS (SELECT id, min(lbl) AS rep FROM walk GROUP BY id),
+       lab AS (SELECT id, rep,
+                 CAST(('0x' || substring(md5(CAST(rep AS VARCHAR)), 1, 4)) AS INT) % 10 AS br,
+                 CAST(('0x' || substring(md5(CAST(id AS VARCHAR)), 1, 4)) AS INT) % 10 AS bi
+               FROM reps)
+       SELECT CASE WHEN br < 8 THEN 'train' WHEN br = 8 THEN 'valid' ELSE 'test' END AS split,
+              count(*) AS n_docs, count(DISTINCT rep) AS n_clusters,
+              CAST(sum(CASE WHEN
+                (CASE WHEN br < 8 THEN 'train' WHEN br = 8 THEN 'valid' ELSE 'test' END) !=
+                (CASE WHEN bi < 8 THEN 'train' WHEN bi = 8 THEN 'valid' ELSE 'test' END)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_naive_leaks
+       FROM lab GROUP BY 1 ORDER BY split"""
+
+  // -- hard-negative mining (contrastive training) ------------------------------------
+  // Retrieval/embedding training wants, per query, the highest-scoring
+  // corpus items that are NOT positives: similar enough to be confused,
+  // not so similar they're duplicates of the query (which would poison the
+  // negative set with false negatives). Exclusion band reuses
+  // dedup_semantic's 0.45 near-dup cosine threshold; below it, the top 5 by
+  // cosine are the hard negatives. Same plan shape as knn_cosine_brute —
+  // broadcast query set, map-only scoring over the corpus, one shuffle for
+  // the per-query top-k window — so the corpus never shuffles and the
+  // exclusion is a map-side filter BEFORE the window (the only rows ranked
+  // are eligible negatives).
+  private def qHardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val queriesDf = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        norm2(col("embedding")).as("q_nrm"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    emb.select(col("vec_id").as("neighbor_id"), col("embedding"),
+        norm2(col("embedding")).as("n_nrm"))
+      .crossJoin(broadcast(queriesDf))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("n_nrm")))
+      .filter(col("cos") < 0.45) // suspected positives / near-dups are not negatives
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 4).as("cos"), col("rn"))
+      .orderBy("query_id", "rn")
+  }
+
+  private val qHardNegativesSql =
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+       scored AS (
+         SELECT q.query_id, e.vec_id AS neighbor_id,
+                list_cosine_similarity(q.q_emb::DOUBLE[], e.embedding::DOUBLE[]) AS cos
+         FROM q JOIN embeddings e ON e.vec_id != q.query_id)
+       SELECT query_id, neighbor_id, round(cos, 4) AS cos, CAST(rn AS INT) AS rn FROM (
+         SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+         FROM scored WHERE cos < 0.45) WHERE rn <= 5 ORDER BY query_id, rn"""
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_split" -> (qSplit _),
     "pipeline_source_cap" -> (qSourceCap _),
@@ -421,6 +526,8 @@ object PipelineQueries extends QueryPack {
     "emb_quantize_int8" -> (qQuantize _),
     "pipeline_class_weights" -> (qClassWeights _),
     "pipeline_stratified_sample" -> (qStratified _),
+    "pipeline_cluster_split" -> (qClusterSplit _),
+    "pipeline_hard_negatives" -> (qHardNegatives _),
     "q_upsert_cdc" -> (qUpsert _))
 
   override val oracles: Map[String, String] = Map(
@@ -436,5 +543,7 @@ object PipelineQueries extends QueryPack {
     "emb_quantize_int8" -> qQuantizeSql,
     "pipeline_class_weights" -> qClassWeightsSql,
     "pipeline_stratified_sample" -> qStratifiedSql,
+    "pipeline_cluster_split" -> qClusterSplitSql,
+    "pipeline_hard_negatives" -> qHardNegativesSql,
     "q_upsert_cdc" -> qUpsertSql)
 }

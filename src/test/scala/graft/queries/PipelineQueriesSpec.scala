@@ -58,4 +58,37 @@ class PipelineQueriesSpec extends AnyFunSuite {
     val weighted = out.map(r => r.getLong(0) * r.getDouble(1)).sum
     assert(math.abs(weighted - n) / n < 1e-4)
   }
+
+  test("cluster_split: partitions the corpus; dedup-away count matches dedup_clusters") {
+    val out = PipelineQueries.queries("pipeline_cluster_split")(spark, dir).collect()
+    val docs = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(out.map(_.getAs[Long]("n_docs")).sum == docs)
+    // clusters ≤ docs per split, and the total dedup-away count (docs minus
+    // clusters) must equal dedup_clusters' row count — same pair parameters
+    // (shingleWidth=3, threshold=0.8), independent code path
+    out.foreach(r => assert(r.getAs[Long]("n_clusters") <= r.getAs[Long]("n_docs")))
+    val dedupedAway = DedupQueries.queries("dedup_clusters")(spark, dir).count()
+    val fromSplit = out.map(r => r.getAs[Long]("n_docs") - r.getAs[Long]("n_clusters")).sum
+    assert(fromSplit == dedupedAway,
+      s"split says $fromSplit docs deduped away, dedup_clusters says $dedupedAway")
+    // leaks are a strict subset of the deduped-away docs (a leak needs a
+    // multi-doc cluster AND a differing naive bucket)
+    assert(out.map(_.getAs[Long]("n_naive_leaks")).sum <= dedupedAway)
+  }
+
+  test("hard_negatives: 5 ranked negatives per query, all below the positive band") {
+    val out = PipelineQueries.queries("pipeline_hard_negatives")(spark, dir).collect()
+    val perQuery = out.groupBy(_.getAs[Long]("query_id"))
+    assert(perQuery.size == 10)
+    perQuery.foreach { case (q, rows) =>
+      assert(rows.map(_.getAs[Int]("rn")).sorted.toSeq == (1 to 5), s"query $q ranks")
+      rows.foreach { r =>
+        assert(r.getAs[Double]("cos") < 0.45, s"query $q has a positive-band negative")
+        assert(r.getAs[Long]("neighbor_id") != q)
+      }
+      // ranks are ordered by descending cosine
+      val byRank = rows.sortBy(_.getAs[Int]("rn")).map(_.getAs[Double]("cos"))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b }, s"query $q order")
+    }
+  }
 }

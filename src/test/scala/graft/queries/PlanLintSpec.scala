@@ -33,8 +33,9 @@ class PlanLintSpec extends AnyFunSuite {
                              //   ANN paths + brute force it composes)
     "emb_kmeans",            // corpus × broadcast k-centroid row (assignCells)
     "ann_ivf_trained",       // same assignCells broadcast, trained centroids
-    "ann_ivfpq_adc")         // assignCells + probeCells 1-row centroid-array
+    "ann_ivfpq_adc",         // assignCells + probeCells 1-row centroid-array
                              //   broadcasts (trained cells route, PQ scores)
+    "pipeline_hard_negatives") // corpus × broadcast query set (knn shape)
 
   test("no gate query plans a cartesian product; BNLJ only where whitelisted") {
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
