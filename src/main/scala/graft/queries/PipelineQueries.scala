@@ -381,6 +381,95 @@ object PipelineQueries extends QueryPack {
              * r.n_before < r.s_pct * r.n_total * 100
        GROUP BY d.lang, r.n_before ORDER BY d.lang"""
 
+  // -- unified repeat-factor resampling (up- AND down-sampling) -----------------------
+  // qMixture above only downsamples (keep rate ≤ 1). The general mixture
+  // primitive gives every doc an integer repeat count: target per-lang count
+  // T = s_pct·N/100 spread over n docs → each doc repeats q = ⌊T/n⌋ times
+  // plus one extra for the deterministic md5-bucket fraction of docs that
+  // covers the remainder — so langs above target thin out (q=0, bucket
+  // decides survival) and langs below target multiply (q≥1). Pure integer
+  // comparison (bucket·100·n < rem·10⁴ where rem = (s_pct·N) mod (100·n)),
+  // same boundary-safety argument as qMixture. The repeat materializes as
+  // explode(sequence(1, k)) — a map-side flatMap, no shuffle, no join
+  // against a repeat table; per-row fanout is bounded by ⌈T/n⌉, and the
+  // oracle sums k in closed form (the exploded count equals the sum by
+  // construction, so the gate also pins the explode arithmetic).
+  private def qMixtureUpsample(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val sPct = when(col("lang") === "en", 20L)
+      .when(col("lang") === "zh", 30L)
+      .otherwise(25L)
+    val wAll = Window.partitionBy()
+    val rates = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_before"))
+      .withColumn("s_pct", sPct)
+      .withColumn("n_total", sum(col("n_before")).over(wAll))
+    val bucket = md5Bucket(col("doc_id"), 10000).cast("long")
+    val num = col("s_pct") * col("n_total")  // = 100·T (T = target per-lang count)
+    val div = lit(100L) * col("n_before")
+    val rem = num % div                      // exact (Remainder is integer-preserving)
+    // ⌊num/div⌋ = (num - rem)/div: the numerator is exactly divisible, and
+    // double division of exactly-divisible longs ≪ 2^53 is exact — Spark's
+    // `/` on longs is double division, so the quotient is derived from the
+    // exact remainder rather than trusted to floating floor
+    val q = ((num - rem) / div).cast("long")
+    val k = q + when(bucket * div < rem * 10000L, 1L).otherwise(0L)
+    docs.join(broadcast(rates), "lang")
+      .withColumn("k", k)
+      .filter(col("k") > 0)
+      .select(col("lang"), col("n_before"), explode(sequence(lit(1L), col("k"))).as("rep"))
+      .groupBy(col("lang"), col("n_before"))
+      .agg(count(lit(1)).as("n_after"))
+      .orderBy("lang")
+  }
+
+  private val qMixtureUpsampleSql =
+    """WITH rates AS (
+         SELECT lang, count(*) AS n_before,
+           CASE WHEN lang = 'en' THEN 20 WHEN lang = 'zh' THEN 30 ELSE 25 END AS s_pct,
+           sum(count(*)) OVER () AS n_total
+         FROM documents GROUP BY lang),
+       j AS (SELECT d.lang, r.n_before, r.s_pct, r.n_total,
+               CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)) AS INT) % 10000 AS b
+             FROM documents d JOIN rates r ON d.lang = r.lang),
+       rep AS (SELECT lang, n_before,
+                 (s_pct * n_total) // (100 * n_before)
+                 + CASE WHEN b * 100 * n_before
+                        < ((s_pct * n_total) % (100 * n_before)) * 10000
+                   THEN 1 ELSE 0 END AS k
+               FROM j)
+       SELECT lang, n_before, CAST(sum(k) AS BIGINT) AS n_after
+       FROM rep WHERE k > 0 GROUP BY lang, n_before ORDER BY lang"""
+
+  // -- curriculum schedule (quality-phased training order) ----------------------------
+  // Curriculum training feeds cleaner data first. Phases are FIXED integer
+  // quality boundaries (distinct-token permil ≥ 900 / 800 / 650 / rest) —
+  // a pure map, no global sort or quantile pass: at 100 TB a global ntile
+  // would serialize the corpus through one sort, while fixed boundaries
+  // (chosen once from a profile of the distribution) stream. Output is the
+  // per-phase schedule: doc and token budgets per phase per lang.
+  private def qCurriculum(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val permil = least(lit(1000), (lit(1000) * size(array_distinct(toks))) / size(toks))
+    val phase = when(permil >= 900, 0).when(permil >= 800, 1)
+      .when(permil >= 650, 2).otherwise(3)
+    t(s, dir, "documents")
+      .select(col("lang"), phase.as("phase"), size(toks).as("nt"))
+      .groupBy(col("phase"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("sum_tokens"))
+      .orderBy("phase", "lang")
+  }
+
+  private val qCurriculumSql =
+    """WITH d AS (SELECT lang,
+         least(1000, (1000 * len(list_distinct(string_split(text, ' '))))
+                     // len(string_split(text, ' '))) AS permil,
+         len(string_split(text, ' ')) AS nt
+       FROM documents)
+       SELECT CASE WHEN permil >= 900 THEN 0 WHEN permil >= 800 THEN 1
+                   WHEN permil >= 650 THEN 2 ELSE 3 END AS phase,
+              lang, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS sum_tokens
+       FROM d GROUP BY 1, 2 ORDER BY phase, lang"""
+
   // -- quality-weighted soft sampling -------------------------------------------------
   // DCLM/FineWeb-style soft filtering: instead of a hard keep/drop gate,
   // each doc's keep PROBABILITY is its quality signal — here the distinct-
@@ -528,6 +617,8 @@ object PipelineQueries extends QueryPack {
     "pipeline_stratified_sample" -> (qStratified _),
     "pipeline_cluster_split" -> (qClusterSplit _),
     "pipeline_hard_negatives" -> (qHardNegatives _),
+    "pipeline_mixture_upsample" -> (qMixtureUpsample _),
+    "pipeline_curriculum" -> (qCurriculum _),
     "q_upsert_cdc" -> (qUpsert _))
 
   override val oracles: Map[String, String] = Map(
@@ -545,5 +636,7 @@ object PipelineQueries extends QueryPack {
     "pipeline_stratified_sample" -> qStratifiedSql,
     "pipeline_cluster_split" -> qClusterSplitSql,
     "pipeline_hard_negatives" -> qHardNegativesSql,
+    "pipeline_mixture_upsample" -> qMixtureUpsampleSql,
+    "pipeline_curriculum" -> qCurriculumSql,
     "q_upsert_cdc" -> qUpsertSql)
 }

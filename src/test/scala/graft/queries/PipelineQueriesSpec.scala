@@ -76,6 +76,28 @@ class PipelineQueriesSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Long]("n_naive_leaks")).sum <= dedupedAway)
   }
 
+  test("mixture_upsample: repeat counts per doc differ by at most one within a lang") {
+    val out = PipelineQueries.queries("pipeline_mixture_upsample")(spark, dir).collect()
+    out.foreach { r =>
+      val (n, after) = (r.getAs[Long]("n_before"), r.getAs[Long]("n_after"))
+      // every doc repeats q or q+1 times → n·q ≤ n_after ≤ n·(q+1) for q = ⌊after/n⌋
+      val q = after / n
+      assert(after >= n * q && after <= n * (q + 1), s"${r.getAs[String]("lang")}: $after vs $n")
+    }
+    // the configured targets must actually bite in both directions on this corpus
+    val byLang = out.map(r => r.getAs[String]("lang") ->
+      (r.getAs[Long]("n_before"), r.getAs[Long]("n_after"))).toMap
+    assert(byLang("en")._2 < byLang("en")._1, "en (over target) must downsample")
+    assert(byLang("zh")._2 > byLang("zh")._1, "zh (under target) must upsample")
+  }
+
+  test("curriculum: phases partition the corpus with fixed boundaries") {
+    val out = PipelineQueries.queries("pipeline_curriculum")(spark, dir).collect()
+    val docs = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(out.map(_.getAs[Long]("n_docs")).sum == docs)
+    assert(out.map(_.getAs[Int]("phase")).toSet.subsetOf(Set(0, 1, 2, 3)))
+  }
+
   test("hard_negatives: 5 ranked negatives per query, all below the positive band") {
     val out = PipelineQueries.queries("pipeline_hard_negatives")(spark, dir).collect()
     val perQuery = out.groupBy(_.getAs[Long]("query_id"))
