@@ -133,11 +133,15 @@ object Dedup {
     // bucket (dup clusters keep buckets small; a pathologically hot bucket —
     // boilerplate docs — is the known LSH hazard and would need upstream
     // capping/salting at 100 TB, see class doc).
-    val ids = array_sort(col("ids"))
+    // Staged sort (same reasoning as simHashDuplicates): `array_sort(ids)`
+    // referenced in both nested lambdas would re-run the sort per element
+    // under interpreted HOF evaluation — project it once, reference a leaf.
+    val ids = col("ids")
     banded
       .groupBy(col("band_idx"), col("band_hash"))
-      .agg(collect_list(col(idCol)).as("ids"))
-      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
+      .agg(collect_list(col(idCol)).as("ids0"))
+      .filter(size(col("ids0")) > 1 && size(col("ids0")) <= maxBucket)
+      .select(array_sort(col("ids0")).as("ids"))
       .select(explode(flatten(transform(ids, (x, i) =>
         transform(slice(ids, i + 2, greatest(size(ids) - i - 1, lit(0))), y =>
           struct(x.as("id_a"), y.as("id_b")))))).as("p"))
@@ -734,11 +738,18 @@ object Dedup {
     // Bucket-group (one pass, one shuffle) rather than a self-join that
     // would recompute hashing+signatures per side; signatures ride along in
     // the bucket structs for the in-bucket Hamming check.
-    val xs = array_sort(col("xs"))
+    // The sorted bucket is STAGED as its own projection before the pair
+    // expansion: referencing `array_sort(xs)` twice inside the nested
+    // lambdas would copy the sort subtree into both call sites, and
+    // interpreted higher-order lambdas re-evaluate embedded subtrees per
+    // element — an O(m log m) sort re-run per pair on hot buckets. A staged
+    // leaf attribute is evaluated once per bucket.
+    val xs = col("xs")
     banded
       .groupBy(col("band_idx"), col("band_val"))
-      .agg(collect_list(struct(col("__id"), col("__sig"))).as("xs"))
-      .filter(size(col("xs")) > 1)
+      .agg(collect_list(struct(col("__id"), col("__sig"))).as("xs0"))
+      .filter(size(col("xs0")) > 1)
+      .select(array_sort(col("xs0")).as("xs"))
       .select(explode(flatten(transform(xs, (x, i) =>
         transform(slice(xs, i + 2, greatest(size(xs) - i - 1, lit(0))), y =>
           struct(x.getField("__id").as("id_a"), y.getField("__id").as("id_b"),

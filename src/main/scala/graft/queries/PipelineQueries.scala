@@ -573,7 +573,11 @@ object PipelineQueries extends QueryPack {
   // broadcast query set, map-only scoring over the corpus, one shuffle for
   // the per-query top-k window — so the corpus never shuffles and the
   // exclusion is a map-side filter BEFORE the window (the only rows ranked
-  // are eligible negatives).
+  // are eligible negatives). Spark 4 plans the rn<=5 filter as a
+  // WindowGroupLimit (verified in the executed plan): each input partition
+  // keeps only its local top 5 per query before the exchange, so the
+  // 10-query window partitions receive O(partitions·k) rows, not the
+  // corpus — the property that keeps this shape viable at 100 TB.
   private def qHardNegatives(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val queriesDf = emb.filter(col("vec_id") < 10)
