@@ -201,9 +201,28 @@ object Dedup {
     val prefixLen = greatest(
       (size(col("__sh")) - ceil(size(col("__sh")) * lit(threshold)) + lit(1)).cast("int"),
       lit(1))
-    val pref = docs.select(col("__id"), explode(slice(col("__sh"), lit(1), prefixLen)).as("tok"))
+    // Prefix tokens carry their 0-based position and the set size, enabling
+    // the PPJoin filters below on the matched rows — both are applied
+    // map-side on the join output, BEFORE the pair-dedup shuffle.
+    val pref = docs.select(col("__id"), size(col("__sh")).as("__n"),
+      posexplode(slice(col("__sh"), lit(1), prefixLen)).as(Seq("__pos", "tok")))
+    // Safety: both filters use a 1e-9-RELAXED bound — a keep-side epsilon.
+    // jaccard >= t requires overlap >= t/(1+t)·(|a|+|b|) and t·|a| <= |b|;
+    // relaxing the comparison can only admit extra candidates (verified
+    // exactly downstream), never drop a true pair to floating error.
+    val tOver1t = threshold / (1.0 + threshold)
     val cands = pref.as("a").join(pref.as("b"),
         col("a.tok") === col("b.tok") && col("a.__id") < col("b.__id"))
+      // length filter: |sets| within a factor of t of each other
+      .filter(col("b.__n").cast("double") >= col("a.__n") * threshold - 1e-9 &&
+        col("a.__n").cast("double") >= col("b.__n") * threshold - 1e-9)
+      // positional filter: overlap upper bound from the FIRST common prefix
+      // token still admits the required overlap. Per-row is sound pair-wise:
+      // the bound is monotonically non-increasing in position, so if any
+      // matching row passes, the pair's min-position row passes too.
+      .filter((lit(1) + least(col("a.__n") - col("a.__pos") - 1,
+          col("b.__n") - col("b.__pos") - 1)).cast("double")
+        >= (col("a.__n") + col("b.__n")) * tOver1t - 1e-9)
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
       .distinct()
     (verifyJaccard(cands, docs, "__id", "__sh")
