@@ -417,7 +417,8 @@ object SimilarityQueries extends QueryPack {
       graft.operators.KMeans.fit(emb, col("vec_id"), col("embedding"), k = 8, iters = 2))
   }
 
-  private def ivfPqTop5(s: SparkSession, dir: String, cents: DataFrame): DataFrame = {
+  private def ivfPqTop5(s: SparkSession, dir: String, cents: DataFrame,
+      k: Int = 5): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val csubs = pqCsubs(emb)
     val codebook = pqCodebook(csubs)
@@ -449,11 +450,65 @@ object SimilarityQueries extends QueryPack {
       .agg(terms.head, terms.tail: _*)
       .withColumn("est_dist", (0 until pqM).map(i => col(s"t$i")).reduce(_ + _))
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 5)
+      .filter(col("rn") <= k)
       .select(col("query_id"), col("neighbor_id"), round(col("est_dist"), 4).as("est_dist"),
         col("rn"))
       .orderBy("query_id", "rn")
   }
+
+  /** FAISS-style refine step over the IVFADC pipeline: ADC-retrieve a WIDER
+    * candidate set (k=20), then re-rank those few rows by EXACT cosine
+    * against the raw vectors and keep the top 5. ADC distances from 4-bit
+    * codes are lossy — the wider quantized net catches true neighbors the
+    * code-space ranking misorders, and the exact re-rank restores their
+    * order. Scale shape: the candidate table is ~20 rows per query (tiny —
+    * it BROADCASTS into an equi-join that fetches just those raw vectors
+    * from the corpus; no second scan-wide compute pass), so refine cost is
+    * independent of corpus size. The recall lift over plain ADC is
+    * oracle-pinned in ann_recall_at_5.
+    */
+  private def ivfPqRerank(s: SparkSession, dir: String, ranked: DataFrame): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val qEmb = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    emb.select(col("vec_id").as("neighbor_id"), col("embedding"))
+      .join(broadcast(ranked.select(col("query_id"), col("neighbor_id"))), Seq("neighbor_id"))
+      .join(broadcast(qEmb), Seq("query_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("embedding")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 4).as("cos"), col("rn"))
+      .orderBy("query_id", "rn")
+  }
+
+  private def qAnnIvfPqRerank(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cents =
+      graft.operators.KMeans.fit(emb, col("vec_id"), col("embedding"), k = 8, iters = 2)
+    ivfPqRerank(s, dir, ivfPqTop5(s, dir, cents, k = 20))
+  }
+
+  // the same IVFADC chain widened to rn <= 20 — the final SELECT's rank
+  // filter is the only `rn <=` clause (inner argmin/probe ranks use `arn`)
+  private lazy val qAnnIvfPq20Sql = {
+    val widened = qAnnIvfPqSql.replace("WHERE rn <= 5", "WHERE rn <= 20")
+    require(widened != qAnnIvfPqSql, "rn<=5 clause not found to widen")
+    widened
+  }
+
+  private lazy val qAnnIvfPqRerankSql =
+    s"""WITH cand AS (SELECT query_id, neighbor_id FROM ($qAnnIvfPq20Sql)),
+       qv AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+       scored AS (
+         SELECT c.query_id, c.neighbor_id,
+                list_cosine_similarity(q.q_emb::DOUBLE[], e.embedding::DOUBLE[]) AS cos
+         FROM cand c JOIN embeddings e ON e.vec_id = c.neighbor_id
+                     JOIN qv q ON q.query_id = c.query_id)
+       SELECT query_id, neighbor_id, round(cos, 4) AS cos, CAST(rn AS INT) AS rn
+       FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, neighbor_id) AS rn FROM scored)
+       WHERE rn <= 5 ORDER BY query_id, rn"""
 
   /** Oracle dual: k-means training chain (c2) + corpus cell assignment +
     * PQ encode + multi-probe routing + ADC, all re-derived in SQL. (lazy:
@@ -524,10 +579,15 @@ object SimilarityQueries extends QueryPack {
     val emb = t(s, dir, "embeddings")
     val trainedCents =
       graft.operators.KMeans.fit(emb, col("vec_id"), col("embedding"), k = 8, iters = 2)
+    // ONE widened (k=20) IVFADC pass feeds both the plain ADC path (its
+    // rn<=5 prefix) and the exact re-rank path — materialized via
+    // localCheckpoint (~20 rows/query) so the code-space pipeline runs once
+    val pqRanked = ivfPqTop5(s, dir, trainedCents, k = 20).localCheckpoint()
     val paths = Seq(
       "ann_ivf_coarse" -> qAnnIvf(s, dir),
       "ann_ivf_trained" -> ivfTop5(s, dir, trainedCents),
-      "ann_ivfpq_adc" -> ivfPqTop5(s, dir, trainedCents),
+      "ann_ivfpq_adc" -> pqRanked.filter(col("rn") <= 5),
+      "ann_ivfpq_rerank" -> ivfPqRerank(s, dir, pqRanked),
       "ann_pq_adc" -> qAnnPq(s, dir),
       "ann_rhp_lsh" -> lshTop5(s, dir))
     val retrieved = paths.map { case (name, df) =>
@@ -558,12 +618,14 @@ object SimilarityQueries extends QueryPack {
        ivf AS (SELECT query_id, neighbor_id FROM ($qAnnIvfSql)),
        ivftr AS (SELECT query_id, neighbor_id FROM ($qAnnIvfTrainedSql)),
        ivfpq AS (SELECT query_id, neighbor_id FROM ($qAnnIvfPqSql)),
+       ivfpqrr AS (SELECT query_id, neighbor_id FROM ($qAnnIvfPqRerankSql)),
        pq AS (SELECT query_id, neighbor_id FROM ($qAnnPqSql)),
        lsh AS (SELECT query_id, neighbor_id FROM ($qAnnLshSql)),
        allp AS (
          SELECT 'ann_ivf_coarse' AS path, query_id, neighbor_id FROM ivf
          UNION ALL SELECT 'ann_ivf_trained', query_id, neighbor_id FROM ivftr
          UNION ALL SELECT 'ann_ivfpq_adc', query_id, neighbor_id FROM ivfpq
+         UNION ALL SELECT 'ann_ivfpq_rerank', query_id, neighbor_id FROM ivfpqrr
          UNION ALL SELECT 'ann_pq_adc', query_id, neighbor_id FROM pq
          UNION ALL SELECT 'ann_rhp_lsh', query_id, neighbor_id FROM lsh),
        tot AS (SELECT count(*) AS n_true FROM brute)
@@ -716,6 +778,7 @@ object SimilarityQueries extends QueryPack {
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_pq_adc" -> (qAnnPq _),
     "ann_ivfpq_adc" -> (qAnnIvfPq _),
+    "ann_ivfpq_rerank" -> (qAnnIvfPqRerank _),
     "ann_recall_at_5" -> (qAnnRecall _),
     "knn_cosine_brute" -> (qKnn _),
     "emb_outliers" -> (qEmbOutliers _),
@@ -729,6 +792,7 @@ object SimilarityQueries extends QueryPack {
   override val oracles: Map[String, String] = Map(
     "ann_pq_adc" -> qAnnPqSql,
     "ann_ivfpq_adc" -> qAnnIvfPqSql,
+    "ann_ivfpq_rerank" -> qAnnIvfPqRerankSql,
     "ann_recall_at_5" -> qAnnRecallSql,
     "knn_cosine_brute" -> qKnnSql,
     "emb_outliers" -> qEmbOutliersSql,

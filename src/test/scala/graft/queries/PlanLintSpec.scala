@@ -35,7 +35,9 @@ class PlanLintSpec extends AnyFunSuite {
     "ann_ivf_trained",       // same assignCells broadcast, trained centroids
     "ann_ivfpq_adc",         // assignCells + probeCells 1-row centroid-array
                              //   broadcasts (trained cells route, PQ scores)
-    "pipeline_hard_negatives") // corpus × broadcast query set (knn shape)
+    "pipeline_hard_negatives", // corpus × broadcast query set (knn shape)
+    "ann_ivfpq_rerank")        // the widened IVFADC sub-plan's whitelisted
+                               //   broadcasts (assignCells + probeCells)
 
   test("no gate query plans a cartesian product; BNLJ only where whitelisted") {
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
