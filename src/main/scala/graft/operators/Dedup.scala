@@ -255,9 +255,11 @@ object Dedup {
     * clearCache footgun).
     */
   private def materializeAndRelease(result: DataFrame, intermediates: DataFrame*): DataFrame = {
-    val out = result.localCheckpoint() // eager: runs the pipeline now
-    intermediates.foreach(_.unpersist(blocking = false))
-    out
+    // finally: a failed checkpoint (bad input, killed stage) must not strand
+    // the persisted intermediates — that would re-open, on the error path
+    // only, exactly the long-lived-server cache leak this helper removes.
+    try result.localCheckpoint() // eager: runs the pipeline now
+    finally intermediates.foreach(_.unpersist(blocking = false))
   }
 
   def minHashDuplicates(

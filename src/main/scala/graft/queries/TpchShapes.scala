@@ -286,7 +286,12 @@ object TpchShapes extends QueryPack {
       .filter((col("supp_region") === "ASIA" && col("cust_region") === "EUROPE") ||
         (col("supp_region") === "EUROPE" && col("cust_region") === "ASIA"))
       .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("l_year"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      // q9's integer-cents device: per-row floor(rev*100+0.5) is identical on
+      // both engines; summing longs is order-independent, so the revenue is
+      // immune to the half-cent partial-agg-order instability that
+      // round(sum(double), 2) carries (see the q9 comment).
+      .agg((sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * lit(100)
+        + lit(0.5)).cast("long")) / 100.0).as("revenue"))
       .orderBy("supp_nation", "cust_nation", "l_year")
   }
 
@@ -298,7 +303,7 @@ object TpchShapes extends QueryPack {
          FROM customer JOIN nation ON c_nationkey = n_nationkey
                        JOIN region ON n_regionkey = r_regionkey)
        SELECT supp_nation, cust_nation, CAST(year(l_shipdate) AS INT) AS l_year,
-         round(sum(l_extendedprice*(1-l_discount)), 2) AS revenue
+         sum(CAST(floor(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) / 100.0 AS revenue
        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          JOIN sup ON l_suppkey = s_suppkey
          JOIN cust ON o_custkey = c_custkey
@@ -323,7 +328,11 @@ object TpchShapes extends QueryPack {
       .join(broadcast(nr.filter(col("r_name") === "ASIA")),
         col("c_nationkey") === col("n_nationkey"))
       .select(col("c_custkey"))
-    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    // Integer-cents numerator/denominator (q9's device): both sums are exact
+    // long sums, so the ratio — and its 4-dp rounding — is bit-identical
+    // across engines regardless of aggregation order.
+    val revCents = floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * lit(100)
+      + lit(0.5)).cast("long")
     t(s, dir, "lineitem")
       .join(broadcast(t(s, dir, "part").filter(col("p_type") === "ECONOMY")),
         col("l_partkey") === col("p_partkey"))
@@ -335,7 +344,8 @@ object TpchShapes extends QueryPack {
       .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
       .groupBy(year(col("o_orderdate")).as("o_year"))
       .agg(round(
-        sum(when(col("supp_region") === "EUROPE", rev).otherwise(lit(0.0))) / sum(rev), 4)
+        sum(when(col("supp_region") === "EUROPE", revCents).otherwise(lit(0L)))
+          .cast("double") / sum(revCents), 4)
         .as("mkt_share"))
       .orderBy("o_year")
   }
@@ -345,8 +355,10 @@ object TpchShapes extends QueryPack {
          FROM supplier JOIN nation ON s_nationkey = n_nationkey
                        JOIN region ON n_regionkey = r_regionkey)
        SELECT CAST(year(o_orderdate) AS INT) AS o_year,
-         round(sum(CASE WHEN supp_region = 'EUROPE' THEN l_extendedprice*(1-l_discount) ELSE 0 END)
-           / sum(l_extendedprice*(1-l_discount)), 4) AS mkt_share
+         round(CAST(sum(CASE WHEN supp_region = 'EUROPE'
+               THEN CAST(floor(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)
+               ELSE 0 END) AS DOUBLE)
+           / sum(CAST(floor(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)), 4) AS mkt_share
        FROM lineitem
          JOIN part ON l_partkey = p_partkey
          JOIN orders ON l_orderkey = o_orderkey
@@ -416,14 +428,18 @@ object TpchShapes extends QueryPack {
             col("n_regionkey") === col("r_regionkey"))),
         col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"))
+    // Integer-cents group sums (q9's device): `v_cents` is an exact long on
+    // both engines, so the per-part values AND the 1.5×mean cut derive from
+    // the same exact integers — no group can flip membership on a 1-ulp
+    // difference between independently recomputed double sums.
     val vals = t(s, dir, "lineitem")
       .join(broadcast(scope), col("l_suppkey") === col("s_suppkey"), "left_semi")
       .groupBy(col("l_partkey"))
-      .agg(sum(col("l_extendedprice")).as("value"))
-    val cut = vals.agg((lit(1.5) * sum(col("value")) / count(lit(1))).as("cut"))
+      .agg(sum(floor(col("l_extendedprice") * lit(100) + lit(0.5)).cast("long")).as("v_cents"))
+    val cut = vals.agg((lit(1.5) * sum(col("v_cents")) / count(lit(1))).as("cut"))
     vals.crossJoin(broadcast(cut))
-      .filter(col("value") > col("cut"))
-      .select(col("l_partkey"), round(col("value"), 2).as("inv_value"))
+      .filter(col("v_cents") > col("cut"))
+      .select(col("l_partkey"), (col("v_cents") / 100.0).as("inv_value"))
       .orderBy(col("inv_value").desc, col("l_partkey"))
   }
 
@@ -431,11 +447,12 @@ object TpchShapes extends QueryPack {
     """WITH scope AS (SELECT s_suppkey FROM supplier
          JOIN nation ON s_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'AFRICA'),
-       vals AS (SELECT l_partkey, sum(l_extendedprice) AS v
+       vals AS (SELECT l_partkey,
+           sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS v
          FROM lineitem WHERE EXISTS (SELECT 1 FROM scope WHERE s_suppkey = l_suppkey)
          GROUP BY 1),
        cut AS (SELECT 1.5 * sum(v) / count(*) AS c FROM vals)
-       SELECT l_partkey, round(v, 2) AS inv_value
+       SELECT l_partkey, v / 100.0 AS inv_value
        FROM vals, cut WHERE v > c
        ORDER BY inv_value DESC, l_partkey"""
 
@@ -469,33 +486,37 @@ object TpchShapes extends QueryPack {
 
   // -- Q15 shape: top supplier by revenue (agg vs its own max) -----------------
   // The revenue aggregate is compared against the max over ITSELF — Q15's
-  // view-plus-scalar-subquery. The max arrives as a one-row broadcast; the
-  // equality compares two values the SAME engine derived from the same
-  // grouped sums, so it is consistent within each engine even though
-  // doubles differ across engines in the last ulp (output is rounded only
-  // AFTER the comparison).
+  // view-plus-scalar-subquery. The max arrives as a one-row broadcast.
+  // The grouped revenue is an integer-cents sum (q9's device): Spark
+  // instantiates `rev` in BOTH subtrees of the self-comparison and merges
+  // partial aggregates in shuffle-fetch order, so a double sum could differ
+  // in the last ulp between the two copies and empty the result; exact long
+  // sums are order-independent, making the equality deterministic within
+  // AND across engines.
   private def q15(s: SparkSession, dir: String): DataFrame = {
     val rev = t(s, dir, "lineitem")
       .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
         col("l_shipdate") < to_timestamp(lit("1996-04-01")))
       .groupBy(col("l_suppkey"))
-      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("total_rev"))
-    val top = rev.agg(max(col("total_rev")).as("max_rev"))
+      .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * lit(100)
+        + lit(0.5)).cast("long")).as("rev_cents"))
+    val top = rev.agg(max(col("rev_cents")).as("max_cents"))
     t(s, dir, "supplier")
-      .join(rev.crossJoin(broadcast(top)).filter(col("total_rev") === col("max_rev")),
+      .join(rev.crossJoin(broadcast(top)).filter(col("rev_cents") === col("max_cents")),
         col("s_suppkey") === col("l_suppkey"))
-      .select(col("s_suppkey"), col("s_name"), round(col("total_rev"), 2).as("total_rev"))
+      .select(col("s_suppkey"), col("s_name"), (col("rev_cents") / 100.0).as("total_rev"))
       .orderBy("s_suppkey")
   }
 
   private val q15Sql =
-    """WITH rev AS (SELECT l_suppkey, sum(l_extendedprice*(1-l_discount)) AS total_rev
+    """WITH rev AS (SELECT l_suppkey,
+           sum(CAST(floor(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS rev_cents
          FROM lineitem
          WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
          GROUP BY 1)
-       SELECT s_suppkey, s_name, round(total_rev, 2) AS total_rev
+       SELECT s_suppkey, s_name, rev_cents / 100.0 AS total_rev
        FROM supplier JOIN rev ON s_suppkey = l_suppkey
-       WHERE total_rev = (SELECT max(total_rev) FROM rev)
+       WHERE rev_cents = (SELECT max(rev_cents) FROM rev)
        ORDER BY s_suppkey"""
 
   // -- Q17 shape: small-quantity revenue (per-group avg joined back) -----------
