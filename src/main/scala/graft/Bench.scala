@@ -27,6 +27,59 @@ object Bench {
       case _ => ()
     }
 
+  // Sink for the probe's fold so the JIT cannot dead-code-eliminate the work.
+  @volatile private var blackhole: Long = 0L
+
+  /** Fixed-work CPU calibration probe: 8 threads each xorshift-fill, sort,
+    * and hash-fold a 2M-long array, 3 times. The work is a compile-time
+    * constant, so the wall time measures only the HOST — on an uncontended
+    * box it is stable run-to-run (~0.5 s here; ledger in COVERAGE.md), and
+    * a co-tenant burning cores inflates it proportionally. Timed before AND
+    * after the suite so a contended bench run is identifiable from the
+    * artifact alone (two rounds of officially-recorded numbers were
+    * silently contention-polluted before this existed: r5's and r6's both
+    * showed sf0.1 queries "slower" than the same code on 10× data).
+    */
+  def calibrationProbe(): Double = {
+    val threads = 8
+    val iters = 3
+    val t0 = System.nanoTime()
+    val ts = (0 until threads).map { tid =>
+      val th = new Thread(() => {
+        var iter = 0
+        while (iter < iters) {
+          val n = 1 << 21
+          val a = new Array[Long](n)
+          var x = 0x9E3779B97F4A7C15L + tid * 7919L + iter
+          var i = 0
+          while (i < n) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; a(i) = x; i += 1 }
+          java.util.Arrays.sort(a)
+          var acc = 0L
+          i = 0
+          while (i < n) { acc ^= a(i) * 0x100000001B3L; i += 1 }
+          blackhole = acc
+          iter += 1
+        }
+      })
+      th.start(); th
+    }
+    ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Per-query times from a prior bench artifact (for the inversion check).
+    * Returns (sfDir, name→seconds). Jackson ships with Spark.
+    */
+  def readBenchArtifact(path: java.io.File): (String, Map[String, Double]) = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(path)
+    import scala.jdk.CollectionConverters._
+    val qs = root.path("queries").fields.asScala
+      .map(e => e.getKey -> e.getValue.asDouble).toMap
+    // sf0.1 artifacts carry "sf"; scale-tier artifacts carry "scale"
+    (root.path("sf").asText(root.path("scale").asText("")), qs)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // "noop" (default) is the honest action; "count" reproduces the
@@ -42,6 +95,10 @@ object Bench {
     // recorded in the JSON's "reps" methodology marker either way.
     val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").flatMap(_.toIntOption)
       .filter(_ >= 1).getOrElse(2)
+    // First probe call is discarded: it pays the probe loop's own JIT
+    // (~0.15 s measured), which would skew before-vs-after comparison.
+    calibrationProbe()
+    val probeBefore = calibrationProbe()
     val spark = LocalSession.build()
     // Untimed warmup: run every query once at the target dir. First
     // execution pays Janino whole-stage-codegen compilation + classloading
@@ -81,21 +138,60 @@ object Bench {
         spark.catalog.clearCache()
         if (built.isDefined) Some(t) else None
       }
-      name -> (if (times.isEmpty) -1.0 else times.min)
+      // min = steady-state cost; median exposes the spread a contended host
+      // injects (min alone can hide it when one rep got lucky).
+      val med =
+        if (times.isEmpty) -1.0
+        else { val s = times.sorted; (s((s.size - 1) / 2) + s(s.size / 2)) / 2 }
+      (name, if (times.isEmpty) -1.0 else times.min, med)
     }
+    val probeAfter = calibrationProbe()
     // 3-decimal (ms) precision: sub-ms digits are pure noise at these
     // scales, and the shorter line keeps the whole JSON inside the driver's
     // bounded stdout-tail capture (full-precision lines were truncated in
     // rounds 1-3 → "parsed": null).
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val qsMed = results.map { case (k, _, m) => s"\"" + k + "\":" + fmt(m) }
       .mkString("{", ",", "}")
     // total over SUCCESSFUL queries only: summing the -1 failure sentinels
     // would report a phantom speedup of ~1s per failed query
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
+    // Inversion self-check: a query at this SF running SLOWER than the same
+    // code on the committed larger-tier artifact is physically impossible —
+    // each one is direct in-artifact evidence of host contention during
+    // THIS run. Ref = SPARK_GRAFT_BENCH_REF, else the newest committed
+    // BENCH_r*_sf1.json in cwd; skipped (null) when the ref is this run's
+    // own SF or absent.
+    val inversions: String = {
+      val ref = sys.env.get("SPARK_GRAFT_BENCH_REF").map(new java.io.File(_))
+        .filter(_.isFile)
+        .orElse {
+          val cwd = new java.io.File(".").getAbsoluteFile.getParentFile
+          Option(cwd.listFiles((_, n) => n.matches("BENCH_r\\d+_sf1\\.json")))
+            .flatMap(_.sortBy(_.getName).lastOption)
+        }
+      ref.flatMap { f =>
+        try {
+          val (refSf, refTimes) = readBenchArtifact(f)
+          if (refSf == sfDir) None
+          else {
+            val inv = results.collect {
+              case (name, v, _) if v >= 0 && refTimes.get(name).exists(r => r >= 0 && v > r) =>
+                name
+            }
+            val names = inv.take(10).map("\"" + _ + "\"").mkString("[", ",", "]")
+            Some(s"""{"ref":"${f.getName}","count":${inv.size},"names":$names}""")
+          }
+        } catch { case _: Throwable => None }
+      }.getOrElse("null")
+    }
     // reps/agg: methodology marker — rounds 1-2 reported a single timed run,
     // round 3+ the min of 2; cross-round comparisons can detect the change.
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"agg":"min","action":"$actionName","queries":$qs,"sf":"$sfDir"}"""
+    // calibration: fixed-work probe seconds before/after the suite — compare
+    // against the committed uncontended ledger value to adjudicate the run.
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"agg":"min","action":"$actionName","calibration":{"before":${fmt(probeBefore)},"after":${fmt(probeAfter)}},"inversions":$inversions,"queries":$qs,"queries_median":$qsMed,"sf":"$sfDir"}"""
     // Truncation-proofing: the driver captures stdout's tail, which has
     // clipped the head of this (long) line in past rounds. Persist the full
     // JSON to a file first, then print it — the artifact on disk is always

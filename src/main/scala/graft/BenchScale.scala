@@ -167,6 +167,8 @@ object BenchScale {
     // same env-tunable rep count as Bench (min reported; marker in JSON)
     val nReps = sys.env.get("SPARK_GRAFT_BENCH_REPS").flatMap(_.toIntOption)
       .filter(_ >= 1).getOrElse(2)
+    Bench.calibrationProbe() // discard: probe-loop JIT warmup
+    val probeBefore = Bench.calibrationProbe()
     val results = qs.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to nReps).flatMap { _ =>
         val t0 = System.nanoTime()
@@ -180,11 +182,12 @@ object BenchScale {
       }
       name -> (if (times.isEmpty) -1.0 else times.min)
     }
+    val probeAfter = Bench.calibrationProbe()
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qjson = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val json = s"""{"metric":"total_sf1","value":${fmt(total)},"unit":"sec","reps":$nReps,"agg":"min","scale":"10x-$srcDir","queries":$qjson}"""
+    val json = s"""{"metric":"total_sf1","value":${fmt(total)},"unit":"sec","reps":$nReps,"agg":"min","calibration":{"before":${fmt(probeBefore)},"after":${fmt(probeAfter)}},"scale":"${Reps}x-$srcDir","queries":$qjson}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(artifact), json + "\n")
     catch { case _: Throwable => () }
     println(json)

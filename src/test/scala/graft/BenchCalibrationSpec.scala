@@ -1,0 +1,36 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The self-calibration machinery Bench/BenchScale embed in their artifacts
+  * (VERDICT r6 #1: two consecutive rounds' official numbers were silently
+  * host-contention-polluted; the probe + inversion fields make a contended
+  * run identifiable from the artifact alone).
+  */
+class BenchCalibrationSpec extends AnyFunSuite {
+
+  test("calibration probe is fixed-work: warm repeat agrees within 2x") {
+    Bench.calibrationProbe() // JIT warmup, discarded
+    val a = Bench.calibrationProbe()
+    val b = Bench.calibrationProbe()
+    assert(a > 0.05 && a < 30.0, s"probe off-scale: $a s")
+    assert(math.max(a, b) / math.min(a, b) < 2.0,
+      s"warm probes disagree: $a vs $b — fixed work should be stable")
+  }
+
+  test("readBenchArtifact parses both sf- and scale-keyed artifacts") {
+    val f = java.io.File.createTempFile("bench", ".json")
+    f.deleteOnExit()
+    java.nio.file.Files.writeString(f.toPath,
+      """{"metric":"total_sf1","value":1.0,"scale":"10x-/x/sf0.1","queries":{"q1":0.5,"q2":-1.0}}""")
+    val (sf, qs) = Bench.readBenchArtifact(f)
+    assert(sf == "10x-/x/sf0.1")
+    assert(qs == Map("q1" -> 0.5, "q2" -> -1.0))
+
+    val g = java.io.File.createTempFile("bench", ".json")
+    g.deleteOnExit()
+    java.nio.file.Files.writeString(g.toPath,
+      """{"metric":"total","value":1.0,"sf":"/x/sf0.1","queries":{"q1":0.4}}""")
+    assert(Bench.readBenchArtifact(g)._1 == "/x/sf0.1")
+  }
+}
