@@ -138,15 +138,25 @@ object SimilarityQueries extends QueryPack {
   // -- then search the query's `nprobe` nearest cells. Fully deterministic
   // -- (seeded centroids, argmin with cent_id tie-break) → oracle-checked.
 
-  /** Cells probed per query. Single-probe is the classic IVF recall trap —
-    * a true neighbor just across the query's cell boundary is invisible
-    * (measured recall@5 0.80/0.82 on the seeded/trained variants); probing
-    * the nearest 4 of 8 cells lifts recall@5 to 0.90/0.94 (pinned by
-    * ann_recall_at_5) while still scanning ~nprobe/k of the corpus. The
-    * seeded variant needs all 4 (unbalanced raw-row centroids); at a
-    * production k (√n cells) the same recall comes much cheaper per probe.
+  /** Cells probed per query on the SEEDED k=8 baseline (ann_ivf_coarse).
+    * Single-probe is the classic IVF recall trap — a true neighbor just
+    * across the query's cell boundary is invisible; probing the nearest 4
+    * of 8 cells recovers recall but scans ~half the corpus. That is the
+    * demonstration of WHY multi-probe exists, kept as the coarse baseline;
+    * the production operating point is [[ivfProdK]]/[[ivfProdNprobe]].
     */
   private val ivfNprobe = 4
+
+  /** The production IVF operating point (FAISS IVFADC convention: k ≈ √n
+    * cells, a small nprobe): k=64 trained cells with nprobe=8 probes 1/8 of
+    * the cells — and, with k-means-balanced cells, ~1/8 of the corpus —
+    * per query, vs the seeded baseline's 1/2. Used by ann_ivf_trained and
+    * both IVFPQ paths; recall@5 at this selectivity is pinned by
+    * ann_recall_at_5, and the probed fraction is asserted in
+    * IvfSelectivitySpec.
+    */
+  private[graft] val ivfProdK = 64
+  private[graft] val ivfProdNprobe = 8
 
   /** Top-`nprobe` nearest cells per query vector: the multi-probe dual of
     * [[graft.operators.Dedup.assignCells]]. Same 1-row broadcast centroid
@@ -157,7 +167,7 @@ object SimilarityQueries extends QueryPack {
     *
     * @return (query_id, q_emb, cent_id) — `nprobe` rows per query
     */
-  private def probeCells(queries: DataFrame, cents: DataFrame, nprobe: Int): DataFrame = {
+  private[graft] def probeCells(queries: DataFrame, cents: DataFrame, nprobe: Int): DataFrame = {
     val centArr = broadcast(cents
       .agg(array_sort(collect_list(struct(col("cent_id"), col("cent")))).as("__cs")))
     queries
@@ -180,7 +190,8 @@ object SimilarityQueries extends QueryPack {
     * cells are distinct, so no (query, neighbor) pair can duplicate — the
     * scoring join needs no dedup.
     */
-  private def ivfTop5(s: SparkSession, dir: String, cents: DataFrame): DataFrame = {
+  private[graft] def ivfTop5(s: SparkSession, dir: String, cents: DataFrame,
+      nprobe: Int): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val assigned =
       graft.operators.Dedup.assignCells(emb, col("vec_id"), col("embedding"), cents)
@@ -188,7 +199,7 @@ object SimilarityQueries extends QueryPack {
           col("cell").as("cent_id"))
     // Queries probed from the filtered rows — building this broadcast must
     // not re-run the corpus-wide assignment pass.
-    val queriesDf = probeCells(emb.filter(col("vec_id") < 10), cents, ivfNprobe)
+    val queriesDf = probeCells(emb.filter(col("vec_id") < 10), cents, nprobe)
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
     assigned.select(col("vec_id").as("neighbor_id"), col("embedding"), col("cent_id"))
       .join(broadcast(queriesDf), Seq("cent_id"))
@@ -203,19 +214,21 @@ object SimilarityQueries extends QueryPack {
   private def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     ivfTop5(s, dir, emb.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cent")))
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent")), ivfNprobe)
   }
 
-  /** IVF over cells TRAINED by [[graft.operators.KMeans]] (k=8, 2 Lloyd
-    * iterations) instead of raw seed rows — the production IVF shape
-    * (FAISS-style coarse quantizer). Its recall sits next to the seeded
-    * variant's in ann_recall_at_5, so the value of training is itself an
-    * oracle-pinned number.
+  /** IVF over cells TRAINED by [[graft.operators.KMeans]] at the production
+    * operating point (k=[[ivfProdK]]≈√n cells, 2 Lloyd iterations,
+    * nprobe=[[ivfProdNprobe]] → probed fraction 1/8) — the FAISS-style
+    * coarse quantizer at its published selectivity, vs the seeded k=8
+    * baseline's half-corpus probes. Recall at this selectivity is an
+    * oracle-pinned number in ann_recall_at_5.
     */
   private def qAnnIvfTrained(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     ivfTop5(s, dir,
-      graft.operators.KMeans.fit(emb, col("vec_id"), col("embedding"), k = 8, iters = 2))
+      graft.operators.KMeans.fit(emb, col("vec_id"), col("embedding"),
+        k = ivfProdK, iters = 2), ivfProdNprobe)
   }
 
   /** `ORDER BY`-ready squared-L2 distance between a vector expr and a
@@ -232,27 +245,27 @@ object SimilarityQueries extends QueryPack {
   /** The query-side multi-probe CTE: `nprobe` nearest cells per query
     * (dist ASC, cent_id tie-break — the SQL dual of [[probeCells]]).
     */
-  private def probeSqlCte(centsCte: String, out: String) =
+  private def probeSqlCte(centsCte: String, out: String, nprobe: Int) =
     s"""$out AS (
          SELECT vec_id AS query_id, embedding AS q_emb, cent_id FROM (
            SELECT e.vec_id, e.embedding, c.cent_id,
              row_number() OVER (PARTITION BY e.vec_id
                ORDER BY ${l2SqlDist("e.embedding", "c.cent")} ASC, c.cent_id) AS arn
            FROM embeddings e CROSS JOIN $centsCte c
-           WHERE e.vec_id < 10) WHERE arn <= $ivfNprobe)"""
+           WHERE e.vec_id < 10) WHERE arn <= $nprobe)"""
 
   /** The search body given a cents CTE (cent_id, cent): assignment argmin on
     * the exact squared sum (see ann_pq_adc's codes CTE), multi-probe
     * cell-restricted scoring, top-5.
     */
-  private def ivfSqlBody(centsCte: String) =
+  private def ivfSqlBody(centsCte: String, nprobe: Int) =
     s"""assigned AS (
          SELECT vec_id, embedding, cent_id FROM (
            SELECT e.vec_id, e.embedding, c.cent_id,
              row_number() OVER (PARTITION BY e.vec_id
                ORDER BY ${l2SqlDist("e.embedding", "c.cent")} ASC, c.cent_id) AS arn
            FROM embeddings e CROSS JOIN $centsCte c) WHERE arn = 1),
-       ${probeSqlCte(centsCte, "q")},
+       ${probeSqlCte(centsCte, "q", nprobe)},
        scored AS (
          SELECT q.query_id, a.vec_id AS neighbor_id,
            list_cosine_similarity(q.q_emb::DOUBLE[], a.embedding::DOUBLE[]) AS cos
@@ -263,7 +276,7 @@ object SimilarityQueries extends QueryPack {
 
   private val qAnnIvfSql =
     s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent FROM embeddings WHERE vec_id < 8),
-       ${ivfSqlBody("cents")}"""
+       ${ivfSqlBody("cents", ivfNprobe)}"""
 
   // -- product quantization + asymmetric distance (the memory-bound ANN path) ----
   // PQ: split the 64-d vector into M=4 subspaces of 16 dims; per subspace,
@@ -399,42 +412,80 @@ object SimilarityQueries extends QueryPack {
        WHERE rn <= 5 ORDER BY query_id, rn"""
 
   // -- IVF-PQ composed ANN (the FAISS IVFADC layout) -----------------------------
-  // The production-scale composition: a TRAINED coarse quantizer routes
-  // (k-means cells, multi-probe), PQ/ADC codes score within the probed
-  // cells. The corpus side is touched by exactly two map passes — cell
-  // assignment (broadcast-argmin) and subspace encode (broadcast-codebook
-  // argmin) — with the cell id riding along the code rows, so the index a
-  // deployment would persist is literally this codes table: (vec_id, cell,
-  // m, code) — 4×4-bit codes + a cell id per vector, floats never stored.
-  // Scoring joins codes to the 16-row centroid table and the broadcast
-  // (query × probed-cell × subspace) side; the only corpus shuffle is the
-  // per-(query, neighbor) ADC sum. Deterministic end-to-end (trained
-  // centroids are KMeans' rounded means; every argmin/rank ties on id) →
-  // the oracle re-derives training + assignment + encoding + ADC in SQL.
+  // The production-scale composition: a TRAINED coarse quantizer at the
+  // production operating point (k=ivfProdK cells, nprobe=ivfProdNprobe →
+  // 1/8 probed fraction) routes; PQ/ADC codes score within the probed
+  // cells. Codes encode RESIDUALS (x − coarse centroid of x's cell), the
+  // actual FAISS IVFADC formulation: residuals concentrate near zero, so a
+  // fixed 4-bit code budget spends its resolution on the within-cell
+  // detail the coarse quantizer didn't capture — most of IVFADC's fidelity
+  // at fixed code size comes from exactly this. The query side mirrors it:
+  // per probed cell, the query's residual AGAINST THAT CELL'S centroid is
+  // what ADC compares against the cell's code words.
+  //
+  // The corpus side is touched by three map passes — cell assignment
+  // (broadcast-argmin), residual subtraction (broadcast k-row centroid
+  // join), and subspace encode (broadcast-codebook argmin) — with the cell
+  // id riding along the code rows, so the index a deployment would persist
+  // is literally this codes table: (vec_id, cell, m, code) — 4×4-bit codes
+  // + a cell id per vector, floats never stored. Scoring joins codes to
+  // the 16-row codebook and the broadcast (query × probed-cell × subspace)
+  // side; the only corpus shuffle is the per-(query, neighbor) ADC sum.
+  // Deterministic end-to-end (trained centroids are KMeans' rounded means;
+  // residual arithmetic is element-wise double math in fixed order; every
+  // argmin/rank ties on id) → the oracle re-derives training + assignment
+  // + residuals + encoding + ADC in SQL.
   private def qAnnIvfPq(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     ivfPqTop5(s, dir,
-      graft.operators.KMeans.fit(emb, col("vec_id"), col("embedding"), k = 8, iters = 2))
+      graft.operators.KMeans.fit(emb, col("vec_id"), col("embedding"),
+        k = ivfProdK, iters = 2))
   }
 
-  private def ivfPqTop5(s: SparkSession, dir: String, cents: DataFrame,
-      k: Int = 5): DataFrame = {
+  /** @param byResidual FAISS IndexIVFPQ.by_residual: encode x − cent(cell)
+    *   (true, the IVFADC formulation — resolution spent on within-cell
+    *   detail) vs raw x (false; kept so IvfSelectivitySpec can pin the
+    *   residual encoding's recall lift at the same 4-bit budget).
+    */
+  private[graft] def ivfPqTop5(s: SparkSession, dir: String, cents: DataFrame,
+      k: Int = 5, nprobe: Int = ivfProdNprobe, byResidual: Boolean = true): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    val csubs = pqCsubs(emb)
-    val codebook = pqCodebook(csubs)
-    // assignment first, then the subspace explode — cell rides along, no
-    // join back against a separate assignment table
+    // assignment first, then residuals: join the k-row centroid table back
+    // (broadcast) and subtract element-wise in double — the same sequential
+    // per-element arithmetic the oracle's list_transform performs
     val assigned = graft.operators.Dedup.assignCells(emb, col("vec_id"), col("embedding"), cents)
       .select(col("__id").as("vec_id"), col("cell"), col("__v").as("embedding"))
-    val codes = pqSubSpaces(assigned, "vec_id", Seq("cell"))
+    val centsByCell = cents.select(col("cent_id").as("cell"), col("cent").as("__cent"))
+    val resid =
+      if (!byResidual) assigned
+      else assigned
+        .join(broadcast(centsByCell), "cell")
+        .select(col("vec_id"), col("cell"),
+          zip_with(col("embedding"), col("__cent"), (x, c) => x.cast("double") - c)
+            .as("embedding"))
+    // residual codebook: sub-vectors of the first pqK rows' RESIDUALS
+    // (pooled across cells — FAISS trains one shared residual codebook)
+    val csubs = pqSubSpaces(resid.filter(col("vec_id") < pqK), "cent_id")
+      .withColumnRenamed("sub", "centsub")
+    val codebook = pqCodebook(csubs)
+    val codes = pqSubSpaces(resid, "vec_id", Seq("cell"))
       .join(broadcast(codebook), "m")
       .select(col("vec_id"), col("cell"), col("m"),
         element_at(col("__cids"), argminL2(col("sub"), col("__csubs")) + 1).as("code"))
-    // query side: nprobe nearest cells per query, then subspace slices of
-    // each probed copy — (query × cell × m), tiny, broadcast
-    val probed = probeCells(emb.filter(col("vec_id") < 10), cents, ivfNprobe)
-      .select(col("query_id").as("vec_id"), col("cent_id").as("cell"),
-        col("q_emb").as("embedding"))
+    // query side: nprobe nearest cells per query, the query's residual
+    // against EACH probed cell's centroid, then subspace slices — (query ×
+    // cell × m), tiny, broadcast
+    val probedRaw = probeCells(emb.filter(col("vec_id") < 10), cents, nprobe)
+      .withColumnRenamed("cent_id", "cell")
+    val probed =
+      if (!byResidual)
+        probedRaw.select(col("query_id").as("vec_id"), col("cell"),
+          col("q_emb").as("embedding"))
+      else probedRaw
+        .join(broadcast(centsByCell), "cell")
+        .select(col("query_id").as("vec_id"), col("cell"),
+          zip_with(col("q_emb"), col("__cent"), (x, c) => x.cast("double") - c)
+            .as("embedding"))
     val qsubs = pqSubSpaces(probed, "query_id", Seq("cell"))
       .withColumnRenamed("sub", "qsub")
     val w = Window.partitionBy(col("query_id")).orderBy(col("est_dist").asc, col("neighbor_id"))
@@ -457,7 +508,7 @@ object SimilarityQueries extends QueryPack {
   }
 
   /** FAISS-style refine step over the IVFADC pipeline: ADC-retrieve a WIDER
-    * candidate set (k=20), then re-rank those few rows by EXACT cosine
+    * candidate set (k=30), then re-rank those few rows by EXACT cosine
     * against the raw vectors and keep the top 5. ADC distances from 4-bit
     * codes are lossy — the wider quantized net catches true neighbors the
     * code-space ranking misorders, and the exact re-rank restores their
@@ -467,7 +518,7 @@ object SimilarityQueries extends QueryPack {
     * independent of corpus size. The recall lift over plain ADC is
     * oracle-pinned in ann_recall_at_5.
     */
-  private def ivfPqRerank(s: SparkSession, dir: String, ranked: DataFrame): DataFrame = {
+  private[graft] def ivfPqRerank(s: SparkSession, dir: String, ranked: DataFrame): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val qEmb = emb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
@@ -485,20 +536,21 @@ object SimilarityQueries extends QueryPack {
   private def qAnnIvfPqRerank(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val cents =
-      graft.operators.KMeans.fit(emb, col("vec_id"), col("embedding"), k = 8, iters = 2)
-    ivfPqRerank(s, dir, ivfPqTop5(s, dir, cents, k = 20))
+      graft.operators.KMeans.fit(emb, col("vec_id"), col("embedding"),
+        k = ivfProdK, iters = 2)
+    ivfPqRerank(s, dir, ivfPqTop5(s, dir, cents, k = 30))
   }
 
-  // the same IVFADC chain widened to rn <= 20 — the final SELECT's rank
+  // the same IVFADC chain widened to rn <= 30 — the final SELECT's rank
   // filter is the only `rn <=` clause (inner argmin/probe ranks use `arn`)
-  private lazy val qAnnIvfPq20Sql = {
-    val widened = qAnnIvfPqSql.replace("WHERE rn <= 5", "WHERE rn <= 20")
+  private lazy val qAnnIvfPqWideSql = {
+    val widened = qAnnIvfPqSql.replace("WHERE rn <= 5", "WHERE rn <= 30")
     require(widened != qAnnIvfPqSql, "rn<=5 clause not found to widen")
     widened
   }
 
   private lazy val qAnnIvfPqRerankSql =
-    s"""WITH cand AS (SELECT query_id, neighbor_id FROM ($qAnnIvfPq20Sql)),
+    s"""WITH cand AS (SELECT query_id, neighbor_id FROM ($qAnnIvfPqWideSql)),
        qv AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
        scored AS (
          SELECT c.query_id, c.neighbor_id,
@@ -510,21 +562,28 @@ object SimilarityQueries extends QueryPack {
                ORDER BY cos DESC, neighbor_id) AS rn FROM scored)
        WHERE rn <= 5 ORDER BY query_id, rn"""
 
-  /** Oracle dual: k-means training chain (c2) + corpus cell assignment +
-    * PQ encode + multi-probe routing + ADC, all re-derived in SQL. (lazy:
-    * textually references kmTrainCtes / kmAssign declared further down the
-    * object — initialized by the time the `oracles` map forces this.)
+  /** Oracle dual: k-means training chain (c2, k=ivfProdK) + corpus cell
+    * assignment + RESIDUAL computation + residual-codebook PQ encode +
+    * multi-probe routing (nprobe=ivfProdNprobe) + per-probed-cell query
+    * residuals + ADC, all re-derived in SQL. (lazy: textually references
+    * kmTrainCtes / kmAssign declared further down the object — initialized
+    * by the time the `oracles` map forces this.)
     */
   private lazy val qAnnIvfPqSql =
-    s"""WITH $kmTrainCtes,
+    s"""WITH ${kmTrainCtes(ivfProdK)},
        ${kmAssign("c2", "acell")},
+       rs AS (
+         SELECT a.vec_id, a.cell,
+           list_transform(range(1, 65),
+             i -> a.embedding[i]::DOUBLE - c.cent[i]) AS remb
+         FROM acell a JOIN c2 c ON c.cent_id = a.cell),
        ms AS (SELECT unnest([0,1,2,3]) AS m),
-       subs AS (SELECT vec_id, m, list_slice(embedding::DOUBLE[], m*16+1, m*16+16) AS sub
-                FROM embeddings CROSS JOIN ms),
+       subs AS (SELECT vec_id, cell, m, list_slice(remb, m*16+1, m*16+16) AS sub
+                FROM rs CROSS JOIN ms),
        csubs AS (SELECT vec_id AS cent_id, m, sub AS centsub FROM subs WHERE vec_id < $pqK),
        codes AS (
-         SELECT vec_id, m, cent_id AS code FROM (
-           SELECT s.vec_id, s.m, c.cent_id,
+         SELECT vec_id, cell, m, cent_id AS code FROM (
+           SELECT s.vec_id, s.cell, s.m, c.cent_id,
              row_number() OVER (PARTITION BY s.vec_id, s.m
                ORDER BY list_sum(list_transform(range(1, 17),
                  i -> (s.sub[i] - c.centsub[i]) * (s.sub[i] - c.centsub[i]))) ASC,
@@ -534,18 +593,23 @@ object SimilarityQueries extends QueryPack {
            SELECT e.vec_id, c.cent_id,
              row_number() OVER (PARTITION BY e.vec_id
                ORDER BY ${l2SqlDist("e.embedding", "c.cent")} ASC, c.cent_id) AS arn
-           FROM embeddings e CROSS JOIN c2 c WHERE e.vec_id < 10) WHERE arn <= $ivfNprobe),
-       q AS (SELECT vec_id AS query_id, m, sub AS qsub FROM subs WHERE vec_id < 10),
+           FROM embeddings e CROSS JOIN c2 c WHERE e.vec_id < 10) WHERE arn <= $ivfProdNprobe),
+       qr AS (
+         SELECT qp.query_id, qp.cell,
+           list_transform(range(1, 65),
+             i -> e.embedding[i]::DOUBLE - c.cent[i]) AS remb
+         FROM qp JOIN embeddings e ON e.vec_id = qp.query_id
+                 JOIN c2 c ON c.cent_id = qp.cell),
+       q AS (SELECT query_id, cell, m, list_slice(remb, m*16+1, m*16+16) AS qsub
+             FROM qr CROSS JOIN ms),
        terms AS (
-         SELECT qp.query_id, cd.vec_id AS neighbor_id, cd.m,
+         SELECT q.query_id, cd.vec_id AS neighbor_id, cd.m,
            list_sum(list_transform(range(1, 17),
              i -> (q.qsub[i] - c.centsub[i]) * (q.qsub[i] - c.centsub[i]))) AS term
          FROM codes cd
-         JOIN acell a ON a.vec_id = cd.vec_id
-         JOIN qp ON qp.cell = a.cell
+         JOIN q ON q.cell = cd.cell AND q.m = cd.m
          JOIN csubs c ON c.m = cd.m AND c.cent_id = cd.code
-         JOIN q ON q.query_id = qp.query_id AND q.m = cd.m
-         WHERE cd.vec_id != qp.query_id),
+         WHERE cd.vec_id != q.query_id),
        adc AS (
          SELECT query_id, neighbor_id,
            ((sum(CASE WHEN m=0 THEN term END) + sum(CASE WHEN m=1 THEN term END))
@@ -578,14 +642,15 @@ object SimilarityQueries extends QueryPack {
     // here would run the whole Lloyd chain twice)
     val emb = t(s, dir, "embeddings")
     val trainedCents =
-      graft.operators.KMeans.fit(emb, col("vec_id"), col("embedding"), k = 8, iters = 2)
-    // ONE widened (k=20) IVFADC pass feeds both the plain ADC path (its
+      graft.operators.KMeans.fit(emb, col("vec_id"), col("embedding"),
+        k = ivfProdK, iters = 2)
+    // ONE widened (k=30) IVFADC pass feeds both the plain ADC path (its
     // rn<=5 prefix) and the exact re-rank path — materialized via
     // localCheckpoint (~20 rows/query) so the code-space pipeline runs once
-    val pqRanked = ivfPqTop5(s, dir, trainedCents, k = 20).localCheckpoint()
+    val pqRanked = ivfPqTop5(s, dir, trainedCents, k = 30).localCheckpoint()
     val paths = Seq(
       "ann_ivf_coarse" -> qAnnIvf(s, dir),
-      "ann_ivf_trained" -> ivfTop5(s, dir, trainedCents),
+      "ann_ivf_trained" -> ivfTop5(s, dir, trainedCents, ivfProdNprobe),
       "ann_ivfpq_adc" -> pqRanked.filter(col("rn") <= 5),
       "ann_ivfpq_rerank" -> ivfPqRerank(s, dir, pqRanked),
       "ann_pq_adc" -> qAnnPq(s, dir),
@@ -675,19 +740,21 @@ object SimilarityQueries extends QueryPack {
            SELECT cell AS cent_id, list(c ORDER BY pos) AS cent
            FROM ${out}_u GROUP BY 1) u USING (cent_id))"""
 
-  /** The k=8, iters=2 training chain (KMeans.fit's oracle dual): seeds →
-    * assign → rounded-mean update, twice; final centroids land in CTE c2.
+  /** The k-seeded, iters=2 training chain (KMeans.fit's oracle dual): seeds
+    * → assign → rounded-mean update, twice; final centroids land in CTE c2.
+    * k=8 for the readable emb_kmeans trainer gate; k=[[ivfProdK]] for the
+    * production IVF paths.
     */
-  private val kmTrainCtes =
+  private def kmTrainCtes(k: Int) =
     s"""c0 AS (SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cent
-           FROM embeddings WHERE vec_id < 8),
+           FROM embeddings WHERE vec_id < $k),
        ${kmAssign("c0", "a1")},
        ${kmUpdate("a1", "c0", "c1")},
        ${kmAssign("c1", "a2")},
        ${kmUpdate("a2", "c1", "c2")}"""
 
   private val qKmeansSql =
-    s"""WITH $kmTrainCtes,
+    s"""WITH ${kmTrainCtes(8)},
        ${kmAssign("c2", "a3")}
        SELECT cc.cent_id AS cell, CAST(coalesce(cnt.n, 0) AS BIGINT) AS n,
          cc.cent[1] AS c0, cc.cent[2] AS c1
@@ -696,8 +763,8 @@ object SimilarityQueries extends QueryPack {
        ORDER BY cell"""
 
   private val qAnnIvfTrainedSql =
-    s"""WITH $kmTrainCtes,
-       ${ivfSqlBody("c2")}"""
+    s"""WITH ${kmTrainCtes(ivfProdK)},
+       ${ivfSqlBody("c2", ivfProdNprobe)}"""
 
   // -- vector stats (dot/norm plumbing oracle) -----------------------------------
   private def qEmbStats(s: SparkSession, dir: String): DataFrame =
