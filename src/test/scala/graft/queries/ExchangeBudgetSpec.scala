@@ -1,0 +1,174 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shuffle-exchange budget per gate query (VERDICT r6 #4): the number of
+  * ShuffleExchange nodes each query's physical plan is ALLOWED to contain,
+  * recorded from the audited plans. Broadcast and reused exchanges don't
+  * count — broadcasts are the cheap/deliberate distribution path and a
+  * ReusedExchange is exactly the shuffle NOT happening twice. The assert is
+  * two-sided: a future edit that adds an avoidable shuffle fails the suite
+  * immediately (not the next round's bench), and one that removes a shuffle
+  * fails too so the budget table stays the single source of truth — tighten
+  * the entry when that happens.
+  */
+class ExchangeBudgetSpec extends AnyFunSuite {
+  private lazy val spark = graft.SparkFixture.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private val budget: Map[String, Int] = Map(
+    "ann_ivf_coarse" -> 4,
+    "ann_ivf_trained" -> 4,
+    "ann_ivfpq_adc" -> 8,
+    "ann_ivfpq_rerank" -> 9,
+    "ann_pq_adc" -> 4,
+    "ann_recall_at_5" -> 19,
+    "ann_rhp_lsh" -> 3,
+    "dedup_clusters" -> 1,
+    "dedup_embedding_cosine" -> 3,
+    "dedup_exact" -> 2,
+    "dedup_incremental" -> 1,
+    "dedup_keep_first" -> 2,
+    "dedup_minhash_lsh" -> 1,
+    "dedup_ngram_jaccard" -> 6,
+    "dedup_semantic" -> 3,
+    "dedup_simhash" -> 4,
+    "dedup_span_runs" -> 4,
+    "dedup_span_windows" -> 4,
+    "emb_kmeans" -> 3,
+    "emb_label_centroids" -> 2,
+    "emb_outliers" -> 4,
+    "emb_quantize_int8" -> 1,
+    "emb_stats" -> 1,
+    "knn_cosine_brute" -> 2,
+    "mm_byte_features" -> 1,
+    "mm_decode_features" -> 1,
+    "mm_decode_real" -> 1,
+    "mm_frame_energy" -> 1,
+    "mm_phash" -> 1,
+    "mm_stride_sample" -> 1,
+    "pipeline_chunk_docs" -> 1,
+    "pipeline_class_weights" -> 2,
+    "pipeline_cluster_split" -> 3,
+    "pipeline_contamination" -> 3,
+    "pipeline_contamination_fuzzy" -> 2,
+    "pipeline_curriculum" -> 2,
+    "pipeline_hard_negatives" -> 2,
+    "pipeline_mixture_sample" -> 4,
+    "pipeline_mixture_upsample" -> 4,
+    "pipeline_pack_batches" -> 2,
+    "pipeline_pii_scrub" -> 1,
+    "pipeline_soft_sample" -> 2,
+    "pipeline_source_cap" -> 2,
+    "pipeline_split" -> 2,
+    "pipeline_stratified_sample" -> 2,
+    "pipeline_training_set" -> 2,
+    "q10_returned_items" -> 1,
+    "q11_important_stock" -> 4,
+    "q12_priority" -> 2,
+    "q13_order_dist" -> 3,
+    "q14_promo" -> 1,
+    "q15_top_supplier" -> 4,
+    "q16_supplier_count" -> 3,
+    "q17_small_qty" -> 2,
+    "q18_large_orders" -> 1,
+    "q19_disjunctive" -> 1,
+    "q1_pricing_summary" -> 2,
+    "q20_excess_supply" -> 7,
+    "q21_waiting_suppliers" -> 6,
+    "q22_inactive" -> 3,
+    "q2_min_cost" -> 5,
+    "q3_top_revenue" -> 1,
+    "q4_late_exists" -> 2,
+    "q5_local_supplier" -> 2,
+    "q6_forecast_revenue" -> 1,
+    "q7_nation_volume" -> 4,
+    "q8_market_share" -> 4,
+    "q9_product_profit" -> 2,
+    "q_anti_join" -> 1,
+    "q_approx_distinct_bound" -> 4,
+    "q_approx_quantile_bound" -> 2,
+    "q_asof_join" -> 2,
+    "q_broadcast_part_agg" -> 2,
+    "q_case_when" -> 2,
+    "q_cohort_retention" -> 4,
+    "q_cube" -> 2,
+    "q_distinct_agg" -> 3,
+    "q_exists_subquery" -> 2,
+    "q_grouping_sets" -> 2,
+    "q_heavy_hitters_bound" -> 3,
+    "q_incremental_cursor" -> 1,
+    "q_json_extract" -> 2,
+    "q_outer_join_count" -> 2,
+    "q_percentiles" -> 2,
+    "q_pivot" -> 3,
+    "q_range_join" -> 2,
+    "q_rollup" -> 2,
+    "q_salted_join" -> 1,
+    "q_scalar_array" -> 1,
+    "q_scalar_date" -> 1,
+    "q_scalar_map" -> 1,
+    "q_scalar_math" -> 1,
+    "q_scalar_string" -> 1,
+    "q_semi_join" -> 1,
+    "q_session_count" -> 2,
+    "q_session_stats" -> 2,
+    "q_set_except" -> 2,
+    "q_set_intersect" -> 2,
+    "q_set_union" -> 2,
+    "q_sliding_window" -> 2,
+    "q_sort_limit" -> 0,
+    "q_string_agg" -> 3,
+    "q_topk_agg" -> 2,
+    "q_topk_per_group" -> 2,
+    "q_tumbling_hourly" -> 2,
+    "q_upsert_cdc" -> 5,
+    "q_weighted_avg" -> 2,
+    "q_window_first_last" -> 2,
+    "q_window_lag" -> 2,
+    "q_window_moving_avg" -> 2,
+    "q_window_ranks" -> 2,
+    "q_window_running" -> 2,
+    "q_zorder_value" -> 1,
+    "sink_airbyte_envelope" -> 1,
+    "sink_singer_envelope" -> 1,
+    "text_bigrams" -> 1,
+    "text_bpe_count" -> 1,
+    "text_ccnet_buckets" -> 6,
+    "text_fingerprint" -> 1,
+    "text_hashing_tf" -> 1,
+    "text_lang_id" -> 1,
+    "text_quality" -> 1,
+    "text_quality_gate" -> 1,
+    "text_quality_model" -> 1,
+    "text_repetition" -> 1,
+    "text_rolling_fp" -> 1,
+    "text_surprisal" -> 5,
+    "text_term_freq" -> 1,
+    "text_tfidf_topk" -> 7,
+    "text_token_stats" -> 1,
+    "text_unigram_kl" -> 8)
+
+  private def shuffleExchanges(plan: String): Int = {
+    val all = "Exchange".r.findAllIn(plan).size
+    val broadcast = "BroadcastExchange".r.findAllIn(plan).size
+    val reused = "ReusedExchange".r.findAllIn(plan).size
+    all - broadcast - reused
+  }
+
+  test("every gate query has a budget entry and plans exactly its budgeted shuffle count") {
+    val qs = graft.SparkEntry.queries
+    val unbudgeted = qs.keySet -- budget.keySet
+    assert(unbudgeted.isEmpty, s"queries without a shuffle budget: $unbudgeted")
+    val stale = budget.keySet -- qs.keySet
+    assert(stale.isEmpty, s"budget entries for removed queries: $stale")
+    val offenders = qs.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val n = shuffleExchanges(fn(spark, dir).queryExecution.executedPlan.toString)
+      if (n == budget(name)) None
+      else Some(s"$name: plans $n shuffle exchanges, budget is ${budget(name)}")
+    }
+    assert(offenders.isEmpty,
+      s"shuffle-budget violations (update the table only for DELIBERATE plan changes):\n" +
+        offenders.mkString("\n"))
+  }
+}
