@@ -93,6 +93,18 @@ final case class SourceDef(
   def paced(client: HttpClient): HttpClient =
     rateLimiter.fold(client)(l => new graft.sources.RateLimitedClient(client, l))
 
+  /** Pacing against ONE SHARE of the cluster-wide budget — used by
+    * partitioned (DSv2) readers, where the driver knows how many readers it
+    * planned and each must draw `requestsPerSec / nShares` so the cluster
+    * aggregate honors the configured rate no matter where the partitions
+    * land ([[graft.sources.RateLimiter.forShare]]).
+    */
+  def pacedShare(client: HttpClient, shareIndex: Int, nShares: Int): HttpClient =
+    requestsPerSec.fold(client) { r =>
+      new graft.sources.RateLimitedClient(client,
+        graft.sources.RateLimiter.forShare(name, r, burst = 4, shareIndex, nShares))
+    }
+
   def streamDefs: Seq[StreamDef] =
     httpStreams.map(_._1) ++ fileStreams.map(_._1) ++ dbStreams.map(_._1) ++ manualStreams
 
@@ -117,6 +129,14 @@ object Connector {
     */
   def transport(src: SourceDef, base: HttpClient): HttpClient =
     new graft.sources.RetryingClient(src.paced(base))
+
+  /** Transport for one planned read partition of `nShares`: retry OUTSIDE
+    * share-split pacing, so every physical attempt draws a token from this
+    * partition's slice of the cluster-wide budget.
+    */
+  def transportShare(src: SourceDef, base: HttpClient,
+      shareIndex: Int, nShares: Int): HttpClient =
+    new graft.sources.RetryingClient(src.pacedShare(base, shareIndex, nShares))
 
   def handle(src: SourceDef, cmd: Cmd, rc: RunConfig, out: Writer, client: HttpClient,
       clock: () => Long = () => System.currentTimeMillis()): Unit = {

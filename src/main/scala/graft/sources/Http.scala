@@ -137,6 +137,30 @@ object RateLimiter {
     */
   def forKey(key: String, permitsPerSec: Double, burst: Int): RateLimiter =
     perJvm.getOrElseUpdate((key, permitsPerSec, burst), new RateLimiter(permitsPerSec, burst))
+
+  /** One SHARE of a cluster-wide budget (SURVEY §7 hard part b): the driver
+    * plans `nShares` read partitions and stamps each with its index; every
+    * share paces at `permitsPerSec / nShares`, so the AGGREGATE across all
+    * shares — wherever Spark schedules them, one executor or a thousand —
+    * never exceeds the configured connector budget. This replaces the
+    * per-JVM-singleton model's `rate × executors` cluster aggregate with a
+    * true cluster-wide bound, at the cost of under-using the budget when
+    * some partitions finish early (the standard static-split tradeoff; a
+    * grant-lease coordinator could reclaim idle shares but needs an RPC
+    * channel Spark doesn't give user code portably). Keyed per share, so a
+    * share's retries contend on its own slice while sibling partitions
+    * co-resident in the same JVM keep their own — the split is what
+    * enforces the bound, not JVM-level sharing. Burst headroom splits too,
+    * floored at 1 token so every share can make progress — aggregate
+    * instantaneous burst is therefore max(burst, nShares) while the
+    * SUSTAINED aggregate stays exactly `permitsPerSec`.
+    */
+  def forShare(key: String, permitsPerSec: Double, burst: Int,
+      shareIndex: Int, nShares: Int): RateLimiter = {
+    require(nShares >= 1 && shareIndex >= 0 && shareIndex < nShares)
+    perJvm.getOrElseUpdate((s"$key#$shareIndex/$nShares", permitsPerSec, burst),
+      new RateLimiter(permitsPerSec / nShares, math.max(1, burst / nShares)))
+  }
 }
 
 final class RateLimiter(

@@ -189,7 +189,13 @@ final class HttpScan(readSchema: StructType, val props: Map[String, String],
         val pagesPerPart = // key lowercase: props normalized at getTable
           math.max(1, props.get("pagesperpartition").map(_.toInt).getOrElse(4))
         val chunk = off.num * pagesPerPart
-        (0 until n by chunk).map(lo => HttpPartition(lo, math.min(n - lo, chunk)): InputPartition).toArray
+        val ranges = (0 until n by chunk).toArray
+        // each partition is stamped with its share of the connector budget:
+        // the reader paces at requestsPerSec / nShares, so the cluster-wide
+        // aggregate honors the configured rate wherever these get scheduled
+        ranges.zipWithIndex.map { case (lo, i) =>
+          HttpPartition(lo, math.min(n - lo, chunk), i, ranges.length): InputPartition
+        }
       case _ => Array(HttpPartition(0, -1)) // sequential chain: single reader
     }
   }
@@ -213,7 +219,8 @@ object HttpScan {
   }
 }
 
-final case class HttpPartition(startOffset: Int, count: Int) extends InputPartition
+final case class HttpPartition(startOffset: Int, count: Int,
+    shareIndex: Int = 0, nShares: Int = 1) extends InputPartition
 
 final class HttpReaderFactory(readSchema: StructType, props: Map[String, String])
     extends PartitionReaderFactory {
@@ -227,17 +234,19 @@ final class HttpPartitionReader(readSchema: StructType, props: Map[String, Strin
     extends PartitionReader[InternalRow] {
 
   // The standard transport stack (retry OUTSIDE pacing, so every physical
-  // attempt draws a token). `ConnectorDefs.all` is an object: one SourceDef
-  // instance per JVM per connector, so its lazy rateLimiter is exactly the
-  // per-executor shared budget the RateLimiter scaladoc specifies — N
-  // parallel offset partitions on one executor jointly honor
-  // requestsPerSec (cluster-wide rate = requestsPerSec × executors; size
-  // the budget accordingly). Reference: 429-aware shared throttling,
-  // utils.go:35-38, readme.MD:99-104.
+  // attempt draws a token). Pacing draws from THIS PARTITION'S SHARE of
+  // the connector budget (requestsPerSec / nShares): the driver stamped
+  // every planned partition with its share at planInputPartitions, so the
+  // cluster-wide aggregate honors the configured rate no matter how Spark
+  // spreads the partitions over executors — the per-JVM-singleton model's
+  // `rate × executors` aggregate is gone (SURVEY §7 hard part b).
+  // Reference: 429-aware shared throttling, utils.go:35-38,
+  // readme.MD:99-104.
   private val client = {
     val options = new CaseInsensitiveStringMap(props.asJava)
     val src = ConnectorDefs.all(options.get("connector"))
-    graft.core.Connector.transport(src, new JdkHttpClient())
+    graft.core.Connector.transportShare(src, new JdkHttpClient(),
+      part.shareIndex, part.nShares)
   }
 
   private val records: Iterator[String] = {

@@ -154,7 +154,7 @@ class HttpDataSourceSpec extends AnyFunSuite {
     assert(b2.build().asInstanceOf[HttpScan].props("state") == """{"To":"2024-03-01T01:00:00Z"}""")
   }
 
-  test("parallel partition readers share one per-JVM rate budget per connector") {
+  test("partition readers pace within their SHARE of the cluster-wide connector budget") {
     import graft.core.SourceDef
     import graft.sources.{HttpRequest, PaginatedStream, Pagination}
     import graft.core.StreamDef
@@ -184,21 +184,24 @@ class HttpDataSourceSpec extends AnyFunSuite {
               HttpRequest(config.map(_.get("url").asText).getOrElse(url)),
               Pagination.Offset("start", "num", 10, Seq("items")), Seq("items"))
         }),
-        requestsPerSec = Some(40.0))) // burst 4, 25ms interval
-      // 8 pages → 8 parallel single-page partitions → 8 requests. A shared
-      // per-JVM limiter admits the 4-token burst instantly, then paces:
-      // first→last span >= (8-4)*25ms. Unshared per-reader limiters would
-      // fire all 8 within the burst (span ≈ 0).
+        requestsPerSec = Some(40.0))) // configured cluster-wide budget, burst 4
+      // 8 pages → 2 partitions × 4 sequential requests. The driver stamps
+      // each partition with its share (40/2 = 20/s, 50ms interval, burst
+      // 4/2 = 2), so within a partition: 2 burst tokens fire instantly,
+      // then 50ms pacing → per-partition span ≥ 2×50ms. The old per-JVM
+      // singleton would let the partitions jointly burn the full 40/s
+      // PER EXECUTOR — the shares bound the cluster aggregate instead.
       val df = spark.read.format("graft-http")
         .option("connector", "paced-test").option("stream", "nums")
         .option("config", s"""{"url":"$url"}""")
-        .option("total", "80").option("pagesPerPartition", "1").load()
-      assert(df.rdd.getNumPartitions == 8)
+        .option("total", "80").option("pagesPerPartition", "4").load()
+      assert(df.rdd.getNumPartitions == 2)
       assert(df.count() == 80)
       val ts = hitNanos.iterator().asScala.map(_.longValue).toSeq.sorted
       assert(ts.size == 8)
       val spanMs = (ts.last - ts.head) / 1e6
-      assert(spanMs >= 95.0, s"8 requests spanned only ${spanMs}ms — limiter not shared across partitions")
+      assert(spanMs >= 95.0,
+        s"8 requests spanned only ${spanMs}ms — partition readers not pacing within their share")
     } finally s.stop(0)
   }
 
