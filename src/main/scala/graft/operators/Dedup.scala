@@ -326,7 +326,10 @@ object Dedup {
   }
 
   /** Lazy plan + persisted intermediates behind [[minHashIncremental]] (see
-    * [[minHashDuplicatesLazy]] for why the split exists).
+    * [[minHashDuplicatesLazy]] for why the split exists). Recomputes the
+    * corpus band index from text (self-contained form) and delegates to
+    * [[minHashIncrementalIndexedLazy]] — the ONE pairing code path shared
+    * with the streaming sink, so batch and stream cannot drift.
     */
   private[graft] def minHashIncrementalLazy(
       corpus: DataFrame, fresh: DataFrame, id: Column, text: Column,
@@ -334,12 +337,41 @@ object Dedup {
       nHashes: Int = 64, r: Int = 2, seed: Long = 42L,
       maxBucket: Int = Int.MaxValue): (DataFrame, Seq[DataFrame]) = {
     val freshDocs = spread(fresh, id)
-      .select(id.as("__id"), shingleHashes(text, shingleWidth).as("__sh")).persist()
-    // fresh supersedes: a re-ingested id's old corpus row must not pair
-    val corpusDocs = spread(corpus, id)
       .select(id.as("__id"), shingleHashes(text, shingleWidth).as("__sh"))
-      .join(freshDocs.select(col("__id")), Seq("__id"), "left_anti").persist()
-    val cBands = bandTable(corpusDocs, "__id", "__sh", nHashes, r, seed)
+    val corpusDocs = spread(corpus, id)
+      .select(id.as("__id"), shingleHashes(text, shingleWidth).as("__sh")).persist()
+    val (result, inner) = minHashIncrementalIndexedLazy(
+      corpusDocs, bandTable(corpusDocs, "__id", "__sh", nHashes, r, seed),
+      freshDocs, threshold, nHashes, r, seed, maxBucket)
+    (result, inner :+ corpusDocs)
+  }
+
+  /** Eager incremental near-dup against a PREBUILT corpus index — the
+    * production daily shape taken literally: `corpusDocs` (__id, __sh) and
+    * `corpusBands` (__id, band_idx, band_hash) are the persisted index a
+    * pipeline stores (and [[graft.streaming.StreamingDedup.incrementalSink]]
+    * grows per micro-batch); the corpus text is never re-read and never
+    * re-banded. Same supersede/cap/verify semantics as
+    * [[minHashIncremental]].
+    */
+  private[graft] def minHashIncrementalIndexed(
+      corpusDocs: DataFrame, corpusBands: DataFrame, freshDocs: DataFrame,
+      threshold: Double, nHashes: Int = 64, r: Int = 2, seed: Long = 42L,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
+    val (result, intermediates) = minHashIncrementalIndexedLazy(
+      corpusDocs, corpusBands, freshDocs, threshold, nHashes, r, seed, maxBucket)
+    materializeAndRelease(result, intermediates: _*)
+  }
+
+  private[graft] def minHashIncrementalIndexedLazy(
+      corpusDocs0: DataFrame, corpusBands0: DataFrame, freshDocs0: DataFrame,
+      threshold: Double, nHashes: Int, r: Int, seed: Long,
+      maxBucket: Int): (DataFrame, Seq[DataFrame]) = {
+    val freshDocs = freshDocs0.persist()
+    val freshIds = freshDocs.select(col("__id"))
+    // fresh supersedes: a re-ingested id's old corpus rows must not pair
+    val corpusDocs = corpusDocs0.join(freshIds, Seq("__id"), "left_anti").persist()
+    val cBands = corpusBands0.join(freshIds, Seq("__id"), "left_anti")
       .withColumn("__is_fresh", lit(false))
     val fBands = bandTable(freshDocs, "__id", "__sh", nHashes, r, seed)
       .withColumn("__is_fresh", lit(true))

@@ -74,4 +74,73 @@ object StreamingDedup {
           pairs.distinct.iterator
       }
   }
+
+  /** The PERSISTED-INDEX streaming dual of [[Dedup.minHashIncremental]]: a
+    * `foreachBatch` sink that grows the corpus band index per micro-batch
+    * exactly as the batch operator computes it, and emits each batch's
+    * near-dup pairs against everything indexed so far.
+    *
+    * Per micro-batch:
+    *  1. shingle the fresh docs (the batch pipeline's exact prefix);
+    *  2. read the persisted index — `indexDir/docs` (__id, __sh, __batch)
+    *     and `indexDir/bands` (__id, band_idx, band_hash, __batch); an id
+    *     re-ingested in a LATER batch supersedes (only its newest version
+    *     pairs), resolved at read by keeping each id's max-__batch rows;
+    *  3. pair fresh against the index + within the batch via
+    *     [[Dedup.minHashIncrementalIndexed]] — the SAME code path the batch
+    *     operator delegates to, so stream and batch cannot drift — and
+    *     append the verified pairs to `indexDir/pairs` stamped with the
+    *     batch id;
+    *  4. append the fresh docs' shingle rows and band rows to the index.
+    * The corpus is therefore banded exactly once, at the micro-batch where
+    * each document arrived — never re-shingled, never re-banded, never
+    * self-joined — and after N batches `indexDir/bands` equals the batch
+    * [[Dedup.bandTable]] over the union of all batches (spec-asserted).
+    *
+    * Restart semantics: `foreachBatch` replays an in-flight batch on
+    * recovery; the appends are stamped with `__batch`, so a replayed batch
+    * is detected from the index (max __batch already >= current) and
+    * skipped — the sink is idempotent per batch id.
+    */
+  def incrementalSink(indexDir: String, shingleWidth: Int = 3,
+      threshold: Double = 0.5, nHashes: Int = 64, r: Int = 2, seed: Long = 42L,
+      maxBucket: Int = Int.MaxValue): (Dataset[DocEvent], Long) => Unit = {
+    (batch, batchId) =>
+      val spark = batch.sparkSession
+      val docsPath = s"$indexDir/docs"
+      val bandsPath = s"$indexDir/bands"
+      val pairsPath = s"$indexDir/pairs"
+      val freshDocs = Dedup.spread(batch.toDF(), col("doc_id"))
+        .select(col("doc_id").as("__id"),
+          Dedup.shingleHashes(col("text"), shingleWidth).as("__sh"))
+      val haveIndex = new java.io.File(docsPath).exists()
+      val replayed = haveIndex && {
+        val m = spark.read.parquet(docsPath)
+          .agg(max(col("__batch"))).head().getLong(0)
+        m >= batchId
+      }
+      if (!replayed) {
+        val (corpusDocs, corpusBands) =
+          if (!haveIndex)
+            // first batch: empty index with the pipeline's own schemas
+            (freshDocs.limit(0),
+              Dedup.bandTable(freshDocs.limit(0), "__id", "__sh", nHashes, r, seed))
+          else {
+            val d0 = spark.read.parquet(docsPath)
+            val latest = d0.groupBy(col("__id")).agg(max(col("__batch")).as("__batch"))
+            (d0.join(latest, Seq("__id", "__batch"), "left_semi").drop("__batch"),
+              spark.read.parquet(bandsPath)
+                .join(latest, Seq("__id", "__batch"), "left_semi").drop("__batch"))
+          }
+        val pairs = Dedup.minHashIncrementalIndexed(
+          corpusDocs, corpusBands, freshDocs, threshold, nHashes, r, seed, maxBucket)
+        pairs.withColumn("__batch", lit(batchId))
+          .write.mode("append").parquet(pairsPath)
+        freshDocs.withColumn("__batch", lit(batchId))
+          .write.mode("append").parquet(docsPath)
+        Dedup.bandTable(freshDocs, "__id", "__sh", nHashes, r, seed)
+          .withColumn("__batch", lit(batchId))
+          .write.mode("append").parquet(bandsPath)
+      }
+  }
 }

@@ -65,4 +65,52 @@ class StreamingDedupSpec extends AnyFunSuite {
       assert(pairs == Set((1L, 2L)))
     } finally q.stop()
   }
+
+  test("incrementalSink: persisted band index and pairs over 3 micro-batches == batch operator") {
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("inc_sink").toString
+    // real fixture docs, 3 batches of 30 — near-dups in the synthetic
+    // corpus span batches
+    val fixture = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).as[DocEvent].collect().sortBy(_.doc_id).take(90)
+    val batches = fixture.grouped(30).toSeq
+    assert(batches.size == 3)
+    val in = MemoryStream[DocEvent]
+    val q = in.toDS().writeStream
+      .foreachBatch(StreamingDedup.incrementalSink(dir, shingleWidth = 3, threshold = 0.5))
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    try {
+      batches.foreach { b => in.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+
+    // 1. the persisted index grew exactly as the batch operator computes it
+    val all = fixture.toSeq.toDF()
+    val allSh = all.select(col("doc_id").as("__id"),
+      Dedup.shingleHashes(col("text"), 3).as("__sh"))
+    val batchBands = Dedup.bandTable(allSh, "__id", "__sh", 64, 2, 42L)
+      .select(col("__id"), col("band_idx"), col("band_hash"))
+      .as[(Long, Int, Int)].collect().sorted.toSeq
+    val streamBands = spark.read.parquet(s"$dir/bands")
+      .select(col("__id"), col("band_idx"), col("band_hash"))
+      .as[(Long, Int, Int)].collect().sorted.toSeq
+    assert(streamBands == batchBands,
+      "persisted band index must equal the batch bandTable over the union of batches")
+    // docs indexed once each, stamped with their arrival batch
+    val perBatch = spark.read.parquet(s"$dir/docs").groupBy(col("__batch"))
+      .agg(org.apache.spark.sql.functions.count(col("__id")).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(perBatch == Map(0L -> 30L, 1L -> 30L, 2L -> 30L))
+
+    // 2. union of per-batch pair emissions == the full-corpus batch operator
+    // (every pair touches some batch: emitted exactly when its later
+    // endpoint arrived)
+    val batchPairs = Dedup.minHashDuplicates(all, col("doc_id"), col("text"), 3, 0.5)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    val streamPairs = spark.read.parquet(s"$dir/pairs")
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    assert(streamPairs == batchPairs,
+      s"streamed pair union (${streamPairs.size}) != batch operator (${batchPairs.size})")
+    assert(batchPairs.nonEmpty, "fixture should contain near-dups for the parity to be meaningful")
+  }
 }
