@@ -42,43 +42,77 @@ object BenchScale {
   /** Bump when the synthesis recipe changes — a stale _DONE from an older
     * recipe (e.g. the 4-table round-5 tier) must not satisfy the guard.
     */
-  private val Version = "v2-all-tables"
+  private val Version = "v3"
 
-  def synthesize(spark: SparkSession, srcDir: String, outDir: String): Unit = {
+  val AllTables = Seq("documents", "embeddings", "events", "customer",
+    "supplier", "part", "orders", "lineitem", "nation", "region")
+
+  /** @param nReps  replication factor (10 = the sf1 tier; 100 = the
+    *   two-decade growth tier, documents/embeddings only per r6 VERDICT #7)
+    * @param tables subset to synthesize — queries needing an absent table
+    *   fail at read and are recorded as -1 (excluded from the total)
+    */
+  def synthesize(spark: SparkSession, srcDir: String, outDir: String,
+      nReps: Int = Reps, tables: Seq[String] = AllTables): Unit = {
     val fs = new java.io.File(outDir)
     val done = new java.io.File(fs, "_DONE")
+    val stamp = s"$Version-${nReps}x-${tables.sorted.mkString(".")}"
     if (done.exists() &&
       scala.util.Try(java.nio.file.Files.readString(done.toPath).trim).toOption
-        .contains(Version)) return
+        .contains(stamp)) return
     fs.mkdirs()
 
     def maxOf(df: DataFrame, c: String): Long = df.agg(max(col(c))).head().getLong(0) + 1
     def reps(df: DataFrame)(copy: (DataFrame, Int) => DataFrame): DataFrame =
-      (0 until Reps).map(k => copy(df, k)).reduce(_ union _)
+      (0 until nReps).map(k => copy(df, k)).reduce(_ union _)
     def write(df: DataFrame, name: String): Unit =
       df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+    def wants(name: String): Boolean = tables.contains(name)
 
-    val docs = spark.read.parquet(s"$srcDir/documents.parquet")
-    val nDocs = maxOf(docs, "doc_id")
-    reps(docs) { (df, k) =>
-      val text =
-        if (k == 0) col("text")
-        else concat_ws(" ", transform(split(col("text"), " "), t => concat(lit(s"r${k}_"), t)))
-      df.select((col("doc_id") + lit(k * nDocs)).as("doc_id"), text.as("text"),
-        col("lang"), col("source"), length(text).cast("long").as("n_chars"))
-    }.pipe(write(_, "documents"))
+    if (wants("documents")) {
+      val docs = spark.read.parquet(s"$srcDir/documents.parquet")
+      val nDocs = maxOf(docs, "doc_id")
+      reps(docs) { (df, k) =>
+        val text =
+          if (k == 0) col("text")
+          else concat_ws(" ", transform(split(col("text"), " "), t => concat(lit(s"r${k}_"), t)))
+        df.select((col("doc_id") + lit(k * nDocs)).as("doc_id"), text.as("text"),
+          col("lang"), col("source"), length(text).cast("long").as("n_chars"))
+      }.pipe(write(_, "documents"))
+    }
 
-    val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
-    val nVec = maxOf(emb, "vec_id")
-    reps(emb) { (df, k) =>
-      val shift = (k * 7) % 64
-      val rotated =
-        if (shift == 0) col("embedding")
-        else concat(slice(col("embedding"), shift + 1, 64 - shift),
-          slice(col("embedding"), 1, shift))
-      df.select((col("vec_id") + lit(k * nVec)).as("vec_id"),
-        rotated.as("embedding"), col("label"))
-    }.pipe(write(_, "embeddings"))
+    if (wants("embeddings")) {
+      val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
+      val nVec = maxOf(emb, "vec_id")
+      reps(emb) { (df, k) =>
+        val shift = (k * 7) % 64
+        val rotated =
+          if (shift == 0) col("embedding")
+          else concat(slice(col("embedding"), shift + 1, 64 - shift),
+            slice(col("embedding"), 1, shift))
+        // rotations repeat with period 64 in k; past that, REVERSE the
+        // rotated vector — still a permutation (norms and within-replica
+        // cosines exactly preserved) but distinct from its unreversed twin,
+        // so no two of up to 128 replicas share a transform and no
+        // synthetic exact-duplicate vectors inflate the near-dup structure
+        val mixed = if (k < 64) rotated else reverse(rotated)
+        df.select((col("vec_id") + lit(k * nVec)).as("vec_id"),
+          mixed.as("embedding"), col("label"))
+      }.pipe(write(_, "embeddings"))
+    }
+
+    if (tables == AllTables) synthesizeRelational(spark, srcDir, outDir, nReps)
+
+    java.nio.file.Files.writeString(done.toPath, stamp + "\n")
+  }
+
+  private def synthesizeRelational(spark: SparkSession, srcDir: String,
+      outDir: String, nReps: Int): Unit = {
+    def maxOf(df: DataFrame, c: String): Long = df.agg(max(col(c))).head().getLong(0) + 1
+    def reps(df: DataFrame)(copy: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until nReps).map(k => copy(df, k)).reduce(_ union _)
+    def write(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
 
     // events.ts is TIMESTAMP(NANOS) in the source; QueryPack.t reads it as a
     // raw long (legacy conf) — replicate from the RAW read so the written
@@ -140,20 +174,30 @@ object BenchScale {
     // fixed-cardinality dimensions: copied once, not replicated
     write(spark.read.parquet(s"$srcDir/nation.parquet"), "nation")
     write(spark.read.parquet(s"$srcDir/region.parquet"), "region")
-
-    java.nio.file.Files.writeString(done.toPath, Version + "\n")
   }
 
   def main(args: Array[String]): Unit = {
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val outDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_sf1")
     val artifact = args.headOption.getOrElse("BENCH_sf1.json")
+    // SPARK_GRAFT_SCALE_REPS=100 with SPARK_GRAFT_SCALE_TABLES=
+    // documents,embeddings is the two-decade growth tier (r6 VERDICT #7):
+    // queries over absent tables fail at read and are recorded -1.
+    val scaleReps = sys.env.get("SPARK_GRAFT_SCALE_REPS").flatMap(_.toIntOption)
+      .filter(_ >= 1).getOrElse(Reps)
+    val scaleTables = sys.env.get("SPARK_GRAFT_SCALE_TABLES")
+      .map(_.split(",").map(_.trim).toSeq).getOrElse(AllTables)
+    // The documented Θ(n²) exhaustive query is excludable at extreme tiers
+    // (quadratic at 100× = ~10⁴× the sf0.1 work by design, not by defect);
+    // exclusions are recorded in the artifact so a reader sees the cap.
+    val exclude = sys.env.get("SPARK_GRAFT_SCALE_EXCLUDE")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
     val spark = LocalSession.build()
-    synthesize(spark, srcDir, outDir)
+    synthesize(spark, srcDir, outDir, scaleReps, scaleTables)
 
     // EVERY gate query (round 5 covered only the dedup/ANN/pipeline/text
     // packs — the relational/window/TPC-H shapes had no scale data point)
-    val qs = SparkEntry.queries
+    val qs = SparkEntry.queries.view.filterKeys(!exclude.contains(_)).toMap
     // same methodology as Bench: untimed warmup, then min of 2 timed reps,
     // clearCache between runs
     qs.foreach { case (_, fn) =>
@@ -187,7 +231,9 @@ object BenchScale {
     val qjson = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val json = s"""{"metric":"total_sf1","value":${fmt(total)},"unit":"sec","reps":$nReps,"agg":"min","calibration":{"before":${fmt(probeBefore)},"after":${fmt(probeAfter)}},"scale":"${Reps}x-$srcDir","queries":$qjson}"""
+    val metric = if (scaleReps == Reps) "total_sf1" else s"total_scale${scaleReps}x"
+    val excl = exclude.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val json = s"""{"metric":"$metric","value":${fmt(total)},"unit":"sec","reps":$nReps,"agg":"min","calibration":{"before":${fmt(probeBefore)},"after":${fmt(probeAfter)}},"scale":"${scaleReps}x-$srcDir","excluded":$excl,"queries":$qjson}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(artifact), json + "\n")
     catch { case _: Throwable => () }
     println(json)
