@@ -261,13 +261,21 @@ object DedupQueries extends QueryPack {
        FROM g GROUP BY doc_id, run_idx ORDER BY doc_id, run_idx"""
 
   // -- SemDeDup-style semantic dedup: IVF cells, within-cell cosine pairs ------------
-  // Same deterministic seeded centroids as ann_ivf_coarse (first 8 corpus
-  // rows), so the oracle re-derives cell assignment identically. The 0.45
-  // threshold fits this synthetic corpus (within-cell cos maxes at ~0.49);
-  // production near-dup runs ≥ 0.9 — the operator is threshold-agnostic.
+  // Deterministic seeded centroids (first k corpus rows), so the oracle
+  // re-derives cell assignment identically. k SCALES WITH THE CORPUS —
+  // max(8, ⌈n/250⌉) cells, the SemDeDup paper's bounded-cell-occupancy
+  // convention: the within-cell pass is exhaustive, so a FIXED k makes it
+  // Θ(n²/k) — measured, not hypothetical: the r7 100× tier caught this
+  // query at 61.7× growth for 10× data with k=8 before the scaling. With
+  // n/k capped at ~250 the within-cell pairs stay ≤ ~31k per cell and the
+  // total is linear in n. Gate values at the driver SFs are unchanged
+  // (n ≤ 2000 there → k = 8). The 0.45 threshold fits this synthetic
+  // corpus (within-cell cos maxes at ~0.49); production near-dup runs
+  // ≥ 0.9 — the operator is threshold-agnostic.
   private def qSemantic(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    val cents = emb.filter(col("vec_id") < 8)
+    val k = math.max(8L, math.ceil(emb.count() / 250.0).toLong)
+    val cents = emb.filter(col("vec_id") < k)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent"))
     Dedup.semanticDuplicates(emb, col("vec_id"), col("embedding"), cents, threshold = 0.45)
       .select(col("cell"), col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
@@ -275,7 +283,9 @@ object DedupQueries extends QueryPack {
   }
 
   private val qSemanticSql =
-    """WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent FROM embeddings WHERE vec_id < 8),
+    """WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent FROM embeddings
+         WHERE vec_id < (SELECT greatest(8, CAST(ceil(count(*) / 250.0) AS BIGINT))
+                         FROM embeddings)),
        assigned AS (
          -- argmin on the exact squared sum, matching Spark's l2sq ordering
          SELECT vec_id, embedding, cent_id FROM (
