@@ -114,9 +114,9 @@ object BenchScale {
     def write(df: DataFrame, name: String): Unit =
       df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
 
-    // events.ts is TIMESTAMP(NANOS) in the source; QueryPack.t reads it as a
-    // raw long (legacy conf) — replicate from the RAW read so the written
-    // copy keeps the same long column the reader expects.
+    // events.ts varies by fixture vintage (nanos-as-long vs TIMESTAMP_NTZ
+    // micros); replicate from the RAW read and pass `ts` through unchanged —
+    // QueryPack.t branches on whichever dtype the written copy carries.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val events = spark.read.parquet(s"$srcDir/events.parquet")
     val nEv = maxOf(events, "event_id")

@@ -25,18 +25,39 @@ trait QueryPack {
 
   /** Load one of the driver-generated parquet tables.
     *
-    * `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
-    * as a timestamp; read it as a raw long (legacy conf) and truncate to
-    * microseconds with integer division (a double division would lose
-    * precision at 1e18 nanos — beyond the 53-bit mantissa). DuckDB performs
-    * the same floor-truncation to its native micros, so results align.
+    * `events.ts` has drifted across fixture generations: TIMESTAMP(NANOS)
+    * (which Spark 4 only reads as a raw long under the legacy conf) vs
+    * TIMESTAMP(MICROS) `isAdjustedToUTC=false` (which Spark reads natively
+    * as TIMESTAMP_NTZ). Branch on the dtype Spark actually infers so either
+    * vintage of fixture yields the same session-TZ (UTC) TimestampType
+    * column:
+    *  - LongType → nanos-as-long: floor-truncate to micros with integer
+    *    division (double division would lose precision at 1e18 nanos —
+    *    beyond the 53-bit mantissa); DuckDB floor-truncates identically.
+    *  - TimestampNTZType → reinterpret the wall-clock as session TZ (UTC),
+    *    matching DuckDB's naive-timestamp reading of the same file.
+    *  - TimestampType → already aligned; pass through.
+    * Any other dtype fails loudly so fixture drift is one visible error,
+    * not N silently-broken gates.
     */
   protected def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = s.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
-    else df
+    if (name != "events") df
+    else df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        // NTZ→Timestamp cast interprets the wall-clock in the session TZ,
+        // which LocalSession/Verify/Bench all pin to UTC.
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => df
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts read as unexpected type $other (fixture drift? " +
+            "expected LongType nanos, TIMESTAMP_NTZ micros, or TIMESTAMP)")
+    }
   }
 }
