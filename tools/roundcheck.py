@@ -1,0 +1,112 @@
+#!/usr/bin/env python3
+"""Round-start sanity check over the driver's artifacts. Run this FIRST each
+round — it catches the round-8 failure mode (driver-side fixture drift
+silently knocking gates out of the correctness file) in one glance.
+
+    python3 tools/roundcheck.py            # auto-detect latest two rounds
+    python3 tools/roundcheck.py 9          # compare r09 vs r08 explicitly
+
+Checks:
+  1. CORRECTNESS_r{n} vs r{n-1} key sets — any query that disappeared
+     means it ERRORED at read (the driver drops erroring gates entirely).
+  2. Any non-green row (rows/schema/hash mismatch) in CORRECTNESS_r{n}.
+  3. BENCH_r{n} for -1.000 sentinels (all-reps-failed) and structural
+     inversions the self-calibrating bench recorded.
+Exit code 1 if anything is wrong.
+"""
+import glob
+import json
+import os
+import re
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def rounds():
+    rs = []
+    for p in glob.glob(f"{ROOT}/CORRECTNESS_r*.json"):
+        m = re.search(r"_r(\d+)\.json$", p)
+        if m:
+            rs.append(int(m.group(1)))
+    return sorted(rs)
+
+
+def load(path):
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return None
+
+
+def main():
+    rs = rounds()
+    if not rs:
+        print("no CORRECTNESS_r*.json artifacts found")
+        return 1
+    cur = int(sys.argv[1]) if len(sys.argv) > 1 else rs[-1]
+    prev = max((r for r in rs if r < cur), default=None)
+    bad = False
+
+    cc = load(f"{ROOT}/CORRECTNESS_r{cur:02d}.json")
+    if cc is None:
+        print(f"CORRECTNESS_r{cur:02d}.json missing")
+        return 1
+    print(f"== CORRECTNESS r{cur:02d}: {len(cc)} queries")
+
+    if prev is not None:
+        cp = load(f"{ROOT}/CORRECTNESS_r{prev:02d}.json") or {}
+        gone = sorted(set(cp) - set(cc))
+        new = sorted(set(cc) - set(cp))
+        if gone:
+            bad = True
+            print(f"!! {len(gone)} queries VANISHED since r{prev:02d} "
+                  f"(they errored at read): {', '.join(gone)}")
+        if new:
+            print(f"   {len(new)} new since r{prev:02d}: {', '.join(new)}")
+
+    red = sorted(n for n, r in cc.items()
+                 if not (r.get("rows_match") and r.get("schema_match")
+                         and r.get("hash_match")))
+    if red:
+        bad = True
+        for n in red:
+            print(f"!! non-green: {n}: {cc[n]}")
+    else:
+        print(f"   all {len(cc)} rows green")
+
+    # The driver's BENCH_r{n}.json wraps the Bench stdout line as a
+    # (truncated) `tail` string with `parsed` often null; the builder's
+    # bench_last.json is the full JSON line. Scan whichever text we have.
+    bench = load(f"{ROOT}/BENCH_r{cur:02d}.json")
+    if bench is None:
+        print(f"   (no BENCH_r{cur:02d}.json)")
+    else:
+        full = bench.get("parsed") if isinstance(bench, dict) else None
+        text = json.dumps(full) if full else (
+            bench.get("tail", "") if isinstance(bench, dict) else "")
+        if "queries" in bench and isinstance(bench.get("queries"), dict):
+            full, text = bench, json.dumps(bench)
+        failed = sorted(set(re.findall(r'"(\w+)":-1\.0', text)))
+        if failed:
+            bad = True
+            print(f"!! {len(failed)} bench queries at -1.000 (all reps "
+                  f"failed): {', '.join(failed)}")
+        m = re.search(r'"structural":(\d+)', text)
+        if m and int(m.group(1)) > 0:
+            bad = True
+            names = re.search(r'"structural_names":(\[[^\]]*\])', text)
+            print(f"!! {m.group(1)} structural bench inversions"
+                  f"{': ' + names.group(1) if names else ''}")
+        total = re.search(r'"metric":"total","value":([\d.]+)', text)
+        print(f"== BENCH r{cur:02d}: "
+              f"total {total.group(1) if total else bench.get('value', '?')}s"
+              f" ({'full' if full else 'truncated tail'} artifact)")
+
+    print("RESULT:", "ATTENTION NEEDED" if bad else "clean")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
