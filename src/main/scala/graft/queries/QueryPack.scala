@@ -45,6 +45,7 @@ trait QueryPack {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = s.read.parquet(s"$dir/$name.parquet")
+    FixtureSchemas.assertMatches(name, df.schema)
     if (name != "events") df
     else df.schema("ts").dataType match {
       case LongType =>
@@ -60,4 +61,85 @@ trait QueryPack {
             "expected LongType nanos, TIMESTAMP_NTZ micros, or TIMESTAMP)")
     }
   }
+}
+
+/** Expected driver-fixture schemas (FIXTURES.md §A). The driver regenerates
+  * the parquet between rounds and has already drifted once (events.ts
+  * `timestamp[ns]` → `timestamp[us]`, silently breaking 14 gates in round
+  * 8); this guard turns any future drift into ONE loud, named error at the
+  * first table read instead of N cryptic per-gate analysis failures.
+  *
+  * Timestamp columns accept every vintage seen so far — raw long
+  * (nanos-as-long legacy read), TIMESTAMP_NTZ, or session-TZ TIMESTAMP —
+  * because `QueryPack.t` normalizes them; everything else must match
+  * exactly (names, order, and type).
+  */
+private[queries] object FixtureSchemas {
+  import org.apache.spark.sql.types._
+
+  private val anyTs: DataType => Boolean = {
+    case LongType | TimestampNTZType | TimestampType => true
+    case _ => false
+  }
+  private def exact(t: DataType): DataType => Boolean = _ == t
+
+  private val expected: Map[String, Seq[(String, DataType => Boolean, String)]] = {
+    def c(n: String, t: DataType) = (n, exact(t), t.simpleString)
+    def ts(n: String) = (n, anyTs, "timestamp-like (long|timestamp_ntz|timestamp)")
+    Map(
+      "region" -> Seq(c("r_regionkey", IntegerType), c("r_name", StringType)),
+      "nation" -> Seq(c("n_nationkey", IntegerType), c("n_name", StringType),
+        c("n_regionkey", IntegerType)),
+      "customer" -> Seq(c("c_custkey", LongType), c("c_name", StringType),
+        c("c_nationkey", IntegerType), c("c_acctbal", DoubleType),
+        c("c_mktsegment", StringType)),
+      "supplier" -> Seq(c("s_suppkey", LongType), c("s_name", StringType),
+        c("s_nationkey", IntegerType), c("s_acctbal", DoubleType)),
+      "part" -> Seq(c("p_partkey", LongType), c("p_name", StringType),
+        c("p_brand", StringType), c("p_type", StringType),
+        c("p_size", IntegerType), c("p_retailprice", DoubleType)),
+      "orders" -> Seq(c("o_orderkey", LongType), c("o_custkey", LongType),
+        c("o_orderstatus", StringType), c("o_totalprice", DoubleType),
+        ts("o_orderdate"), c("o_orderpriority", StringType)),
+      "lineitem" -> Seq(c("l_orderkey", LongType), c("l_partkey", LongType),
+        c("l_suppkey", LongType), c("l_linenumber", IntegerType),
+        c("l_quantity", DoubleType), c("l_extendedprice", DoubleType),
+        c("l_discount", DoubleType), c("l_tax", DoubleType),
+        c("l_returnflag", StringType), c("l_linestatus", StringType),
+        ts("l_shipdate")),
+      "events" -> Seq(c("event_id", LongType), ts("ts"),
+        c("user_id", LongType), c("event_type", StringType),
+        c("value", DoubleType), c("props", StringType)),
+      "documents" -> Seq(c("doc_id", LongType), c("text", StringType),
+        c("lang", StringType), c("source", StringType),
+        c("n_chars", LongType)),
+      "embeddings" -> Seq(c("vec_id", LongType),
+        ("embedding", (dt: DataType) => dt match {
+          case ArrayType(FloatType, _) => true
+          case _ => false
+        }, "array<float>"),
+        c("label", IntegerType)))
+  }
+
+  def assertMatches(name: String, actual: StructType): Unit =
+    expected.get(name).foreach { exp =>
+      val problems = Seq.newBuilder[String]
+      val got = actual.fields.map(f => f.name -> f.dataType)
+      val expNames = exp.map(_._1)
+      val missing = expNames.diff(got.map(_._1))
+      val extra = got.map(_._1).diff(expNames)
+      if (missing.nonEmpty) problems += s"missing columns: ${missing.mkString(", ")}"
+      if (extra.nonEmpty) problems += s"unexpected columns: ${extra.mkString(", ")}"
+      exp.foreach { case (cn, ok, want) =>
+        got.collectFirst { case (`cn`, dt) => dt }.foreach { dt =>
+          if (!ok(dt)) problems += s"$cn: got ${dt.simpleString}, expected $want"
+        }
+      }
+      val ps = problems.result()
+      if (ps.nonEmpty)
+        throw new IllegalStateException(
+          s"fixture schema drift in table '$name' — ${ps.mkString("; ")}. " +
+            "The driver regenerated the parquet with a different schema; " +
+            "update FixtureSchemas/QueryPack.t (see FIXTURES.md §A).")
+    }
 }
