@@ -56,7 +56,20 @@ object BenchScale {
       nReps: Int = Reps, tables: Seq[String] = AllTables): Unit = {
     val fs = new java.io.File(outDir)
     val done = new java.io.File(fs, "_DONE")
-    val stamp = s"$Version-${nReps}x-${tables.sorted.mkString(".")}"
+    // Fold the source fixtures' (size, mtime) into the stamp: a driver-side
+    // fixture regeneration (which has already changed events.ts' physical
+    // type once) must invalidate a previously-synthesized tier, not be
+    // silently served the stale copy.
+    val srcSig = tables.sorted.map { t =>
+      val f = new java.io.File(s"$srcDir/$t.parquet")
+      val (len, mod) =
+        if (f.isDirectory) {
+          val parts = Option(f.listFiles()).getOrElse(Array.empty)
+          (parts.map(_.length).sum, parts.map(_.lastModified).maxOption.getOrElse(0L))
+        } else (f.length, f.lastModified)
+      s"$t:$len:$mod"
+    }.mkString(",").hashCode.toHexString
+    val stamp = s"$Version-${nReps}x-${tables.sorted.mkString(".")}-src$srcSig"
     if (done.exists() &&
       scala.util.Try(java.nio.file.Files.readString(done.toPath).trim).toOption
         .contains(stamp)) return

@@ -606,6 +606,108 @@ object PipelineQueries extends QueryPack {
          SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
          FROM scored WHERE cos < 0.45) WHERE rn <= 5 ORDER BY query_id, rn"""
 
+  // -- DSIR importance resampling (Xie et al. 2023) ----------------------------------
+  // Data Selection via Importance Resampling: score every raw document by
+  // the log-likelihood ratio of two hashed-unigram bag-of-words models —
+  // target domain (here: lang='en' docs) vs the raw pool — and keep the
+  // top-k non-target docs, i.e. the raw docs that look most like the
+  // target. Hashing tokens into 256 buckets (same md5-bucket convention as
+  // the split/mixture gates) bounds the feature space regardless of
+  // vocabulary size, which is the trick that makes DSIR run at corpus
+  // scale: the two "models" are one 256-row table.
+  //
+  // Scale shape: one token explode (linear map), ONE bucket aggregation
+  // computing both distributions at once (count + conditional count — not
+  // two passes), a broadcast join of the 256-row log-ratio table back onto
+  // the token stream, and one per-doc aggregation. The corpus is never
+  // shuffled whole; the only wide exchange is the per-doc sum keyed by
+  // doc_id. Top-k is orderBy+limit (distributed TakeOrdered), NOT a global
+  // window; the row_number runs on the already-limited k rows.
+  //
+  // Determinism: per-token log-ratios are integer-quantized (floor(r·1e6 +
+  // 0.5)) before summing — integer sums are accumulation-order-exact, the
+  // same convention that keeps the CCNet-bucket gate stable across
+  // engines; the reported weight is the exact integer sum scaled back.
+  private def qDsir(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("b", md5Bucket(col("tok"), 256))
+    val bc = toks.groupBy(col("b"))
+      .agg(count(lit(1)).as("cs"),
+        sum(when(col("lang") === "en", 1).otherwise(0)).as("ct"))
+    val tot = bc.agg(sum(col("cs")).cast("double").as("ns"),
+      sum(col("ct")).cast("double").as("nt"))
+    // add-one smoothing over the 256 buckets so a bucket absent from the
+    // target keeps a finite ratio
+    val lr = bc.crossJoin(broadcast(tot))
+      .select(col("b"),
+        (log((col("ct") + lit(1)) / (col("nt") + lit(256))) -
+          log((col("cs") + lit(1)) / (col("ns") + lit(256)))).as("r"))
+    val per = toks.join(broadcast(lr), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(first(col("lang")).as("lang"),
+        sum(floor(col("r") * lit(1e6) + lit(0.5)).cast("long")).as("qsum"))
+    val topk = per.filter(col("lang") =!= "en")
+      .orderBy(col("qsum").desc, col("doc_id"))
+      .limit(20)
+    topk
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("qsum").desc, col("doc_id")))) // 20 rows: bounded
+      .select(col("doc_id"), col("lang"),
+        round(col("qsum") / lit(1e6), 4).as("dsir_weight"), col("rn"))
+      .orderBy("rn")
+  }
+
+  private val qDsirSql =
+    """WITH tk AS (SELECT doc_id, lang, unnest(string_split(text,' ')) AS tok FROM documents),
+       toks AS (SELECT doc_id, lang,
+                  CAST(('0x'||substring(md5(tok),1,4)) AS INT)%256 AS b FROM tk),
+       bc AS (SELECT b, count(*) AS cs,
+                count(*) FILTER (WHERE lang='en') AS ct FROM toks GROUP BY 1),
+       tot AS (SELECT sum(cs)*1.0 AS ns, sum(ct)*1.0 AS nt FROM bc),
+       lr AS (SELECT b, ln((ct+1)/(nt+256)) - ln((cs+1)/(ns+256)) AS r
+              FROM bc CROSS JOIN tot),
+       per AS (SELECT t.doc_id, any_value(t.lang) AS lang,
+                 sum(CAST(floor(r*1e6+0.5) AS BIGINT)) AS qsum
+               FROM toks t JOIN lr USING (b) GROUP BY t.doc_id)
+       SELECT doc_id, lang, round(qsum/1e6, 4) AS dsir_weight, CAST(rn AS INT) AS rn
+       FROM (SELECT *, row_number() OVER (ORDER BY qsum DESC, doc_id) AS rn
+             FROM per WHERE lang <> 'en')
+       WHERE rn <= 20 ORDER BY rn"""
+
+  // -- temperature-scaled language mixture (mT5 / XLM-R sampling) --------------------
+  // Multinomial sampling with temperature: raw language shares p_l are
+  // flattened to q_l ∝ p_l^(1/T) (here 1/T = 0.5, the mT5 default), which
+  // boosts low-resource languages without discarding the head; the per-doc
+  // keep rate min(1, q_l·M/n_l) targets an M-doc corpus. This emits the
+  // RATE TABLE — applying it is the same deterministic md5-bucket map as
+  // pipeline_mixture_sample. Plan: one tiny groupBy(lang) aggregate plus a
+  // broadcast scalar; at 100 TB the per-language counts are the only pass
+  // over the data and everything downstream is constant-size.
+  private def qTemperatureMix(s: SparkSession, dir: String): DataFrame = {
+    val target = 300 // target corpus size M (docs at sf0.01 scale with the gate)
+    val lc = t(s, dir, "documents").groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val tot = lc.agg(sum(col("n_docs")).cast("double").as("nn"),
+      sum(sqrt(col("n_docs").cast("double"))).as("z"))
+    lc.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"),
+        round(col("n_docs") / col("nn"), 6).as("p_raw"),
+        round(sqrt(col("n_docs").cast("double")) / col("z"), 6).as("p_temp"),
+        round(least(lit(1.0),
+          sqrt(col("n_docs").cast("double")) / col("z") * lit(target) / col("n_docs")),
+          6).as("keep_rate"))
+      .orderBy("lang")
+  }
+
+  private val qTemperatureMixSql =
+    """WITH lc AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+       tot AS (SELECT sum(n)*1.0 AS nn, sum(sqrt(n*1.0)) AS z FROM lc)
+       SELECT lang, n AS n_docs,
+         round(n/nn, 6) AS p_raw,
+         round(sqrt(n*1.0)/z, 6) AS p_temp,
+         round(least(1.0, sqrt(n*1.0)/z * 300 / n), 6) AS keep_rate
+       FROM lc CROSS JOIN tot ORDER BY lang"""
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_split" -> (qSplit _),
     "pipeline_source_cap" -> (qSourceCap _),
@@ -623,6 +725,8 @@ object PipelineQueries extends QueryPack {
     "pipeline_hard_negatives" -> (qHardNegatives _),
     "pipeline_mixture_upsample" -> (qMixtureUpsample _),
     "pipeline_curriculum" -> (qCurriculum _),
+    "pipeline_dsir" -> (qDsir _),
+    "pipeline_temperature_mix" -> (qTemperatureMix _),
     "q_upsert_cdc" -> (qUpsert _))
 
   override val oracles: Map[String, String] = Map(
@@ -642,5 +746,7 @@ object PipelineQueries extends QueryPack {
     "pipeline_hard_negatives" -> qHardNegativesSql,
     "pipeline_mixture_upsample" -> qMixtureUpsampleSql,
     "pipeline_curriculum" -> qCurriculumSql,
+    "pipeline_dsir" -> qDsirSql,
+    "pipeline_temperature_mix" -> qTemperatureMixSql,
     "q_upsert_cdc" -> qUpsertSql)
 }

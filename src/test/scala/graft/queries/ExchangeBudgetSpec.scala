@@ -53,6 +53,7 @@ class ExchangeBudgetSpec extends AnyFunSuite {
     "pipeline_contamination" -> 3,
     "pipeline_contamination_fuzzy" -> 2,
     "pipeline_curriculum" -> 2,
+    "pipeline_dsir" -> 4,
     "pipeline_hard_negatives" -> 2,
     "pipeline_mixture_sample" -> 4,
     "pipeline_mixture_upsample" -> 4,
@@ -62,6 +63,9 @@ class ExchangeBudgetSpec extends AnyFunSuite {
     "pipeline_source_cap" -> 2,
     "pipeline_split" -> 2,
     "pipeline_stratified_sample" -> 2,
+    "pipeline_temperature_mix" -> 4, // lang-count agg appears twice pre-AQE
+                                     // (runtime stage reuse collapses it);
+                                     // all 4 exchanges move ≤ n_lang rows
     "pipeline_training_set" -> 2,
     "q10_returned_items" -> 1,
     "q11_important_stock" -> 4,

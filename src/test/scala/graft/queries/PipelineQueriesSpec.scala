@@ -113,4 +113,34 @@ class PipelineQueriesSpec extends AnyFunSuite {
       assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b }, s"query $q order")
     }
   }
+
+  test("dsir: top-k non-target docs ranked by descending importance weight") {
+    val out = PipelineQueries.queries("pipeline_dsir")(spark, dir).collect()
+    assert(out.nonEmpty && out.length <= 20)
+    assert(out.forall(_.getAs[String]("lang") != "en"), "target-domain doc leaked into selection")
+    assert(out.map(_.getAs[Int]("rn")).toSeq == (1 to out.length), "ranks not consecutive")
+    val w = out.sortBy(_.getAs[Int]("rn")).map(_.getAs[Double]("dsir_weight"))
+    assert(w.zip(w.tail).forall { case (a, b) => a >= b }, "weights not descending by rank")
+  }
+
+  test("dsir is deterministic across runs (integer-quantized log-ratio sums)") {
+    val a = PipelineQueries.queries("pipeline_dsir")(spark, dir).collect().toList
+    val b = PipelineQueries.queries("pipeline_dsir")(spark, dir).collect().toList
+    assert(a == b)
+  }
+
+  test("temperature_mix: flattened shares sum to 1 and boost low-resource langs") {
+    val out = PipelineQueries.queries("pipeline_temperature_mix")(spark, dir).collect()
+    assert(math.abs(out.map(_.getAs[Double]("p_raw")).sum - 1.0) < 1e-4)
+    assert(math.abs(out.map(_.getAs[Double]("p_temp")).sum - 1.0) < 1e-4)
+    out.foreach { r =>
+      val (pRaw, pTemp, rate) = (r.getAs[Double]("p_raw"),
+        r.getAs[Double]("p_temp"), r.getAs[Double]("keep_rate"))
+      assert(rate > 0 && rate <= 1.0, s"${r.getAs[String]("lang")} rate $rate out of range")
+      // temperature 0.5 moves every share toward uniform: below-average
+      // languages gain, above-average languages shrink
+      val uniform = 1.0 / out.length
+      if (pRaw < uniform) assert(pTemp > pRaw) else if (pRaw > uniform) assert(pTemp < pRaw)
+    }
+  }
 }

@@ -36,6 +36,9 @@ class PlanLintSpec extends AnyFunSuite {
     "ann_ivfpq_adc",         // assignCells + probeCells 1-row centroid-array
                              //   broadcasts (trained cells route, PQ scores)
     "pipeline_hard_negatives", // corpus × broadcast query set (knn shape)
+    "pipeline_dsir",           // × broadcast 1-row token-total aggregate
+                               //   (smoothing denominators, as text_surprisal)
+    "pipeline_temperature_mix", // × broadcast 1-row corpus-total aggregate
     "ann_ivfpq_rerank")        // the widened IVFADC sub-plan's whitelisted
                                //   broadcasts (assignCells + probeCells)
 
