@@ -19,6 +19,7 @@ object SparkEntry {
     DedupQueries,
     SimilarityQueries,
     MultimodalQueries,
+    RetrievalQueries,
     SinkQueries,
     AdvancedQueries,
     PipelineQueries,

@@ -9,13 +9,17 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class BenchCalibrationSpec extends AnyFunSuite {
 
-  test("calibration probe is fixed-work: warm repeat agrees within 2x") {
+  test("calibration probe is fixed-work: warm min-of-3 repeats agree within 2x") {
     Bench.calibrationProbe() // JIT warmup, discarded
-    val a = Bench.calibrationProbe()
-    val b = Bench.calibrationProbe()
+    // Single probes are legitimately inflated when sibling suites contend
+    // for the host (that is what the probe DETECTS); the fixed-work
+    // property is the floor, so compare minima — a transient co-tenant
+    // inflates individual samples but not both 3-sample minima by 2x.
+    val a = Seq.fill(3)(Bench.calibrationProbe()).min
+    val b = Seq.fill(3)(Bench.calibrationProbe()).min
     assert(a > 0.05 && a < 30.0, s"probe off-scale: $a s")
     assert(math.max(a, b) / math.min(a, b) < 2.0,
-      s"warm probes disagree: $a vs $b — fixed work should be stable")
+      s"warm probe minima disagree: $a vs $b — fixed work should be stable")
   }
 
   test("readBenchArtifact parses both sf- and scale-keyed artifacts") {

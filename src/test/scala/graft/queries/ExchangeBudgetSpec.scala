@@ -68,6 +68,12 @@ class ExchangeBudgetSpec extends AnyFunSuite {
                                      // all 4 exchanges move ≤ n_lang rows
     "pipeline_training_set" -> 2,
     "q10_returned_items" -> 1,
+    "retrieval_rrf_fusion" -> 5, // bm25 sub-plan's 5; dense ranker and the
+                                 // 100∪100-row fuse join add none
+    "dedup_bloom_probe" -> 2,    // 1-row bitmap agg + output sort; the
+                                 // fresh-side probe itself is map-only
+    "text_bm25_topk" -> 5,       // postings tf agg + tiny df/stats aggs
+                                 // (df agg appears twice pre-AQE) + doc agg
     "q11_important_stock" -> 4,
     "q12_priority" -> 2,
     "q13_order_dist" -> 3,

@@ -39,6 +39,10 @@ class PlanLintSpec extends AnyFunSuite {
     "pipeline_dsir",           // × broadcast 1-row token-total aggregate
                                //   (smoothing denominators, as text_surprisal)
     "pipeline_temperature_mix", // × broadcast 1-row corpus-total aggregate
+    "text_bm25_topk",          // × broadcast 1-row (N, avgdl) corpus stats
+    "retrieval_rrf_fusion",    // same bm25 stats broadcast + × broadcast
+                               //   1-row query embedding (dense ranker)
+    "dedup_bloom_probe",       // × broadcast 1-row Bloom bitmap
     "ann_ivfpq_rerank")        // the widened IVFADC sub-plan's whitelisted
                                //   broadcasts (assignCells + probeCells)
 
