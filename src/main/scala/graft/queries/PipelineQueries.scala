@@ -708,7 +708,37 @@ object PipelineQueries extends QueryPack {
          round(least(1.0, sqrt(n*1.0)/z * 300 / n), 6) AS keep_rate
        FROM lc CROSS JOIN tot ORDER BY lang"""
 
+  // -- weighted reservoir sampling (Efraimidis–Spirakis A-ES) ------------------------
+  // Deterministic weighted sampling WITHOUT replacement: each doc gets the
+  // key ln(u)/w with u a hash-derived uniform in (0,1] and w its weight
+  // (here n_chars — longer docs proportionally likelier); the sample is the
+  // top-k by key. Equivalent to the classic u^(1/w) ordering in log space,
+  // but u is md5-derived rather than RNG state, so the "random" sample is a
+  // pure function of doc_id — re-runs, retries, and the DuckDB oracle all
+  // draw the identical sample. Plan: a pure map over the corpus and one
+  // bounded TakeOrdered — no shuffle proportional to data, the canonical
+  // one-pass distributed reservoir at any corpus size.
+  private def qWeightedReservoir(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        // (h+1)/2^60 ∈ (0,1]: int64→double rounding is IEEE-identical in
+        // both engines; +1 keeps ln() off -inf at h=0
+        (((conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 15), 16, 10)
+          .cast("long").cast("double")) + 1.0) / lit(1.152921504606846976e18)).as("u"))
+      .withColumn("key", log(col("u")) / col("n_chars"))
+      .orderBy(col("key").desc, col("doc_id")).limit(20)
+      .select(col("doc_id"), col("n_chars"), round(col("key") * 1e6, 4).as("samp_key_ppm"))
+
+  private val qWeightedReservoirSql =
+    """SELECT doc_id, n_chars, round(key * 1e6, 4) AS samp_key_ppm FROM (
+         SELECT doc_id, n_chars,
+           ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT::DOUBLE + 1)
+              / 1152921504606846976.0) / n_chars AS key
+         FROM documents)
+       ORDER BY key DESC, doc_id LIMIT 20"""
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_weighted_reservoir" -> (qWeightedReservoir _),
     "pipeline_split" -> (qSplit _),
     "pipeline_source_cap" -> (qSourceCap _),
     "pipeline_pii_scrub" -> (qPiiScrub _),
@@ -748,5 +778,6 @@ object PipelineQueries extends QueryPack {
     "pipeline_curriculum" -> qCurriculumSql,
     "pipeline_dsir" -> qDsirSql,
     "pipeline_temperature_mix" -> qTemperatureMixSql,
+    "pipeline_weighted_reservoir" -> qWeightedReservoirSql,
     "q_upsert_cdc" -> qUpsertSql)
 }

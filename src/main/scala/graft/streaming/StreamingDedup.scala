@@ -75,6 +75,58 @@ object StreamingDedup {
       }
   }
 
+  /** Bounded-memory streaming EXACT dedup: emit each document the first
+    * time its content fingerprint is seen, tracking history in per-group
+    * Bloom bitmaps instead of an exact seen-set.
+    *
+    * Why not `dropDuplicates("fp")`? Its state store keeps EVERY distinct
+    * key forever — on an unbounded stream that is unbounded state, and the
+    * watermarked variant forgets history entirely past the horizon. This
+    * operator's state is `nGroups` bitmaps × `mBits` bits, FIXED for the
+    * stream's lifetime, in exchange for the Bloom trade: a false positive
+    * drops a genuinely-new document (rate set by m/n per group); false
+    * negatives — re-emitting a seen doc — are impossible. The same trade
+    * CommonCrawl-scale URL dedup makes.
+    *
+    * Sharding: groups are keyed by `fp mod nGroups`, so a group's bitmap
+    * only ever sees its own hash-slice — state scales horizontally with
+    * executors and no bitmap needs to hold the whole stream. Within a
+    * micro-batch, arrivals are sorted by (doc_id) before probing so the
+    * emitted set is a pure function of the batch's contents, not of task
+    * interleaving (first occurrence by id wins, as in [[Dedup]]'s
+    * keep-first convention).
+    */
+  final case class SeenDoc(doc_id: Long, fp: Long)
+
+  def bloomDedup(docs: Dataset[DocEvent], mBits: Int = 1 << 20,
+      kHashes: Int = 4, nGroups: Int = 64): Dataset[SeenDoc] = {
+    import docs.sparkSession.implicits._
+    require(mBits > 0 && mBits % 64 == 0, "mBits must be a positive multiple of 64")
+    docs.toDF()
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.md5Hash60(col("text")).as("fp"))
+      .as[SeenDoc]
+      .groupByKey(d => java.lang.Long.remainderUnsigned(d.fp, nGroups))
+      .flatMapGroupsWithState[Array[Long], SeenDoc](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: Long, it: Iterator[SeenDoc], state: GroupState[Array[Long]]) =>
+          val bitmap = state.getOption.getOrElse(new Array[Long](mBits / 64))
+          val pos = new Array[Int](kHashes)
+          val out = List.newBuilder[SeenDoc]
+          var changed = false
+          it.toVector.sortBy(d => (d.doc_id, d.fp)).foreach { d =>
+            graft.functions.Bloom.positions(d.fp, mBits, kHashes, pos)
+            if (pos.exists(p => (bitmap(p >>> 6) & (1L << (p & 63))) == 0L)) {
+              pos.foreach(p => bitmap(p >>> 6) |= 1L << (p & 63))
+              changed = true
+              out += d
+            }
+          }
+          if (changed) state.update(bitmap)
+          out.result().iterator
+      }
+  }
+
   /** The PERSISTED-INDEX streaming dual of [[Dedup.minHashIncremental]]: a
     * `foreachBatch` sink that grows the corpus band index per micro-batch
     * exactly as the batch operator computes it, and emits each batch's

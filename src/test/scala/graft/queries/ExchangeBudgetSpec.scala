@@ -74,6 +74,7 @@ class ExchangeBudgetSpec extends AnyFunSuite {
                                  // fresh-side probe itself is map-only
     "text_bm25_topk" -> 5,       // postings tf agg + tiny df/stats aggs
                                  // (df agg appears twice pre-AQE) + doc agg
+    "pipeline_weighted_reservoir" -> 0, // pure map + TakeOrdered
     "q11_important_stock" -> 4,
     "q12_priority" -> 2,
     "q13_order_dist" -> 3,

@@ -113,4 +113,39 @@ class StreamingDedupSpec extends AnyFunSuite {
       s"streamed pair union (${streamPairs.size}) != batch operator (${batchPairs.size})")
     assert(batchPairs.nonEmpty, "fixture should contain near-dups for the parity to be meaningful")
   }
+
+  test("bloomDedup: first occurrence kept, exact repeats dropped across batches") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[DocEvent]
+    // 2^20-bit filter, handful of docs: FP probability is ~0, so the output
+    // must be EXACTLY keep-first semantics on this fixture
+    val q = StreamingDedup.bloomDedup(in.toDS())
+      .writeStream.format("memory").queryName("bloomdedup")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    try {
+      in.addData(docs.take(3)); q.processAllAvailable()
+      val b1 = spark.table("bloomdedup").as[(Long, Long)].collect().map(_._1).toSet
+      assert(b1 == Set(1L, 2L, 3L)) // three distinct texts all admitted
+      // doc 4 repeats doc 1's text EXACTLY — its fingerprint is state now,
+      // so a later batch must drop it; doc 5 is new and must pass
+      in.addData(docs.drop(3) :+ DocEvent(5L, "yet another brand new document body"))
+      q.processAllAvailable()
+      val all = spark.table("bloomdedup").as[(Long, Long)].collect().map(_._1).toSet
+      assert(all == Set(1L, 2L, 3L, 5L), s"got $all")
+    } finally q.stop()
+  }
+
+  test("bloomDedup: within-batch repeats collapse to the lowest doc_id") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[DocEvent]
+    val q = StreamingDedup.bloomDedup(in.toDS())
+      .writeStream.format("memory").queryName("bloomdedup2")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    try {
+      in.addData(Seq(DocEvent(9L, "dup body"), DocEvent(7L, "dup body"), DocEvent(8L, "other")))
+      q.processAllAvailable()
+      val ids = spark.table("bloomdedup2").as[(Long, Long)].collect().map(_._1).toSet
+      assert(ids == Set(7L, 8L), s"keep-first by id should admit 7 not 9: $ids")
+    } finally q.stop()
+  }
 }
