@@ -261,7 +261,80 @@ object AdvancedQueries extends QueryPack {
        FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey"""
   }
 
+  // -- one-pass column profiler -----------------------------------------------------
+  /** Data-profiling rollup over lineitem: null count, EXACT distinct count,
+    * and min/max per column, computed in ONE scan — the multi-distinct
+    * aggregate plans a single Expand (one row per profiled column per input
+    * row) feeding one shuffle of partial aggregates, vs the naive
+    * one-query-per-column profiler's 5 scans of the (100 TB) fact table.
+    * Min/max render through explicitly-controlled formats (dates via
+    * date_format, integral doubles via bigint) so the cross-engine compare
+    * never hits float/timestamp rendering differences.
+    */
+  private def qProfile(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val agg = li.agg(
+      count(lit(1)).as("n_rows"),
+      count(when(col("l_returnflag").isNull, 1)).as("null_rf"),
+      countDistinct(col("l_returnflag")).as("nd_rf"),
+      min(col("l_returnflag")).as("min_rf"), max(col("l_returnflag")).as("max_rf"),
+      count(when(col("l_linestatus").isNull, 1)).as("null_ls"),
+      countDistinct(col("l_linestatus")).as("nd_ls"),
+      min(col("l_linestatus")).as("min_ls"), max(col("l_linestatus")).as("max_ls"),
+      count(when(col("l_orderkey").isNull, 1)).as("null_ok"),
+      countDistinct(col("l_orderkey")).as("nd_ok"),
+      min(col("l_orderkey")).cast("string").as("min_ok"),
+      max(col("l_orderkey")).cast("string").as("max_ok"),
+      count(when(col("l_quantity").isNull, 1)).as("null_q"),
+      countDistinct(col("l_quantity")).as("nd_q"),
+      min(col("l_quantity")).cast("bigint").cast("string").as("min_q"),
+      max(col("l_quantity")).cast("bigint").cast("string").as("max_q"),
+      count(when(col("l_shipdate").isNull, 1)).as("null_sd"),
+      countDistinct(col("l_shipdate")).as("nd_sd"),
+      date_format(min(col("l_shipdate")), "yyyy-MM-dd").as("min_sd"),
+      date_format(max(col("l_shipdate")), "yyyy-MM-dd").as("max_sd"))
+    agg.selectExpr("n_rows", """stack(5,
+        'l_returnflag', null_rf, nd_rf, min_rf, max_rf,
+        'l_linestatus', null_ls, nd_ls, min_ls, max_ls,
+        'l_orderkey',   null_ok, nd_ok, min_ok, max_ok,
+        'l_quantity',   null_q,  nd_q,  min_q,  max_q,
+        'l_shipdate',   null_sd, nd_sd, min_sd, max_sd
+      ) AS (col_name, n_nulls, n_distinct, min_s, max_s)""")
+      .select(col("col_name"), col("n_rows"), col("n_nulls"), col("n_distinct"),
+        col("min_s"), col("max_s"))
+      .orderBy("col_name")
+  }
+
+  private val qProfileSql =
+    """WITH n AS (SELECT count(*) AS n_rows FROM lineitem)
+       SELECT 'l_returnflag' AS col_name, n_rows,
+              count(CASE WHEN l_returnflag IS NULL THEN 1 END) AS n_nulls,
+              count(DISTINCT l_returnflag) AS n_distinct,
+              min(l_returnflag) AS min_s, max(l_returnflag) AS max_s
+         FROM lineitem CROSS JOIN n GROUP BY n_rows
+       UNION ALL
+       SELECT 'l_linestatus', n_rows, count(CASE WHEN l_linestatus IS NULL THEN 1 END),
+              count(DISTINCT l_linestatus), min(l_linestatus), max(l_linestatus)
+         FROM lineitem CROSS JOIN n GROUP BY n_rows
+       UNION ALL
+       SELECT 'l_orderkey', n_rows, count(CASE WHEN l_orderkey IS NULL THEN 1 END),
+              count(DISTINCT l_orderkey),
+              min(l_orderkey)::VARCHAR, max(l_orderkey)::VARCHAR
+         FROM lineitem CROSS JOIN n GROUP BY n_rows
+       UNION ALL
+       SELECT 'l_quantity', n_rows, count(CASE WHEN l_quantity IS NULL THEN 1 END),
+              count(DISTINCT l_quantity),
+              CAST(min(l_quantity) AS BIGINT)::VARCHAR, CAST(max(l_quantity) AS BIGINT)::VARCHAR
+         FROM lineitem CROSS JOIN n GROUP BY n_rows
+       UNION ALL
+       SELECT 'l_shipdate', n_rows, count(CASE WHEN l_shipdate IS NULL THEN 1 END),
+              count(DISTINCT l_shipdate),
+              strftime(min(l_shipdate), '%Y-%m-%d'), strftime(max(l_shipdate), '%Y-%m-%d')
+         FROM lineitem CROSS JOIN n GROUP BY n_rows
+       ORDER BY col_name"""
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_profile_columns" -> (qProfile _),
     "q_zorder_value" -> (qZorder _),
     "q_heavy_hitters_bound" -> (qHeavyHitters _),
     "q_approx_distinct_bound" -> (qApproxDistinct _),
@@ -276,6 +349,7 @@ object AdvancedQueries extends QueryPack {
     "pipeline_training_set" -> (qTrainingSet _))
 
   override val oracles: Map[String, String] = Map(
+    "q_profile_columns" -> qProfileSql,
     "q_zorder_value" -> qZorderSql,
     "q_heavy_hitters_bound" -> qHeavyHittersSql,
     "q_approx_distinct_bound" -> qApproxDistinctSql,

@@ -138,7 +138,45 @@ object EventQueries extends QueryPack {
        FROM a JOIN f USING (user_id)
        GROUP BY cohort_week, active_week ORDER BY cohort_week, active_week"""
 
+  // -- ordered funnel analysis -----------------------------------------------------
+  /** Classic product-analytics funnel: per user, did the FIRST view precede
+    * the FIRST click precede the FIRST purchase? One conditional-min
+    * aggregate per user (single shuffle on user_id, map-side partials — the
+    * same profile as any per-user rollup at 100 TB), then a broadcast-sized
+    * count rollup; no self-joins, no per-step passes over the events.
+    * Output is one row of stage counts — epoch math only, no raw
+    * timestamps (pack convention).
+    */
+  private def qFunnel(s: SparkSession, dir: String): DataFrame = {
+    val firsts = t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "view", unix_timestamp(col("ts")))).as("t_view"),
+        min(when(col("event_type") === "click", unix_timestamp(col("ts")))).as("t_click"),
+        min(when(col("event_type") === "purchase", unix_timestamp(col("ts")))).as("t_buy"))
+    firsts.agg(
+      count(lit(1)).as("n_users"),
+      count(col("t_view")).as("n_view"),
+      count(when(col("t_view") < col("t_click"), 1)).as("n_view_click"),
+      count(when(col("t_view") < col("t_click") && col("t_click") < col("t_buy"), 1))
+        .as("n_full_funnel"))
+  }
+
+  private val qFunnelSql =
+    """WITH firsts AS (
+         SELECT user_id,
+           min(CASE WHEN event_type='view' THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS t_view,
+           min(CASE WHEN event_type='click' THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS t_click,
+           min(CASE WHEN event_type='purchase' THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS t_buy
+         FROM events GROUP BY user_id)
+       SELECT count(*) AS n_users,
+              count(t_view) AS n_view,
+              count(CASE WHEN t_view < t_click THEN 1 END) AS n_view_click,
+              count(CASE WHEN t_view < t_click AND t_click < t_buy THEN 1 END) AS n_full_funnel
+       FROM firsts"""
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_funnel_steps" -> (qFunnel _),
     "q_tumbling_hourly" -> (qTumbling _),
     "q_sliding_window" -> (qSliding _),
     "q_session_count" -> (qSessions _),
@@ -146,6 +184,7 @@ object EventQueries extends QueryPack {
     "q_cohort_retention" -> (qCohort _))
 
   override val oracles: Map[String, String] = Map(
+    "q_funnel_steps" -> qFunnelSql,
     "q_tumbling_hourly" -> qTumblingSql,
     "q_sliding_window" -> qSlidingSql,
     "q_session_count" -> qSessionsSql,

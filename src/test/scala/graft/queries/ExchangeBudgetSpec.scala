@@ -75,6 +75,9 @@ class ExchangeBudgetSpec extends AnyFunSuite {
     "text_bm25_topk" -> 5,       // postings tf agg + tiny df/stats aggs
                                  // (df agg appears twice pre-AQE) + doc agg
     "pipeline_weighted_reservoir" -> 0, // pure map + TakeOrdered
+    "q_funnel_steps" -> 2,  // per-user conditional-min agg + 1-row rollup
+    "q_profile_columns" -> 2, // Expand + multi-distinct partial agg, then
+                              // the 5-row final agg exchange
     "q11_important_stock" -> 4,
     "q12_priority" -> 2,
     "q13_order_dist" -> 3,
