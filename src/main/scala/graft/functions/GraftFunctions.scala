@@ -41,7 +41,15 @@ object GraftFunctions {
     fn("frame_rms", "frame_rms(bin, frameLen) - per-frame RMS of a binary as signed 8-bit samples",
       exprs => FrameRms(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue())),
     fn("argmin_l2", "argmin_l2(vec, centroids) - 0-based index of the nearest centroid by squared L2; first wins ties",
-      exprs => ArgminL2(exprs(0), exprs(1))))
+      exprs => ArgminL2(exprs(0), exprs(1))),
+    fn("bloom_bitmap", "bloom_bitmap(hash, m, k) - aggregate: OR the k Bloom bit positions of each bigint hash into an m-bit array<bigint> bitmap",
+      exprs => BloomBitmapAgg(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue()).toAggregateExpression()),
+    fn("bloom_contains", "bloom_contains(hash, bitmap, m, k) - true iff all k Bloom positions of hash are set in the array<bigint> bitmap",
+      exprs => BloomContains(exprs(0), exprs(1),
+        exprs(2).eval().asInstanceOf[Number].intValue(),
+        exprs(3).eval().asInstanceOf[Number].intValue())))
 
   def register(spark: SparkSession): Unit =
     fns.foreach { case (id, info, builder) =>

@@ -175,7 +175,39 @@ object EventQueries extends QueryPack {
               count(CASE WHEN t_view < t_click AND t_click < t_buy THEN 1 END) AS n_full_funnel
        FROM firsts"""
 
+  // -- event-path transition mining -------------------------------------------------
+  /** Markov transition counts over per-user event paths: order each user's
+    * events by (ts, event_id), lag the event type, count (prev → next)
+    * pairs, keep the top 10. The per-user window shuffles once on user_id
+    * (each user's path sorts within its partition — no global sort), the
+    * transition rollup is a ≤|types|² aggregate, and the final ranking is a
+    * bounded TakeOrdered. The standard "what do users do next"
+    * product-analytics query, scale-safe because path state never leaves
+    * its user partition.
+    */
+  private def qTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("prev_type"), col("next_type"))
+      .limit(10)
+  }
+
+  private val qTransitionsSql =
+    """WITH p AS (
+         SELECT user_id, event_type,
+                lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+         FROM events)
+       SELECT prev_type, event_type AS next_type, count(*) AS n
+       FROM p WHERE prev_type IS NOT NULL
+       GROUP BY 1, 2 ORDER BY n DESC, prev_type, next_type LIMIT 10"""
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_event_transitions" -> (qTransitions _),
     "q_funnel_steps" -> (qFunnel _),
     "q_tumbling_hourly" -> (qTumbling _),
     "q_sliding_window" -> (qSliding _),
@@ -184,6 +216,7 @@ object EventQueries extends QueryPack {
     "q_cohort_retention" -> (qCohort _))
 
   override val oracles: Map[String, String] = Map(
+    "q_event_transitions" -> qTransitionsSql,
     "q_funnel_steps" -> qFunnelSql,
     "q_tumbling_hourly" -> qTumblingSql,
     "q_sliding_window" -> qSlidingSql,

@@ -88,5 +88,11 @@ class IntegrationSpec extends AnyFunSuite {
       .as[Int].head() == 1)
     // empty hash array: explicit 0, not the vacuous all-ones of 2*0 >= 0
     assert(spark.sql("SELECT simhash64(cast(array() as array<bigint>)) s").as[Long].head() == 0L)
+    // Bloom pair: build a bitmap over two hashes, probe a member and a
+    // non-member through SQL end-to-end (aggregate + scalar registration)
+    Seq(42L, 99L).toDF("h").createOrReplaceTempView("bt")
+    spark.sql("SELECT bloom_bitmap(h, 65536, 4) bm FROM bt").createOrReplaceTempView("bm")
+    assert(spark.sql("SELECT bloom_contains(42L, bm, 65536, 4) c FROM bm").as[Boolean].head())
+    assert(!spark.sql("SELECT bloom_contains(7L, bm, 65536, 4) c FROM bm").as[Boolean].head())
   }
 }

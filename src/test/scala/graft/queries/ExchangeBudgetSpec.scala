@@ -76,6 +76,8 @@ class ExchangeBudgetSpec extends AnyFunSuite {
                                  // (df agg appears twice pre-AQE) + doc agg
     "pipeline_weighted_reservoir" -> 0, // pure map + TakeOrdered
     "q_funnel_steps" -> 2,  // per-user conditional-min agg + 1-row rollup
+    "q_event_transitions" -> 2, // per-user path window + pair-count agg;
+                                // ranking is TakeOrdered
     "q_profile_columns" -> 2, // Expand + multi-distinct partial agg, then
                               // the 5-row final agg exchange
     "q11_important_stock" -> 4,
