@@ -333,7 +333,74 @@ object AdvancedQueries extends QueryPack {
          FROM lineitem CROSS JOIN n GROUP BY n_rows
        ORDER BY col_name"""
 
+  // -- equi-width histogram ----------------------------------------------------------
+  /** Fixed-origin equi-width histogram of l_extendedprice (width 5000 from
+    * 0): the one-pass distributed histogram — bucket index is a pure map
+    * (`floor(x / width)`, bit-identical in IEEE doubles on any engine), the
+    * counts are one hash aggregate on ≤ range/width keys. No min/max
+    * pre-pass, no sort; the shape survives any corpus size because the key
+    * space is the bucket count, not the row count.
+    */
+  private def qHistogram(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(floor(col("l_extendedprice") / 5000).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_extendedprice").cast("decimal(18,6)")).cast("double"), 2).as("sum_price"))
+      .orderBy("bucket")
+
+  private val qHistogramSql =
+    """SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS bucket, count(*) AS n,
+              round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_price
+       FROM lineitem GROUP BY 1 ORDER BY bucket"""
+
+  // -- Welch two-sample t-test -------------------------------------------------------
+  /** A/B comparison of event values: Welch's unequal-variance t statistic
+    * for click-vs-view `value`. Sums and sums-of-squares accumulate in
+    * DECIMAL (exact, order-independent — a double sum would diverge from
+    * the oracle with grouping order), mean/variance/t derive in double from
+    * those exact inputs. One conditional aggregate over one scan; the
+    * entire statistic is a broadcast-sized reduction at any event volume.
+    */
+  private def qAbTest(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    def side(typ: String, tag: String) = Seq(
+      count(when(col("event_type") === typ, 1)).cast("double").as(s"n_$tag"),
+      sum(when(col("event_type") === typ, col("value")).cast("decimal(18,6)"))
+        .cast("double").as(s"s_$tag"),
+      sum(when(col("event_type") === typ, col("value") * col("value")).cast("decimal(38,12)"))
+        .cast("double").as(s"q_$tag"))
+    val moments = side("click", "a") ++ side("view", "b")
+    val aggd = ev.agg(moments.head, moments.tail: _*)
+    aggd.select(
+      col("n_a").cast("long").as("n_click"), col("n_b").cast("long").as("n_view"),
+      round(col("s_a") / col("n_a"), 4).as("mean_click"),
+      round(col("s_b") / col("n_b"), 4).as("mean_view"),
+      round(
+        (col("s_a") / col("n_a") - col("s_b") / col("n_b")) /
+          sqrt(((col("q_a") - col("s_a") * col("s_a") / col("n_a")) / (col("n_a") - 1)) / col("n_a") +
+            ((col("q_b") - col("s_b") * col("s_b") / col("n_b")) / (col("n_b") - 1)) / col("n_b")),
+        4).as("t_welch"))
+  }
+
+  private val qAbTestSql =
+    """WITH agg AS (
+         SELECT CAST(count(CASE WHEN event_type='click' THEN 1 END) AS DOUBLE) AS n_a,
+                CAST(sum(CASE WHEN event_type='click' THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS s_a,
+                CAST(sum(CASE WHEN event_type='click' THEN CAST(value*value AS DECIMAL(38,12)) END) AS DOUBLE) AS q_a,
+                CAST(count(CASE WHEN event_type='view' THEN 1 END) AS DOUBLE) AS n_b,
+                CAST(sum(CASE WHEN event_type='view' THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS s_b,
+                CAST(sum(CASE WHEN event_type='view' THEN CAST(value*value AS DECIMAL(38,12)) END) AS DOUBLE) AS q_b
+         FROM events)
+       SELECT CAST(n_a AS BIGINT) AS n_click, CAST(n_b AS BIGINT) AS n_view,
+              round(s_a/n_a, 4) AS mean_click, round(s_b/n_b, 4) AS mean_view,
+              round((s_a/n_a - s_b/n_b) /
+                    sqrt(((q_a - s_a*s_a/n_a)/(n_a-1))/n_a + ((q_b - s_b*s_b/n_b)/(n_b-1))/n_b),
+                4) AS t_welch
+       FROM agg"""
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_histogram" -> (qHistogram _),
+    "q_ab_test" -> (qAbTest _),
     "q_profile_columns" -> (qProfile _),
     "q_zorder_value" -> (qZorder _),
     "q_heavy_hitters_bound" -> (qHeavyHitters _),
@@ -349,6 +416,8 @@ object AdvancedQueries extends QueryPack {
     "pipeline_training_set" -> (qTrainingSet _))
 
   override val oracles: Map[String, String] = Map(
+    "q_histogram" -> qHistogramSql,
+    "q_ab_test" -> qAbTestSql,
     "q_profile_columns" -> qProfileSql,
     "q_zorder_value" -> qZorderSql,
     "q_heavy_hitters_bound" -> qHeavyHittersSql,

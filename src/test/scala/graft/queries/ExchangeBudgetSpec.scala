@@ -78,6 +78,8 @@ class ExchangeBudgetSpec extends AnyFunSuite {
     "q_funnel_steps" -> 2,  // per-user conditional-min agg + 1-row rollup
     "q_event_transitions" -> 2, // per-user path window + pair-count agg;
                                 // ranking is TakeOrdered
+    "q_histogram" -> 2,     // bucket-key agg + output sort (≤ #buckets rows)
+    "q_ab_test" -> 1,       // single 1-row moments reduction
     "q_profile_columns" -> 2, // Expand + multi-distinct partial agg, then
                               // the 5-row final agg exchange
     "q11_important_stock" -> 4,
