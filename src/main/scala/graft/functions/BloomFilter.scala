@@ -35,17 +35,20 @@ import org.apache.spark.sql.types._
   */
 object Bloom {
 
-  /** Set-bit positions for input hash `h` — the single definition both the
-    * aggregate and the probe compile against.
+  /** The i-th set-bit position for input hash `h` — the SINGLE definition
+    * of the position math; the aggregate, the probe (interpreted and
+    * generated), and the streaming dedup all route through it.
     */
-  @inline def positions(h: Long, m: Int, k: Int, out: Array[Int]): Unit = {
+  @inline def position(h: Long, i: Int, m: Int): Int = {
     val h1 = h >>> 30
     val h2 = ((h & 0x3FFFFFFFL) << 1) | 1L
+    ((h1 + i * h2) % m).toInt
+  }
+
+  /** All k positions of `h`, filled into `out`. */
+  @inline def positions(h: Long, m: Int, k: Int, out: Array[Int]): Unit = {
     var i = 0
-    while (i < k) {
-      out(i) = ((h1 + i * h2) % m).toInt
-      i += 1
-    }
+    while (i < k) { out(i) = position(h, i, m); i += 1 }
   }
 
   /** Column API: OR-aggregate of the k bit positions of `hash` into an
@@ -160,13 +163,15 @@ final case class BloomContains(hash: Expression, bitmap: Expression, m: Int, k: 
 }
 
 object BloomContains {
-  /** Shared by interpreted eval and generated code. */
+  /** Shared by interpreted eval and generated code; position math delegates
+    * to [[Bloom.position]] so the probe can never drift from the bits the
+    * aggregate set (a mismatch would manifest as Bloom false negatives,
+    * which the operator documents as impossible).
+    */
   def probe(h: Long, bitmap: ArrayData, m: Int, k: Int): Boolean = {
-    val h1 = h >>> 30
-    val h2 = ((h & 0x3FFFFFFFL) << 1) | 1L
     var i = 0
     while (i < k) {
-      val p = ((h1 + i * h2) % m).toInt
+      val p = Bloom.position(h, i, m)
       if ((bitmap.getLong(p >>> 6) & (1L << (p & 63))) == 0L) return false
       i += 1
     }

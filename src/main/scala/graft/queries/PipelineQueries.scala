@@ -616,13 +616,17 @@ object PipelineQueries extends QueryPack {
   // vocabulary size, which is the trick that makes DSIR run at corpus
   // scale: the two "models" are one 256-row table.
   //
-  // Scale shape: one token explode (linear map), ONE bucket aggregation
-  // computing both distributions at once (count + conditional count — not
-  // two passes), a broadcast join of the 256-row log-ratio table back onto
-  // the token stream, and one per-doc aggregation. The corpus is never
-  // shuffled whole; the only wide exchange is the per-doc sum keyed by
-  // doc_id. Top-k is orderBy+limit (distributed TakeOrdered), NOT a global
-  // window; the row_number runs on the already-limited k rows.
+  // Scale shape: the tokenize/explode map runs TWICE — once under the
+  // bucket aggregation that builds both distributions at once (count +
+  // conditional count in one pass) and once under the per-doc scoring join
+  // (the uncached `toks` plan is evaluated by each consumer). Deliberate:
+  // materializing the exploded token stream to avoid the second pass would
+  // write MORE bytes than re-reading the raw documents, so two linear
+  // scans of the input is the cheaper plan at any corpus size. The corpus
+  // is never shuffled whole; the wide exchanges are the 256-key bucket agg
+  // and the per-doc sum keyed by doc_id. Top-k is orderBy+limit
+  // (distributed TakeOrdered), NOT a global window; the row_number runs on
+  // the already-limited k rows.
   //
   // Determinism: per-token log-ratios are integer-quantized (floor(r·1e6 +
   // 0.5)) before summing — integer sums are accumulation-order-exact, the
@@ -723,8 +727,8 @@ object PipelineQueries extends QueryPack {
       .select(col("doc_id"), col("n_chars"),
         // (h+1)/2^60 ∈ (0,1]: int64→double rounding is IEEE-identical in
         // both engines; +1 keeps ln() off -inf at h=0
-        (((conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 15), 16, 10)
-          .cast("long").cast("double")) + 1.0) / lit(1.152921504606846976e18)).as("u"))
+        ((graft.functions.TextFunctions.md5Hash60(col("doc_id").cast("string"))
+          .cast("double") + 1.0) / lit(1.152921504606846976e18)).as("u"))
       .withColumn("key", log(col("u")) / col("n_chars"))
       .orderBy(col("key").desc, col("doc_id")).limit(20)
       .select(col("doc_id"), col("n_chars"), round(col("key") * 1e6, 4).as("samp_key_ppm"))

@@ -46,19 +46,25 @@ trait QueryPack {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = s.read.parquet(s"$dir/$name.parquet")
     FixtureSchemas.assertMatches(name, df.schema)
-    if (name != "events") df
-    else df.schema("ts").dataType match {
-      case LongType =>
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampNTZType =>
-        // NTZ→Timestamp cast interprets the wall-clock in the session TZ,
-        // which LocalSession/Verify/Bench all pin to UTC.
-        df.withColumn("ts", col("ts").cast(TimestampType))
-      case TimestampType => df
-      case other =>
-        throw new IllegalStateException(
-          s"events.ts read as unexpected type $other (fixture drift? " +
-            "expected LongType nanos, TIMESTAMP_NTZ micros, or TIMESTAMP)")
+    // Normalize EVERY timestamp-vintage column the schema guard accepts
+    // (events.ts, o_orderdate, l_shipdate) — accepting a vintage in the
+    // guard but not normalizing it here would re-create the round-8
+    // failure shape on the next drift: assert passes, N gates then die in
+    // analysis.
+    FixtureSchemas.timestampColumns(name).foldLeft(df) { (acc, cn) =>
+      acc.schema(cn).dataType match {
+        case LongType =>
+          acc.withColumn(cn, timestamp_micros(expr(s"$cn div 1000")))
+        case TimestampNTZType =>
+          // NTZ→Timestamp cast interprets the wall-clock in the session TZ,
+          // which LocalSession/Verify/Bench all pin to UTC.
+          acc.withColumn(cn, col(cn).cast(TimestampType))
+        case TimestampType => acc
+        case other =>
+          throw new IllegalStateException(
+            s"$name.$cn read as unexpected type $other (fixture drift? " +
+              "expected LongType nanos, TIMESTAMP_NTZ micros, or TIMESTAMP)")
+      }
     }
   }
 }
@@ -121,6 +127,13 @@ private[queries] object FixtureSchemas {
         c("label", IntegerType)))
   }
 
+  /** Columns declared timestamp-vintage for `name` — `QueryPack.t`
+    * normalizes exactly this set, so guard acceptance and normalization
+    * cannot diverge.
+    */
+  def timestampColumns(name: String): Seq[String] =
+    expected.getOrElse(name, Nil).collect { case (cn, ok, _) if ok == anyTs => cn }
+
   def assertMatches(name: String, actual: StructType): Unit =
     expected.get(name).foreach { exp =>
       val problems = Seq.newBuilder[String]
@@ -130,6 +143,9 @@ private[queries] object FixtureSchemas {
       val extra = got.map(_._1).diff(expNames)
       if (missing.nonEmpty) problems += s"missing columns: ${missing.mkString(", ")}"
       if (extra.nonEmpty) problems += s"unexpected columns: ${extra.mkString(", ")}"
+      // order matters too: specs and the oracle compare read positionally
+      if (missing.isEmpty && extra.isEmpty && got.map(_._1).toSeq != expNames)
+        problems += s"column order drifted: got ${got.map(_._1).mkString(", ")}"
       exp.foreach { case (cn, ok, want) =>
         got.collectFirst { case (`cn`, dt) => dt }.foreach { dt =>
           if (!ok(dt)) problems += s"$cn: got ${dt.simpleString}, expected $want"

@@ -106,7 +106,12 @@ object RetrievalQueries extends QueryPack {
     val vecTop = emb.filter(col("vec_id") =!= 0)
       .select(col("vec_id"), col("embedding"), norm2(col("embedding")).as("n_nrm"))
       .crossJoin(broadcast(q))
-      .withColumn("cos", dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("n_nrm")))
+      // rank on the ROUNDED cosine (same convention as the lexical side's
+      // rounded BM25 score): the top-100 cut and rank order then only
+      // depend on 6-decimal-stable values, not on both engines' cosine
+      // formulations agreeing to the last ulp
+      .withColumn("cos", round(
+        dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("n_nrm")), 6))
       .orderBy(col("cos").desc, col("vec_id")).limit(100)
       .withColumn("vec_rn", row_number().over(
         Window.orderBy(col("cos").desc, col("vec_id"))))
@@ -130,7 +135,7 @@ object RetrievalQueries extends QueryPack {
        lex AS (SELECT doc_id AS id, row_number() OVER (ORDER BY score DESC, doc_id) AS lex_rn
                FROM (SELECT * FROM bm25 ORDER BY score DESC, doc_id LIMIT 100)),
        q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
-       vtop AS (SELECT vec_id, list_cosine_similarity(q.q_emb::DOUBLE[], e.embedding::DOUBLE[]) AS cos
+       vtop AS (SELECT vec_id, round(list_cosine_similarity(q.q_emb::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cos
                 FROM embeddings e CROSS JOIN q WHERE e.vec_id != 0
                 ORDER BY cos DESC, vec_id LIMIT 100),
        vec AS (SELECT vec_id AS id, row_number() OVER (ORDER BY cos DESC, vec_id) AS vec_rn FROM vtop),

@@ -102,6 +102,8 @@ object StreamingDedup {
       kHashes: Int = 4, nGroups: Int = 64): Dataset[SeenDoc] = {
     import docs.sparkSession.implicits._
     require(mBits > 0 && mBits % 64 == 0, "mBits must be a positive multiple of 64")
+    require(kHashes > 0, "kHashes must be positive (k=0 would silently drop every doc)")
+    require(nGroups > 0, "nGroups must be positive")
     docs.toDF()
       .select(col("doc_id"),
         graft.functions.TextFunctions.md5Hash60(col("text")).as("fp"))

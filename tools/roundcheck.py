@@ -83,25 +83,40 @@ def main():
     if bench is None:
         print(f"   (no BENCH_r{cur:02d}.json)")
     else:
-        full = bench.get("parsed") if isinstance(bench, dict) else None
-        text = json.dumps(full) if full else (
-            bench.get("tail", "") if isinstance(bench, dict) else "")
-        if "queries" in bench and isinstance(bench.get("queries"), dict):
-            full, text = bench, json.dumps(bench)
-        failed = sorted(set(re.findall(r'"(\w+)":-1\.0', text)))
+        # Prefer STRUCTURED inspection of whichever full dict exists — a
+        # regex over json.dumps output is brittle (default dumps inserts a
+        # space after ':', which silently killed these checks once). The
+        # regex path exists ONLY for the driver's truncated-tail string.
+        full = None
+        if isinstance(bench, dict):
+            if isinstance(bench.get("queries"), dict):
+                full = bench
+            elif isinstance(bench.get("parsed"), dict) and \
+                    isinstance(bench["parsed"].get("queries"), dict):
+                full = bench["parsed"]
+        if full is not None:
+            failed = sorted(n for n, v in full["queries"].items() if v < 0)
+            inv = full.get("inversions") or {}
+            structural = inv.get("structural", 0) if isinstance(inv, dict) else 0
+            names = inv.get("structural_names", []) if isinstance(inv, dict) else []
+            total = full.get("value", "?")
+        else:
+            text = bench.get("tail", "") if isinstance(bench, dict) else ""
+            failed = sorted(set(re.findall(r'"(\w+)"\s*:\s*-1\.0', text)))
+            m = re.search(r'"structural"\s*:\s*(\d+)', text)
+            structural = int(m.group(1)) if m else 0
+            mn = re.search(r'"structural_names"\s*:\s*(\[[^\]]*\])', text)
+            names = mn.group(1) if mn else []
+            mt = re.search(r'"metric"\s*:\s*"total[^"]*"\s*,\s*"value"\s*:\s*([\d.]+)', text)
+            total = mt.group(1) if mt else "?"
         if failed:
             bad = True
             print(f"!! {len(failed)} bench queries at -1.000 (all reps "
                   f"failed): {', '.join(failed)}")
-        m = re.search(r'"structural":(\d+)', text)
-        if m and int(m.group(1)) > 0:
+        if structural:
             bad = True
-            names = re.search(r'"structural_names":(\[[^\]]*\])', text)
-            print(f"!! {m.group(1)} structural bench inversions"
-                  f"{': ' + names.group(1) if names else ''}")
-        total = re.search(r'"metric":"total","value":([\d.]+)', text)
-        print(f"== BENCH r{cur:02d}: "
-              f"total {total.group(1) if total else bench.get('value', '?')}s"
+            print(f"!! {structural} structural bench inversions: {names}")
+        print(f"== BENCH r{cur:02d}: total {total}s"
               f" ({'full' if full else 'truncated tail'} artifact)")
 
     print("RESULT:", "ATTENTION NEEDED" if bad else "clean")
