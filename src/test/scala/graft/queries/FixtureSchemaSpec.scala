@@ -84,6 +84,42 @@ class FixtureSchemaSpec extends AnyFunSuite {
     assert(e.getMessage.contains("value"), "must name the mistyped column")
   }
 
+  test("column-order drift is flagged even when names and types all match") {
+    val dir = tmpDir()
+    import spark.implicits._
+    // same six events columns, ts swapped after user_id
+    Seq((1L, 10L, 1700000000000000L, "click", 1.5, "{}"))
+      .toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("ts")))
+      .select("event_id", "user_id", "ts", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val e = intercept[IllegalStateException](Pack.read(dir, "events"))
+    assert(e.getMessage.contains("order"), s"must flag order drift: ${e.getMessage}")
+  }
+
+  test("date columns normalize across vintages too (not only events.ts)") {
+    val dir = tmpDir()
+    import spark.implicits._
+    // orders with o_orderdate as raw long NANOS — the same drift events.ts
+    // had; the guard accepts it, so t() must also normalize it
+    Seq((1L, 2L, "O", 10.5, 1700000000000000L * 1000L, "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val df = Pack.read(dir, "orders")
+    assert(df.schema("o_orderdate").dataType == TimestampType,
+      "long-nanos o_orderdate must normalize to TimestampType")
+    assert(df.select(unix_micros(col("o_orderdate"))).head().getLong(0)
+      == 1700000000000000L)
+  }
+
+  test("timestampColumns covers exactly the vintage-flexible columns") {
+    assert(FixtureSchemas.timestampColumns("events") == Seq("ts"))
+    assert(FixtureSchemas.timestampColumns("orders") == Seq("o_orderdate"))
+    assert(FixtureSchemas.timestampColumns("lineitem") == Seq("l_shipdate"))
+    assert(FixtureSchemas.timestampColumns("documents").isEmpty)
+  }
+
   test("the real driver fixtures pass the assertion for every table") {
     for (t <- Seq("region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings")) {
