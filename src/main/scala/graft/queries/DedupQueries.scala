@@ -126,6 +126,55 @@ object DedupQueries extends QueryPack {
       .orderBy("id")
   }
 
+  // -- quality-max survivor policy ---------------------------------------------------
+  // The curation policy real pipelines use instead of keep-first: within
+  // each near-dup cluster keep the HIGHEST-QUALITY member (here n_chars,
+  // ties to the lowest id). Same cluster machinery as dedup_clusters; the
+  // survivor choice is one per-cluster argmax — a lexicographic struct max,
+  // so it aggregates with map-side partials instead of a per-cluster sort.
+  // Output: multi-member clusters only (rep, kept_id, n_members).
+  private def qKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.minHashDuplicates(docs,
+      id = col("doc_id"), text = col("text"), shingleWidth = 3, threshold = 0.8)
+    Dedup.clusterRepresentatives(pairs, docs, "doc_id")
+      .join(docs.select(col("doc_id").as("id"), col("n_chars")), "id")
+      .groupBy(col("rep"))
+      .agg(count(lit(1)).as("n_members"),
+        // max on (quality, -id): highest n_chars wins, ties to lowest id
+        max(struct(col("n_chars").as("q"), (-col("id")).as("nid"))).as("best"))
+      .filter(col("n_members") > 1)
+      .select(col("rep"), (-col("best.nid")).as("kept_id"), col("n_members"))
+      .orderBy("rep")
+  }
+
+  private val qKeepBestSql =
+    """WITH RECURSIVE d AS (
+         SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(string_split(text,' '))-1, 1)),
+                i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS sh
+         FROM documents),
+       toks AS (SELECT doc_id, unnest(sh) AS tok FROM d),
+       sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+       inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+                 FROM toks a JOIN toks b ON a.tok=b.tok AND a.doc_id < b.doc_id GROUP BY 1,2),
+       pairs AS (
+         SELECT id_a, id_b FROM inter
+         JOIN sizes sa ON id_a=sa.doc_id JOIN sizes sb ON id_b=sb.doc_id
+         WHERE i*1.0/(sa.sz+sb.sz-i) >= 0.8),
+       edges AS (SELECT id_a, id_b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+       walk(id, lbl) AS (
+         SELECT doc_id, doc_id FROM documents
+         UNION
+         SELECT e.id_b, w.lbl FROM walk w JOIN edges e ON e.id_a = w.id),
+       labels AS (SELECT id, min(lbl) AS rep FROM walk GROUP BY id),
+       scored AS (SELECT l.id, l.rep, doc.n_chars
+                  FROM labels l JOIN documents doc ON doc.doc_id = l.id),
+       ranked AS (SELECT rep, id, count(*) OVER (PARTITION BY rep) AS n_members,
+                    row_number() OVER (PARTITION BY rep ORDER BY n_chars DESC, id) AS rn
+                  FROM scored)
+       SELECT rep, id AS kept_id, n_members FROM ranked
+       WHERE rn = 1 AND n_members > 1 ORDER BY rep"""
+
   // oracle: same pair set (exhaustive Jaccard >= 0.8), transitive closure by
   // recursive reachability, min reachable id per node
   private val qClustersSql =
@@ -308,6 +357,7 @@ object DedupQueries extends QueryPack {
     "dedup_incremental" -> (qIncrementalDedup _),
     "dedup_ngram_jaccard" -> (qNgramJaccard _),
     "dedup_clusters" -> (qClusters _),
+    "dedup_keep_best" -> (qKeepBest _),
     "dedup_simhash" -> (qSimHash _),
     "dedup_span_windows" -> (qSpans _),
     "dedup_span_runs" -> (qSpanRuns _),
@@ -321,6 +371,7 @@ object DedupQueries extends QueryPack {
     "dedup_incremental" -> qIncrementalDedupSql,
     "dedup_ngram_jaccard" -> qNgramJaccardSql,
     "dedup_clusters" -> qClustersSql,
+    "dedup_keep_best" -> qKeepBestSql,
     "dedup_simhash" -> qSimHashSql,
     "dedup_span_windows" -> qSpansSql,
     "dedup_span_runs" -> qSpanRunsSql,

@@ -25,6 +25,8 @@ class ExchangeBudgetSpec extends AnyFunSuite {
     "ann_recall_at_5" -> 19,
     "ann_rhp_lsh" -> 3,
     "dedup_clusters" -> 1,
+    "dedup_keep_best" -> 2, // label join agg + output sort; edge pipeline
+                            // materializes eagerly like dedup_clusters
     "dedup_embedding_cosine" -> 3,
     "dedup_exact" -> 2,
     "dedup_incremental" -> 1,
