@@ -106,6 +106,44 @@ object EventStreams {
       }
   }
 
+  final case class FunnelEvent(user_id: Long, epoch_s: Long, event_type: String)
+  final case class FunnelState(view: Long, click: Long, buy: Long)
+  final case class FunnelStages(user_id: Long, t_view: Long, t_click: Long, t_buy: Long)
+
+  /** Streaming dual of the batch `q_funnel_steps` gate: per user, the
+    * earliest view/click/purchase timestamps maintained continuously as
+    * one 3-long state cell per user (`mapGroupsWithState`, Update mode —
+    * each micro-batch re-emits the users it touched; the LATEST emission
+    * per user is that user's current funnel state). The batch query's
+    * stage counts are then a stateless rollup over these rows. State cost
+    * is 24 bytes/user — min-aggregates never retract, so no timeout is
+    * needed for correctness, and a TTL can bound lifetime-user cardinality
+    * when business rules allow (see [[idleSessionCloser]] for that
+    * regime). 0 = stage not reached (matches the batch dual's null → not
+    * counted convention).
+    */
+  def funnelTracker(events: org.apache.spark.sql.Dataset[FunnelEvent])
+      : org.apache.spark.sql.Dataset[FunnelStages] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelState, FunnelStages](GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          var s = state.getOption.getOrElse(FunnelState(0L, 0L, 0L))
+          def early(cur: Long, t: Long): Long = if (cur == 0L || t < cur) t else cur
+          evs.foreach { e =>
+            e.event_type match {
+              case "view" => s = s.copy(view = early(s.view, e.epoch_s))
+              case "click" => s = s.copy(click = early(s.click, e.epoch_s))
+              case "purchase" => s = s.copy(buy = early(s.buy, e.epoch_s))
+              case _ => ()
+            }
+          }
+          state.update(s)
+          FunnelStages(user, s.view, s.click, s.buy)
+      }
+  }
+
   final case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class OpenSession(start: Long, lastTs: Long, nEvents: Long, sumValue: Double)
   final case class ClosedSession(user_id: Long, session_start: Long, session_end: Long,

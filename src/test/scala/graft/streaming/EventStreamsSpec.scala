@@ -255,4 +255,46 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(last.filter(_._1 == "orders").forall(_._2 <= 9L))
     } finally q.stop()
   }
+
+  test("funnel tracker: streamed first-stage times across batches == batch firsts") {
+    implicit val sc = spark.sqlContext
+    import EventStreams.FunnelEvent
+    val batch1 = Seq(
+      FunnelEvent(1L, 100L, "view"), FunnelEvent(1L, 90L, "view"), // earlier view wins
+      FunnelEvent(1L, 120L, "click"),
+      FunnelEvent(2L, 200L, "click"), // click BEFORE view: not a funnel
+      FunnelEvent(3L, 300L, "view"))
+    val batch2 = Seq(
+      FunnelEvent(1L, 150L, "purchase"), // completes user 1's funnel cross-batch
+      FunnelEvent(2L, 210L, "view"),
+      FunnelEvent(3L, 310L, "signup")) // non-funnel type ignored
+    val in = MemoryStream[FunnelEvent]
+    val q = EventStreams.funnelTracker(in.toDS())
+      .writeStream.format("memory").queryName("funnel").outputMode(OutputMode.Update()).start()
+    try {
+      in.addData(batch1); q.processAllAvailable()
+      in.addData(batch2); q.processAllAvailable()
+      // LATEST emission per user is its current funnel state
+      val rows = spark.table("funnel").collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      val state = rows.zipWithIndex.groupBy(_._1._1)
+        .map { case (u, rs) => u -> rs.maxBy(_._2)._1._2 }
+      assert(state(1L) == ((90L, 120L, 150L))) // earliest per stage, cross-batch
+      assert(state(2L) == ((210L, 200L, 0L))) // click precedes view; no purchase
+      assert(state(3L) == ((300L, 0L, 0L))) // signup ignored
+      // batch dual: same stage mins from a plain aggregate over all events
+      import spark.implicits._
+      val all = (batch1 ++ batch2).toDS()
+      val firsts = all.groupByKey(_.user_id).mapGroups { (u, evs) =>
+        val es = evs.toSeq
+        def m(t: String) = es.filter(_.event_type == t).map(_.epoch_s)
+          .reduceOption(math.min(_, _)).getOrElse(0L)
+        (u, (m("view"), m("click"), m("purchase")))
+      }.collect().toMap
+      assert(state == firsts, "stream state must equal the batch firsts")
+      // funnel count semantics match q_funnel_steps: strict stage ordering
+      val full = state.values.count { case (v, c, b) => v > 0 && v < c && c < b }
+      assert(full == 1) // only user 1
+    } finally q.stop()
+  }
 }
