@@ -60,6 +60,35 @@ object Bloom {
   /** Column API: true iff all k positions of `hash` are set in `bitmap`. */
   def contains(hash: Column, bitmap: Column, m: Int, k: Int): Column =
     Bridge.column(BloomContains(Bridge.childExpr(hash), Bridge.childExpr(bitmap), m, k))
+
+  /** The beyond-broadcast composition promised above: P independent
+    * bitmaps, one per `pmod(hash, P)` shard, each over only its shard's
+    * hashes. Total filter capacity is P × m bits while no single row,
+    * broadcast, or state cell ever exceeds m/8 bytes — the corpus side
+    * builds all shards in ONE aggregation (map-side partial ORs per
+    * shard), and the fresh side probes via an equi-join on the shard id,
+    * which at P ≫ broadcast threshold is a plain shuffled hash join whose
+    * build side is P rows of m/8 bytes.
+    *
+    * Returns `(fresh columns..., maybe_member)`.
+    */
+  def partitionedProbe(
+      corpus: org.apache.spark.sql.DataFrame, fresh: org.apache.spark.sql.DataFrame,
+      hashCol: String, m: Int, k: Int, p: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    require(p > 0, "p must be positive")
+    val shards = corpus
+      .groupBy(pmod(col(hashCol), lit(p)).as("__shard"))
+      .agg(bitmapAgg(col(hashCol), m, k).as("__bm"))
+    fresh
+      .withColumn("__shard", pmod(col(hashCol), lit(p)))
+      .join(shards, Seq("__shard"), "left")
+      .withColumn("maybe_member",
+        // a shard with no corpus rows has no bitmap row: definite miss
+        org.apache.spark.sql.functions.coalesce(
+          contains(col(hashCol), col("__bm"), m, k), lit(false)))
+      .drop("__shard", "__bm")
+  }
 }
 
 /** OR-aggregation of Bloom bit positions into a `long[]` bitmap buffer.

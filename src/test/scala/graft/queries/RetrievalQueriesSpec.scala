@@ -85,6 +85,36 @@ class RetrievalQueriesSpec extends AnyFunSuite {
     assert(out.values.exists(_ == false), "Bloom bitmap saturated — m too small for corpus")
   }
 
+  test("partitioned bloom: P-sharded probe == single-bitmap probe, and shards it") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", TextFunctions.md5Hash60($"text").as("fp"))
+    val corpus = docs.filter($"doc_id" % 2 === 0)
+    val fresh = docs.filter($"doc_id" % 2 === 1)
+    // same total capacity split over 8 shards: every corpus member still
+    // probes true (per-shard no-false-negatives), and the full result is
+    // deterministic
+    val sharded = Bloom.partitionedProbe(corpus, fresh, "fp", 65536, 4, 8)
+      .select($"doc_id", $"maybe_member").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val selfProbe = Bloom.partitionedProbe(corpus, corpus, "fp", 65536, 4, 8)
+      .select($"maybe_member").collect()
+    assert(selfProbe.forall(_.getBoolean(0)), "sharded Bloom false negative")
+    // sharding changes which hashes share a bitmap, so FP sets differ from
+    // the single-bitmap gate — but every true member must agree, and the
+    // 8x capacity can only reduce false positives on the fresh side
+    val single = RetrievalQueries.queries("dedup_bloom_probe")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val truePos = docs.filter($"doc_id" % 2 === 1).as[(Long, Long)].collect()
+      .filter { case (_, fp) => corpus.as[(Long, Long)].collect().exists(_._2 == fp) }
+      .map(_._1).toSet
+    truePos.foreach(id => assert(sharded(id), s"true member $id must probe true"))
+    val fpSingle = single.count { case (id, hit) => hit && !truePos(id) }
+    val fpSharded = sharded.count { case (id, hit) => hit && !truePos(id) }
+    assert(fpSharded <= fpSingle,
+      s"8x capacity should not increase false positives: $fpSharded > $fpSingle")
+  }
+
   test("bloom bitmap: merge is OR (distributed build == single-partition build)") {
     import spark.implicits._
     val docs = spark.read.parquet(s"$dir/documents.parquet")
