@@ -270,6 +270,13 @@ object AdvancedQueries extends QueryPack {
     * Min/max render through explicitly-controlled formats (dates via
     * date_format, integral doubles via bigint) so the cross-engine compare
     * never hits float/timestamp rendering differences.
+    *
+    * Cost note: EXACT distincts are the deliberate trade here — the Expand
+    * multiplies the scan by the profiled-column count and dedups each
+    * (gid, value) group, the dominant cost at sf0.1 (~6 s). When ±2%
+    * suffices, swap `countDistinct` for `approx_count_distinct` and the
+    * same plan collapses to map-side HLL partials with no Expand (the
+    * `q_approx_distinct_bound` gate pins that estimator's error).
     */
   private def qProfile(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
