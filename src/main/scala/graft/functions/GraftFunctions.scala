@@ -31,6 +31,8 @@ object GraftFunctions {
       exprs => SimHash64(exprs(0))),
     fn("byte_stride", "byte_stride(bin, k) - every k-th byte of a binary",
       exprs => ByteStride(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue())),
+    fn("byte_resample", "byte_resample(bin, n) - nearest-neighbor resample of a binary to exactly n bytes (empty stays empty)",
+      exprs => ByteResample(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue())),
     fn("rhp_signature", "rhp_signature(vec, dim, nBits, seed) - random-hyperplane LSH signature of a float/double array",
       exprs => RhpSignature(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue(),

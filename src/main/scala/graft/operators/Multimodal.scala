@@ -77,6 +77,15 @@ object Multimodal {
     Bridge.column(graft.functions.FrameRms(Bridge.childExpr(payload), frameLen))
   }
 
+  /** Nearest-neighbor resample to a fixed byte length — the 1-D resize that
+    * turns variable-length media into fixed-shape feature vectors
+    * ([[graft.functions.ByteResample]], codegen).
+    */
+  def resample(payload: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftshim.Bridge
+    Bridge.column(graft.functions.ByteResample(Bridge.childExpr(payload), n))
+  }
+
   /** 60-bit difference-hash (dHash) of a binary payload — the perceptual
     * fingerprint for MEDIA near-dup detection: resample 61 bytes at evenly
     * spaced positions (the "resize to a fixed grid" step of an image

@@ -54,6 +54,26 @@ object MultimodalQueries extends QueryPack {
          array_to_string(list_transform(range(0, n, 7), i -> substring(hx, CAST(i*2+1 AS INT), 2)), '') AS sample_hex
        FROM h ORDER BY doc_id"""
 
+  // -- fixed-length resample (1-D resize) ----------------------------------------
+  // Variable-length payloads → 16 bytes by nearest neighbor; hex output for
+  // the same invalid-UTF-8 reason as the stride gate. Pure map, no shuffle
+  // beyond the output sort.
+  private def qResample(s: SparkSession, dir: String): DataFrame =
+    media(s, dir)
+      .select(
+        col("doc_id"),
+        length(col("payload")).as("n_in"),
+        hex(Multimodal.resample(col("payload"), 16)).as("resampled_hex"))
+      .orderBy("doc_id")
+
+  private val qResampleSql =
+    """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n FROM documents)
+       SELECT doc_id, CAST(n AS INT) AS n_in,
+         CASE WHEN n = 0 THEN '' ELSE
+           array_to_string(list_transform(range(0, 16), i -> substring(hx, CAST((i*n//16)*2+1 AS INT), 2)), '')
+         END AS resampled_hex
+       FROM h ORDER BY doc_id"""
+
   // -- perceptual fingerprint (media near-dup primitive) -------------------------
   // The 60-bit dHash per payload plus its four 15-bit pigeonhole bands —
   // the persistable index a media-dedup pipeline stores; pair-finding over
@@ -185,6 +205,7 @@ object MultimodalQueries extends QueryPack {
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_byte_features" -> (qByteFeatures _),
     "mm_stride_sample" -> (qStride _),
+    "mm_resample_fixed" -> (qResample _),
     "mm_frame_energy" -> (qFrameEnergy _),
     "mm_phash" -> (qPhash _),
     "mm_decode_features" -> (qDecode _),
@@ -193,6 +214,7 @@ object MultimodalQueries extends QueryPack {
   override val oracles: Map[String, String] = Map(
     "mm_byte_features" -> qByteFeaturesSql,
     "mm_stride_sample" -> qStrideSql,
+    "mm_resample_fixed" -> qResampleSql,
     "mm_frame_energy" -> qFrameEnergySql,
     "mm_phash" -> qPhashSql,
     "mm_decode_features" -> qDecodeSql,

@@ -31,6 +31,21 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(3).length == 0) // empty payload → empty sample
   }
 
+  test("byte resample: fixed output length, nearest-neighbor picks, empty stays empty") {
+    val m = Multimodal.mediaFromDocuments(docs)
+    val out = m.orderBy("doc_id")
+      .select(Multimodal.resample(col("payload"), 8)).as[Array[Byte]].collect()
+    val first = docs.orderBy("doc_id").select("text").as[String].head().getBytes("UTF-8")
+    assert(out(0).length == 8)
+    // out[i] = in[(i * len) / 8] — the exact floor map the oracle re-derives
+    assert(out(0).toSeq == (0 until 8).map(i => first((i * first.length) / 8)).toSeq)
+    assert(out(3).length == 0, "empty payload must resample to empty, not repeat a phantom byte")
+    // upsampling a short payload repeats bytes but keeps length n
+    val up = m.filter(col("doc_id") === 2).select(Multimodal.resample(col("payload"), 64))
+      .as[Array[Byte]].head()
+    assert(up.length == 64)
+  }
+
   test("frameRms == brute-force per-frame RMS over signed bytes, partial tail included") {
     val m = Multimodal.mediaFromDocuments(docs)
     val out = m.orderBy("doc_id")

@@ -48,6 +48,7 @@ class ExchangeBudgetSpec extends AnyFunSuite {
     "mm_decode_real" -> 1,
     "mm_frame_energy" -> 1,
     "mm_phash" -> 1,
+    "mm_resample_fixed" -> 1, // pure map + output sort
     "mm_stride_sample" -> 1,
     "pipeline_chunk_docs" -> 1,
     "pipeline_class_weights" -> 2,
