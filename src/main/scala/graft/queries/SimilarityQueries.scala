@@ -782,6 +782,57 @@ object SimilarityQueries extends QueryPack {
        embedding[1] AS e1
        FROM embeddings ORDER BY vec_id"""
 
+  // -- exact covariance statistics (the one-pass PCA precursor) ---------------------
+  /** Covariance statistics of the embedding matrix in ONE aggregation pass:
+    * per-dimension first and second moments (64 + 64 sums) plus selected
+    * cross-moments, every sum accumulated in DECIMAL so the result is
+    * order-independent and oracle-exact, then trace and covariances derive
+    * in double. This is how covariance/Gram matrices are built at 100 TB —
+    * all map-side partial sums, one 1-row exchange, no per-pair shuffles;
+    * a full 64×64 Gram is the same pattern with 64·65/2 sum columns, and
+    * PCA is driver-side eigendecomposition of that tiny result.
+    */
+  private def qEmbCovariance(s: SparkSession, dir: String): DataFrame = {
+    val dim = 64
+    def x(i: Int) = element_at(col("embedding"), i + 1).cast("double")
+    def dsum(c: org.apache.spark.sql.Column, nm: String) =
+      sum(c.cast("decimal(38,12)")).cast("double").as(nm)
+    val moments =
+      Seq(count(lit(1)).cast("double").as("n")) ++
+        (0 until dim).map(i => dsum(x(i), s"s_$i")) ++
+        (0 until dim).map(i => dsum(x(i) * x(i), s"q_$i")) ++
+        Seq(dsum(x(0) * x(1), "c_0_1"), dsum(x(2) * x(5), "c_2_5"))
+    val agg = t(s, dir, "embeddings").agg(moments.head, moments.tail: _*)
+    val trace = (0 until dim)
+      .map(i => (col(s"q_$i") - col(s"s_$i") * col(s"s_$i") / col("n")) / (col("n") - 1))
+      .reduce(_ + _)
+    agg.select(
+      col("n").cast("long").as("n"),
+      round(trace, 6).as("trace"),
+      round((col("q_0") - col("s_0") * col("s_0") / col("n")) / (col("n") - 1), 8).as("var_0"),
+      round((col("c_0_1") - col("s_0") * col("s_1") / col("n")) / (col("n") - 1), 8).as("cov_0_1"),
+      round((col("c_2_5") - col("s_2") * col("s_5") / col("n")) / (col("n") - 1), 8).as("cov_2_5"))
+  }
+
+  // the 130 moment sums are generated, not hand-written — identical math on
+  // both sides by construction
+  private val qEmbCovarianceSql = {
+    val dim = 64
+    def x(i: Int) = s"(embedding[${i + 1}]::DOUBLE)"
+    val sums =
+      (0 until dim).map(i => s"CAST(sum(CAST(${x(i)} AS DECIMAL(38,12))) AS DOUBLE) AS s_$i") ++
+        (0 until dim).map(i => s"CAST(sum(CAST(${x(i)}*${x(i)} AS DECIMAL(38,12))) AS DOUBLE) AS q_$i") ++
+        Seq(s"CAST(sum(CAST(${x(0)}*${x(1)} AS DECIMAL(38,12))) AS DOUBLE) AS c_0_1",
+          s"CAST(sum(CAST(${x(2)}*${x(5)} AS DECIMAL(38,12))) AS DOUBLE) AS c_2_5")
+    val trace = (0 until dim).map(i => s"(q_$i - s_$i*s_$i/n)/(n-1)").mkString(" + ")
+    s"""WITH m AS (SELECT CAST(count(*) AS DOUBLE) AS n, ${sums.mkString(", ")} FROM embeddings)
+       SELECT CAST(n AS BIGINT) AS n, round($trace, 6) AS trace,
+              round((q_0 - s_0*s_0/n)/(n-1), 8) AS var_0,
+              round((c_0_1 - s_0*s_1/n)/(n-1), 8) AS cov_0_1,
+              round((c_2_5 - s_2*s_5/n)/(n-1), 8) AS cov_2_5
+       FROM m"""
+  }
+
   // -- centroid per label (distributed vector aggregation) -------------------------
   private def qCentroids(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings")
@@ -854,6 +905,7 @@ object SimilarityQueries extends QueryPack {
     "ann_ivf_trained" -> (qAnnIvfTrained _),
     "emb_kmeans" -> (qKmeans _),
     "emb_stats" -> (qEmbStats _),
+    "emb_covariance" -> (qEmbCovariance _),
     "emb_label_centroids" -> (qCentroids _))
 
   override val oracles: Map[String, String] = Map(
@@ -868,5 +920,6 @@ object SimilarityQueries extends QueryPack {
     "ann_ivf_trained" -> qAnnIvfTrainedSql,
     "emb_kmeans" -> qKmeansSql,
     "emb_stats" -> qEmbStatsSql,
+    "emb_covariance" -> qEmbCovarianceSql,
     "emb_label_centroids" -> qCentroidsSql)
 }

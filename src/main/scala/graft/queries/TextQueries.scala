@@ -576,7 +576,47 @@ object TextQueries extends QueryPack {
        FROM l ORDER BY doc_id"""
   }
 
+  // -- Zipf slope of the term-frequency distribution --------------------------------
+  /** Corpus-level language statistic: the OLS slope of ln(freq) on ln(rank)
+    * over the top-100 terms (a natural-language corpus sits near −1; word
+    * soup or boilerplate flattens it — a cheap corpus-health metric). The
+    * term counts are the same one-shuffle aggregate as text_term_freq; the
+    * regression runs on a bounded 100-row frame, so the single-partition
+    * rank window and the closed-form OLS sums are O(100) regardless of
+    * corpus size.
+    */
+  private def qZipfSlope(s: SparkSession, dir: String): DataFrame = {
+    val freqs = t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("tok")).limit(100)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("freq").desc, col("tok")))) // 100 rows: bounded
+      .select(log(col("rank").cast("double")).as("x"),
+        log(col("freq").cast("double")).as("y"))
+    freqs.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(
+        col("n").cast("long").as("n_terms"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 4).as("zipf_slope"))
+  }
+
+  private val qZipfSlopeSql =
+    """WITH f AS (SELECT tok, count(*) AS freq FROM (
+           SELECT unnest(string_split(text,' ')) AS tok FROM documents)
+         GROUP BY tok ORDER BY freq DESC, tok LIMIT 100),
+       r AS (SELECT ln(CAST(row_number() OVER (ORDER BY freq DESC, tok) AS DOUBLE)) AS x,
+                    ln(CAST(freq AS DOUBLE)) AS y FROM f),
+       m AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+                    sum(x*y) AS sxy, sum(x*x) AS sxx FROM r)
+       SELECT CAST(n AS BIGINT) AS n_terms,
+              round((n*sxy - sx*sy) / (n*sxx - sx*sx), 4) AS zipf_slope FROM m"""
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_zipf_slope" -> (qZipfSlope _),
     "text_quality_model" -> (qQualityModel _),
     "text_hashing_tf" -> (qHashingTf _),
     "text_quality_gate" -> (qQualityGate _),
@@ -595,6 +635,7 @@ object TextQueries extends QueryPack {
     "text_rolling_fp" -> (qRollingFp _))
 
   override val oracles: Map[String, String] = Map(
+    "text_zipf_slope" -> qZipfSlopeSql,
     "text_quality_model" -> qQualityModelSql,
     "text_hashing_tf" -> qHashingTfSql,
     "text_quality_gate" -> qQualityGateSql,

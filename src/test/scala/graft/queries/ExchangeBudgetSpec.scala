@@ -37,6 +37,8 @@ class ExchangeBudgetSpec extends AnyFunSuite {
     "dedup_simhash" -> 4,
     "dedup_span_runs" -> 4,
     "dedup_span_windows" -> 4,
+    "emb_covariance" -> 1, // single 1-row moments reduction
+    "text_zipf_slope" -> 1, // term-count agg; regression on 100 bounded rows
     "emb_kmeans" -> 3,
     "emb_label_centroids" -> 2,
     "emb_outliers" -> 4,
