@@ -24,6 +24,29 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Observation name under which a finite `maxBucket` cap reports what it
+    * dropped: `dropped_buckets` (over-cap buckets skipped) and
+    * `dropped_pairs` (Σ w·(w−1)/2 over those buckets — an upper bound on
+    * forgone candidate pairs, since capped docs may still pair via calmer
+    * bands). Attached with `Dataset.observe` so the accounting costs no
+    * extra pass and rides the plan it describes; read it with
+    * [[capAccounting]] after an action on the SAME DataFrame, from a
+    * `QueryExecutionListener`, or (streaming) from
+    * `StreamingQueryProgress.observedMetrics`. No metric is attached when
+    * the cap is infinite (nothing can silently drop).
+    */
+  val CapObservation = "lsh_hot_bucket_cap"
+
+  /** Hot-bucket cap accounting of an EXECUTED DataFrame built with a finite
+    * `maxBucket` (run `collect()`/`write` on it first — observed metrics
+    * materialize with the action): Some((droppedBuckets, droppedPairs)),
+    * or None if no cap metric is in this plan / it has not executed.
+    */
+  def capAccounting(df: DataFrame): Option[(Long, Long)] =
+    df.queryExecution.observedMetrics.get(CapObservation)
+      .map(r => (r.getAs[Number]("dropped_buckets").longValue(),
+        r.getAs[Number]("dropped_pairs").longValue()))
+
   /** Exact dedup: one surviving row id per distinct content value.
     * Deterministic (min id wins), unlike dropDuplicates.
     */
@@ -137,10 +160,27 @@ object Dedup {
     // referenced in both nested lambdas would re-run the sort per element
     // under interpreted HOF evaluation — project it once, reference a leaf.
     val ids = col("ids")
-    banded
+    val grouped = banded
       .groupBy(col("band_idx"), col("band_hash"))
       .agg(collect_list(col(idCol)).as("ids0"))
-      .filter(size(col("ids0")) > 1 && size(col("ids0")) <= maxBucket)
+      .filter(size(col("ids0")) > 1)
+    // No silent caps: when the hot-bucket cap is finite, account for what it
+    // drops via an inline observed metric (CollectMetricsExec — no extra
+    // pass, no plan-shape change) BEFORE the cap filter. Surfaces through
+    // `capAccounting` after an action, a QueryExecutionListener, or
+    // StreamingQueryProgress.observedMetrics on the streaming path.
+    val accounted =
+      if (maxBucket == Int.MaxValue) grouped
+      else {
+        val w = size(col("ids0")).cast("long")
+        grouped.observe(CapObservation,
+          coalesce(sum(when(w > maxBucket, lit(1L))), lit(0L)).cast("long").as("dropped_buckets"),
+          // w·(w−1) is even so the double division is exact (< 2^53);
+          // cast back to long for a stable metric type
+          coalesce(sum(when(w > maxBucket, w * (w - 1L) / 2L)), lit(0L)).cast("long").as("dropped_pairs"))
+      }
+    accounted
+      .filter(size(col("ids0")) <= maxBucket)
       .select(array_sort(col("ids0")).as("ids"))
       .select(explode(flatten(transform(ids, (x, i) =>
         transform(slice(ids, i + 2, greatest(size(ids) - i - 1, lit(0))), y =>
@@ -265,10 +305,24 @@ object Dedup {
   def minHashDuplicates(
       df: DataFrame, id: Column, text: Column, shingleWidth: Int,
       threshold: Double, nHashes: Int = 64, r: Int = 2, seed: Long = 42L,
-      maxBucket: Int = Int.MaxValue): DataFrame = {
+      maxBucket: Int = Int.MaxValue): DataFrame =
+    minHashDuplicatesAccounted(df, id, text, shingleWidth, threshold, nHashes, r, seed, maxBucket)._1
+
+  /** [[minHashDuplicates]] plus the hot-bucket cap accounting (see
+    * [[CapObservation]]): the public pipeline checkpoints its result (which
+    * hides the inline observe node from the returned frame's plan), so this
+    * variant reads the metric off the executed inner plan and hands it
+    * back — (pairs, Some((droppedBuckets, droppedPairs))) when `maxBucket`
+    * is finite, (pairs, None) when the cap is off.
+    */
+  def minHashDuplicatesAccounted(
+      df: DataFrame, id: Column, text: Column, shingleWidth: Int,
+      threshold: Double, nHashes: Int = 64, r: Int = 2, seed: Long = 42L,
+      maxBucket: Int = Int.MaxValue): (DataFrame, Option[(Long, Long)]) = {
     val (result, intermediates) =
       minHashDuplicatesLazy(df, id, text, shingleWidth, threshold, nHashes, r, seed, maxBucket)
-    materializeAndRelease(result, intermediates: _*)
+    val out = materializeAndRelease(result, intermediates: _*)
+    (out, capAccounting(result))
   }
 
   /** The LAZY plan behind [[minHashDuplicates]] plus the intermediates it
@@ -357,16 +411,52 @@ object Dedup {
   private[graft] def minHashIncrementalIndexed(
       corpusDocs: DataFrame, corpusBands: DataFrame, freshDocs: DataFrame,
       threshold: Double, nHashes: Int = 64, r: Int = 2, seed: Long = 42L,
-      maxBucket: Int = Int.MaxValue): DataFrame = {
-    val (result, intermediates) = minHashIncrementalIndexedLazy(
+      maxBucket: Int = Int.MaxValue): DataFrame =
+    minHashIncrementalIndexedAccounted(
+      corpusDocs, corpusBands, freshDocs, threshold, nHashes, r, seed, maxBucket)._1
+
+  /** [[minHashIncrementalIndexed]] plus hot-bucket cap accounting — same
+    * contract as [[minHashDuplicatesAccounted]]. Here the dropped set IS
+    * the hot list the capped plan already aggregates (and persists, tiny by
+    * definition), so the accounting is one cache-backed aggregate over it —
+    * an inline `observe` can't be used because the hot list feeds a
+    * broadcast exchange, whose subtree metrics don't surface on the main
+    * query's execution.
+    */
+  private[graft] def minHashIncrementalIndexedAccounted(
+      corpusDocs: DataFrame, corpusBands: DataFrame, freshDocs: DataFrame,
+      threshold: Double, nHashes: Int = 64, r: Int = 2, seed: Long = 42L,
+      maxBucket: Int = Int.MaxValue): (DataFrame, Option[(Long, Long)]) = {
+    val (result, intermediates, hotFrame) = minHashIncrementalIndexedLazyCap(
       corpusDocs, corpusBands, freshDocs, threshold, nHashes, r, seed, maxBucket)
-    materializeAndRelease(result, intermediates: _*)
+    try {
+      val out = result.localCheckpoint() // eager: runs the pipeline (and fills the hot cache)
+      val acct = hotFrame.map { hot =>
+        val r = hot.agg(
+          coalesce(sum(lit(1L)), lit(0L)).cast("long"),
+          coalesce(sum(col("__w") * (col("__w") - 1L) / 2L), lit(0L)).cast("long")).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      (out, acct)
+    } finally {
+      intermediates.foreach(_.unpersist(blocking = false))
+      hotFrame.foreach(_.unpersist(blocking = false))
+    }
   }
 
   private[graft] def minHashIncrementalIndexedLazy(
       corpusDocs0: DataFrame, corpusBands0: DataFrame, freshDocs0: DataFrame,
       threshold: Double, nHashes: Int, r: Int, seed: Long,
       maxBucket: Int): (DataFrame, Seq[DataFrame]) = {
+    val (result, intermediates, hotFrame) = minHashIncrementalIndexedLazyCap(
+      corpusDocs0, corpusBands0, freshDocs0, threshold, nHashes, r, seed, maxBucket)
+    (result, intermediates ++ hotFrame)
+  }
+
+  private[graft] def minHashIncrementalIndexedLazyCap(
+      corpusDocs0: DataFrame, corpusBands0: DataFrame, freshDocs0: DataFrame,
+      threshold: Double, nHashes: Int, r: Int, seed: Long,
+      maxBucket: Int): (DataFrame, Seq[DataFrame], Option[DataFrame]) = {
     val freshDocs = freshDocs0.persist()
     val freshIds = freshDocs.select(col("__id"))
     // fresh supersedes: a re-ingested id's old corpus rows must not pair
@@ -376,14 +466,20 @@ object Dedup {
     val fBands = bandTable(freshDocs, "__id", "__sh", nHashes, r, seed)
       .withColumn("__is_fresh", lit(true))
     val allBands = cBands.union(fBands)
-    val capped =
-      if (maxBucket == Int.MaxValue) allBands
-      else {
-        val hot = allBands.groupBy(col("band_idx"), col("band_hash"))
-          .agg(count(lit(1)).as("__w")).filter(col("__w") > maxBucket)
-          .select(col("band_idx"), col("band_hash"))
-        allBands.join(broadcast(hot), Seq("band_idx", "band_hash"), "left_anti")
-      }
+    // No silent caps: the hot list (over-cap buckets with their widths) is
+    // persisted so [[minHashIncrementalIndexedAccounted]] can report what
+    // the cap dropped from the exact rows the plan skipped, at the cost of
+    // one aggregate over the (tiny) cached list — not a second band pass.
+    val hotFrame =
+      if (maxBucket == Int.MaxValue) None
+      else Some(allBands.groupBy(col("band_idx"), col("band_hash"))
+        .agg(count(lit(1)).as("__w")).filter(col("__w") > maxBucket).persist())
+    val capped = hotFrame match {
+      case None => allBands
+      case Some(hot) =>
+        allBands.join(broadcast(hot.select(col("band_idx"), col("band_hash"))),
+          Seq("band_idx", "band_hash"), "left_anti")
+    }
     // hot buckets are already absent from `capped`, so the equi-join below
     // filters the broadcast fresh side implicitly
     val freshSide = fBands.select(col("band_idx"), col("band_hash"), col("__id").as("__f_id"))
@@ -399,7 +495,7 @@ object Dedup {
     (verifyJaccard(cands, corpusDocs.union(freshDocs), "__id", "__sh")
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard")),
-      Seq(freshDocs, corpusDocs))
+      Seq(freshDocs, corpusDocs), hotFrame)
   }
 
   /** Duplicate-cluster assignment: connected components over the near-dup

@@ -261,53 +261,50 @@ object AdvancedQueries extends QueryPack {
        FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey"""
   }
 
-  // -- one-pass column profiler -----------------------------------------------------
-  /** Data-profiling rollup over lineitem: null count, EXACT distinct count,
-    * and min/max per column, computed in ONE scan — the multi-distinct
-    * aggregate plans a single Expand (one row per profiled column per input
-    * row) feeding one shuffle of partial aggregates, vs the naive
-    * one-query-per-column profiler's 5 scans of the (100 TB) fact table.
-    * Min/max render through explicitly-controlled formats (dates via
-    * date_format, integral doubles via bigint) so the cross-engine compare
-    * never hits float/timestamp rendering differences.
+  // -- one-pass HYBRID column profiler ------------------------------------------------
+  /** Data-profiling rollup over lineitem via `ColumnProfiler.profile`: null
+    * count, distinct count, and min/max per column in ONE scan and ONE
+    * map-side-combinable aggregate — no Expand. Distinct strategy is hybrid
+    * (the r9-verdict fix for the suite's one scale-killer-shaped plan):
     *
-    * Cost note: EXACT distincts are the deliberate trade here — the Expand
-    * multiplies the scan by the profiled-column count and dedups each
-    * (gid, value) group, the dominant cost at sf0.1 (~6 s). When ±2%
-    * suffices, swap `countDistinct` for `approx_count_distinct` and the
-    * same plan collapses to map-side HLL partials with no Expand (the
-    * `q_approx_distinct_bound` gate pins that estimator's error).
+    *  - flags/status/dates (`l_returnflag`, `l_linestatus`, `l_shipdate`)
+    *    are EXACT via bounded collect_set — their cardinality is provably
+    *    tiny (3 / 2 / ~2.5k), so the set buffer is KBs per task;
+    *  - keys (`l_orderkey`, `l_quantity`) are HLL++ estimates. The raw
+    *    estimate is engine-specific, so the gate projects it through the
+    *    `q_approx_distinct_bound` device: `n_distinct` is NULL and `nd_ok`
+    *    asserts |hll − exact| ≤ 5% of exact, with the exact values computed
+    *    by two SEPARATE single-distinct aggregates (standard two-phase
+    *    plans, no Expand; they exist only to validate the estimator — the
+    *    profiler itself never pays them).
+    *
+    * Min/max render through explicitly-controlled formats (dates via
+    * date_format, doubles via floor() — Spark's double→bigint cast
+    * truncates toward zero while DuckDB's rounds, so the rendering is
+    * pinned to floor on BOTH engines; r9 ADVICE) so the cross-engine
+    * compare never hits float/timestamp rendering differences.
     */
   private def qProfile(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ColumnProfiler
+    import graft.operators.ColumnProfiler.{Approx, ColSpec, ExactLowCard}
     val li = t(s, dir, "lineitem")
-    val agg = li.agg(
-      count(lit(1)).as("n_rows"),
-      count(when(col("l_returnflag").isNull, 1)).as("null_rf"),
-      countDistinct(col("l_returnflag")).as("nd_rf"),
-      min(col("l_returnflag")).as("min_rf"), max(col("l_returnflag")).as("max_rf"),
-      count(when(col("l_linestatus").isNull, 1)).as("null_ls"),
-      countDistinct(col("l_linestatus")).as("nd_ls"),
-      min(col("l_linestatus")).as("min_ls"), max(col("l_linestatus")).as("max_ls"),
-      count(when(col("l_orderkey").isNull, 1)).as("null_ok"),
-      countDistinct(col("l_orderkey")).as("nd_ok"),
-      min(col("l_orderkey")).cast("string").as("min_ok"),
-      max(col("l_orderkey")).cast("string").as("max_ok"),
-      count(when(col("l_quantity").isNull, 1)).as("null_q"),
-      countDistinct(col("l_quantity")).as("nd_q"),
-      min(col("l_quantity")).cast("bigint").cast("string").as("min_q"),
-      max(col("l_quantity")).cast("bigint").cast("string").as("max_q"),
-      count(when(col("l_shipdate").isNull, 1)).as("null_sd"),
-      countDistinct(col("l_shipdate")).as("nd_sd"),
-      date_format(min(col("l_shipdate")), "yyyy-MM-dd").as("min_sd"),
-      date_format(max(col("l_shipdate")), "yyyy-MM-dd").as("max_sd"))
-    agg.selectExpr("n_rows", """stack(5,
-        'l_returnflag', null_rf, nd_rf, min_rf, max_rf,
-        'l_linestatus', null_ls, nd_ls, min_ls, max_ls,
-        'l_orderkey',   null_ok, nd_ok, min_ok, max_ok,
-        'l_quantity',   null_q,  nd_q,  min_q,  max_q,
-        'l_shipdate',   null_sd, nd_sd, min_sd, max_sd
-      ) AS (col_name, n_nulls, n_distinct, min_s, max_s)""")
-      .select(col("col_name"), col("n_rows"), col("n_nulls"), col("n_distinct"),
+    val prof = ColumnProfiler.profile(li, Seq(
+      ColSpec("l_returnflag", ExactLowCard),
+      ColSpec("l_linestatus", ExactLowCard),
+      ColSpec("l_orderkey", Approx(0.02)),
+      ColSpec("l_quantity", Approx(0.02), c => floor(c).cast("string")),
+      ColSpec("l_shipdate", ExactLowCard, c => date_format(c, "yyyy-MM-dd"))))
+    // exact references for the two HLL columns, each a plain two-phase
+    // single-distinct aggregate over a one-column pruned scan
+    val exOk = li.agg(countDistinct(col("l_orderkey")).as("ex_ok"))
+    val exQ = li.agg(countDistinct(col("l_quantity")).as("ex_q"))
+    val exact = when(col("col_name") === "l_orderkey", col("ex_ok")).otherwise(col("ex_q"))
+    prof
+      .crossJoin(broadcast(exOk)).crossJoin(broadcast(exQ))
+      .select(col("col_name"), col("n_rows"), col("n_nulls"),
+        when(col("nd_exact"), col("n_distinct")).as("n_distinct"),
+        when(col("nd_exact"), lit(true))
+          .otherwise(abs(col("n_distinct") - exact) <= exact * 0.05).as("nd_ok"),
         col("min_s"), col("max_s"))
       .orderBy("col_name")
   }
@@ -316,26 +313,27 @@ object AdvancedQueries extends QueryPack {
     """WITH n AS (SELECT count(*) AS n_rows FROM lineitem)
        SELECT 'l_returnflag' AS col_name, n_rows,
               count(CASE WHEN l_returnflag IS NULL THEN 1 END) AS n_nulls,
-              count(DISTINCT l_returnflag) AS n_distinct,
+              count(DISTINCT l_returnflag) AS n_distinct, true AS nd_ok,
               min(l_returnflag) AS min_s, max(l_returnflag) AS max_s
          FROM lineitem CROSS JOIN n GROUP BY n_rows
        UNION ALL
        SELECT 'l_linestatus', n_rows, count(CASE WHEN l_linestatus IS NULL THEN 1 END),
-              count(DISTINCT l_linestatus), min(l_linestatus), max(l_linestatus)
+              count(DISTINCT l_linestatus), true, min(l_linestatus), max(l_linestatus)
          FROM lineitem CROSS JOIN n GROUP BY n_rows
        UNION ALL
        SELECT 'l_orderkey', n_rows, count(CASE WHEN l_orderkey IS NULL THEN 1 END),
-              count(DISTINCT l_orderkey),
+              CAST(NULL AS BIGINT), true,
               min(l_orderkey)::VARCHAR, max(l_orderkey)::VARCHAR
          FROM lineitem CROSS JOIN n GROUP BY n_rows
        UNION ALL
        SELECT 'l_quantity', n_rows, count(CASE WHEN l_quantity IS NULL THEN 1 END),
-              count(DISTINCT l_quantity),
-              CAST(min(l_quantity) AS BIGINT)::VARCHAR, CAST(max(l_quantity) AS BIGINT)::VARCHAR
+              CAST(NULL AS BIGINT), true,
+              CAST(floor(min(l_quantity)) AS BIGINT)::VARCHAR,
+              CAST(floor(max(l_quantity)) AS BIGINT)::VARCHAR
          FROM lineitem CROSS JOIN n GROUP BY n_rows
        UNION ALL
        SELECT 'l_shipdate', n_rows, count(CASE WHEN l_shipdate IS NULL THEN 1 END),
-              count(DISTINCT l_shipdate),
+              count(DISTINCT l_shipdate), true,
               strftime(min(l_shipdate), '%Y-%m-%d'), strftime(max(l_shipdate), '%Y-%m-%d')
          FROM lineitem CROSS JOIN n GROUP BY n_rows
        ORDER BY col_name"""

@@ -89,9 +89,21 @@ private[queries] object FixtureSchemas {
   }
   private def exact(t: DataType): DataType => Boolean = _ == t
 
-  private val expected: Map[String, Seq[(String, DataType => Boolean, String)]] = {
-    def c(n: String, t: DataType) = (n, exact(t), t.simpleString)
-    def ts(n: String) = (n, anyTs, "timestamp-like (long|timestamp_ntz|timestamp)")
+  /** One expected column: name, acceptance predicate, human-readable type
+    * for the drift error, and an EXPLICIT timestamp-vintage tag. The tag —
+    * not predicate object identity — drives `timestampColumns`, so a
+    * refactor that eta-expands or inlines `anyTs` cannot silently empty
+    * the normalization set while the guard still accepts the vintages
+    * (the round-8 failure shape; r9 ADVICE).
+    */
+  private final case class ColRule(
+      name: String, ok: DataType => Boolean, want: String,
+      timestampVintage: Boolean = false)
+
+  private val expected: Map[String, Seq[ColRule]] = {
+    def c(n: String, t: DataType) = ColRule(n, exact(t), t.simpleString)
+    def ts(n: String) =
+      ColRule(n, anyTs, "timestamp-like (long|timestamp_ntz|timestamp)", timestampVintage = true)
     Map(
       "region" -> Seq(c("r_regionkey", IntegerType), c("r_name", StringType)),
       "nation" -> Seq(c("n_nationkey", IntegerType), c("n_name", StringType),
@@ -120,7 +132,7 @@ private[queries] object FixtureSchemas {
         c("lang", StringType), c("source", StringType),
         c("n_chars", LongType)),
       "embeddings" -> Seq(c("vec_id", LongType),
-        ("embedding", (dt: DataType) => dt match {
+        ColRule("embedding", {
           case ArrayType(FloatType, _) => true
           case _ => false
         }, "array<float>"),
@@ -132,13 +144,13 @@ private[queries] object FixtureSchemas {
     * cannot diverge.
     */
   def timestampColumns(name: String): Seq[String] =
-    expected.getOrElse(name, Nil).collect { case (cn, ok, _) if ok == anyTs => cn }
+    expected.getOrElse(name, Nil).collect { case r if r.timestampVintage => r.name }
 
   def assertMatches(name: String, actual: StructType): Unit =
     expected.get(name).foreach { exp =>
       val problems = Seq.newBuilder[String]
       val got = actual.fields.map(f => f.name -> f.dataType)
-      val expNames = exp.map(_._1)
+      val expNames = exp.map(_.name)
       val missing = expNames.diff(got.map(_._1))
       val extra = got.map(_._1).diff(expNames)
       if (missing.nonEmpty) problems += s"missing columns: ${missing.mkString(", ")}"
@@ -146,9 +158,11 @@ private[queries] object FixtureSchemas {
       // order matters too: specs and the oracle compare read positionally
       if (missing.isEmpty && extra.isEmpty && got.map(_._1).toSeq != expNames)
         problems += s"column order drifted: got ${got.map(_._1).mkString(", ")}"
-      exp.foreach { case (cn, ok, want) =>
-        got.collectFirst { case (`cn`, dt) => dt }.foreach { dt =>
-          if (!ok(dt)) problems += s"$cn: got ${dt.simpleString}, expected $want"
+      exp.foreach { r =>
+        got.collectFirst { case (r.name, dt) => dt } match {
+          case Some(dt) if !r.ok(dt) =>
+            problems += s"${r.name}: got ${dt.simpleString}, expected ${r.want}"
+          case _ => ()
         }
       }
       val ps = problems.result()

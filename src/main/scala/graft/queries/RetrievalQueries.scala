@@ -52,8 +52,15 @@ object RetrievalQueries extends QueryPack {
       .withColumn("contrib",
         col("idf") * col("tf") * (lit(K1) + 1.0) /
           (col("tf") + lit(K1) * (lit(1.0) - B + lit(B) * col("dl") / col("avgdl"))))
+      // Per-term contribs quantize to 9-decimal DECIMAL before the sum (the
+      // t-test/covariance/dsir device; r9 ADVICE): the double sum's value
+      // could land within an ulp of a 4-decimal rounding boundary and round
+      // differently per engine — summing exact decimals makes the rounded
+      // score engine-exact (residual risk is only a single CONTRIB sitting
+      // on its own 1e-9 boundary, ulp-of-ln scale, not accumulated).
+      .withColumn("contrib_q", round(col("contrib"), 9).cast("decimal(28,9)"))
       .groupBy(col("doc_id"))
-      .agg(round(sum(col("contrib")), 4).as("score"))
+      .agg(round(sum(col("contrib_q")), 4).cast("double").as("score"))
   }
 
   private val bm25ScoresSql =
@@ -65,8 +72,8 @@ object RetrievalQueries extends QueryPack {
        dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
        bm25 AS (
          SELECT t.doc_id,
-                round(sum( ln(1 + (s.n - f.df + 0.5)/(f.df + 0.5))
-                     * t.tf*(1.2+1) / (t.tf + 1.2*(1 - 0.75 + 0.75*d.dl/s.avgdl)) ), 4) AS score
+                CAST(round(sum(CAST(round( ln(1 + (s.n - f.df + 0.5)/(f.df + 0.5))
+                     * t.tf*(1.2+1) / (t.tf + 1.2*(1 - 0.75 + 0.75*d.dl/s.avgdl)), 9) AS DECIMAL(28,9))), 4) AS DOUBLE) AS score
          FROM tf t JOIN dfreq f USING (tok) JOIN d USING (doc_id) CROSS JOIN stats s
          GROUP BY 1)"""
 

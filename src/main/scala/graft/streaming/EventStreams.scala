@@ -119,28 +119,33 @@ object EventStreams {
     * is 24 bytes/user — min-aggregates never retract, so no timeout is
     * needed for correctness, and a TTL can bound lifetime-user cardinality
     * when business rules allow (see [[idleSessionCloser]] for that
-    * regime). 0 = stage not reached (matches the batch dual's null → not
-    * counted convention).
+    * regime). In the OUTPUT, 0 = stage not reached (matches the batch
+    * dual's null → not counted convention); internally the sentinel is
+    * Long.MaxValue so the earliest-min logic stays correct for epoch 0 and
+    * negative (pre-1970) timestamps (r9 ADVICE) — only a literal
+    * epoch_s == 0 event remains output-ambiguous under the batch-dual
+    * convention.
     */
   def funnelTracker(events: org.apache.spark.sql.Dataset[FunnelEvent])
       : org.apache.spark.sql.Dataset[FunnelStages] = {
     import events.sparkSession.implicits._
+    val Unreached = Long.MaxValue
     events
       .groupByKey(_.user_id)
       .mapGroupsWithState[FunnelState, FunnelStages](GroupStateTimeout.NoTimeout) {
         (user: Long, evs: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
-          var s = state.getOption.getOrElse(FunnelState(0L, 0L, 0L))
-          def early(cur: Long, t: Long): Long = if (cur == 0L || t < cur) t else cur
+          var s = state.getOption.getOrElse(FunnelState(Unreached, Unreached, Unreached))
           evs.foreach { e =>
             e.event_type match {
-              case "view" => s = s.copy(view = early(s.view, e.epoch_s))
-              case "click" => s = s.copy(click = early(s.click, e.epoch_s))
-              case "purchase" => s = s.copy(buy = early(s.buy, e.epoch_s))
+              case "view" => s = s.copy(view = math.min(s.view, e.epoch_s))
+              case "click" => s = s.copy(click = math.min(s.click, e.epoch_s))
+              case "purchase" => s = s.copy(buy = math.min(s.buy, e.epoch_s))
               case _ => ()
             }
           }
           state.update(s)
-          FunnelStages(user, s.view, s.click, s.buy)
+          def out(v: Long): Long = if (v == Unreached) 0L else v
+          FunnelStages(user, out(s.view), out(s.click), out(s.buy))
       }
   }
 

@@ -256,6 +256,44 @@ class DedupSpec extends AnyFunSuite {
     assert(uncapped.count(p => p._1 >= 10L && p._2 >= 10L) == 15) // default keeps all 6C2 pairs
   }
 
+  test("hot-bucket cap accounting: dropped buckets/pairs surface when the cap binds, zero when not") {
+    // 6 identical boilerplate docs: all 32 bands collide into width-6
+    // buckets, every one over a cap of 4 → 32 dropped buckets, each
+    // forgoing C(6,2)=15 pairs. The near-dup pair (1,2) lives in calm
+    // width-2 buckets and must not be counted.
+    val boiler = (10L to 15L).map(i => (i, "standard footer text repeated across the whole site every page"))
+    val corpus = (boiler ++ Seq(
+      (1L, "a unique document about spark plans and shuffles today"),
+      (2L, "a unique document about spark plans and shuffles tonight"))).toDF("doc_id", "text")
+    val (_, binding) = Dedup.minHashDuplicatesAccounted(corpus, col("doc_id"), col("text"),
+      shingleWidth = 3, threshold = 0.5, maxBucket = 4)
+    assert(binding == Some((32L, 32L * 15L)),
+      s"cap binds on all 32 boilerplate band buckets: got $binding")
+    val (_, finite) = Dedup.minHashDuplicatesAccounted(corpus, col("doc_id"), col("text"),
+      shingleWidth = 3, threshold = 0.5, maxBucket = 100)
+    assert(finite == Some((0L, 0L)), s"finite unbinding cap must report zero drops: got $finite")
+    val (_, off) = Dedup.minHashDuplicatesAccounted(corpus, col("doc_id"), col("text"),
+      shingleWidth = 3, threshold = 0.5)
+    assert(off.isEmpty, "no cap, no metric — nothing can silently drop")
+  }
+
+  test("hot-bucket cap accounting on the incremental indexed path (combined corpus+fresh width)") {
+    val corpus = (10L to 14L)
+      .map(i => (i, "standard footer text repeated across the whole site every page"))
+      .toDF("doc_id", "text")
+    val fresh = Seq((20L, "standard footer text repeated across the whole site every page"))
+      .toDF("doc_id", "text")
+    val docsOf = (df: org.apache.spark.sql.DataFrame) => df.select(
+      col("doc_id").as("__id"), Dedup.shingleHashes(col("text"), 3).as("__sh"))
+    val corpusDocs = docsOf(corpus)
+    val bands = Dedup.bandTable(corpusDocs, "__id", "__sh", nHashes = 64, r = 2, seed = 42L)
+    val (pairs, acct) = Dedup.minHashIncrementalIndexedAccounted(
+      corpusDocs, bands, docsOf(fresh), threshold = 0.5, maxBucket = 4)
+    // combined width 6 > 4 in every band: all buckets skipped → no pairs
+    assert(pairs.isEmpty, "every bucket is hot; the capped incremental run yields no candidates")
+    assert(acct == Some((32L, 32L * 15L)), s"32 combined-width-6 buckets dropped: got $acct")
+  }
+
   test("cosineJoinBlocked: block-count edge cases (1 stripe, more stripes than vectors)") {
     val rnd = new scala.util.Random(11)
     val vecs = (0L until 12L).map(i => (i, Array.fill(6)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "emb")

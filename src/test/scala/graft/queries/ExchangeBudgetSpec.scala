@@ -85,8 +85,14 @@ class ExchangeBudgetSpec extends AnyFunSuite {
                                 // ranking is TakeOrdered
     "q_histogram" -> 2,     // bucket-key agg + output sort (≤ #buckets rows)
     "q_ab_test" -> 1,       // single 1-row moments reduction
-    "q_profile_columns" -> 2, // Expand + multi-distinct partial agg, then
-                              // the 5-row final agg exchange
+    "q_profile_columns" -> 5, // hybrid profiler (r10): 1-row profile agg
+                              // merge + 2×2 for the two single-distinct
+                              // HLL validators (value shuffle + 1-row
+                              // merge each). No Expand anywhere — the old
+                              // plan's 2 exchanges carried a 5× Expand of
+                              // the fact table; these 5 move ~nd(key)
+                              // rows total. Validators are gate-only; the
+                              // profiler itself costs exchange #1 alone.
     "q11_important_stock" -> 4,
     "q12_priority" -> 2,
     "q13_order_dist" -> 3,

@@ -297,4 +297,23 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(full == 1) // only user 1
     } finally q.stop()
   }
+
+  test("funnel tracker: pre-1970 (negative) timestamps are real times, not the absent sentinel") {
+    implicit val sc = spark.sqlContext
+    import EventStreams.FunnelEvent
+    val in = MemoryStream[FunnelEvent]
+    val q = EventStreams.funnelTracker(in.toDS())
+      .writeStream.format("memory").queryName("funnel_neg").outputMode(OutputMode.Update()).start()
+    try {
+      // user 9's earliest view is BEFORE the epoch; a later positive view
+      // must not displace it, and the unreached stages still emit 0
+      in.addData(FunnelEvent(9L, -500L, "view"), FunnelEvent(9L, 50L, "view"),
+        FunnelEvent(9L, 80L, "click"))
+      q.processAllAvailable()
+      val rows = spark.table("funnel_neg").collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(rows(9L) == ((-500L, 80L, 0L)),
+        s"negative earliest view must survive the min logic: got ${rows(9L)}")
+    } finally q.stop()
+  }
 }
