@@ -114,13 +114,14 @@ object BenchScale {
       }.pipe(write(_, "embeddings"))
     }
 
-    if (tables == AllTables) synthesizeRelational(spark, srcDir, outDir, nReps)
+    if (AllTables.drop(2).exists(wants)) // any relational/event table wanted
+      synthesizeRelational(spark, srcDir, outDir, nReps, wants)
 
     java.nio.file.Files.writeString(done.toPath, stamp + "\n")
   }
 
   private def synthesizeRelational(spark: SparkSession, srcDir: String,
-      outDir: String, nReps: Int): Unit = {
+      outDir: String, nReps: Int, wants: String => Boolean): Unit = {
     def maxOf(df: DataFrame, c: String): Long = df.agg(max(col(c))).head().getLong(0) + 1
     def reps(df: DataFrame)(copy: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until nReps).map(k => copy(df, k)).reduce(_ union _)
@@ -131,14 +132,16 @@ object BenchScale {
     // micros); replicate from the RAW read and pass `ts` through unchanged —
     // QueryPack.t branches on whichever dtype the written copy carries.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val events = spark.read.parquet(s"$srcDir/events.parquet")
-    val nEv = maxOf(events, "event_id")
-    val nUsr = maxOf(events, "user_id")
-    reps(events) { (df, k) =>
-      df.select((col("event_id") + lit(k * nEv)).as("event_id"), col("ts"),
-        (col("user_id") + lit(k * nUsr)).as("user_id"),
-        col("event_type"), col("value"), col("props"))
-    }.pipe(write(_, "events"))
+    if (wants("events")) {
+      val events = spark.read.parquet(s"$srcDir/events.parquet")
+      val nEv = maxOf(events, "event_id")
+      val nUsr = maxOf(events, "user_id")
+      reps(events) { (df, k) =>
+        df.select((col("event_id") + lit(k * nEv)).as("event_id"), col("ts"),
+          (col("user_id") + lit(k * nUsr)).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+      }.pipe(write(_, "events"))
+    }
 
     // TPC-H: dimension cardinalities come from the OWNING table so fact-
     // table foreign keys shift onto the matching replica's dimension rows
@@ -151,42 +154,44 @@ object BenchScale {
     val nPart = maxOf(part, "p_partkey")
     val nOrd = maxOf(orders, "o_orderkey")
 
-    reps(customer) { (df, k) =>
+    if (wants("customer")) reps(customer) { (df, k) =>
       df.select((col("c_custkey") + lit(k * nCust)).as("c_custkey"),
         col("c_name"), col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
     }.pipe(write(_, "customer"))
 
-    reps(supplier) { (df, k) =>
+    if (wants("supplier")) reps(supplier) { (df, k) =>
       df.select((col("s_suppkey") + lit(k * nSupp)).as("s_suppkey"),
         col("s_name"), col("s_nationkey"), col("s_acctbal"))
     }.pipe(write(_, "supplier"))
 
-    reps(part) { (df, k) =>
+    if (wants("part")) reps(part) { (df, k) =>
       df.select((col("p_partkey") + lit(k * nPart)).as("p_partkey"),
         col("p_name"), col("p_brand"), col("p_type"), col("p_size"),
         col("p_retailprice"))
     }.pipe(write(_, "part"))
 
-    reps(orders) { (df, k) =>
+    if (wants("orders")) reps(orders) { (df, k) =>
       df.select((col("o_orderkey") + lit(k * nOrd)).as("o_orderkey"),
         (col("o_custkey") + lit(k * nCust)).as("o_custkey"),
         col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
         col("o_orderpriority"))
     }.pipe(write(_, "orders"))
 
-    val lineitem = spark.read.parquet(s"$srcDir/lineitem.parquet")
-    reps(lineitem) { (df, k) =>
-      df.select((col("l_orderkey") + lit(k * nOrd)).as("l_orderkey"),
-        (col("l_partkey") + lit(k * nPart)).as("l_partkey"),
-        (col("l_suppkey") + lit(k * nSupp)).as("l_suppkey"),
-        col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
-        col("l_discount"), col("l_tax"), col("l_returnflag"),
-        col("l_linestatus"), col("l_shipdate"))
-    }.pipe(write(_, "lineitem"))
+    if (wants("lineitem")) {
+      val lineitem = spark.read.parquet(s"$srcDir/lineitem.parquet")
+      reps(lineitem) { (df, k) =>
+        df.select((col("l_orderkey") + lit(k * nOrd)).as("l_orderkey"),
+          (col("l_partkey") + lit(k * nPart)).as("l_partkey"),
+          (col("l_suppkey") + lit(k * nSupp)).as("l_suppkey"),
+          col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax"), col("l_returnflag"),
+          col("l_linestatus"), col("l_shipdate"))
+      }.pipe(write(_, "lineitem"))
+    }
 
     // fixed-cardinality dimensions: copied once, not replicated
-    write(spark.read.parquet(s"$srcDir/nation.parquet"), "nation")
-    write(spark.read.parquet(s"$srcDir/region.parquet"), "region")
+    if (wants("nation")) write(spark.read.parquet(s"$srcDir/nation.parquet"), "nation")
+    if (wants("region")) write(spark.read.parquet(s"$srcDir/region.parquet"), "region")
   }
 
   def main(args: Array[String]): Unit = {
@@ -205,12 +210,18 @@ object BenchScale {
     // exclusions are recorded in the artifact so a reader sees the cap.
     val exclude = sys.env.get("SPARK_GRAFT_SCALE_EXCLUDE")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    // SPARK_GRAFT_SCALE_ONLY=q1,q2 runs a targeted subset (e.g. the
+    // relational/event growth points on a relational-only tier); everything
+    // else lands in the artifact's `excluded` via the registry diff below.
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val spark = LocalSession.build()
     synthesize(spark, srcDir, outDir, scaleReps, scaleTables)
 
     // EVERY gate query (round 5 covered only the dedup/ANN/pipeline/text
     // packs — the relational/window/TPC-H shapes had no scale data point)
-    val qs = SparkEntry.queries.view.filterKeys(!exclude.contains(_)).toMap
+    val qs = SparkEntry.queries.view
+      .filterKeys(k => !exclude.contains(k) && only.forall(_.contains(k))).toMap
     // same methodology as Bench: untimed warmup, then min of 2 timed reps,
     // clearCache between runs
     qs.foreach { case (_, fn) =>
@@ -245,7 +256,15 @@ object BenchScale {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val metric = if (scaleReps == Reps) "total_sf1" else s"total_scale${scaleReps}x"
-    val excl = exclude.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // No silent narrowing (r9 VERDICT #3): `excluded` is computed as the
+    // REGISTRY DIFF — every registered gate without a successful timing in
+    // this artifact (env-excluded, failed all reps, or otherwise absent) —
+    // so a tier artifact always accounts for the full gate registry it was
+    // built against. tools/roundcheck.py cross-checks committed tier
+    // artifacts against the round's correctness registry the same way.
+    val timed = results.collect { case (n, t) if t >= 0 => n }.toSet
+    val absent = (SparkEntry.queries.keySet -- timed) ++ exclude
+    val excl = absent.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json = s"""{"metric":"$metric","value":${fmt(total)},"unit":"sec","reps":$nReps,"agg":"min","calibration":{"before":${fmt(probeBefore)},"after":${fmt(probeAfter)}},"scale":"${scaleReps}x-$srcDir","excluded":$excl,"queries":$qjson}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(artifact), json + "\n")
     catch { case _: Throwable => () }

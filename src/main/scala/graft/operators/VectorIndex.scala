@@ -1,0 +1,207 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions.{argminL2, l2sq}
+
+/** Product-quantization layout shared by every side of an IVFADC index:
+  * `m` subspaces of `subDim` components each, `k` code words per subspace.
+  */
+final case class PqParams(m: Int, subDim: Int, k: Int)
+
+/** A trained, FROZEN IVFADC quantizer: the coarse cell centroids
+  * (`cents`: cent_id, cent) and the shared residual PQ codebook
+  * (`csubs`: cent_id, m, centsub). Together with a codes table this is the
+  * whole persistable state of the index — raw vectors are never stored.
+  */
+final case class IvfadcQuantizer(cents: DataFrame, csubs: DataFrame, pq: PqParams)
+
+/** Persistable, APPENDABLE IVFADC vector index — the ANN dual of
+  * [[Dedup.minHashIncrementalIndexed]] and the vector analogue of the
+  * reference's incremental cursor sync (integrations/shopify/shopify.go:39-64
+  * — scan only the new window, persist the cursor): train once on the
+  * corpus, persist `(vec_id, cell, m, code)` + the quantizer to parquet,
+  * then index each fresh batch by assigning + encoding UNDER THE FROZEN
+  * QUANTIZER and appending its codes — the corpus is never re-read,
+  * re-shuffled, or re-trained on the append path.
+  *
+  * Why this is sound: [[encode]] is row-wise (broadcast-argmin cell
+  * assignment → broadcast centroid residual → broadcast-codebook subspace
+  * argmin — a map-only pass, zero shuffle exchanges, spec-asserted), so
+  * `encode(corpus) ∪ encode(batch)` under a frozen quantizer is exactly
+  * `encode(corpus ∪ batch)` — an appended index answers queries
+  * identically to a from-scratch encode of the combined corpus (the
+  * `ann_ivfpq_append` oracle gate pins this cross-engine). What an append
+  * canNOT do is improve the quantizer: cells and code words stay those of
+  * the training corpus, the standard IVFADC contract (FAISS trains the
+  * quantizer once and `add()`s batches under it; drift is handled by
+  * periodic retrain + reindex, which here is just [[train]] + [[encode]]
+  * over the new corpus).
+  *
+  * Scale shape: the codes table is ~`m` small ints per vector; [[write]]
+  * lays it out partitioned by `cell`, so a search that probes `nprobe` of
+  * `k` cells can prune to `nprobe/k` of the files. [[searchAdc]] touches
+  * codes only — one shuffle, the per-(query, neighbor) ADC sum; the
+  * quantizer (k + m·k rows) broadcasts everywhere.
+  *
+  * Conventions match the `ann_ivfpq_*` gates (graft.queries
+  * .SimilarityQueries): residual encoding, argmin and rank ties broken on
+  * id, fixed-order ADC association — so oracle determinism carries over.
+  */
+object VectorIndex {
+
+  /** (idAs, carry…, m, sub): a vector frame exploded into its `m` subspace
+    * slices — the one definition of the subspace layout (codebook, corpus
+    * encode, and query sides all slice through here). Input must expose
+    * `vec_id` and `embedding`.
+    */
+  private def subspaces(df: DataFrame, idAs: String, pq: PqParams,
+      carry: Seq[String] = Nil): DataFrame = {
+    val ms = array((0 until pq.m).map(lit(_)): _*)
+    df.select(col("vec_id").as(idAs) +: carry.map(col) :+
+        explode(ms).as("m") :+ col("embedding"): _*)
+      .select(col(idAs) +: carry.map(col) :+ col("m") :+
+        slice(col("embedding"), col("m") * pq.subDim + 1, lit(pq.subDim)).as("sub"): _*)
+  }
+
+  /** Element-wise residual x − cent(cell): broadcast k-row centroid join,
+    * double arithmetic in array order (the oracle's list_transform order).
+    */
+  private def residuals(assigned: DataFrame, cents: DataFrame): DataFrame =
+    assigned
+      .join(broadcast(cents.select(col("cent_id").as("cell"), col("cent").as("__cent"))), "cell")
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("embedding"), col("__cent"), (x, c) => x.cast("double") - c)
+          .as("embedding"))
+
+  /** Codebook collapsed to one row per subspace (k sorted code words, so
+    * ArgminL2's first-wins tie-break realizes `dist ASC, cent_id ASC`).
+    */
+  private def codebookOf(csubs: DataFrame): DataFrame = csubs
+    .groupBy(col("m"))
+    .agg(array_sort(collect_list(struct(col("cent_id"), col("centsub")))).as("__cs"))
+    .select(col("m"),
+      transform(col("__cs"), c => c.getField("cent_id")).as("__cids"),
+      transform(col("__cs"), c => c.getField("centsub")).as("__csubs"))
+
+  /** Train the quantizer on a corpus: k-means coarse cells
+    * ([[KMeans.fit]]: seeded from the first `kCells` corpus rows by id,
+    * fixed `iters`, deterministic) plus the shared residual codebook — the
+    * residual sub-vectors of the first `pq.k` corpus rows (FAISS trains
+    * one codebook pooled across cells). The codebook is localCheckpoint'd
+    * (m·k rows) so its corpus-row scan runs once, not per consumer.
+    */
+  def train(corpus: DataFrame, id: Column, emb: Column,
+      kCells: Int, iters: Int, pq: PqParams): IvfadcQuantizer = {
+    val cents = KMeans.fit(corpus, id, emb, kCells, iters)
+    val seeds = corpus.orderBy(id).limit(pq.k)
+      .select(id.as("vec_id"), emb.as("embedding"))
+    val assignedSeeds = Dedup.assignCells(seeds, col("vec_id"), col("embedding"), cents)
+      .select(col("__id").as("vec_id"), col("cell"), col("__v").as("embedding"))
+    val csubs = subspaces(residuals(assignedSeeds, cents), "cent_id", pq)
+      .withColumnRenamed("sub", "centsub")
+      .localCheckpoint()
+    IvfadcQuantizer(cents, csubs, pq)
+  }
+
+  /** Encode vectors under a FROZEN quantizer → (vec_id, cell, m, code).
+    * Row-wise and map-only: broadcast-argmin assignment, broadcast residual
+    * subtraction, broadcast-codebook subspace argmin — zero shuffle
+    * exchanges on the vector side (VectorIndexSpec asserts the plan), which
+    * is what makes appends corpus-free.
+    */
+  def encode(vectors: DataFrame, id: Column, emb: Column,
+      quant: IvfadcQuantizer): DataFrame = {
+    val assigned = Dedup.assignCells(vectors, id, emb, quant.cents)
+      .select(col("__id").as("vec_id"), col("cell"), col("__v").as("embedding"))
+    subspaces(residuals(assigned, quant.cents), "vec_id", quant.pq, Seq("cell"))
+      .join(broadcast(codebookOf(quant.csubs)), "m")
+      .select(col("vec_id"), col("cell"), col("m"),
+        element_at(col("__cids"), argminL2(col("sub"), col("__csubs")) + 1).as("code"))
+  }
+
+  /** ADC search over a codes table: probe the query's `nprobe` nearest
+    * cells, compute the query's residual against EACH probed cell's
+    * centroid, and rank candidates by the fixed-order sum over subspaces of
+    * the exact distance to the neighbor's assigned code word. The corpus
+    * side touches codes only; the single wide exchange is the
+    * per-(query, neighbor) ADC sum.
+    *
+    * @param queries (query_id, q_emb) — raw query vectors
+    */
+  def searchAdc(codes: DataFrame, quant: IvfadcQuantizer, queries: DataFrame,
+      nprobe: Int, topK: Int): DataFrame = {
+    val centsByCell = quant.cents.select(col("cent_id").as("cell"), col("cent").as("__cent"))
+    // top-nprobe cells per query: 1-row broadcast centroid array, sorted
+    // (dist, cent_id) structs so array_sort's lexicographic order IS the
+    // `ORDER BY dist ASC, cent_id ASC` tie-break of the oracle
+    val centArr = broadcast(quant.cents
+      .agg(array_sort(collect_list(struct(col("cent_id"), col("cent")))).as("__cs")))
+    val probedCells = queries
+      .crossJoin(centArr)
+      .select(col("query_id"), col("q_emb"),
+        explode(transform(
+          slice(array_sort(transform(col("__cs"), c =>
+            struct(l2sq(col("q_emb"), c.getField("cent")).as("dist"),
+              c.getField("cent_id").as("cent_id")))), 1, nprobe),
+          x => x.getField("cent_id"))).as("cell"))
+    val probed = probedCells
+      .join(broadcast(centsByCell), "cell")
+      .select(col("query_id").as("vec_id"), col("cell"),
+        zip_with(col("q_emb"), col("__cent"), (x, c) => x.cast("double") - c)
+          .as("embedding"))
+    val qsubs = subspaces(probed, "query_id", quant.pq, Seq("cell"))
+      .withColumnRenamed("sub", "qsub")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("est_dist").asc, col("neighbor_id"))
+    // one conditional sum per subspace, then a FIXED-ORDER left-associated
+    // addition — a plain sum() would merge terms in shuffle-fetch order and
+    // a 1-ulp association difference between tied neighbors would defeat
+    // the neighbor_id tie-break (same device as the ann_pq_adc gate)
+    val terms = (0 until quant.pq.m).map(i =>
+      sum(when(col("m") === i, col("term"))).as(s"t$i"))
+    codes
+      .join(broadcast(quant.csubs.withColumnRenamed("cent_id", "code")), Seq("m", "code"))
+      .join(broadcast(qsubs), Seq("cell", "m"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("term", l2sq(col("qsub"), col("centsub")))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(terms.head, terms.tail: _*)
+      .withColumn("est_dist", (0 until quant.pq.m).map(i => col(s"t$i")).reduce(_ + _))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topK)
+      .select(col("query_id"), col("neighbor_id"), round(col("est_dist"), 4).as("est_dist"),
+        col("rn"))
+  }
+
+  /** Persist quantizer + codes. Codes are laid out partitioned by `cell`,
+    * so a search probing `nprobe` of `k` cells can prune its scan to
+    * `nprobe/k` of the files — the layout IS the coarse index on disk.
+    */
+  def write(quant: IvfadcQuantizer, codes: DataFrame, path: String): Unit = {
+    quant.cents.write.mode("overwrite").parquet(s"$path/cents")
+    quant.csubs.write.mode("overwrite").parquet(s"$path/codebook")
+    codes.write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+  }
+
+  def loadQuantizer(s: SparkSession, path: String, pq: PqParams): IvfadcQuantizer =
+    IvfadcQuantizer(
+      s.read.parquet(s"$path/cents"),
+      s.read.parquet(s"$path/codebook"), pq)
+
+  def loadCodes(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(s"$path/codes")
+      .select(col("vec_id"), col("cell"), col("m"), col("code"))
+
+  /** Index a fresh batch into a persisted index: encode under the FROZEN
+    * stored quantizer and append the codes — the persisted corpus codes are
+    * untouched and the corpus itself is never read. The daily-ingest path.
+    */
+  def appendBatch(s: SparkSession, path: String, fresh: DataFrame,
+      id: Column, emb: Column, pq: PqParams): Unit = {
+    val quant = loadQuantizer(s, path, pq)
+    encode(fresh, id, emb, quant)
+      .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+  }
+}

@@ -569,9 +569,14 @@ object SimilarityQueries extends QueryPack {
     * kmTrainCtes / kmAssign declared further down the object — initialized
     * by the time the `oracles` map forces this.)
     */
-  private lazy val qAnnIvfPqSql =
-    s"""WITH ${kmTrainCtes(ivfProdK)},
-       ${kmAssign("c2", "acell")},
+  /** Everything after the training CTEs — shared by the standard IVFADC
+    * gate (quantizer trained on all of `embeddings`) and the append gate
+    * (quantizer trained on the `corpus` CTE): corpus-wide assignment under
+    * the final centroids, residuals, residual codebook, encode, probe,
+    * query residuals, ADC. Expects `c2` (trained centroids) in scope.
+    */
+  private lazy val ivfPqAdcSqlBody =
+    s"""${kmAssign("c2", "acell")},
        rs AS (
          SELECT a.vec_id, a.cell,
            list_transform(range(1, 65),
@@ -619,6 +624,52 @@ object SimilarityQueries extends QueryPack {
        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                ORDER BY est_dist ASC, neighbor_id) AS rn FROM adc)
        WHERE rn <= 5 ORDER BY query_id, rn"""
+
+  private lazy val qAnnIvfPqSql =
+    s"""WITH ${kmTrainCtes(ivfProdK)},
+       $ivfPqAdcSqlBody"""
+
+  // -- persistable/appendable IVFADC index (graft.operators.VectorIndex) --------
+  /** The corpus/fresh split of the append gate: ~10% of vectors are the
+    * "fresh batch", chosen above the training-seed range so the corpus
+    * contains every k-means seed (vec_id < ivfProdK), every PQ codebook
+    * row (vec_id < pqK), and every query (vec_id < 10) — the frozen
+    * quantizer is then textually the standard one, trained on the corpus.
+    */
+  private val freshCond: org.apache.spark.sql.Column =
+    col("vec_id") % 10 === 7 && col("vec_id") >= ivfProdK
+  private val freshCondSql = s"(vec_id % 10 = 7 AND vec_id >= $ivfProdK)"
+
+  /** Append-under-frozen-quantizer equivalence gate: train the quantizer on
+    * the CORPUS only, encode corpus and fresh batch SEPARATELY (the fresh
+    * encode is the corpus-free append path — map-only under the broadcast
+    * frozen quantizer; VectorIndexSpec asserts zero exchanges and the real
+    * parquet round-trip), and answer ADC queries over the UNION of the two
+    * code sets. The oracle re-derives corpus-only training and a single
+    * combined-corpus encode — equality pins that an appended index answers
+    * exactly like a full re-encode of the combined corpus.
+    */
+  private def qAnnIvfPqAppend(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{PqParams, VectorIndex}
+    val emb = t(s, dir, "embeddings")
+    val corpus = emb.filter(!freshCond)
+    val fresh = emb.filter(freshCond)
+    val pq = PqParams(pqM, pqSubDim, pqK)
+    val quant = VectorIndex.train(corpus, col("vec_id"), col("embedding"),
+      kCells = ivfProdK, iters = 2, pq = pq)
+    val corpusCodes = VectorIndex.encode(corpus, col("vec_id"), col("embedding"), quant)
+    val freshCodes = VectorIndex.encode(fresh, col("vec_id"), col("embedding"), quant)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    VectorIndex.searchAdc(corpusCodes.union(freshCodes), quant, queries,
+      nprobe = ivfProdNprobe, topK = 5)
+      .orderBy("query_id", "rn")
+  }
+
+  private lazy val qAnnIvfPqAppendSql =
+    s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings WHERE NOT $freshCondSql),
+       ${kmTrainCtes(ivfProdK, "corpus")},
+       $ivfPqAdcSqlBody"""
 
   // -- ANN quality gate: recall@5 of every approximate path vs brute force -------
   // Joins each ANN path's top-5 against the exact brute-force top-5 and emits
@@ -718,7 +769,7 @@ object SimilarityQueries extends QueryPack {
       .orderBy("cell")
   }
 
-  private def kmAssign(cents: String, out: String) =
+  private def kmAssign(cents: String, out: String, src: String = "embeddings") =
     s"""$out AS (
        SELECT vec_id, embedding, cell FROM (
          SELECT e.vec_id, e.embedding, c.cent_id AS cell,
@@ -726,7 +777,7 @@ object SimilarityQueries extends QueryPack {
              ORDER BY list_sum(list_transform(range(1, 65),
                i -> (e.embedding[i]::DOUBLE - c.cent[i]) * (e.embedding[i]::DOUBLE - c.cent[i]))) ASC,
                c.cent_id) AS arn
-         FROM embeddings e CROSS JOIN $cents c) WHERE arn = 1)"""
+         FROM $src e CROSS JOIN $cents c) WHERE arn = 1)"""
 
   private def kmUpdate(assignCte: String, prevCents: String, out: String) =
     s"""${out}_u AS (
@@ -745,12 +796,12 @@ object SimilarityQueries extends QueryPack {
     * k=8 for the readable emb_kmeans trainer gate; k=[[ivfProdK]] for the
     * production IVF paths.
     */
-  private def kmTrainCtes(k: Int) =
+  private def kmTrainCtes(k: Int, src: String = "embeddings") =
     s"""c0 AS (SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cent
-           FROM embeddings WHERE vec_id < $k),
-       ${kmAssign("c0", "a1")},
+           FROM $src WHERE vec_id < $k),
+       ${kmAssign("c0", "a1", src)},
        ${kmUpdate("a1", "c0", "c1")},
-       ${kmAssign("c1", "a2")},
+       ${kmAssign("c1", "a2", src)},
        ${kmUpdate("a2", "c1", "c2")}"""
 
   private val qKmeansSql =
@@ -897,6 +948,7 @@ object SimilarityQueries extends QueryPack {
     "ann_pq_adc" -> (qAnnPq _),
     "ann_ivfpq_adc" -> (qAnnIvfPq _),
     "ann_ivfpq_rerank" -> (qAnnIvfPqRerank _),
+    "ann_ivfpq_append" -> (qAnnIvfPqAppend _),
     "ann_recall_at_5" -> (qAnnRecall _),
     "knn_cosine_brute" -> (qKnn _),
     "emb_outliers" -> (qEmbOutliers _),
@@ -912,6 +964,7 @@ object SimilarityQueries extends QueryPack {
     "ann_pq_adc" -> qAnnPqSql,
     "ann_ivfpq_adc" -> qAnnIvfPqSql,
     "ann_ivfpq_rerank" -> qAnnIvfPqRerankSql,
+    "ann_ivfpq_append" -> qAnnIvfPqAppendSql,
     "ann_recall_at_5" -> qAnnRecallSql,
     "knn_cosine_brute" -> qKnnSql,
     "emb_outliers" -> qEmbOutliersSql,

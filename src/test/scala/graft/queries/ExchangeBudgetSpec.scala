@@ -21,6 +21,11 @@ class ExchangeBudgetSpec extends AnyFunSuite {
     "ann_ivf_trained" -> 4,
     "ann_ivfpq_adc" -> 8,
     "ann_ivfpq_rerank" -> 9,
+    "ann_ivfpq_append" -> 8, // k-means train (corpus-side agg per iter) +
+                             // the ADC sum + tiny codebook/window aggs —
+                             // same shape as ann_ivfpq_adc; both encodes
+                             // (corpus + fresh append) are map-only and
+                             // contribute ZERO (VectorIndexSpec)
     "ann_pq_adc" -> 4,
     "ann_recall_at_5" -> 19,
     "ann_rhp_lsh" -> 3,

@@ -43,8 +43,14 @@ class PlanLintSpec extends AnyFunSuite {
     "retrieval_rrf_fusion",    // same bm25 stats broadcast + × broadcast
                                //   1-row query embedding (dense ranker)
     "dedup_bloom_probe",       // × broadcast 1-row Bloom bitmap
-    "ann_ivfpq_rerank")        // the widened IVFADC sub-plan's whitelisted
+    "ann_ivfpq_rerank",        // the widened IVFADC sub-plan's whitelisted
                                //   broadcasts (assignCells + probeCells)
+    "ann_ivfpq_append",        // same assignCells/probeCells 1-row
+                               //   centroid-array broadcasts, on both the
+                               //   corpus-encode and fresh-append sides
+    "q_profile_columns")       // × broadcast 1-row exact-distinct
+                               //   validator aggregates (the HLL bound
+                               //   flags of the hybrid profiler)
 
   test("no gate query plans a cartesian product; BNLJ only where whitelisted") {
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

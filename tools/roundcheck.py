@@ -119,6 +119,26 @@ def main():
         print(f"== BENCH r{cur:02d}: total {total}s"
               f" ({'full' if full else 'truncated tail'} artifact)")
 
+    # Tier artifacts must account for the whole gate registry: every gate in
+    # CORRECTNESS must appear in the tier's `queries` or its `excluded`
+    # list, else the tier silently narrowed (r9 VERDICT #3 — four late
+    # gates were absent from BENCH_r09_sf10.json with only one recorded).
+    for tier in sorted(glob.glob(f"{ROOT}/BENCH_r{cur:02d}_sf*.json")):
+        art = load(tier)
+        if not isinstance(art, dict) or not isinstance(art.get("queries"), dict):
+            continue
+        covered = set(art["queries"]) | set(art.get("excluded") or [])
+        missing = sorted(set(cc) - covered)
+        if missing:
+            bad = True
+            print(f"!! {os.path.basename(tier)} silently narrows: "
+                  f"{len(missing)} registered gates neither timed nor "
+                  f"excluded: {', '.join(missing)}")
+        else:
+            print(f"   {os.path.basename(tier)}: registry fully accounted "
+                  f"({len(art['queries'])} timed, "
+                  f"{len(art.get('excluded') or [])} excluded)")
+
     print("RESULT:", "ATTENTION NEEDED" if bad else "clean")
     return 1 if bad else 0
 
