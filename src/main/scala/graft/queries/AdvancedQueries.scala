@@ -338,6 +338,105 @@ object AdvancedQueries extends QueryPack {
          FROM lineitem CROSS JOIN n GROUP BY n_rows
        ORDER BY col_name"""
 
+  // -- documents-table profiler (string-heavy dual of q_profile_columns) -------------
+  /** The profiler a curation user points at a text corpus first: per column
+    * of `documents` — null count, hybrid distinct (exact via bounded
+    * collect_set for the declared-low-card `lang`/`source`, HLL with an
+    * error-bound flag for `text`/`doc_id`), LENGTH stats (avg/max, the
+    * string-data additions), and the top value with its count for the
+    * low-card columns (mode). One map-side-combinable aggregate over one
+    * scan for everything except: two tiny groupBys for the modes (key
+    * space = the declared low cardinality, broadcast back) and the two
+    * exact-distinct validators behind the HLL bound flags (gate-only, as
+    * in q_profile_columns; the `text` validator counts distinct 60-bit
+    * content fingerprints — a long shuffle instead of shuffling the full
+    * text strings). Length sums accumulate in DECIMAL so avg_len rounds
+    * engine-exactly.
+    */
+  private def qProfileDocs(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.md5Hash60
+    val docs = t(s, dir, "documents")
+    val agg = docs.agg(
+      count(lit(1)).as("n_rows"),
+      count(when(col("text").isNull, 1)).as("null_text"),
+      approx_count_distinct(col("text"), rsd = 0.02).as("nd_text"),
+      sum(length(col("text")).cast("decimal(20,0)")).as("len_text"),
+      max(length(col("text"))).cast("bigint").as("maxlen_text"),
+      count(when(col("lang").isNull, 1)).as("null_lang"),
+      size(collect_set(col("lang"))).cast("bigint").as("nd_lang"),
+      sum(length(col("lang")).cast("decimal(20,0)")).as("len_lang"),
+      max(length(col("lang"))).cast("bigint").as("maxlen_lang"),
+      count(when(col("source").isNull, 1)).as("null_source"),
+      size(collect_set(col("source"))).cast("bigint").as("nd_source"),
+      sum(length(col("source")).cast("decimal(20,0)")).as("len_source"),
+      max(length(col("source"))).cast("bigint").as("maxlen_source"),
+      count(when(col("doc_id").isNull, 1)).as("null_id"),
+      approx_count_distinct(col("doc_id"), rsd = 0.02).as("nd_id"))
+    def mode(c: String) = docs.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col(c)).limit(1)
+      .select(col(c).as(s"top_$c"), col("cnt").as(s"topn_$c"))
+    val exText = docs.agg(countDistinct(md5Hash60(col("text"))).as("ex_text"))
+    val exId = docs.agg(countDistinct(col("doc_id")).as("ex_id"))
+    def bound(est: String, exact: String) =
+      abs(col(est) - col(exact)) <= col(exact) * 0.05
+    def avgLen(c: String) =
+      round((col(s"len_$c").cast("double")) / (col("n_rows") - col(s"null_$c")), 2)
+    agg
+      .crossJoin(broadcast(mode("lang"))).crossJoin(broadcast(mode("source")))
+      .crossJoin(broadcast(exText)).crossJoin(broadcast(exId))
+      .withColumn("nd_text_ok", bound("nd_text", "ex_text"))
+      .withColumn("nd_id_ok", bound("nd_id", "ex_id"))
+      .withColumn("avg_text", avgLen("text"))
+      .withColumn("avg_lang", avgLen("lang"))
+      .withColumn("avg_source", avgLen("source"))
+      .select(col("n_rows"),
+        expr("""stack(4,
+          'text',   null_text,   CAST(NULL AS BIGINT), nd_text_ok,
+                    avg_text,   maxlen_text,   CAST(NULL AS STRING), CAST(NULL AS BIGINT),
+          'lang',   null_lang,   nd_lang,   true,
+                    avg_lang,   maxlen_lang,   top_lang,   topn_lang,
+          'source', null_source, nd_source, true,
+                    avg_source, maxlen_source, top_source, topn_source,
+          'doc_id', null_id,     CAST(NULL AS BIGINT), nd_id_ok,
+                    CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT), CAST(NULL AS STRING), CAST(NULL AS BIGINT)
+        ) AS (col_name, n_nulls, n_distinct, nd_ok, avg_len, max_len, top_value, top_count)"""))
+      .select(col("col_name"), col("n_rows"), col("n_nulls"), col("n_distinct"),
+        col("nd_ok"), col("avg_len"), col("max_len"), col("top_value"), col("top_count"))
+      .orderBy("col_name")
+  }
+
+  private val qProfileDocsSql =
+    """WITH n AS (SELECT count(*) AS n_rows FROM documents),
+       ml AS (SELECT lang AS top_lang, count(*) AS topn_lang FROM documents
+              GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 1),
+       ms AS (SELECT source AS top_source, count(*) AS topn_source FROM documents
+              GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 1)
+       SELECT 'text' AS col_name, n_rows,
+              count(CASE WHEN text IS NULL THEN 1 END) AS n_nulls,
+              CAST(NULL AS BIGINT) AS n_distinct, true AS nd_ok,
+              round(CAST(sum(CAST(length(text) AS DECIMAL(20,0))) AS DOUBLE) / count(text), 2) AS avg_len,
+              CAST(max(length(text)) AS BIGINT) AS max_len,
+              CAST(NULL AS VARCHAR) AS top_value, CAST(NULL AS BIGINT) AS top_count
+         FROM documents CROSS JOIN n GROUP BY n_rows
+       UNION ALL
+       SELECT 'lang', n_rows, count(CASE WHEN lang IS NULL THEN 1 END),
+              count(DISTINCT lang), true,
+              round(CAST(sum(CAST(length(lang) AS DECIMAL(20,0))) AS DOUBLE) / count(lang), 2),
+              CAST(max(length(lang)) AS BIGINT), (SELECT top_lang FROM ml), (SELECT topn_lang FROM ml)
+         FROM documents CROSS JOIN n GROUP BY n_rows
+       UNION ALL
+       SELECT 'source', n_rows, count(CASE WHEN source IS NULL THEN 1 END),
+              count(DISTINCT source), true,
+              round(CAST(sum(CAST(length(source) AS DECIMAL(20,0))) AS DOUBLE) / count(source), 2),
+              CAST(max(length(source)) AS BIGINT), (SELECT top_source FROM ms), (SELECT topn_source FROM ms)
+         FROM documents CROSS JOIN n GROUP BY n_rows
+       UNION ALL
+       SELECT 'doc_id', n_rows, count(CASE WHEN doc_id IS NULL THEN 1 END),
+              CAST(NULL AS BIGINT), true,
+              CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
+         FROM documents CROSS JOIN n GROUP BY n_rows
+       ORDER BY col_name"""
+
   // -- equi-width histogram ----------------------------------------------------------
   /** Fixed-origin equi-width histogram of l_extendedprice (width 5000 from
     * 0): the one-pass distributed histogram — bucket index is a pure map
@@ -407,6 +506,7 @@ object AdvancedQueries extends QueryPack {
     "q_histogram" -> (qHistogram _),
     "q_ab_test" -> (qAbTest _),
     "q_profile_columns" -> (qProfile _),
+    "q_profile_documents" -> (qProfileDocs _),
     "q_zorder_value" -> (qZorder _),
     "q_heavy_hitters_bound" -> (qHeavyHitters _),
     "q_approx_distinct_bound" -> (qApproxDistinct _),
@@ -424,6 +524,7 @@ object AdvancedQueries extends QueryPack {
     "q_histogram" -> qHistogramSql,
     "q_ab_test" -> qAbTestSql,
     "q_profile_columns" -> qProfileSql,
+    "q_profile_documents" -> qProfileDocsSql,
     "q_zorder_value" -> qZorderSql,
     "q_heavy_hitters_bound" -> qHeavyHittersSql,
     "q_approx_distinct_bound" -> qApproxDistinctSql,

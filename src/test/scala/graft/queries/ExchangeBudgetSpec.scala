@@ -90,6 +90,10 @@ class ExchangeBudgetSpec extends AnyFunSuite {
                                 // ranking is TakeOrdered
     "q_histogram" -> 2,     // bucket-key agg + output sort (≤ #buckets rows)
     "q_ab_test" -> 1,       // single 1-row moments reduction
+    "q_profile_documents" -> 7, // 1-row profile agg merge + 2 tiny mode
+                                // groupBys (lang/source key space) + 2×2
+                                // exact HLL validators (fingerprint-long
+                                // shuffle + 1-row merge each); no Expand
     "q_profile_columns" -> 5, // hybrid profiler (r10): 1-row profile agg
                               // merge + 2×2 for the two single-distinct
                               // HLL validators (value shuffle + 1-row

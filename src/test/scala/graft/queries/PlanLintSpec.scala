@@ -48,9 +48,11 @@ class PlanLintSpec extends AnyFunSuite {
     "ann_ivfpq_append",        // same assignCells/probeCells 1-row
                                //   centroid-array broadcasts, on both the
                                //   corpus-encode and fresh-append sides
-    "q_profile_columns")       // × broadcast 1-row exact-distinct
+    "q_profile_columns",       // × broadcast 1-row exact-distinct
                                //   validator aggregates (the HLL bound
                                //   flags of the hybrid profiler)
+    "q_profile_documents")     // same device over documents: 1-row mode
+                               //   and exact-distinct validator broadcasts
 
   test("no gate query plans a cartesian product; BNLJ only where whitelisted") {
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
