@@ -582,29 +582,38 @@ object TpchShapes extends QueryPack {
                      WHERE joint.l_suppkey = s_suppkey AND supp_qty > 0.25 * part_qty)
        ORDER BY s_suppkey"""
 
-  // -- Q21 shape: suppliers who kept orders waiting (semi + anti self-joins) ---
-  // The fact table is consulted three times for the same order: the late
-  // set itself, an EXISTS for "someone else shipped in this order", and a
-  // NOT EXISTS for "no one else was late" — a left-semi and a left-anti
-  // self-join on orderkey with a suppkey inequality residual. The late set
-  // is distinct per (order, supplier), so the final count is orders, not
-  // lineitems. Output order (numwait DESC, s_name) is total because s_name
-  // is the group key — the LIMIT is deterministic.
+  // -- Q21 shape: suppliers who kept orders waiting (sole-late-supplier) -------
+  // EXISTS ("someone else shipped in this order") and NOT EXISTS ("no one
+  // else was late") are per-ORDER facts, so instead of the literal
+  // semi + anti SELF-joins on the fact table (three consultations of
+  // lineitem, each a wide (orderkey, suppkey)-pair shuffle — the r10 bench
+  // had this at 15 s on 100× data, the slowest relational gate), fold both
+  // quantifiers into two per-order aggregates:
+  //   cnt_all(o)  = distinct suppliers in order o         (EXISTS other ⟺ >1)
+  //   cnt_late(o) = distinct LATE suppliers, + min = THE supplier when 1
+  //                                           (NOT EXISTS other late ⟺ ==1)
+  // A late supplier qualifies iff cnt_late(o)==1 ∧ cnt_all(o)>1 — one
+  // orderkey-partitioned join of two aggregates replaces the pair-set
+  // semi/anti joins; the count stays per order because the sole row IS one
+  // order. Output order (numwait DESC, s_name) is total because s_name is
+  // the group key — the LIMIT is deterministic. Oracle keeps the literal
+  // EXISTS/NOT-EXISTS formulation, so the equivalence itself is
+  // hash-checked.
   private def q21(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-    val late = t(s, dir, "lineitem")
+    val lateAgg = t(s, dir, "lineitem")
       .join(t(s, dir, "orders").filter(col("o_orderstatus") === "F"),
         col("l_orderkey") === col("o_orderkey") &&
           col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY"))
-      .select(col("l_orderkey"), col("l_suppkey")).distinct()
-    val others = li.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2")).distinct()
-    val lateOthers = late.select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
-    val sole = late
-      .join(others, col("l_orderkey") === col("o2") && col("l_suppkey") =!= col("s2"),
-        "left_semi")
-      .join(lateOthers, col("l_orderkey") === col("o3") && col("l_suppkey") =!= col("s3"),
-        "left_anti")
-    sole.groupBy(col("l_suppkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("cnt_late"),
+        min(col("l_suppkey")).as("sole_supp"))
+    val allAgg = li.groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("cnt_all"))
+    lateAgg.filter(col("cnt_late") === 1)
+      .join(allAgg, "l_orderkey")
+      .filter(col("cnt_all") > 1)
+      .groupBy(col("sole_supp").as("l_suppkey"))
       .agg(count(lit(1)).as("numwait"))
       .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
       .select(col("s_name"), col("numwait"))

@@ -113,7 +113,11 @@ class ExchangeBudgetSpec extends AnyFunSuite {
     "q19_disjunctive" -> 1,
     "q1_pricing_summary" -> 2,
     "q20_excess_supply" -> 7,
-    "q21_waiting_suppliers" -> 6,
+    "q21_waiting_suppliers" -> 5, // r10 sole-late-supplier rewrite: two
+                                  // per-order distinct aggs + orderkey
+                                  // join replace the pair-set semi/anti
+                                  // self-joins (was 6 exchanges, 15 s on
+                                  // 100x data)
     "q22_inactive" -> 3,
     "q2_min_cost" -> 5,
     "q3_top_revenue" -> 1,
