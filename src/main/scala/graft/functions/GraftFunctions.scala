@@ -51,7 +51,9 @@ object GraftFunctions {
     fn("bloom_contains", "bloom_contains(hash, bitmap, m, k) - true iff all k Bloom positions of hash are set in the array<bigint> bitmap",
       exprs => BloomContains(exprs(0), exprs(1),
         exprs(2).eval().asInstanceOf[Number].intValue(),
-        exprs(3).eval().asInstanceOf[Number].intValue())))
+        exprs(3).eval().asInstanceOf[Number].intValue())),
+    fn("token_run_count", "token_run_count(text) - count of [a-z]+|[0-9]+|[^a-z0-9 ] tokenizer matches in one byte scan (no regex, no match array)",
+      exprs => TokenRunCount(exprs(0))))
 
   def register(spark: SparkSession): Unit =
     fns.foreach { case (id, info, builder) =>

@@ -83,11 +83,18 @@ object TextQueries extends QueryPack {
     * counts (exactly 10×), which is why they sit at 2-4× and this one
     * appears — misleadingly — at the boundary.
     */
-  private def qBpeCount(s: SparkSession, dir: String): DataFrame =
+  private def qBpeCount(s: SparkSession, dir: String): DataFrame = {
+    // single-byte-scan codegen counter (graft.functions.TokenRunCount) —
+    // same count as size(regexp_extract_all(text, pattern)) without the
+    // regex engine or the materialized match array (TokenRunCountSpec
+    // pins the equivalence property-wise; the oracle keeps the regex)
+    import org.apache.spark.sql.graftshim.Bridge
     t(s, dir, "documents").select(
       col("doc_id"),
-      size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("n_bpe"))
+      Bridge.column(graft.functions.TokenRunCount(
+        Bridge.childExpr(col("text")))).as("n_bpe"))
       .orderBy("doc_id")
+  }
 
   private val qBpeCountSql =
     """SELECT doc_id,
