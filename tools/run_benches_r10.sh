@@ -1,7 +1,7 @@
 #!/bin/bash
 set -x
 cd /root/repo
-SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_BENCH_REPS=3 sbt -batch "runMain graft.Bench" 2>/dev/null | grep -m1 '"metric":"total"' > BENCH_r10_builder_sf01.json
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_BENCH_REPS=3 sbt -batch "runMain graft.Bench" 2>/dev/null | grep -m1 '"metric":"total"' | sed 's/^\[info\] //' > BENCH_r10_builder_sf01.json
 echo "STEP1_DONE $(date +%T)"
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_SCALE_DIR=/tmp/graft_sf1 sbt -batch "runMain graft.BenchScale BENCH_r10_sf1.json" >/dev/null 2>&1
 echo "STEP2_DONE $(date +%T)"
