@@ -131,15 +131,15 @@ object VectorIndex {
     *
     * @param queries (query_id, q_emb) — raw query vectors
     */
-  def searchAdc(codes: DataFrame, quant: IvfadcQuantizer, queries: DataFrame,
-      nprobe: Int, topK: Int): DataFrame = {
-    val centsByCell = quant.cents.select(col("cent_id").as("cell"), col("cent").as("__cent"))
-    // top-nprobe cells per query: 1-row broadcast centroid array, sorted
-    // (dist, cent_id) structs so array_sort's lexicographic order IS the
-    // `ORDER BY dist ASC, cent_id ASC` tie-break of the oracle
-    val centArr = broadcast(quant.cents
+  /** Top-`nprobe` cells per query: 1-row broadcast centroid array, sorted
+    * (dist, cent_id) structs so array_sort's lexicographic order IS the
+    * `ORDER BY dist ASC, cent_id ASC` tie-break of the oracle.
+    * → (query_id, q_emb, cell), `nprobe` rows per query.
+    */
+  private def probeFrame(queries: DataFrame, cents: DataFrame, nprobe: Int): DataFrame = {
+    val centArr = broadcast(cents
       .agg(array_sort(collect_list(struct(col("cent_id"), col("cent")))).as("__cs")))
-    val probedCells = queries
+    queries
       .crossJoin(centArr)
       .select(col("query_id"), col("q_emb"),
         explode(transform(
@@ -147,7 +147,12 @@ object VectorIndex {
             struct(l2sq(col("q_emb"), c.getField("cent")).as("dist"),
               c.getField("cent_id").as("cent_id")))), 1, nprobe),
           x => x.getField("cent_id"))).as("cell"))
-    val probed = probedCells
+  }
+
+  def searchAdc(codes: DataFrame, quant: IvfadcQuantizer, queries: DataFrame,
+      nprobe: Int, topK: Int): DataFrame = {
+    val centsByCell = quant.cents.select(col("cent_id").as("cell"), col("cent").as("__cent"))
+    val probed = probeFrame(queries, quant.cents, nprobe)
       .join(broadcast(centsByCell), "cell")
       .select(col("query_id").as("vec_id"), col("cell"),
         zip_with(col("q_emb"), col("__cent"), (x, c) => x.cast("double") - c)
@@ -175,9 +180,27 @@ object VectorIndex {
         col("rn"))
   }
 
+  /** [[searchAdc]] with the probed cell set PUSHED DOWN over a persisted,
+    * cell-partitioned codes table ([[write]]'s layout): the distinct
+    * probed cells — at most |queries|·nprobe ids, a bounded query-side
+    * list, so the driver collect touches no corpus data — become an IN
+    * partition filter, and only the probed cells' code files are even
+    * opened (~nprobe/k of the index; VectorIndexSpec asserts the
+    * partition filter reaches the scan and the surviving directory
+    * count). Results are identical to [[searchAdc]]: every ADC candidate
+    * joins on a probed cell, so un-probed cells can contribute nothing.
+    */
+  def searchAdcPruned(codes: DataFrame, quant: IvfadcQuantizer, queries: DataFrame,
+      nprobe: Int, topK: Int): DataFrame = {
+    val cells = probeFrame(queries, quant.cents, nprobe)
+      .select(col("cell")).distinct().collect().map(_.get(0))
+    searchAdc(codes.filter(col("cell").isin(cells.toSeq: _*)), quant, queries, nprobe, topK)
+  }
+
   /** Persist quantizer + codes. Codes are laid out partitioned by `cell`,
     * so a search probing `nprobe` of `k` cells can prune its scan to
-    * `nprobe/k` of the files — the layout IS the coarse index on disk.
+    * `nprobe/k` of the files — the layout IS the coarse index on disk
+    * ([[searchAdcPruned]] exploits exactly this).
     */
   def write(quant: IvfadcQuantizer, codes: DataFrame, path: String): Unit = {
     quant.cents.write.mode("overwrite").parquet(s"$path/cents")

@@ -68,6 +68,44 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(fromDisk.nonEmpty)
   }
 
+  test("searchAdcPruned: probed-cell partition filter reaches the scan, answers unchanged") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val path = java.nio.file.Files.createTempDirectory("graft_vindex_prune").toString
+    val quant = VectorIndex.train(corpus, col("vec_id"), col("embedding"),
+      kCells = 16, iters = 1, pq = pq)
+    VectorIndex.write(quant,
+      VectorIndex.encode(corpus, col("vec_id"), col("embedding"), quant), path)
+    val loaded = VectorIndex.loadCodes(spark, path)
+    // 2 queries × nprobe 2 → at most 4 of the 16 cell directories survive
+    val qs = queries.filter(col("query_id") < 2)
+    val pruned = VectorIndex.searchAdcPruned(loaded, quant, qs, nprobe = 2, topK = 5)
+    val full = VectorIndex.searchAdc(loaded, quant, qs, nprobe = 2, topK = 5)
+    // execute THIS QueryExecution first (AQE materializes the final plan
+    // at execution; collect-by-sorted-copy would plan a separate one)
+    def sorted(rows: Array[org.apache.spark.sql.Row]) =
+      rows.toSeq.sortBy(r => (r.getLong(0), r.getInt(3)))
+    assert(sorted(pruned.collect()) == sorted(full.collect()),
+      "pruning must not change any answer")
+    // AQE wraps executed stages as LEAF QueryStageExec nodes — descend into
+    // them (and re-entrant adaptive plans) to reach the file scans
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scansOf(p: SparkPlan): Seq[FileSourceScanExec] =
+      p.collect {
+        case s: FileSourceScanExec => Seq(s)
+        case q: QueryStageExec => scansOf(q.plan)
+        case a: AdaptiveSparkPlanExec => scansOf(a.executedPlan)
+      }.flatten
+    val scans = scansOf(pruned.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("codes")))
+    assert(scans.nonEmpty, "codes file scan not found in the pruned plan")
+    val scan = scans.head
+    assert(scan.partitionFilters.nonEmpty, "probed-cell filter must reach the scan as a partition filter")
+    val survived = scan.relation.location.listFiles(scan.partitionFilters, Nil).size
+    assert(survived <= 4 && survived >= 1,
+      s"at most 2 queries × 2 probes = 4 of 16 cell dirs may survive, got $survived")
+  }
+
   test("appended index == full re-encode of the combined corpus under the frozen quantizer") {
     val quant = VectorIndex.train(corpus, col("vec_id"), col("embedding"),
       kCells = 16, iters = 1, pq = pq)
