@@ -40,9 +40,20 @@ object StreamingDedup {
   final case class BucketState(ids: List[Long])
   final case class CandidatePair(id_a: Long, id_b: Long)
 
+  /** @param capDrops no-silent-caps accounting for `maxBucket` (same
+    *   policy as [[Dedup.CapObservation]] on the batch paths): when
+    *   provided, every (bucket, id) occupancy the cap refuses is counted
+    *   into the accumulator — readable on the driver after each batch and
+    *   surfaced by the usual accumulator ops tooling. An accumulator
+    *   (not an observe) because the drop is decided INSIDE the state
+    *   function, where no column metric can see it; task retries can
+    *   re-add, so treat it as an at-least-once ops signal, zero exactly
+    *   when the cap never binds.
+    */
   def nearDupCandidates(docs: Dataset[DocEvent], shingleWidth: Int = 3,
       nHashes: Int = 64, r: Int = 2, seed: Long = 42L,
-      maxBucket: Int = 1000): Dataset[CandidatePair] = {
+      maxBucket: Int = 1000,
+      capDrops: Option[org.apache.spark.util.LongAccumulator] = None): Dataset[CandidatePair] = {
     import docs.sparkSession.implicits._
     val shingled = docs.toDF()
       .select(col("doc_id"), Dedup.shingleHashes(col("text"), shingleWidth).as("__sh"))
@@ -66,6 +77,8 @@ object StreamingDedup {
           // occupants; ids beyond the cap are dropped like the batch op
           // skips hot buckets (and they bound the state cell)
           val admitted = fresh.take(math.max(maxBucket - prior.size, 0))
+          val overflow = fresh.size - admitted.size
+          if (overflow > 0) capDrops.foreach(_.add(overflow.toLong))
           val pairs = for {
             (id, i) <- admitted.zipWithIndex
             other <- prior.iterator ++ admitted.iterator.take(i)

@@ -54,7 +54,8 @@ class StreamingDedupSpec extends AnyFunSuite {
     // five identical docs: every band bucket fills with all five ids
     val flood = (1L to 5L).map(i => DocEvent(i, "same boilerplate text repeated here always"))
     val in = MemoryStream[DocEvent]
-    val q = StreamingDedup.nearDupCandidates(in.toDS(), maxBucket = 2)
+    val dropped = spark.sparkContext.longAccumulator("lsh_cap_dropped")
+    val q = StreamingDedup.nearDupCandidates(in.toDS(), maxBucket = 2, capDrops = Some(dropped))
       .writeStream.format("memory").queryName("neardup_cap")
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
     try {
@@ -63,6 +64,23 @@ class StreamingDedupSpec extends AnyFunSuite {
       val pairs = spark.table("neardup_cap").as[(Long, Long)].collect().toSet
       // only the first 2 admitted ids per bucket pair up: exactly (1,2)
       assert(pairs == Set((1L, 2L)))
+      // no silent caps, streaming side: 1 refused occupancy in batch 1 and
+      // 2 in batch 2 per bucket, over the 32 identical-doc band buckets
+      assert(dropped.value == 3L * 32,
+        s"cap must account every refused (bucket, id) occupancy, got ${dropped.value}")
+    } finally q.stop()
+  }
+
+  test("cap accounting stays zero when the cap never binds") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[DocEvent]
+    val dropped = spark.sparkContext.longAccumulator("lsh_cap_dropped_quiet")
+    val q = StreamingDedup.nearDupCandidates(in.toDS(), maxBucket = 100, capDrops = Some(dropped))
+      .writeStream.format("memory").queryName("neardup_cap_quiet")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    try {
+      in.addData(docs); q.processAllAvailable()
+      assert(dropped.value == 0L, "an unbinding cap must report zero drops")
     } finally q.stop()
   }
 
