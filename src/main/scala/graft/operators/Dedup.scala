@@ -422,6 +422,14 @@ object Dedup {
     * an inline `observe` can't be used because the hot list feeds a
     * broadcast exchange, whose subtree metrics don't surface on the main
     * query's execution.
+    *
+    * `dropped_pairs` counts only pairs this path could have GENERATED
+    * (fresh×corpus + fresh×fresh within the bucket: wf·(w−wf) + C(wf,2)),
+    * NOT the batch path's C(w,2) over the combined width — corpus×corpus
+    * pairs were never candidates on the incremental path, so the combined
+    * bound would overstate arbitrarily (r10 ADVICE). The two same-named
+    * metrics therefore agree exactly when every doc is "fresh" (the batch
+    * degenerate case) and diverge only as the bound tightens.
     */
   private[graft] def minHashIncrementalIndexedAccounted(
       corpusDocs: DataFrame, corpusBands: DataFrame, freshDocs: DataFrame,
@@ -434,7 +442,8 @@ object Dedup {
       val acct = hotFrame.map { hot =>
         val r = hot.agg(
           coalesce(sum(lit(1L)), lit(0L)).cast("long"),
-          coalesce(sum(col("__w") * (col("__w") - 1L) / 2L), lit(0L)).cast("long")).head()
+          coalesce(sum(col("__wf") * (col("__w") - col("__wf")) +
+            col("__wf") * (col("__wf") - 1L) / 2L), lit(0L)).cast("long")).head()
         (r.getLong(0), r.getLong(1))
       }
       (out, acct)
@@ -470,10 +479,17 @@ object Dedup {
     // persisted so [[minHashIncrementalIndexedAccounted]] can report what
     // the cap dropped from the exact rows the plan skipped, at the cost of
     // one aggregate over the (tiny) cached list — not a second band pass.
+    // __wf (fresh occupancy) rides along so the accounted variant can bound
+    // dropped pairs by the pairs this path could actually have GENERATED —
+    // fresh-involving only (r10 ADVICE: a combined-width C(w,2) bound counts
+    // corpus×corpus pairs that were never candidates here, overstating a
+    // hot bucket of 10k corpus + 1 fresh doc by ~5000×).
     val hotFrame =
       if (maxBucket == Int.MaxValue) None
       else Some(allBands.groupBy(col("band_idx"), col("band_hash"))
-        .agg(count(lit(1)).as("__w")).filter(col("__w") > maxBucket).persist())
+        .agg(count(lit(1)).as("__w"),
+          count(when(col("__is_fresh"), lit(1))).as("__wf"))
+        .filter(col("__w") > maxBucket).persist())
     val capped = hotFrame match {
       case None => allBands
       case Some(hot) =>

@@ -29,7 +29,9 @@ final case class IvfadcQuantizer(cents: DataFrame, csubs: DataFrame, pq: PqParam
   *
   * Why this is sound: [[encode]] is row-wise (broadcast-argmin cell
   * assignment → broadcast centroid residual → broadcast-codebook subspace
-  * argmin — a map-only pass, zero shuffle exchanges, spec-asserted), so
+  * argmin — the VECTOR side is a map-only pass with no shuffle; the only
+  * shuffles in the plan are the tiny quantizer-build aggregations that sit
+  * beneath their own broadcast build sides, spec-asserted), so
   * `encode(corpus) ∪ encode(batch)` under a frozen quantizer is exactly
   * `encode(corpus ∪ batch)` — an appended index answers queries
   * identically to a from-scratch encode of the combined corpus (the
@@ -107,10 +109,12 @@ object VectorIndex {
   }
 
   /** Encode vectors under a FROZEN quantizer → (vec_id, cell, m, code).
-    * Row-wise and map-only: broadcast-argmin assignment, broadcast residual
-    * subtraction, broadcast-codebook subspace argmin — zero shuffle
-    * exchanges on the vector side (VectorIndexSpec asserts the plan), which
-    * is what makes appends corpus-free.
+    * Row-wise: broadcast-argmin assignment, broadcast residual subtraction,
+    * broadcast-codebook subspace argmin — the vector side reaches the output
+    * without a shuffle; the quantizer-build aggregations (collect_list over
+    * k centroids / m·k codebook rows) do shuffle, but only beneath their
+    * BroadcastExchange build sides (VectorIndexSpec walks the plan and
+    * asserts exactly this), which is what makes appends corpus-free.
     */
   def encode(vectors: DataFrame, id: Column, emb: Column,
       quant: IvfadcQuantizer): DataFrame = {

@@ -125,6 +125,16 @@ object EventStreams {
     * negative (pre-1970) timestamps (r9 ADVICE) — only a literal
     * epoch_s == 0 event remains output-ambiguous under the batch-dual
     * convention.
+    *
+    * Checkpoint compatibility (r10 ADVICE): checkpoints written before the
+    * sentinel change stored 0 as "unreached" — restored without migration,
+    * a stored 0 would win every later `min` and freeze the stage at a
+    * phantom epoch-0 timestamp. Each restored field equal to 0 is therefore
+    * mapped back to the internal sentinel on read. This coincides exactly
+    * with the output convention (0 ⇒ not reached in BOTH encodings), so the
+    * only behavior the migration can alter is a genuine epoch_s == 0 event
+    * recorded under the new encoding — the same literal-zero case already
+    * documented as output-ambiguous above.
     */
   def funnelTracker(events: org.apache.spark.sql.Dataset[FunnelEvent])
       : org.apache.spark.sql.Dataset[FunnelStages] = {
@@ -134,7 +144,10 @@ object EventStreams {
       .groupByKey(_.user_id)
       .mapGroupsWithState[FunnelState, FunnelStages](GroupStateTimeout.NoTimeout) {
         (user: Long, evs: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
-          var s = state.getOption.getOrElse(FunnelState(Unreached, Unreached, Unreached))
+          def migrate(v: Long): Long = if (v == 0L) Unreached else v // pre-sentinel-change checkpoints
+          var s = state.getOption
+            .map(st => FunnelState(migrate(st.view), migrate(st.click), migrate(st.buy)))
+            .getOrElse(FunnelState(Unreached, Unreached, Unreached))
           evs.foreach { e =>
             e.event_type match {
               case "view" => s = s.copy(view = math.min(s.view, e.epoch_s))

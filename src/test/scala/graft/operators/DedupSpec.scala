@@ -277,7 +277,7 @@ class DedupSpec extends AnyFunSuite {
     assert(off.isEmpty, "no cap, no metric — nothing can silently drop")
   }
 
-  test("hot-bucket cap accounting on the incremental indexed path (combined corpus+fresh width)") {
+  test("hot-bucket cap accounting on the incremental path bounds FRESH-involving pairs only") {
     val corpus = (10L to 14L)
       .map(i => (i, "standard footer text repeated across the whole site every page"))
       .toDF("doc_id", "text")
@@ -289,9 +289,29 @@ class DedupSpec extends AnyFunSuite {
     val bands = Dedup.bandTable(corpusDocs, "__id", "__sh", nHashes = 64, r = 2, seed = 42L)
     val (pairs, acct) = Dedup.minHashIncrementalIndexedAccounted(
       corpusDocs, bands, docsOf(fresh), threshold = 0.5, maxBucket = 4)
-    // combined width 6 > 4 in every band: all buckets skipped → no pairs
+    // combined width 6 > 4 in every band: all buckets skipped → no pairs.
+    // Only fresh-involving pairs were ever candidates here: wf·(w−wf) +
+    // C(wf,2) = 1·5 + 0 = 5 per bucket — NOT the batch path's C(6,2)=15
+    // (r10 ADVICE: the combined bound counted corpus×corpus pairs this path
+    // can never generate).
     assert(pairs.isEmpty, "every bucket is hot; the capped incremental run yields no candidates")
-    assert(acct == Some((32L, 32L * 15L)), s"32 combined-width-6 buckets dropped: got $acct")
+    assert(acct == Some((32L, 32L * 5L)), s"32 hot buckets × 5 fresh-involving pairs: got $acct")
+  }
+
+  test("incremental cap accounting degenerates to the batch bound when everything is fresh") {
+    // empty corpus: wf == w, so wf·(w−wf) + C(wf,2) == C(w,2) — the two
+    // same-named metrics must agree on the batch-degenerate case
+    val fresh = (10L to 15L)
+      .map(i => (i, "standard footer text repeated across the whole site every page"))
+      .toDF("doc_id", "text")
+    val docsOf = (df: org.apache.spark.sql.DataFrame) => df.select(
+      col("doc_id").as("__id"), Dedup.shingleHashes(col("text"), 3).as("__sh"))
+    val empty = docsOf(fresh).limit(0)
+    val emptyBands = Dedup.bandTable(empty, "__id", "__sh", nHashes = 64, r = 2, seed = 42L)
+    val (_, acct) = Dedup.minHashIncrementalIndexedAccounted(
+      empty, emptyBands, docsOf(fresh), threshold = 0.5, maxBucket = 4)
+    assert(acct == Some((32L, 32L * 15L)),
+      s"all-fresh buckets of width 6 forgo C(6,2)=15 pairs each, matching the batch metric: got $acct")
   }
 
   test("cosineJoinBlocked: block-count edge cases (1 stripe, more stripes than vectors)") {

@@ -25,14 +25,42 @@ class VectorIndexSpec extends AnyFunSuite {
   private def queries = emb.filter(col("vec_id") < 10)
     .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
 
-  test("encode is map-only: zero shuffle exchanges on the fresh-batch side") {
+  test("encode shuffles only inside broadcast build sides: the vector side is map-only") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ShuffleExchangeLike}
     val quant = VectorIndex.train(corpus, col("vec_id"), col("embedding"),
       kCells = 16, iters = 1, pq = pq)
+    // Spark renders shuffles as plain "Exchange" (ShuffleExchangeExec.nodeName),
+    // so a string count of "ShuffleExchange" is vacuously zero (r10 ADVICE) —
+    // walk the tree instead, and STOP at broadcast build sides: the tiny
+    // quantizer-build aggregations (collect_list of centroids/codebook, k and
+    // m·k rows) legitimately shuffle beneath their BroadcastExchange, while
+    // the fresh-vector scan itself must reach the result without one.
+    def shufflesOutsideBroadcast(p: SparkPlan): Int = p match {
+      case _: BroadcastExchangeLike => 0
+      case a: AdaptiveSparkPlanExec => shufflesOutsideBroadcast(a.executedPlan)
+      case q: QueryStageExec => shufflesOutsideBroadcast(q.plan)
+      case s: ShuffleExchangeLike => 1 + s.children.map(shufflesOutsideBroadcast).sum
+      case other => other.children.map(shufflesOutsideBroadcast).sum
+    }
     val plan = VectorIndex.encode(fresh, col("vec_id"), col("embedding"), quant)
-      .queryExecution.executedPlan.toString
-    val shuffles = "ShuffleExchange".r.findAllIn(plan).size
-    assert(shuffles == 0,
-      s"append-path encode must not shuffle (broadcast quantizer only), got $shuffles:\n$plan")
+      .queryExecution.executedPlan
+    // sanity: the walk actually sees the quantizer-build shuffles, proving it
+    // is not the vacuous matcher this test replaced
+    def allShuffles(p: SparkPlan): Int = p match {
+      case a: AdaptiveSparkPlanExec => allShuffles(a.executedPlan)
+      case q: QueryStageExec => allShuffles(q.plan)
+      case s: ShuffleExchangeLike => 1 + s.children.map(allShuffles).sum
+      case other => other.children.map(allShuffles).sum
+    }
+    assert(allShuffles(plan) > 0,
+      "expected the quantizer-build aggregations to shuffle beneath their broadcasts " +
+        "(if this is now zero the walk is broken, not the plan improved)")
+    val outside = shufflesOutsideBroadcast(plan)
+    assert(outside == 0,
+      s"append-path encode must not shuffle the vector side (broadcast quantizer only), " +
+        s"got $outside outside broadcast build sides:\n$plan")
   }
 
   test("parquet round-trip + appendBatch == in-memory union; codes are cell-partitioned") {
