@@ -216,6 +216,24 @@ object Bench {
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_last.json"), json + "\n")
     catch { case _: Throwable => () }
     println(json)
+    // Trailing health line (r10 VERDICT #6): the per-query JSON above is
+    // long and the driver captures a bounded stdout TAIL — a truncated
+    // capture used to lose the leading calibration field, so a polluted run
+    // was indistinguishable from a clean one. This compact second line
+    // always fits in the tail and carries the run-health signal on its own.
+    println(healthLine(probeBefore, probeAfter, total, reps, results.size))
     spark.stop()
+  }
+
+  /** One compact, tail-survivable JSON line with the run's health signal:
+    * calibration probes (compare against the uncontended ledger in
+    * COVERAGE.md — ~0.55-0.6 s on this host), suite total, rep count, and
+    * how many queries were timed. Shared by Bench and BenchScale.
+    */
+  def healthLine(probeBefore: Double, probeAfter: Double, total: Double,
+      reps: Int, nQueries: Int, extra: String = ""): String = {
+    def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    s"""{"health":{"calibration":{"before":${fmt(probeBefore)},"after":${fmt(probeAfter)}},""" +
+      s""""total":${fmt(total)},"reps":$reps,"queries_timed":$nQueries$extra}}"""
   }
 }

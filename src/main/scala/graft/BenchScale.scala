@@ -240,22 +240,55 @@ object BenchScale {
     // same env-tunable rep count as Bench (min reported; marker in JSON)
     val nReps = sys.env.get("SPARK_GRAFT_BENCH_REPS").flatMap(_.toIntOption)
       .filter(_ >= 1).getOrElse(2)
+    // Contention gate (r10 VERDICT #1): a tier artifact whose calibration
+    // probe exceeds the uncontended ledger band is measurement garbage —
+    // r10's committed 100x full-registry artifact (before-probe 0.788) read
+    // mm_decode_real at a phantom 15.9x growth. The run now (a) waits for a
+    // quiet host before the timed pass, (b) re-runs the WHOLE pass when
+    // either probe lands dirty, and (c) stamps the artifact
+    // "contended":true if it never got a clean pair — which
+    // tools/roundcheck.py then fails, so a polluted artifact cannot be
+    // committed silently.
+    val probeMax = sys.env.get("SPARK_GRAFT_PROBE_MAX").flatMap(_.toDoubleOption)
+      .getOrElse(0.65)
+    val maxAttempts = sys.env.get("SPARK_GRAFT_BENCH_ATTEMPTS").flatMap(_.toIntOption)
+      .filter(_ >= 1).getOrElse(3)
     Bench.calibrationProbe() // discard: probe-loop JIT warmup
-    val probeBefore = Bench.calibrationProbe()
-    val results = qs.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to nReps).flatMap { _ =>
-        val t0 = System.nanoTime()
-        val built =
-          try { val df = fn(spark, outDir); Bench.materialize(df); Some(df) }
-          catch { case _: Throwable => None }
-        val t = (System.nanoTime() - t0) / 1e9
-        built.foreach(Bench.releaseCheckpoints)
-        spark.catalog.clearCache()
-        if (built.isDefined) Some(t) else None
-      }
-      name -> (if (times.isEmpty) -1.0 else times.min)
+    def quietProbe(): Double = {
+      var p = Bench.calibrationProbe()
+      var waits = 0
+      while (p > probeMax && waits < 20) { Thread.sleep(15000); waits += 1; p = Bench.calibrationProbe() }
+      p
     }
-    val probeAfter = Bench.calibrationProbe()
+    def timedPass(): Seq[(String, Double)] =
+      qs.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val times = (1 to nReps).flatMap { _ =>
+          val t0 = System.nanoTime()
+          val built =
+            try { val df = fn(spark, outDir); Bench.materialize(df); Some(df) }
+            catch { case _: Throwable => None }
+          val t = (System.nanoTime() - t0) / 1e9
+          built.foreach(Bench.releaseCheckpoints)
+          spark.catalog.clearCache()
+          if (built.isDefined) Some(t) else None
+        }
+        name -> (if (times.isEmpty) -1.0 else times.min)
+      }
+    var attempt = 0
+    var probeBefore = 0.0
+    var probeAfter = 0.0
+    var results: Seq[(String, Double)] = Seq.empty
+    var clean = false
+    while (!clean && attempt < maxAttempts) {
+      attempt += 1
+      probeBefore = quietProbe()
+      results = timedPass()
+      probeAfter = Bench.calibrationProbe()
+      clean = probeBefore <= probeMax && probeAfter <= probeMax
+      if (!clean) System.err.println(
+        s"[bench-scale] attempt $attempt contended (probes $probeBefore/$probeAfter > $probeMax)" +
+          (if (attempt < maxAttempts) " — retrying the whole timed pass" else " — giving up, artifact stamped contended"))
+    }
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qjson = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
@@ -270,10 +303,13 @@ object BenchScale {
     val timed = results.collect { case (n, t) if t >= 0 => n }.toSet
     val absent = (SparkEntry.queries.keySet -- timed) ++ exclude
     val excl = absent.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"$metric","value":${fmt(total)},"unit":"sec","reps":$nReps,"agg":"min","calibration":{"before":${fmt(probeBefore)},"after":${fmt(probeAfter)}},"scale":"${scaleReps}x-$srcDir","excluded":$excl,"queries":$qjson}"""
+    val json = s"""{"metric":"$metric","value":${fmt(total)},"unit":"sec","reps":$nReps,"agg":"min","contended":${!clean},"attempts":$attempt,"calibration":{"before":${fmt(probeBefore)},"after":${fmt(probeAfter)}},"scale":"${scaleReps}x-$srcDir","excluded":$excl,"queries":$qjson}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(artifact), json + "\n")
     catch { case _: Throwable => () }
     println(json)
+    // tail-survivable health line — see Bench.healthLine
+    println(Bench.healthLine(probeBefore, probeAfter, total, nReps, results.count(_._2 >= 0),
+      extra = s""","contended":${!clean},"attempts":$attempt"""))
     spark.stop()
   }
 }

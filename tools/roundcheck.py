@@ -12,6 +12,14 @@ Checks:
   2. Any non-green row (rows/schema/hash mismatch) in CORRECTNESS_r{n}.
   3. BENCH_r{n} for -1.000 sentinels (all-reps-failed) and structural
      inversions the self-calibrating bench recorded.
+  4. Tier-artifact health (r10 VERDICT #1): any committed tier artifact
+     stamped contended or whose calibration probe exceeds PROBE_MAX is
+     measurement garbage and fails the check.
+  5. Growth exponents recomputed from the committed artifacts themselves
+     (not asserted in prose): for each adjacent tier pair, per-query growth
+     must stay under (data ratio)^1.2 — the same super-linear line
+     tools/growth.py draws — for every query whose hi-tier time is big
+     enough to be signal (>1 s).
 Exit code 1 if anything is wrong.
 """
 import glob
@@ -138,6 +146,70 @@ def main():
             print(f"   {os.path.basename(tier)}: registry fully accounted "
                   f"({len(art['queries'])} timed, "
                   f"{len(art.get('excluded') or [])} excluded)")
+
+    # 4. Tier-artifact health: contended stamp / dirty calibration probes.
+    PROBE_MAX = 0.65  # matches BenchScale's gate; ledger norm ~0.55-0.6
+    tier_paths = sorted(glob.glob(f"{ROOT}/BENCH_r{cur:02d}_sf*.json")) + \
+        sorted(glob.glob(f"{ROOT}/BENCH_r{cur:02d}_builder_sf*.json"))
+    for tier in tier_paths:
+        art = load(tier)
+        if not isinstance(art, dict):
+            continue
+        name = os.path.basename(tier)
+        if art.get("contended") is True:
+            bad = True
+            print(f"!! {name} is stamped contended=true "
+                  f"(attempts={art.get('attempts')}) — re-run it solo")
+        cal = art.get("calibration") or {}
+        dirty = {k: v for k, v in cal.items()
+                 if isinstance(v, (int, float)) and v > PROBE_MAX}
+        if dirty:
+            bad = True
+            print(f"!! {name} calibration probe over {PROBE_MAX}s: {dirty} "
+                  f"— the run was contended, its numbers are not evidence")
+
+    # 5. Growth exponents from the committed artifacts (r10 VERDICT #1:
+    # 'zero super-linear' must be machine-checked, not asserted). Adjacent
+    # tier pairs are each one decade of data.
+    def qtimes(path):
+        art = load(path)
+        if isinstance(art, dict) and isinstance(art.get("queries"), dict):
+            return art["queries"]
+        return None
+    pairs = []
+    lo01 = f"{ROOT}/BENCH_r{cur:02d}_builder_sf01.json"
+    sf1 = f"{ROOT}/BENCH_r{cur:02d}_sf1.json"
+    if os.path.exists(lo01) and os.path.exists(sf1):
+        pairs.append((lo01, sf1, 10.0))
+    for hi in sorted(glob.glob(f"{ROOT}/BENCH_r{cur:02d}_sf10*.json")):
+        if os.path.exists(sf1):
+            pairs.append((sf1, hi, 10.0))
+    for lo_path, hi_path, ratio in pairs:
+        lo, hi = qtimes(lo_path), qtimes(hi_path)
+        if lo is None or hi is None:
+            continue
+        allowed = ratio ** 1.2
+        over = []
+        worst = (0.0, None)
+        for q in hi:
+            if q in lo and lo[q] > 0 and hi[q] > 0:
+                g = hi[q] / lo[q]
+                if g > worst[0]:
+                    worst = (g, q)
+                # hi > 1s: sub-second fixed-cost queries flip past the
+                # ratio on pure min-of-N noise without being a plan problem
+                if g > allowed and hi[q] > 1.0:
+                    over.append((g, q, lo[q], hi[q]))
+        tag = f"{os.path.basename(lo_path)} -> {os.path.basename(hi_path)}"
+        if over:
+            bad = True
+            for g, q, l, h in sorted(over, reverse=True):
+                print(f"!! SUPER-LINEAR {tag}: {q} grew {g:.1f}x on "
+                      f"{ratio:.0f}x data ({l:.2f}s -> {h:.2f}s, allowed "
+                      f"{allowed:.1f}x)")
+        else:
+            w = f", worst {worst[0]:.1f}x ({worst[1]})" if worst[1] else ""
+            print(f"   growth {tag}: all under {allowed:.1f}x{w}")
 
     print("RESULT:", "ATTENTION NEEDED" if bad else "clean")
     return 1 if bad else 0
