@@ -204,12 +204,16 @@ object VectorIndex {
   /** Persist quantizer + codes. Codes are laid out partitioned by `cell`,
     * so a search probing `nprobe` of `k` cells can prune its scan to
     * `nprobe/k` of the files — the layout IS the coarse index on disk
-    * ([[searchAdcPruned]] exploits exactly this).
+    * ([[searchAdcPruned]] exploits exactly this). Also persists the
+    * per-cell occupancy table (see [[cellOccupancy]]) so the index carries
+    * its own skew accounting from birth.
     */
   def write(quant: IvfadcQuantizer, codes: DataFrame, path: String): Unit = {
     quant.cents.write.mode("overwrite").parquet(s"$path/cents")
     quant.csubs.write.mode("overwrite").parquet(s"$path/codebook")
     codes.write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+    cellOccupancy(loadCodes(codes.sparkSession, path))
+      .write.mode("overwrite").parquet(s"$path/occupancy")
   }
 
   def loadQuantizer(s: SparkSession, path: String, pq: PqParams): IvfadcQuantizer =
@@ -224,11 +228,178 @@ object VectorIndex {
   /** Index a fresh batch into a persisted index: encode under the FROZEN
     * stored quantizer and append the codes — the persisted corpus codes are
     * untouched and the corpus itself is never read. The daily-ingest path.
+    * Occupancy is maintained INCREMENTALLY (old per-cell counts + the fresh
+    * batch's), so the accounting stays corpus-free too.
     */
   def appendBatch(s: SparkSession, path: String, fresh: DataFrame,
       id: Column, emb: Column, pq: PqParams): Unit = {
     val quant = loadQuantizer(s, path, pq)
-    encode(fresh, id, emb, quant)
-      .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+    val freshCodes = encode(fresh, id, emb, quant).localCheckpoint()
+    freshCodes.write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+    mergeOccupancy(s, path, cellOccupancy(freshCodes))
   }
+
+  // ---- deletes / updates -------------------------------------------------
+
+  /** Apply a change batch (updated vectors + deleted ids) onto a PERSISTED
+    * index — the vector dual of [[Upsert.mergeLargeBase]] and of the
+    * reference's incremental model, where a sync window carries updates,
+    * not just inserts (integrations/shopify/shopify.go:39-64 re-syncs
+    * *changed* rows). Under the frozen stored quantizer:
+    *
+    *   - only the CHANGED vectors are re-encoded ([[encode]] — map-only on
+    *     the vector side, broadcast quantizer);
+    *   - the corpus codes are split by broadcasting the (small) changed-id
+    *     set — never shuffled, never re-encoded;
+    *   - only the TOUCHED cell partitions are rewritten (the old cells of
+    *     changed ids ∪ the new cells of updated vectors — an update may
+    *     move a vector between cells), via dynamic partition overwrite;
+    *     untouched cells keep their files byte-for-byte.
+    *
+    * Equivalence contract (the `ann_ivfpq_upsert` oracle gate pins it
+    * cross-engine): after the upsert, the index answers exactly like a
+    * from-scratch encode of (corpus − deleted) ∪ updated under the same
+    * frozen quantizer — because [[encode]] is row-wise, removing rows and
+    * re-encoding changed rows commutes with encoding the final corpus.
+    *
+    * An id appearing in both `updates` and `deletes` is treated as
+    * UPDATED (the update carries newer content — last-write-wins, the
+    * [[Upsert]] convention). An updated id absent from the index is an
+    * insert. Bounded driver state: only cell ids (≤ |changes| + k values)
+    * are ever collected; the rewritten partitions are materialized via
+    * localCheckpoint (bounded by touched-cell codes + the change batch)
+    * before the overwrite so the write never reads the path it replaces.
+    *
+    * @param updates frame exposing `id`/`emb` — changed or new vectors
+    * @param deletes single-column frame of ids to remove (tombstones)
+    */
+  def upsertBatch(s: SparkSession, path: String, updates: DataFrame,
+      deletes: DataFrame, id: Column, emb: Column, pq: PqParams): Unit = {
+    val quant = loadQuantizer(s, path, pq)
+    val delIds = deletes.select(deletes.columns.head).toDF("vec_id")
+    val updIds = updates.select(id.as("vec_id"))
+    val changedIds = updIds.union(delIds).distinct()
+    val newCodes = encode(updates, id, emb, quant).localCheckpoint()
+    val codes = loadCodesFull(s, path)
+    val oldCells = codes.join(broadcast(changedIds), Seq("vec_id"), "left_semi")
+      .select(col("cell")).distinct().collect().map(_.get(0))
+    val newCells = newCodes.select(col("cell")).distinct().collect().map(_.get(0))
+    val touched = (oldCells ++ newCells).distinct.toSeq
+    if (touched.isEmpty) return // empty change batch
+    val survivors = codes.filter(col("cell").isin(touched: _*))
+      .join(broadcast(changedIds), Seq("vec_id"), "left_anti")
+    // unionByName(allowMissing): a streaming-ingested index carries __batch
+    // stamps; upserted rows get null there (max-based replay checks ignore
+    // nulls, so exactly-once detection is unaffected)
+    val rewritten = survivors.unionByName(newCodes, allowMissingColumns = true)
+      .localCheckpoint() // eager: all reads of the path finish BEFORE the overwrite
+    rewritten.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell").parquet(s"$path/codes")
+    // dynamic overwrite only replaces partitions PRESENT in the new data —
+    // a cell whose every vector was deleted writes no rows, so its stale
+    // directory must be dropped explicitly
+    val cellsAfter = rewritten.select(col("cell")).distinct().collect().map(_.get(0)).toSet
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), s.sparkContext.hadoopConfiguration)
+    touched.filterNot(cellsAfter).foreach { c =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/codes/cell=$c"), true)
+    }
+    // occupancy: untouched cells keep their counts; touched cells are
+    // recounted from the rewritten (bounded) data only
+    val occ = occupancy(s, path)
+    mergeOccupancy(s, path,
+      occ.filter(!col("cell").isin(touched: _*))
+        .unionByName(cellOccupancy(rewritten)),
+      replace = true)
+  }
+
+  // ---- small-file compaction --------------------------------------------
+
+  /** Compact the codes layout back to ONE file per cell partition. Each
+    * [[appendBatch]]/streaming epoch appends a small file to every touched
+    * cell, so after N daily appends a pruned search opens N files per
+    * probed cell — compaction is the hygiene pass that restores the
+    * 1-file-per-cell layout ([[Compaction]] is the generic dual; this one
+    * knows the cell layout). `repartition(cell)` puts each cell's rows in
+    * exactly one task, so the rewrite emits exactly one file per cell; the
+    * result is staged in a sibling directory and swapped in with two
+    * metadata renames — no driver/executor materialization of the corpus,
+    * no read-overwrite conflict. Single-writer maintenance op (the brief
+    * swap window is not concurrent-reader-safe, same as any in-place
+    * parquet rewrite). All columns survive, including streaming `__batch`
+    * stamps — max(__batch) replay detection still works post-compaction.
+    */
+  def compactCells(s: SparkSession, path: String): Unit = {
+    val codesPath = s"$path/codes"
+    val staged = s"$path/codes_compacting"
+    s.read.option("mergeSchema", "true").parquet(codesPath)
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(staged)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), s.sparkContext.hadoopConfiguration)
+    val old = new org.apache.hadoop.fs.Path(s"$path/codes_old")
+    fs.delete(old, true)
+    fs.rename(new org.apache.hadoop.fs.Path(codesPath), old)
+    fs.rename(new org.apache.hadoop.fs.Path(staged), new org.apache.hadoop.fs.Path(codesPath))
+    fs.delete(old, true)
+  }
+
+  // ---- occupancy accounting ----------------------------------------------
+
+  /** Per-cell vector counts of a codes table — the no-silent-caps principle
+    * applied to the coarse quantizer (the IVF dual of `dropped_pairs` in
+    * [[Dedup]]): k-means on a skewed corpus concentrates vectors in few
+    * cells, silently destroying [[searchAdcPruned]]'s nprobe/k pruning —
+    * a probe of the hottest cell reads imbalance× the uniform share. One
+    * row per (vector, subspace) ⇒ count rows of subspace 0.
+    */
+  def cellOccupancy(codes: DataFrame): DataFrame =
+    codes.filter(col("m") === 0)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"))
+
+  /** The persisted per-cell occupancy of an index ([[write]] seeds it;
+    * [[appendBatch]]/[[upsertBatch]] maintain it incrementally).
+    */
+  def occupancy(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(s"$path/occupancy")
+
+  /** Skew summary over the persisted occupancy: `imbalance` is the
+    * worst-case pruned-scan degradation factor (max cell / mean cell) —
+    * an `imbalance` of 1 means nprobe/k pruning delivers exactly its
+    * promise; at 40 the hottest probe costs 40× the uniform share and the
+    * quantizer needs retraining.
+    */
+  def occupancyReport(s: SparkSession, path: String): DataFrame =
+    occupancy(s, path).agg(
+      count(lit(1)).as("n_cells"),
+      sum(col("n_vecs")).as("n_vecs"),
+      max(col("n_vecs")).as("max_cell"),
+      round(avg(col("n_vecs")), 2).as("mean_cell"),
+      round(max(col("n_vecs")) / avg(col("n_vecs")), 2).as("imbalance"))
+
+  /** Fold `delta` per-cell counts into the persisted occupancy table.
+    * `replace = false` SUMS overlapping cells (append semantics);
+    * `replace = true` expects `delta` to already carry the final counts
+    * for every cell it mentions (upsert semantics — the caller rebuilt the
+    * touched cells' counts). Tiny table (≤ k rows): checkpointed before
+    * the overwrite.
+    */
+  private def mergeOccupancy(s: SparkSession, path: String, delta: DataFrame,
+      replace: Boolean = false): Unit = {
+    val occPath = s"$path/occupancy"
+    val merged =
+      if (replace) delta
+      else occupancy(s, path).unionByName(delta)
+        .groupBy(col("cell")).agg(sum(col("n_vecs")).as("n_vecs"))
+    merged.localCheckpoint().write.mode("overwrite").parquet(occPath)
+  }
+
+  /** Codes with EVERY stored column (streaming `__batch` stamps included,
+    * whichever files carry them) — [[loadCodes]] projects the search
+    * schema; maintenance paths need the full rows to rewrite losslessly.
+    */
+  private[graft] def loadCodesFull(s: SparkSession, path: String): DataFrame =
+    s.read.option("mergeSchema", "true").parquet(s"$path/codes")
 }

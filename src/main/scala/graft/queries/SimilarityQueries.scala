@@ -570,13 +570,16 @@ object SimilarityQueries extends QueryPack {
     * by the time the `oracles` map forces this.)
     */
   /** Everything after the training CTEs — shared by the standard IVFADC
-    * gate (quantizer trained on all of `embeddings`) and the append gate
-    * (quantizer trained on the `corpus` CTE): corpus-wide assignment under
-    * the final centroids, residuals, residual codebook, encode, probe,
-    * query residuals, ADC. Expects `c2` (trained centroids) in scope.
+    * gate (quantizer trained on all of `embeddings`), the append gate
+    * (quantizer trained on the `corpus` CTE), and the upsert gate (encode
+    * source = the post-upsert `emb2` CTE): assignment of `src` under the
+    * final centroids, residuals, residual codebook, encode, probe, query
+    * residuals, ADC. Expects `c2` (trained centroids) in scope. Queries
+    * always come from the raw `embeddings` table (vec_id < 10) — gates
+    * keep query rows outside their corpus perturbations.
     */
-  private lazy val ivfPqAdcSqlBody =
-    s"""${kmAssign("c2", "acell")},
+  private def ivfPqAdcSqlBodyFor(src: String): String =
+    s"""${kmAssign("c2", "acell", src)},
        rs AS (
          SELECT a.vec_id, a.cell,
            list_transform(range(1, 65),
@@ -625,6 +628,8 @@ object SimilarityQueries extends QueryPack {
                ORDER BY est_dist ASC, neighbor_id) AS rn FROM adc)
        WHERE rn <= 5 ORDER BY query_id, rn"""
 
+  private lazy val ivfPqAdcSqlBody = ivfPqAdcSqlBodyFor("embeddings")
+
   private lazy val qAnnIvfPqSql =
     s"""WITH ${kmTrainCtes(ivfProdK)},
        $ivfPqAdcSqlBody"""
@@ -670,6 +675,72 @@ object SimilarityQueries extends QueryPack {
     s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings WHERE NOT $freshCondSql),
        ${kmTrainCtes(ivfProdK, "corpus")},
        $ivfPqAdcSqlBody"""
+
+  /** The delete/update split of the upsert gate: both classes sit above
+    * every training seed (vec_id < ivfProdK ⊇ the pqK codebook rows) and
+    * every query (vec_id < 10), so the frozen quantizer — trained on the
+    * FULL pre-upsert table — is textually the standard one, and query rows
+    * survive the upsert untouched.
+    */
+  private val delCond: org.apache.spark.sql.Column =
+    col("vec_id") % 10 === 3 && col("vec_id") >= ivfProdK
+  private val delCondSql = s"(vec_id % 10 = 3 AND vec_id >= $ivfProdK)"
+  private val updCond: org.apache.spark.sql.Column =
+    col("vec_id") % 10 === 4 && col("vec_id") >= ivfProdK
+  private val updCondSql = s"(vec_id % 10 = 4 AND vec_id >= $ivfProdK)"
+
+  /** Upsert-under-frozen-quantizer equivalence gate — the vector dual of
+    * `q_upsert_cdc`, exercising the PERSISTED maintenance path end-to-end:
+    * train on the full table, WRITE the index to disk, apply a change
+    * batch (tombstones + updated vectors, the updates deterministically
+    * perturbed by reversing the embedding) via
+    * [[graft.operators.VectorIndex.upsertBatch]] — which re-encodes ONLY
+    * the changed vectors and rewrites ONLY the touched cell partitions —
+    * then answer ADC queries from the index as reloaded from disk. The
+    * oracle re-derives the same frozen quantizer and a from-scratch encode
+    * of the POST-upsert corpus; equality pins that incremental maintenance
+    * answers exactly like a full rebuild. The result is checkpointed so
+    * the scratch index directory can be deleted before returning.
+    */
+  private def qAnnIvfPqUpsert(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{PqParams, VectorIndex}
+    val emb = t(s, dir, "embeddings")
+    val pq = PqParams(pqM, pqSubDim, pqK)
+    val quant = VectorIndex.train(emb, col("vec_id"), col("embedding"),
+      kCells = ivfProdK, iters = 2, pq = pq)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfpq_upsert").toString
+    try {
+      VectorIndex.write(quant,
+        VectorIndex.encode(emb, col("vec_id"), col("embedding"), quant), path)
+      val updates = emb.filter(updCond)
+        .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
+      val deletes = emb.filter(delCond).select(col("vec_id"))
+      VectorIndex.upsertBatch(s, path, updates, deletes,
+        col("vec_id"), col("embedding"), pq)
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      VectorIndex.searchAdc(VectorIndex.loadCodes(s, path),
+          VectorIndex.loadQuantizer(s, path, pq), queries,
+          nprobe = ivfProdNprobe, topK = 5)
+        .orderBy("query_id", "rn")
+        .localCheckpoint() // eager: must outlive the scratch index deletion
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(path))
+    }
+  }
+
+  private lazy val qAnnIvfPqUpsertSql =
+    s"""WITH emb2 AS (
+         SELECT vec_id, embedding FROM embeddings
+         WHERE NOT $delCondSql AND NOT $updCondSql
+         UNION ALL
+         SELECT vec_id, list_reverse(embedding) AS embedding
+         FROM embeddings WHERE $updCondSql),
+       ${kmTrainCtes(ivfProdK)},
+       ${ivfPqAdcSqlBodyFor("emb2")}"""
 
   // -- ANN quality gate: recall@5 of every approximate path vs brute force -------
   // Joins each ANN path's top-5 against the exact brute-force top-5 and emits
@@ -949,6 +1020,7 @@ object SimilarityQueries extends QueryPack {
     "ann_ivfpq_adc" -> (qAnnIvfPq _),
     "ann_ivfpq_rerank" -> (qAnnIvfPqRerank _),
     "ann_ivfpq_append" -> (qAnnIvfPqAppend _),
+    "ann_ivfpq_upsert" -> (qAnnIvfPqUpsert _),
     "ann_recall_at_5" -> (qAnnRecall _),
     "knn_cosine_brute" -> (qKnn _),
     "emb_outliers" -> (qEmbOutliers _),
@@ -965,6 +1037,7 @@ object SimilarityQueries extends QueryPack {
     "ann_ivfpq_adc" -> qAnnIvfPqSql,
     "ann_ivfpq_rerank" -> qAnnIvfPqRerankSql,
     "ann_ivfpq_append" -> qAnnIvfPqAppendSql,
+    "ann_ivfpq_upsert" -> qAnnIvfPqUpsertSql,
     "ann_recall_at_5" -> qAnnRecallSql,
     "knn_cosine_brute" -> qKnnSql,
     "emb_outliers" -> qEmbOutliersSql,

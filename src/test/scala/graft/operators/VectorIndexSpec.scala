@@ -134,6 +134,180 @@ class VectorIndexSpec extends AnyFunSuite {
       s"at most 2 queries × 2 probes = 4 of 16 cell dirs may survive, got $survived")
   }
 
+  test("upsertBatch: tombstones + changed vectors == full re-encode; untouched cells byte-identical") {
+    val path = java.nio.file.Files.createTempDirectory("graft_vindex_upsert").toString
+    val quant = VectorIndex.train(corpus, col("vec_id"), col("embedding"),
+      kCells = 16, iters = 1, pq = pq)
+    VectorIndex.write(quant,
+      VectorIndex.encode(corpus, col("vec_id"), col("embedding"), quant), path)
+
+    // change batch: a NARROW id slice (the untouched-cells assertion below
+    // needs most cells to stay out of the change set) — delete ids ≡3
+    // (mod 10), update ids ≡4 (mod 10) with a reversed (deterministically
+    // perturbed) embedding; ids ≥ 64 so every training seed and query row
+    // stays put
+    val delC = col("vec_id") % 10 === 3 && col("vec_id") >= 64 && col("vec_id") < 110
+    val updC = col("vec_id") % 10 === 4 && col("vec_id") >= 64 && col("vec_id") < 110
+    val updates = corpus.filter(updC)
+      .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
+    val deletes = corpus.filter(delC).select(col("vec_id"))
+
+    // fingerprint every cell file BEFORE the upsert
+    def fileSig(path: String): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk) else Seq(f)
+      walk(new java.io.File(path)).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getAbsolutePath -> (f.length, f.lastModified)).toMap
+    }
+    val before = fileSig(s"$path/codes")
+
+    VectorIndex.upsertBatch(spark, path, updates, deletes,
+      col("vec_id"), col("embedding"), pq)
+
+    // equivalence: the maintained index answers exactly like a from-scratch
+    // encode of (corpus − deleted) ∪ updated under the same frozen quantizer
+    val post = corpus.filter(!delC && !updC)
+      .select(col("vec_id"), col("embedding"))
+      .union(updates)
+    val rebuilt = VectorIndex.encode(post, col("vec_id"), col("embedding"), quant)
+    val fromIndex = VectorIndex.searchAdc(VectorIndex.loadCodes(spark, path),
+      VectorIndex.loadQuantizer(spark, path, pq), queries, nprobe = 4, topK = 5)
+      .orderBy("query_id", "rn").collect().toSeq
+    val fromRebuild = VectorIndex.searchAdc(rebuilt, quant, queries, nprobe = 4, topK = 5)
+      .orderBy("query_id", "rn").collect().toSeq
+    assert(fromIndex == fromRebuild,
+      "upserted index must answer exactly like the full re-encode of the post-change corpus")
+    assert(fromIndex.nonEmpty)
+    // no deleted id is retrievable even in a widened result
+    val wide = VectorIndex.searchAdc(VectorIndex.loadCodes(spark, path),
+      VectorIndex.loadQuantizer(spark, path, pq), queries, nprobe = 16, topK = 200)
+    assert(wide.filter(col("neighbor_id") % 10 === 3 &&
+        col("neighbor_id") >= 64 && col("neighbor_id") < 110).count() == 0,
+      "tombstoned vectors must be gone from the index")
+
+    // the 100 TB property: cells the change batch never touched keep their
+    // files byte-for-byte (same paths, sizes, mtimes) — only touched cell
+    // partitions were rewritten
+    val touched = {
+      val codes = VectorIndex.encode(corpus, col("vec_id"), col("embedding"), quant)
+      val changedIds = updates.select("vec_id").union(deletes).distinct()
+      val oldCells = codes.join(broadcast(changedIds), Seq("vec_id"), "left_semi")
+        .select("cell").distinct().collect().map(_.getAs[Number](0).longValue).toSet
+      val newCells = VectorIndex.encode(updates, col("vec_id"), col("embedding"), quant)
+        .select("cell").distinct().collect().map(_.getAs[Number](0).longValue).toSet
+      oldCells ++ newCells
+    }
+    val after = fileSig(s"$path/codes")
+    val untouchedBefore = before.filterNot { case (p, _) => touched.exists(c => p.contains(s"cell=$c/")) }
+    val untouchedAfter = after.filterNot { case (p, _) => touched.exists(c => p.contains(s"cell=$c/")) }
+    assert(untouchedBefore.nonEmpty, "fixture must leave some cells untouched for the test to mean anything")
+    assert(untouchedAfter == untouchedBefore,
+      "untouched cell partitions must survive the upsert byte-for-byte (no corpus rewrite)")
+
+    // occupancy was maintained incrementally and still equals a recount
+    val occ = VectorIndex.occupancy(spark, path).orderBy("cell").collect().toSeq
+    val recount = VectorIndex.cellOccupancy(VectorIndex.loadCodes(spark, path))
+      .orderBy("cell").collect().toSeq
+    assert(occ == recount, "incrementally-maintained occupancy must equal a recount")
+  }
+
+  test("upsertBatch removes a cell directory when its every vector is deleted") {
+    val path = java.nio.file.Files.createTempDirectory("graft_vindex_empty").toString
+    val quant = VectorIndex.train(corpus, col("vec_id"), col("embedding"),
+      kCells = 16, iters = 1, pq = pq)
+    val codes = VectorIndex.encode(corpus, col("vec_id"), col("embedding"), quant)
+    VectorIndex.write(quant, codes, path)
+    // tombstone EVERY vector of one populated cell
+    val someCell = codes.select("cell").head().getAs[Number](0).longValue
+    val condemned = codes.filter(col("cell") === someCell && col("m") === 0).select("vec_id")
+    val emptyUpdates = corpus.limit(0).select(col("vec_id"), col("embedding"))
+    VectorIndex.upsertBatch(spark, path, emptyUpdates, condemned,
+      col("vec_id"), col("embedding"), pq)
+    assert(!new java.io.File(s"$path/codes/cell=$someCell").exists(),
+      "a fully-tombstoned cell must not leave a stale partition directory")
+    assert(VectorIndex.loadCodes(spark, path).filter(col("cell") === someCell).count() == 0)
+    // occupancy no longer lists the emptied cell
+    assert(VectorIndex.occupancy(spark, path).filter(col("cell") === someCell).count() == 0)
+  }
+
+  test("compactCells: N appends leave N files per touched cell; compaction restores 1, answers unchanged") {
+    val path = java.nio.file.Files.createTempDirectory("graft_vindex_compact").toString
+    val quant = VectorIndex.train(corpus, col("vec_id"), col("embedding"),
+      kCells = 16, iters = 1, pq = pq)
+    VectorIndex.write(quant,
+      VectorIndex.encode(corpus, col("vec_id"), col("embedding"), quant), path)
+    // three daily ingests
+    val batches = Seq(
+      emb.filter(col("vec_id") % 10 === 7 && col("vec_id") >= 64 && col("vec_id") < 200),
+      emb.filter(col("vec_id") % 10 === 7 && col("vec_id") >= 200 && col("vec_id") < 400),
+      emb.filter(col("vec_id") % 10 === 7 && col("vec_id") >= 400))
+    batches.foreach(b =>
+      VectorIndex.appendBatch(spark, path, b, col("vec_id"), col("embedding"), pq))
+    def filesPerCell(): Map[String, Int] = new java.io.File(s"$path/codes").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+      .map(d => d.getName -> d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    val beforeCounts = filesPerCell()
+    assert(beforeCounts.values.max > 1,
+      s"appends must have fragmented at least one cell, got $beforeCounts")
+    val answerBefore = VectorIndex.searchAdc(VectorIndex.loadCodes(spark, path),
+      VectorIndex.loadQuantizer(spark, path, pq), queries, nprobe = 4, topK = 5)
+      .orderBy("query_id", "rn").collect().toSeq
+
+    VectorIndex.compactCells(spark, path)
+
+    val afterCounts = filesPerCell()
+    assert(afterCounts.values.forall(_ == 1),
+      s"every cell must hold exactly one file post-compaction, got $afterCounts")
+    assert(afterCounts.keySet == beforeCounts.keySet, "no cell may vanish in compaction")
+    val answerAfter = VectorIndex.searchAdc(VectorIndex.loadCodes(spark, path),
+      VectorIndex.loadQuantizer(spark, path, pq), queries, nprobe = 4, topK = 5)
+      .orderBy("query_id", "rn").collect().toSeq
+    assert(answerAfter == answerBefore, "compaction must not change any answer")
+    assert(answerAfter.nonEmpty)
+    // the pruned search still prunes over the compacted layout
+    val qs = queries.filter(col("query_id") < 2)
+    val pruned = VectorIndex.searchAdcPruned(VectorIndex.loadCodes(spark, path),
+      VectorIndex.loadQuantizer(spark, path, pq), qs, nprobe = 2, topK = 5)
+      .collect().toSeq
+    assert(pruned.nonEmpty)
+  }
+
+  test("occupancy accounting surfaces quantizer skew on a deliberately skewed corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // 56 of 64 vectors huddle around one point; 8 scatter far away —
+    // k-means (8 cells, seeded from the first rows) must leave one hot cell
+    val dim = 64
+    val base = Array.fill(dim)(rnd.nextFloat() * 0.01f)
+    val skewed = ((0 until 8).map { i =>
+      (i.toLong, Array.tabulate(dim)(d => (if (d == i) 50f else 0f) + rnd.nextFloat() * 0.01f))
+    } ++ (8 until 64).map { i =>
+      (i.toLong, base.map(_ + rnd.nextFloat() * 0.01f))
+    }).toDF("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("graft_vindex_skew").toString
+    val quant = VectorIndex.train(skewed, col("vec_id"), col("embedding"),
+      kCells = 8, iters = 2, pq = pq)
+    VectorIndex.write(quant,
+      VectorIndex.encode(skewed, col("vec_id"), col("embedding"), quant), path)
+    val report = VectorIndex.occupancyReport(spark, path).head()
+    val (nVecs, maxCell, imbalance) =
+      (report.getAs[Long]("n_vecs"), report.getAs[Long]("max_cell"),
+        report.getAs[Double]("imbalance"))
+    assert(nVecs == 64L)
+    assert(maxCell >= 56L, s"the huddle must land in one hot cell, got max_cell=$maxCell")
+    assert(imbalance > 3.0,
+      s"skew this extreme must surface in the imbalance factor, got $imbalance")
+    // occupancy stays a recount-invariant through an append
+    VectorIndex.appendBatch(spark, path,
+      Seq((100L, base.map(_ + 0.001f))).toDF("vec_id", "embedding"),
+      col("vec_id"), col("embedding"), pq)
+    val occ = VectorIndex.occupancy(spark, path).orderBy("cell").collect().toSeq
+    val recount = VectorIndex.cellOccupancy(VectorIndex.loadCodes(spark, path))
+      .orderBy("cell").collect().toSeq
+    assert(occ == recount, "append-maintained occupancy must equal a recount")
+    assert(occ.map(_.getAs[Long]("n_vecs")).sum == 65L)
+  }
+
   test("appended index == full re-encode of the combined corpus under the frozen quantizer") {
     val quant = VectorIndex.train(corpus, col("vec_id"), col("embedding"),
       kCells = 16, iters = 1, pq = pq)

@@ -26,6 +26,11 @@ class ExchangeBudgetSpec extends AnyFunSuite {
                              // same shape as ann_ivfpq_adc; both encodes
                              // (corpus + fresh append) are map-only and
                              // contribute ZERO (VectorIndexSpec)
+    "ann_ivfpq_upsert" -> 0, // returns a localCheckpoint (the scratch index
+                             // dir is deleted before return) — the public
+                             // plan is a checkpoint scan; the maintenance
+                             // pipeline's own shape is pinned by
+                             // VectorIndexSpec (touched-cells-only rewrite)
     "ann_pq_adc" -> 4,
     "ann_recall_at_5" -> 19,
     "ann_rhp_lsh" -> 3,
