@@ -101,6 +101,41 @@ object TextQueries extends QueryPack {
        CAST(length(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS n_bpe
        FROM documents ORDER BY doc_id"""
 
+  // -- BPE encode: token IDS under a frozen merge table (r10 VERDICT #5) ------
+  /** Per-doc summary of the actual token-id SEQUENCE: count, a
+    * position-weighted checksum (Σ id·pos — any reorder, insert, or swap
+    * changes it), and the first 12 ids verbatim. The encode itself is the
+    * codegen [[graft.functions.BpeEncode]] — the whole rank loop in one
+    * generated call, no per-rank intermediate arrays on the hot path. The
+    * oracle re-derives every merge rank in SQL ([[graft.functions
+    * .Bpe.duckdbCtes]] — sound because every rank's left != right makes
+    * the greedy pass equal a simultaneous replacement; BpeSpec pins that
+    * law property-wise).
+    */
+  private def qBpeEncode(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftshim.Bridge
+    val toks = Bridge.column(graft.functions.BpeEncode(Bridge.childExpr(col("text"))))
+    t(s, dir, "documents")
+      .select(col("doc_id"), toks.as("l"))
+      .select(
+        col("doc_id"),
+        size(col("l")).cast("long").as("n_tokens"),
+        aggregate(
+          transform(col("l"), (t, i) => t.cast("long") * (i.cast("long") + 1L)),
+          lit(0L), (acc, x) => acc + x).as("tok_hash"),
+        array_join(transform(slice(col("l"), 1, 12), _.cast("string")), " ")
+          .as("head_tokens"))
+      .orderBy("doc_id")
+  }
+
+  private lazy val qBpeEncodeSql =
+    s"""WITH ${graft.functions.Bpe.duckdbCtes()}
+       SELECT doc_id,
+         len(l)::BIGINT AS n_tokens,
+         COALESCE(list_sum(list_transform(range(1, len(l) + 1), i -> l[i]::BIGINT * i)), 0)::BIGINT AS tok_hash,
+         array_to_string(list_slice(l, 1, 12), ' ') AS head_tokens
+       FROM bpe${graft.functions.Bpe.Merges.size} ORDER BY doc_id"""
+
   // -- content fingerprint ----------------------------------------------------------------
   private def qFingerprint(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(
@@ -642,6 +677,7 @@ object TextQueries extends QueryPack {
     "text_token_stats" -> (qTokenStats _),
     "text_quality" -> (qQuality _),
     "text_bpe_count" -> (qBpeCount _),
+    "text_bpe_encode" -> (qBpeEncode _),
     "text_fingerprint" -> (qFingerprint _),
     "text_term_freq" -> (qTermFreq _),
     "text_bigrams" -> (qBigrams _),
@@ -661,6 +697,7 @@ object TextQueries extends QueryPack {
     "text_token_stats" -> qTokenStatsSql,
     "text_quality" -> qQualitySql,
     "text_bpe_count" -> qBpeCountSql,
+    "text_bpe_encode" -> qBpeEncodeSql,
     "text_fingerprint" -> qFingerprintSql,
     "text_term_freq" -> qTermFreqSql,
     "text_bigrams" -> qBigramsSql,

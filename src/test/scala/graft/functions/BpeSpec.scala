@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The BPE encode contract:
+  *  - hand-checked merges, including chained ranks (an+d, th+e) and the
+  *    adjacent-occurrence case ("ththe") where a naive regex would slip;
+  *  - the LAW the oracle rests on: because every rank's left != right, the
+  *    greedy left-to-right pass (what [[Bpe.encode]] and the codegen
+  *    expression run) equals a SIMULTANEOUS replacement (what the DuckDB
+  *    CTE chain computes) — pinned property-wise over random and
+  *    adversarial strings against an independent implementation of the
+  *    simultaneous semantics;
+  *  - the Catalyst expression agrees with the driver-side encode through a
+  *    real DataFrame.
+  */
+class BpeSpec extends AnyFunSuite {
+  private lazy val spark = graft.SparkFixture.spark
+
+  /** Independent implementation of the SQL oracle's per-rank semantics:
+    * every position decides from the ORIGINAL list (merge where (l[i],
+    * l[i+1]) matches, drop where (l[i-1], l[i]) matches, else keep) — no
+    * left-to-right state.
+    */
+  private def simultaneous(text: String): Array[Int] = {
+    var l = text.codePoints().toArray.toSeq
+    Bpe.Merges.foreach { case (a, b, c) =>
+      l = l.indices.flatMap { i =>
+        if (l(i) == a && i + 1 < l.size && l(i + 1) == b) Some(c)
+        else if (l(i) == b && i - 1 >= 0 && l(i - 1) == a) None
+        else Some(l(i))
+      }
+    }
+    l.toArray
+  }
+
+  test("hand-checked merges: chains, adjacency, pass-through") {
+    assert(Bpe.encode("the").toSeq == Seq(257))
+    assert(Bpe.encode("then").toSeq == Seq(257, 'n'.toInt))
+    assert(Bpe.encode("and").toSeq == Seq(260))
+    assert(Bpe.encode("in on er re").toSeq ==
+      Seq(258, 32, 262, 32, 261, 32, 263))
+    // "ththe": rank 0 merges BOTH th's, rank 1 then merges (th, e)
+    assert(Bpe.encode("ththe").toSeq == Seq(256, 257))
+    // "ander": an+d chain wins the 'a n d' prefix; e+r merges after
+    assert(Bpe.encode("ander").toSeq == Seq(260, 261))
+    // earlier rank consumes the char a later rank wanted: "ine" — i+n
+    // (rank 2) fires, leaving no (th,e)/(e,r) context for 'e'
+    assert(Bpe.encode("ine").toSeq == Seq(258, 'e'.toInt))
+    assert(Bpe.encode("").toSeq == Seq())
+    assert(Bpe.encode("xyz").toSeq == Seq('x'.toInt, 'y'.toInt, 'z'.toInt))
+  }
+
+  test("law: greedy pass == simultaneous replacement (left != right makes them equal)") {
+    val adversarial = Seq(
+      "ththththe", "ananand", "thethethe", "rerere", "ererer",
+      "ninininin", "thinthere", "andthenanother", "aaaa", "hhhh",
+      "tthh", "onono", "nono", "  th  ", "t h e")
+    adversarial.foreach { s =>
+      assert(Bpe.encode(s).toSeq == simultaneous(s).toSeq,
+        s"greedy != simultaneous on '$s'")
+    }
+    val rnd = new scala.util.Random(42)
+    val alphabet = "theinandor x".toCharArray
+    (1 to 500).foreach { _ =>
+      val s = Array.fill(rnd.nextInt(40))(alphabet(rnd.nextInt(alphabet.length))).mkString
+      assert(Bpe.encode(s).toSeq == simultaneous(s).toSeq,
+        s"greedy != simultaneous on random '$s'")
+    }
+  }
+
+  test("the codegen expression agrees with the driver-side encode through a DataFrame") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftshim.Bridge
+    val texts = Seq("the quick brown fox", "ththe", "and then there", "",
+      "única canción über alles", "in the end")
+    val got = texts.toDF("text")
+      .select(Bridge.column(BpeEncode(Bridge.childExpr(col("text")))).as("l"))
+      .collect().map(_.getSeq[Int](0).toSeq)
+    assert(got.toSeq == texts.map(Bpe.encode(_).toSeq))
+  }
+}

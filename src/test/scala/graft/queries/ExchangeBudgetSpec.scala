@@ -181,6 +181,7 @@ class ExchangeBudgetSpec extends AnyFunSuite {
     "sink_singer_envelope" -> 1,
     "text_bigrams" -> 1,
     "text_bpe_count" -> 1,
+    "text_bpe_encode" -> 1, // map-side codegen encode; the output sort
     "text_ccnet_buckets" -> 6,
     "text_fingerprint" -> 1,
     "text_hashing_tf" -> 1,
