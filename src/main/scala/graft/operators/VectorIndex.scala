@@ -314,6 +314,80 @@ object VectorIndex {
       replace = true)
   }
 
+  // ---- streaming ingest ---------------------------------------------------
+
+  /** `foreachBatch` sink that grows a persisted index per micro-batch — the
+    * streaming dual of [[appendBatch]] and the vector analogue of
+    * [[graft.streaming.StreamingDedup.incrementalSink]]: each batch's
+    * vectors are encoded under the FROZEN stored quantizer (map-only on
+    * the vector side) and appended to the cell-partitioned codes layout,
+    * stamped with the batch id. The corpus is never re-read on the ingest
+    * path.
+    *
+    * Restart semantics: `foreachBatch` replays an in-flight batch on
+    * recovery; appended rows carry `__batch`, so a replayed batch is
+    * detected from the index itself (max __batch already >= current) and
+    * skipped — idempotent per batch id, the same device as the dedup
+    * sink's docs stamps. [[loadCodes]] projects `__batch` away, so search
+    * is oblivious to how rows arrived, and [[compactCells]] preserves the
+    * stamps, so replay detection survives compaction.
+    *
+    * Occupancy is merged incrementally AFTER the codes append; a crash
+    * exactly between the two leaves occupancy under-counted for that batch
+    * (the replay skips it wholesale) — occupancy is an accounting signal,
+    * not a correctness surface, and [[refreshOccupancy]] recounts it from
+    * the codes at any time.
+    *
+    * @param batchCap optional per-batch row cap (no-silent-caps: refused
+    *   rows are counted into `capDrops`, the accumulator pattern of
+    *   [[graft.streaming.StreamingDedup.nearDupCandidates]]); None admits
+    *   everything
+    */
+  def appendSink(path: String, pq: PqParams, id: Column, emb: Column,
+      batchCap: Option[Int] = None,
+      capDrops: Option[org.apache.spark.util.LongAccumulator] = None)
+      : (DataFrame, Long) => Unit = { (batch, batchId) =>
+    val s = batch.sparkSession
+    if (!batchApplied(s, path, batchId)) {
+      val admitted = batchCap match {
+        case Some(cap) =>
+          val n = batch.count()
+          if (n > cap) {
+            capDrops.foreach(_.add(n - cap))
+            // deterministic admission: smallest ids first, so a replayed
+            // capped batch admits the same rows
+            batch.orderBy(id).limit(cap)
+          } else batch
+        case None => batch
+      }
+      val quant = loadQuantizer(s, path, pq)
+      val codes = encode(admitted, id, emb, quant)
+        .withColumn("__batch", lit(batchId)).localCheckpoint()
+      codes.write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+      mergeOccupancy(s, path, cellOccupancy(codes))
+    }
+  }
+
+  /** Has `batchId` (or any later batch) already been applied to the index?
+    * Read from the data itself — the only record that survives exactly the
+    * crashes that matter.
+    */
+  private def batchApplied(s: SparkSession, path: String, batchId: Long): Boolean = {
+    val codes = loadCodesFull(s, path)
+    codes.columns.contains("__batch") && {
+      val m = codes.agg(max(col("__batch"))).head()
+      !m.isNullAt(0) && m.getLong(0) >= batchId
+    }
+  }
+
+  /** Full recount of the occupancy table from the codes — the recovery
+    * path for the (documented) crash window in [[appendSink]], and a
+    * general consistency restore.
+    */
+  def refreshOccupancy(s: SparkSession, path: String): Unit =
+    cellOccupancy(loadCodes(s, path)).localCheckpoint()
+      .write.mode("overwrite").parquet(s"$path/occupancy")
+
   // ---- small-file compaction --------------------------------------------
 
   /** Compact the codes layout back to ONE file per cell partition. Each
