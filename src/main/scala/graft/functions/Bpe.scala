@@ -70,6 +70,115 @@ object Bpe {
   def encodeUtf8(s: UTF8String): ArrayData =
     new GenericArrayData(encode(s.toString))
 
+  def encodeUtf8With(s: UTF8String, merges: scala.collection.Seq[(Int, Int, Int)]): ArrayData =
+    new GenericArrayData(encode(s.toString, merges.toSeq))
+
+  /** First merged id handed out by [[train]]: one past the last valid
+    * Unicode code point, so a LEARNED id can never alias a real character
+    * (the fixed toy table's 256+ ids rely on its test corpora staying
+    * below U+0100; the trainer makes no such assumption).
+    */
+  val TrainIdBase: Int = 0x110000
+
+  /** Distributed BPE TRAINER — the learning side of the apply loop above,
+    * the way a pipeline actually produces the frozen merge table it ships
+    * (SentencePiece/GPT-2 train once over the corpus, then every job runs
+    * apply). Standard greedy algorithm: `nMerges` rounds of
+    *
+    *   1. tokenize the corpus under the merges learned so far (the codegen
+    *      [[BpeEncodeWith]] — map-only scan);
+    *   2. count every adjacent token pair (map-side-combinable aggregate —
+    *      the only shuffle per round, over pair keys, not rows);
+    *   3. adopt the most frequent pair as the next merge (count DESC, then
+    *      (left, right) ASC — a total order, so training is deterministic
+    *      on any partitioning).
+    *
+    * Candidate pairs with left == right are EXCLUDED (documented
+    * constraint, same reason as the apply table: a self-pair's occurrences
+    * overlap, making both the greedy pass order-dependent and the pair
+    * count unequal to the applyable count; with left != right, adjacent
+    * occurrences are provably disjoint, so the count IS the number of
+    * merges one pass performs — and the SQL oracle stays loop-free).
+    *
+    * Driver state: one (pair, count) row per round. Scale shape: nMerges ×
+    * (one corpus scan + one tiny aggregate) — the trainer is linear in
+    * corpus bytes per round, and rounds are a small constant.
+    *
+    * @return (left, right, merged, count) per learned rank, merged ids
+    *         from [[TrainIdBase]]
+    */
+  def train(docs: org.apache.spark.sql.DataFrame, text: org.apache.spark.sql.Column,
+      nMerges: Int, minPairCount: Long = 2L): Seq[(Int, Int, Int, Long)] = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graftshim.Bridge
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int, Long)]
+    var continue = true
+    while (continue && learned.size < nMerges) {
+      val merges = learned.toSeq.map(m => (m._1, m._2, m._3))
+      val toks = Bridge.column(BpeEncodeWith(Bridge.childExpr(text), merges))
+      val best = docs
+        .select(toks.as("l"))
+        .select(explode(filter(
+          transform(col("l"), (x, i) =>
+            struct(x.as("a"), get(col("l"), i + 1).as("b"))),
+          p => p.getField("b").isNotNull)).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+        .filter(col("a") =!= col("b")) // self-pairs excluded, see scaladoc
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      best.headOption match {
+        case Some(r) if r.getAs[Long]("cnt") >= minPairCount =>
+          learned += ((r.getAs[Int]("a"), r.getAs[Int]("b"),
+            TrainIdBase + learned.size, r.getAs[Long]("cnt")))
+        case _ => continue = false
+      }
+    }
+    learned.toSeq
+  }
+
+  /** DuckDB CTE chain re-deriving [[train]] for the oracle: per round k,
+    * `tt{k}` is the corpus tokenized under the merges learned so far
+    * (round 0 = raw code points) and `m{k}` is that round's winning pair
+    * (count DESC, left, right — the same total order). The adopted pair is
+    * data-dependent, so the NEXT round's replacement references `m{k}`'s
+    * columns via a cross join instead of literals; the merged ID is the
+    * deterministic literal TrainIdBase + k. The final learned table is the
+    * union of the `m{k}` rows.
+    */
+  def duckdbTrainSql(nMerges: Int, src: String = "documents",
+      textCol: String = "text"): String = {
+    val t0 =
+      s"""tt0 AS (SELECT doc_id,
+         list_transform(range(1, length($textCol) + 1), i -> unicode($textCol[i])) AS l
+         FROM $src)"""
+    def bestOf(k: Int) =
+      s"""m$k AS (
+         SELECT a, b, count(*) AS cnt FROM (
+           SELECT unnest(list_transform(range(1, len(l)), i ->
+             struct_pack(a := l[i], b := l[i + 1])), recursive := true)
+           FROM tt$k)
+         WHERE a != b
+         GROUP BY a, b ORDER BY cnt DESC, a, b LIMIT 1)"""
+    def applyOf(k: Int) = {
+      val id = TrainIdBase + k
+      s"""tt${k + 1} AS (
+         SELECT doc_id, list_filter(list_transform(range(1, len(l) + 1), i ->
+           CASE WHEN l[i] = m.a AND l[i + 1] = m.b THEN $id
+                WHEN l[i] = m.b AND l[i - 1] = m.a THEN -1
+                ELSE l[i] END), x -> x != -1) AS l
+         FROM tt$k, m$k m)"""
+    }
+    val ctes = (t0 +: (0 until nMerges).flatMap(k =>
+      Seq(bestOf(k)) ++ (if (k < nMerges - 1) Seq(applyOf(k)) else Nil))).mkString(",\n       ")
+    val sel = (0 until nMerges).map(k =>
+      s"SELECT $k AS rank, a AS lhs, b AS rhs, ${TrainIdBase + k} AS merged, cnt FROM m$k")
+      .mkString("\n       UNION ALL ")
+    s"""WITH $ctes
+       $sel
+       ORDER BY rank"""
+  }
+
   /** DuckDB CTE chain re-deriving the encode for the oracle: `bpe0` splits
     * `textCol` into code points, then one CTE per rank applies the
     * simultaneous replacement (exact because left != right — see the
@@ -119,5 +228,34 @@ final case class BpeEncode(child: Expression) extends UnaryExpression {
       s"${ev.value} = graft.functions.Bpe.encodeUtf8($in);")
 
   override protected def withNewChildInternal(newChild: Expression): BpeEncode =
+    copy(child = newChild)
+}
+
+/** [[BpeEncode]] under an ARBITRARY merge table — the trainer's
+  * re-tokenization primitive ([[Bpe.train]] round k encodes under the k
+  * merges learned so far). The table is a compile-time-constant reference
+  * object in generated code, so the per-row path is the same single call.
+  */
+final case class BpeEncodeWith(child: Expression, merges: Seq[(Int, Int, Int)])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bpe_encode_with expects string, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    Bpe.encodeUtf8With(input.asInstanceOf[UTF8String], merges)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeMerges", merges, "scala.collection.Seq")
+    nullSafeCodeGen(ctx, ev, in =>
+      s"${ev.value} = graft.functions.Bpe.encodeUtf8With($in, $ref);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncodeWith =
     copy(child = newChild)
 }

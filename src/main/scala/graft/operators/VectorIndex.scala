@@ -211,7 +211,13 @@ object VectorIndex {
   def write(quant: IvfadcQuantizer, codes: DataFrame, path: String): Unit = {
     quant.cents.write.mode("overwrite").parquet(s"$path/cents")
     quant.csubs.write.mode("overwrite").parquet(s"$path/codebook")
-    codes.write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+    // cluster by cell before the partitioned write: without it every input
+    // task emits a file into every cell directory (tasks × cells small
+    // files — measured as the dominant cost of the index build); with it
+    // each cell's rows sit in one task → one file per cell, and every
+    // later reload/prune opens k files instead of tasks·k
+    codes.repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
     cellOccupancy(loadCodes(codes.sparkSession, path))
       .write.mode("overwrite").parquet(s"$path/occupancy")
   }
@@ -235,7 +241,10 @@ object VectorIndex {
       id: Column, emb: Column, pq: PqParams): Unit = {
     val quant = loadQuantizer(s, path, pq)
     val freshCodes = encode(fresh, id, emb, quant).localCheckpoint()
-    freshCodes.write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+    // cell-clustered append (see write): one new file per touched cell per
+    // batch, not one per (task, cell)
+    freshCodes.repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
     mergeOccupancy(s, path, cellOccupancy(freshCodes))
   }
 
@@ -250,7 +259,9 @@ object VectorIndex {
     *   - only the CHANGED vectors are re-encoded ([[encode]] — map-only on
     *     the vector side, broadcast quantizer);
     *   - the corpus codes are split by broadcasting the (small) changed-id
-    *     set — never shuffled, never re-encoded;
+    *     set — never re-encoded; the only shuffle is the cell-clustering of
+    *     the TOUCHED partitions' rewrite, bounded by touched data, never
+    *     the corpus;
     *   - only the TOUCHED cell partitions are rewritten (the old cells of
     *     changed ids ∪ the new cells of updated vectors — an update may
     *     move a vector between cells), via dynamic partition overwrite;
@@ -293,7 +304,8 @@ object VectorIndex {
     // nulls, so exactly-once detection is unaffected)
     val rewritten = survivors.unionByName(newCodes, allowMissingColumns = true)
       .localCheckpoint() // eager: all reads of the path finish BEFORE the overwrite
-    rewritten.write.mode("overwrite")
+    rewritten.repartition(col("cell")) // cell-clustered rewrite, see write()
+      .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("cell").parquet(s"$path/codes")
     // dynamic overwrite only replaces partitions PRESENT in the new data —
@@ -363,7 +375,8 @@ object VectorIndex {
       val quant = loadQuantizer(s, path, pq)
       val codes = encode(admitted, id, emb, quant)
         .withColumn("__batch", lit(batchId)).localCheckpoint()
-      codes.write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+      codes.repartition(col("cell")) // cell-clustered append, see write()
+        .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
       mergeOccupancy(s, path, cellOccupancy(codes))
     }
   }

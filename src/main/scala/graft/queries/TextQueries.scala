@@ -136,6 +136,30 @@ object TextQueries extends QueryPack {
          array_to_string(list_slice(l, 1, 12), ' ') AS head_tokens
        FROM bpe${graft.functions.Bpe.Merges.size} ORDER BY doc_id"""
 
+  /** BPE TRAINER gate: learn 6 merges from the documents corpus itself
+    * ([[graft.functions.Bpe.train]] — per round one map-only re-tokenize
+    * scan + one map-side-combinable pair-count aggregate; winner by the
+    * total order (count DESC, pair ASC), so training is deterministic on
+    * any partitioning). The oracle re-derives all six rounds in SQL —
+    * each round's winner feeds the next round's re-tokenization via a
+    * cross join, since the adopted pair is data-dependent. Output is the
+    * learned merge table itself: the artifact a pipeline would freeze and
+    * ship to the apply loop (`text_bpe_encode`).
+    */
+  private def qBpeTrain(s: SparkSession, dir: String): DataFrame = {
+    val learned = graft.functions.Bpe.train(
+      t(s, dir, "documents"), col("text"), nMerges = 6, minPairCount = 1L)
+    import s.implicits._
+    learned.zipWithIndex.map { case ((a, b, m, c), k) => (k, a, b, m, c) }
+      .toDF("rank", "lhs", "rhs", "merged", "cnt")
+      .select(col("rank").cast("int"), col("lhs").cast("int"),
+        col("rhs").cast("int"), col("merged").cast("int"), col("cnt"))
+    // already rank-ascending by construction (zipWithIndex over the learned
+    // order) — no orderBy, which would range-shuffle a 6-row local table
+  }
+
+  private lazy val qBpeTrainSql = graft.functions.Bpe.duckdbTrainSql(6)
+
   // -- content fingerprint ----------------------------------------------------------------
   private def qFingerprint(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(
@@ -678,6 +702,7 @@ object TextQueries extends QueryPack {
     "text_quality" -> (qQuality _),
     "text_bpe_count" -> (qBpeCount _),
     "text_bpe_encode" -> (qBpeEncode _),
+    "text_bpe_train" -> (qBpeTrain _),
     "text_fingerprint" -> (qFingerprint _),
     "text_term_freq" -> (qTermFreq _),
     "text_bigrams" -> (qBigrams _),
@@ -698,6 +723,7 @@ object TextQueries extends QueryPack {
     "text_quality" -> qQualitySql,
     "text_bpe_count" -> qBpeCountSql,
     "text_bpe_encode" -> qBpeEncodeSql,
+    "text_bpe_train" -> qBpeTrainSql,
     "text_fingerprint" -> qFingerprintSql,
     "text_term_freq" -> qTermFreqSql,
     "text_bigrams" -> qBigramsSql,

@@ -70,6 +70,35 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("trainer: most frequent pair wins each round, total order, minPairCount stop") {
+    import spark.implicits._
+    // (a,b) appears 5x; after its merge the X,X self-pairs are excluded, so
+    // (c,d) at 2 is next; everything after sits at count 1 < minPairCount
+    val docs = Seq((1L, "ababab"), (2L, "abab"), (3L, "cd cd")).toDF("doc_id", "text")
+    val learned = Bpe.train(docs, col("text"), nMerges = 5, minPairCount = 2)
+    assert(learned == Seq(
+      ('a'.toInt, 'b'.toInt, Bpe.TrainIdBase, 5L),
+      ('c'.toInt, 'd'.toInt, Bpe.TrainIdBase + 1, 2L)))
+    // deterministic on any partitioning (the argmax order is total)
+    val learned7 = Bpe.train(docs.repartition(7), col("text"), nMerges = 5, minPairCount = 2)
+    assert(learned7 == learned)
+    // train-then-apply composition: the learned table drives the encoder
+    val table = learned.map(m => (m._1, m._2, m._3))
+    assert(Bpe.encode("ababab", table).toSeq ==
+      Seq(Bpe.TrainIdBase, Bpe.TrainIdBase, Bpe.TrainIdBase))
+    assert(Bpe.encode("cdxcd", table).toSeq ==
+      Seq(Bpe.TrainIdBase + 1, 'x'.toInt, Bpe.TrainIdBase + 1))
+  }
+
+  test("trainer: learned merges chain (a learned id becomes a later pair element)") {
+    import spark.implicits._
+    val docs = Seq((1L, "abc abc abc"), (2L, "abc ab")).toDF("doc_id", "text")
+    val learned = Bpe.train(docs, col("text"), nMerges = 2, minPairCount = 2)
+    val x = Bpe.TrainIdBase
+    // round 0: (a,b) count 5; round 1: (X,c) count 4 — the learned id chains
+    assert(learned == Seq(('a'.toInt, 'b'.toInt, x, 5L), (x, 'c'.toInt, x + 1, 4L)))
+  }
+
   test("the codegen expression agrees with the driver-side encode through a DataFrame") {
     import spark.implicits._
     import org.apache.spark.sql.graftshim.Bridge

@@ -182,6 +182,10 @@ class ExchangeBudgetSpec extends AnyFunSuite {
     "text_bigrams" -> 1,
     "text_bpe_count" -> 1,
     "text_bpe_encode" -> 1, // map-side codegen encode; the output sort
+    "text_bpe_train" -> 0,  // returns the learned 6-row local table; each
+                            // training round's pair-count aggregate runs
+                            // eagerly inside Bpe.train (one tiny shuffle
+                            // per round, BpeSpec covers the trainer)
     "text_ccnet_buckets" -> 6,
     "text_fingerprint" -> 1,
     "text_hashing_tf" -> 1,
