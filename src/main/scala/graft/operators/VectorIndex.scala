@@ -240,11 +240,12 @@ object VectorIndex {
   def appendBatch(s: SparkSession, path: String, fresh: DataFrame,
       id: Column, emb: Column, pq: PqParams): Unit = {
     val quant = loadQuantizer(s, path, pq)
-    val freshCodes = encode(fresh, id, emb, quant).localCheckpoint()
-    // cell-clustered append (see write): one new file per touched cell per
-    // batch, not one per (task, cell)
-    freshCodes.repartition(col("cell"))
-      .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+    // cell-clustered BEFORE the checkpoint (see write): the append then
+    // reuses the materialized layout — one new file per touched cell per
+    // batch, not one per (task, cell), with no second pass
+    val freshCodes = encode(fresh, id, emb, quant)
+      .repartition(col("cell")).localCheckpoint()
+    freshCodes.write.mode("append").partitionBy("cell").parquet(s"$path/codes")
     mergeOccupancy(s, path, cellOccupancy(freshCodes))
   }
 
@@ -292,37 +293,48 @@ object VectorIndex {
     val changedIds = updIds.union(delIds).distinct()
     val newCodes = encode(updates, id, emb, quant).localCheckpoint()
     val codes = loadCodesFull(s, path)
-    val oldCells = codes.join(broadcast(changedIds), Seq("vec_id"), "left_semi")
-      .select(col("cell")).distinct().collect().map(_.get(0))
-    val newCells = newCodes.select(col("cell")).distinct().collect().map(_.get(0))
-    val touched = (oldCells ++ newCells).distinct.toSeq
+    // ONE action for the whole touched-cell set: the old cells of changed
+    // ids ∪ the new cells of updated vectors (an update may move a vector
+    // between cells)
+    val touched = codes.join(broadcast(changedIds), Seq("vec_id"), "left_semi")
+      .select(col("cell"))
+      .union(newCodes.select(col("cell")))
+      .distinct().collect().map(_.get(0)).toSeq
     if (touched.isEmpty) return // empty change batch
     val survivors = codes.filter(col("cell").isin(touched: _*))
       .join(broadcast(changedIds), Seq("vec_id"), "left_anti")
     // unionByName(allowMissing): a streaming-ingested index carries __batch
     // stamps; upserted rows get null there (max-based replay checks ignore
-    // nulls, so exactly-once detection is unaffected)
+    // nulls, so exactly-once detection is unaffected). Cell-clustered
+    // BEFORE the eager checkpoint, so the partitioned write below reuses
+    // the materialized layout (one file per cell) without a second pass —
+    // and all reads of the path finish before the overwrite.
     val rewritten = survivors.unionByName(newCodes, allowMissingColumns = true)
-      .localCheckpoint() // eager: all reads of the path finish BEFORE the overwrite
-    rewritten.repartition(col("cell")) // cell-clustered rewrite, see write()
-      .write.mode("overwrite")
+      .repartition(col("cell"))
+      .localCheckpoint()
+    rewritten.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("cell").parquet(s"$path/codes")
+    // ONE pass over the checkpointed rewrite serves two consumers: the
+    // per-cell counts are the touched cells' new occupancy AND their cell
+    // set is the survivor set (≤ |touched| rows — bounded driver state)
+    val occAfter = cellOccupancy(rewritten).collect()
     // dynamic overwrite only replaces partitions PRESENT in the new data —
     // a cell whose every vector was deleted writes no rows, so its stale
     // directory must be dropped explicitly
-    val cellsAfter = rewritten.select(col("cell")).distinct().collect().map(_.get(0)).toSet
+    val cellsAfter = occAfter.map(_.get(0)).toSet
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), s.sparkContext.hadoopConfiguration)
     touched.filterNot(cellsAfter).foreach { c =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/codes/cell=$c"), true)
     }
-    // occupancy: untouched cells keep their counts; touched cells are
-    // recounted from the rewritten (bounded) data only
+    // occupancy: untouched cells keep their counts; touched cells take the
+    // already-collected recounts (a LocalRelation — no extra scan)
     val occ = occupancy(s, path)
+    val occDelta = s.createDataFrame(
+      java.util.Arrays.asList(occAfter: _*), cellOccupancy(rewritten).schema)
     mergeOccupancy(s, path,
-      occ.filter(!col("cell").isin(touched: _*))
-        .unionByName(cellOccupancy(rewritten)),
+      occ.filter(!col("cell").isin(touched: _*)).unionByName(occDelta),
       replace = true)
   }
 
@@ -374,9 +386,10 @@ object VectorIndex {
       }
       val quant = loadQuantizer(s, path, pq)
       val codes = encode(admitted, id, emb, quant)
-        .withColumn("__batch", lit(batchId)).localCheckpoint()
-      codes.repartition(col("cell")) // cell-clustered append, see write()
-        .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+        .withColumn("__batch", lit(batchId))
+        .repartition(col("cell")) // cell-clustered append, see write()
+        .localCheckpoint()
+      codes.write.mode("append").partitionBy("cell").parquet(s"$path/codes")
       mergeOccupancy(s, path, cellOccupancy(codes))
     }
   }

@@ -719,7 +719,10 @@ object SimilarityQueries extends QueryPack {
         col("vec_id"), col("embedding"), pq)
       val queries = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-      VectorIndex.searchAdc(VectorIndex.loadCodes(s, path),
+      // the serving shape: the probed-cell set prunes the reloaded codes
+      // scan to its cell partitions (result-identical to searchAdc — every
+      // ADC candidate joins on a probed cell)
+      VectorIndex.searchAdcPruned(VectorIndex.loadCodes(s, path),
           VectorIndex.loadQuantizer(s, path, pq), queries,
           nprobe = ivfProdNprobe, topK = 5)
         .orderBy("query_id", "rn")
