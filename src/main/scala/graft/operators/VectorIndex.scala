@@ -472,7 +472,15 @@ object VectorIndex {
     * quantizer needs retraining.
     */
   def occupancyReport(s: SparkSession, path: String): DataFrame =
-    occupancy(s, path).agg(
+    occupancyReportOf(occupancy(s, path))
+
+  /** [[occupancyReport]] over any per-cell occupancy frame — the in-memory
+    * path (the `ann_index_occupancy` gate oracles this cross-engine over
+    * `cellOccupancy(encode(...))`, so the accounting itself is pinned, not
+    * just produced).
+    */
+  def occupancyReportOf(occ: DataFrame): DataFrame =
+    occ.agg(
       count(lit(1)).as("n_cells"),
       sum(col("n_vecs")).as("n_vecs"),
       max(col("n_vecs")).as("max_cell"),

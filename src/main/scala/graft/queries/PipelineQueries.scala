@@ -79,6 +79,81 @@ object PipelineQueries extends QueryPack {
               count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS sum_tokens
        FROM c GROUP BY lang, batch_id ORDER BY lang, batch_id"""
 
+  // -- token-level sequence packing (tokenize → pack) -------------------------------
+  /** GPT-style training-sequence assembly over REAL BPE token ids — the
+    * composition a pretraining pipeline actually runs: each document is
+    * encoded under the frozen merge table ([[graft.functions.BpeEncode]],
+    * the whole rank loop in one codegen call), an EOS sentinel (-1 —
+    * outside every valid id space, since code points and learned merge
+    * ids are nonnegative) closes each document, and the doc_id-ordered
+    * global token stream is sliced into fixed 16-token sequences. One row
+    * per sequence: token count (16 except the tail), a position-weighted
+    * id checksum, and doc attribution (distinct docs + first doc) — the
+    * metadata a packed-example writer carries.
+    *
+    * Scale shape — a GLOBAL running offset without a global window: docs
+    * bucket by doc_id range (4096 docs/bucket); per-bucket token totals
+    * are a tiny aggregate (ndocs/4096 rows) whose exclusive prefix sum is
+    * bounded driver state broadcast back; within-bucket offsets window
+    * per bucket PARTITION (never a single global sort). The only
+    * per-token exchange is the seq_id aggregate.
+    */
+  private def qPackTokens(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftshim.Bridge
+    val L = 16
+    val bucketDocs = 4096
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"),
+        concat(
+          Bridge.column(graft.functions.BpeEncode(Bridge.childExpr(col("text")))),
+          array(lit(-1))).as("l"))
+      .withColumn("b", floor(col("doc_id") / bucketDocs).cast("long"))
+    val totals = toks.groupBy(col("b"))
+      .agg(sum(size(col("l")).cast("long")).as("bn"))
+      .orderBy("b").collect()
+    var acc = 0L
+    val bucketOffs = totals.map { r =>
+      val o = (r.getLong(0), acc); acc += r.getLong(1); o
+    }.toSeq
+    import s.implicits._
+    val boff = broadcast(bucketOffs.toDF("b", "boff"))
+    val w = Window.partitionBy(col("b")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks.join(boff, "b")
+      .withColumn("off",
+        coalesce(sum(size(col("l")).cast("long")).over(w), lit(0L)) + col("boff"))
+      .select(col("doc_id"),
+        explode(transform(col("l"), (tk, i) =>
+          struct((col("off") + i).as("gpos"), tk.as("tok")))).as("p"))
+      .select(col("doc_id"), col("p.gpos").as("gpos"), col("p.tok").as("tok"))
+      .groupBy(floor(col("gpos") / L).cast("long").as("seq_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("tok").cast("long") * (pmod(col("gpos"), lit(L)) + 1L)).as("tok_hash"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("doc_lo"))
+      .orderBy("seq_id")
+  }
+
+  private lazy val qPackTokensSql =
+    s"""WITH ${graft.functions.Bpe.duckdbCtes()},
+       toksp AS (SELECT doc_id, l || [-1] AS l
+                 FROM bpe${graft.functions.Bpe.Merges.size}),
+       offs AS (SELECT doc_id, l,
+           COALESCE(SUM(len(l)) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+         FROM toksp),
+       flat AS (
+         SELECT doc_id,
+           unnest(list_transform(range(1, len(l) + 1), i ->
+             struct_pack(gpos := off + i - 1, tok := l[i])), recursive := true)
+         FROM offs)
+       SELECT CAST(gpos // 16 AS BIGINT) AS seq_id,
+         count(*) AS n_tokens,
+         CAST(SUM(tok * ((gpos % 16) + 1)) AS BIGINT) AS tok_hash,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         MIN(doc_id) AS doc_lo
+       FROM flat GROUP BY seq_id ORDER BY seq_id"""
+
   // -- benchmark contamination ------------------------------------------------------
   // "Benchmark" set = doc_id % 97 == 0 (stand-in for an eval suite); a train
   // doc is contaminated if it shares any 5-token shingle with a benchmark
@@ -750,6 +825,7 @@ object PipelineQueries extends QueryPack {
     "pipeline_soft_sample" -> (qSoftSample _),
     "pipeline_chunk_docs" -> (qChunk _),
     "pipeline_pack_batches" -> (qPack _),
+    "pipeline_pack_tokens" -> (qPackTokens _),
     "pipeline_contamination" -> (qContamination _),
     "pipeline_contamination_fuzzy" -> (qContaminationFuzzy _),
     "emb_quantize_int8" -> (qQuantize _),
@@ -771,6 +847,7 @@ object PipelineQueries extends QueryPack {
     "pipeline_soft_sample" -> qSoftSampleSql,
     "pipeline_chunk_docs" -> qChunkSql,
     "pipeline_pack_batches" -> qPackSql,
+    "pipeline_pack_tokens" -> qPackTokensSql,
     "pipeline_contamination" -> qContaminationSql,
     "pipeline_contamination_fuzzy" -> qContaminationFuzzySql,
     "emb_quantize_int8" -> qQuantizeSql,

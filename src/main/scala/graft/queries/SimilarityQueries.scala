@@ -745,6 +745,36 @@ object SimilarityQueries extends QueryPack {
        ${kmTrainCtes(ivfProdK)},
        ${ivfPqAdcSqlBodyFor("emb2")}"""
 
+  /** Cell-occupancy accounting gate: the no-silent-caps principle applied
+    * to the coarse quantizer, ORACLE-CHECKED — not just produced. k-means
+    * on a skewed corpus concentrates vectors in few cells, silently
+    * destroying `searchAdcPruned`'s nprobe/k pruning; this gate pins the
+    * skew report itself ([[graft.operators.VectorIndex.occupancyReportOf]]
+    * over `cellOccupancy(encode(corpus))`) against a full SQL re-derivation
+    * of the trained assignment. `imbalance` = max cell / mean cell is the
+    * worst-case pruned-scan degradation factor the serving path inherits.
+    */
+  private def qAnnIndexOccupancy(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{PqParams, VectorIndex}
+    val emb = t(s, dir, "embeddings")
+    val quant = VectorIndex.train(emb, col("vec_id"), col("embedding"),
+      kCells = ivfProdK, iters = 2, pq = PqParams(pqM, pqSubDim, pqK))
+    VectorIndex.occupancyReportOf(
+      VectorIndex.cellOccupancy(
+        VectorIndex.encode(emb, col("vec_id"), col("embedding"), quant)))
+  }
+
+  private lazy val qAnnIndexOccupancySql =
+    s"""WITH ${kmTrainCtes(ivfProdK)},
+       ${kmAssign("c2", "a3")},
+       occ AS (SELECT cell, count(*) AS n_vecs FROM a3 GROUP BY 1)
+       SELECT count(*) AS n_cells,
+         CAST(sum(n_vecs) AS BIGINT) AS n_vecs,
+         CAST(max(n_vecs) AS BIGINT) AS max_cell,
+         round(avg(n_vecs), 2) AS mean_cell,
+         round(max(n_vecs) / avg(n_vecs), 2) AS imbalance
+       FROM occ"""
+
   // -- ANN quality gate: recall@5 of every approximate path vs brute force -------
   // Joins each ANN path's top-5 against the exact brute-force top-5 and emits
   // per-path recall as an oracled scalar — the quality regression gate: a
@@ -1024,6 +1054,7 @@ object SimilarityQueries extends QueryPack {
     "ann_ivfpq_rerank" -> (qAnnIvfPqRerank _),
     "ann_ivfpq_append" -> (qAnnIvfPqAppend _),
     "ann_ivfpq_upsert" -> (qAnnIvfPqUpsert _),
+    "ann_index_occupancy" -> (qAnnIndexOccupancy _),
     "ann_recall_at_5" -> (qAnnRecall _),
     "knn_cosine_brute" -> (qKnn _),
     "emb_outliers" -> (qEmbOutliers _),
@@ -1041,6 +1072,7 @@ object SimilarityQueries extends QueryPack {
     "ann_ivfpq_rerank" -> qAnnIvfPqRerankSql,
     "ann_ivfpq_append" -> qAnnIvfPqAppendSql,
     "ann_ivfpq_upsert" -> qAnnIvfPqUpsertSql,
+    "ann_index_occupancy" -> qAnnIndexOccupancySql,
     "ann_recall_at_5" -> qAnnRecallSql,
     "knn_cosine_brute" -> qKnnSql,
     "emb_outliers" -> qEmbOutliersSql,

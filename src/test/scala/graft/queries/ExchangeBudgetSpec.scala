@@ -31,6 +31,9 @@ class ExchangeBudgetSpec extends AnyFunSuite {
                              // plan is a checkpoint scan; the maintenance
                              // pipeline's own shape is pinned by
                              // VectorIndexSpec (touched-cells-only rewrite)
+    "ann_index_occupancy" -> 4, // k-means train aggs + per-cell count +
+                                // the 1-row report reduction; encode itself
+                                // is map-only (VectorIndexSpec)
     "ann_pq_adc" -> 4,
     "ann_recall_at_5" -> 19,
     "ann_rhp_lsh" -> 3,
@@ -73,6 +76,12 @@ class ExchangeBudgetSpec extends AnyFunSuite {
     "pipeline_mixture_sample" -> 4,
     "pipeline_mixture_upsample" -> 4,
     "pipeline_pack_batches" -> 2,
+    "pipeline_pack_tokens" -> 4, // per-bucket window partition, the
+                                 // seq_id distinct-agg pair (n_docs is a
+                                 // count distinct), and the output sort;
+                                 // the global offset is driver-broadcast,
+                                 // never a global window
+
     "pipeline_pii_scrub" -> 1,
     "pipeline_soft_sample" -> 2,
     "pipeline_source_cap" -> 2,

@@ -51,8 +51,10 @@ class PlanLintSpec extends AnyFunSuite {
     "q_profile_columns",       // × broadcast 1-row exact-distinct
                                //   validator aggregates (the HLL bound
                                //   flags of the hybrid profiler)
-    "q_profile_documents")     // same device over documents: 1-row mode
+    "q_profile_documents",     // same device over documents: 1-row mode
                                //   and exact-distinct validator broadcasts
+    "ann_index_occupancy")     // assignCells 1-row centroid-array broadcast
+                               //   (the encode under the trained quantizer)
 
   test("no gate query plans a cartesian product; BNLJ only where whitelisted") {
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
