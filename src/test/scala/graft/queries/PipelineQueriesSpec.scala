@@ -41,6 +41,30 @@ class PipelineQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("pack_tokens: token conservation, fixed length, contiguous ordered sequences") {
+    val out = PipelineQueries.queries("pipeline_pack_tokens")(spark, dir)
+      .collect()
+    // seq ids are contiguous from 0 — no position of the global stream is
+    // lost or double-packed
+    val ids = out.map(_.getLong(0)).toList
+    assert(ids == (0L until ids.length).toList)
+    // every sequence is full-length except possibly the tail
+    out.init.foreach(r => assert(r.getLong(1) == 16L))
+    assert(out.last.getLong(1) <= 16L)
+    // conservation: packed tokens == Σ over docs of (len(bpe(text)) + 1 EOS)
+    import org.apache.spark.sql.graftshim.Bridge
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val expected = docs.select(sum(size(Bridge.column(
+      graft.functions.BpeEncode(Bridge.childExpr(col("text"))))) + 1))
+      .head().getLong(0)
+    assert(out.map(_.getLong(1)).sum == expected)
+    // attribution: every sequence names ≥1 doc, and because the stream is
+    // doc_id-ordered, the first contributing doc is nondecreasing
+    assert(out.forall(_.getLong(3) >= 1))
+    val los = out.map(_.getLong(4))
+    assert(los.zip(los.tail).forall { case (a, b) => a <= b })
+  }
+
   test("quantize_int8: symmetric range, max vector element maps to ±127") {
     val out = PipelineQueries.queries("emb_quantize_int8")(spark, dir)
     val bad = out.filter(col("q_max") > 127 || col("q_min") < -127).count()
