@@ -1,0 +1,61 @@
+#!/bin/bash
+# Generic solo bench-tier runner (round-agnostic; replaces the per-round
+# copies). Usage:  ROUND=12 bash tools/run_benches.sh
+#
+# Lessons encoded from round 11:
+#  - every step tees its FULL sbt output to tools/../bench_step{N}.log —
+#    a step that dies (the r11 scripted full-tier run crashed with output
+#    at /dev/null) must leave a diagnosable log, not a mystery;
+#  - after each step the expected artifact's existence is CHECKED and the
+#    script aborts loudly if missing — a silent step failure previously
+#    surfaced only when roundcheck ran a round later;
+#  - run SOLO and touch NOTHING while it runs: plain Bench (step 1) has no
+#    probe-retry gate, and even a pyarrow metadata read on the host dirtied
+#    an after-probe past the 0.65 s line in r11.
+set -u
+cd "$(dirname "$0")/.."
+R="${ROUND:?set ROUND=<n>}"
+RN=$(printf "r%02d" "$R")
+
+step() { # step <name> <artifact> <cmd...>
+  local name="$1" art="$2"; shift 2
+  echo "== $name start $(date +%T)"
+  "$@" >"bench_step_${name}.log" 2>&1
+  local rc=$?
+  if [ $rc -ne 0 ] || [ ! -s "$art" ]; then
+    echo "!! $name FAILED (rc=$rc, artifact $art $( [ -s "$art" ] && echo present || echo MISSING)) — see bench_step_${name}.log"
+    exit 1
+  fi
+  echo "== $name done $(date +%T)"
+}
+
+# 1. builder sf0.1, min-of-3 (no retry gate — must be solo)
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_BENCH_REPS=3 \
+  sbt -batch "runMain graft.Bench" 2>/dev/null \
+  | grep -m1 '"metric":"total"' | sed 's/^\[info\] //' > "BENCH_${RN}_builder_sf01.json"
+[ -s "BENCH_${RN}_builder_sf01.json" ] || { echo "!! builder artifact missing"; exit 1; }
+echo "== builder done $(date +%T)"
+
+# 2. 10x tier, all gates
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_SCALE_DIR=/tmp/graft_sf1 \
+  step sf1 "BENCH_${RN}_sf1.json" sbt -batch "runMain graft.BenchScale BENCH_${RN}_sf1.json"
+
+# 3. 100x documents/embeddings tier
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_SCALE_DIR=/tmp/graft_sf10 \
+  SPARK_GRAFT_SCALE_REPS=100 SPARK_GRAFT_SCALE_TABLES=documents,embeddings \
+  SPARK_GRAFT_SCALE_EXCLUDE=dedup_embedding_cosine \
+  step sf10 "BENCH_${RN}_sf10.json" sbt -batch "runMain graft.BenchScale BENCH_${RN}_sf10.json"
+
+# 4. 100x FULL registry
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_SCALE_DIR=/tmp/graft_sf100_full \
+  SPARK_GRAFT_SCALE_REPS=100 SPARK_GRAFT_SCALE_EXCLUDE=dedup_embedding_cosine \
+  step sf10_full "BENCH_${RN}_sf10_full.json" sbt -batch "runMain graft.BenchScale BENCH_${RN}_sf10_full.json"
+
+# 5. 100x relational growth points
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_SCALE_DIR=/tmp/graft_sf100_rel \
+  SPARK_GRAFT_SCALE_REPS=100 \
+  SPARK_GRAFT_SCALE_TABLES=events,customer,supplier,part,orders,lineitem,nation,region \
+  SPARK_GRAFT_SCALE_ONLY=q1_pricing_summary,q9_product_profit,q21_waiting_suppliers,q_session_stats,q_upsert_cdc \
+  step sf10_rel "BENCH_${RN}_sf10_relational.json" sbt -batch "runMain graft.BenchScale BENCH_${RN}_sf10_relational.json"
+
+echo ALL_BENCHES_DONE
