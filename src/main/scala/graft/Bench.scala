@@ -221,7 +221,11 @@ object Bench {
     // capture used to lose the leading calibration field, so a polluted run
     // was indistinguishable from a clean one. This compact second line
     // always fits in the tail and carries the run-health signal on its own.
-    println(healthLine(probeBefore, probeAfter, total, reps, results.size))
+    // count only queries that actually timed — a -1 all-reps-failed
+    // sentinel must show up as a smaller queries_timed here (BenchScale
+    // already counts this way; the two callers must agree)
+    println(healthLine(probeBefore, probeAfter, total, reps,
+      results.count(_._2 >= 0)))
     spark.stop()
   }
 

@@ -188,6 +188,15 @@ object Bpe {
     * indexes (l[0], l[len+1]) are NULL in DuckDB, so the boundary
     * conditions fall out of three-valued logic. The final CTE is
     * `bpe${Merges.size}` with columns (doc_id, l).
+    *
+    * Oracle contract (applies to [[duckdbTrainSql]] too): the Spark side
+    * splits by Unicode CODE POINT (`String.codePoints`), the SQL side by
+    * DuckDB character indexing (`text[i]` / `length`) — these agree only
+    * when the corpus contains no combining sequences (NFC text without
+    * ZWJ/combining-mark clusters), which the fixtures satisfy. A fixture
+    * refresh introducing NFD text would red these gates on correct code;
+    * the fix would be grapheme-aware splitting on the Spark side, not a
+    * code bug.
     */
   def duckdbCtes(src: String = "documents", textCol: String = "text"): String = {
     val s0 =

@@ -304,8 +304,10 @@ object VectorIndex {
     val survivors = codes.filter(col("cell").isin(touched: _*))
       .join(broadcast(changedIds), Seq("vec_id"), "left_anti")
     // unionByName(allowMissing): a streaming-ingested index carries __batch
-    // stamps; upserted rows get null there (max-based replay checks ignore
-    // nulls, so exactly-once detection is unaffected). Cell-clustered
+    // stamps; upserted rows get null there. Replay detection survives this
+    // (and survives deleting max-stamped rows outright) because the
+    // `applied_batch` high-water marker, not the data-derived max alone,
+    // is the primary exactly-once record — see batchApplied. Cell-clustered
     // BEFORE the eager checkpoint, so the partitioned write below reuses
     // the materialized layout (one file per cell) without a second pass —
     // and all reads of the path finish before the overwrite.
@@ -349,10 +351,13 @@ object VectorIndex {
     * path.
     *
     * Restart semantics: `foreachBatch` replays an in-flight batch on
-    * recovery; appended rows carry `__batch`, so a replayed batch is
-    * detected from the index itself (max __batch already >= current) and
-    * skipped — idempotent per batch id, the same device as the dedup
-    * sink's docs stamps. [[loadCodes]] projects `__batch` away, so search
+    * recovery; a replayed batch is detected via the `applied_batch`
+    * high-water marker (O(1), advanced only after the append lands, so it
+    * never claims an unapplied batch and — unlike a data-derived max —
+    * cannot regress when [[upsertBatch]] later rewrites or deletes
+    * max-stamped rows), with the appended rows' own `__batch` stamps as
+    * the fallback authority for the marker-write crash window — idempotent
+    * per batch id, the same device as the dedup sink's docs stamps. [[loadCodes]] projects `__batch` away, so search
     * is oblivious to how rows arrived, and [[compactCells]] preserves the
     * stamps, so replay detection survives compaction.
     *
@@ -391,20 +396,61 @@ object VectorIndex {
         .localCheckpoint()
       codes.write.mode("append").partitionBy("cell").parquet(s"$path/codes")
       mergeOccupancy(s, path, cellOccupancy(codes))
+      writeAppliedBatch(s, path, batchId)
     }
   }
 
   /** Has `batchId` (or any later batch) already been applied to the index?
-    * Read from the data itself — the only record that survives exactly the
-    * crashes that matter.
+    * Two layers, each correct where the other is not:
+    *
+    *   1. the HIGH-WATER MARKER (`applied_batch`, written only AFTER a
+    *      batch's codes append completes) — O(1) to read, and because it
+    *      trails the data it can never claim an unapplied batch. It also
+    *      survives [[upsertBatch]]: maintenance may rewrite or delete the
+    *      very rows carrying the max `__batch` stamp (updated rows get
+    *      null there), which would regress a purely data-derived max and
+    *      re-apply a replayed batch — the marker cannot regress;
+    *   2. the data-derived max(__batch) — the fallback for the crash
+    *      window where the append landed but the marker write was lost,
+    *      and for indexes created before the marker existed.
     */
-  private def batchApplied(s: SparkSession, path: String, batchId: Long): Boolean = {
-    val codes = loadCodesFull(s, path)
-    codes.columns.contains("__batch") && {
-      val m = codes.agg(max(col("__batch"))).head()
-      !m.isNullAt(0) && m.getLong(0) >= batchId
+  private def batchApplied(s: SparkSession, path: String, batchId: Long): Boolean =
+    readAppliedBatch(s, path).exists(_ >= batchId) || {
+      val codes = loadCodesFull(s, path)
+      codes.columns.contains("__batch") && {
+        val m = codes.agg(max(col("__batch"))).head()
+        !m.isNullAt(0) && m.getLong(0) >= batchId
+      }
     }
+
+  private def hadoopFs(s: SparkSession, path: String) =
+    org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), s.sparkContext.hadoopConfiguration)
+
+  private def readAppliedBatch(s: SparkSession, path: String): Option[Long] = {
+    val fs = hadoopFs(s, path)
+    val p = new org.apache.hadoop.fs.Path(s"$path/applied_batch")
+    if (!fs.exists(p)) None
+    else scala.util.Try {
+      val in = fs.open(p)
+      try {
+        val buf = new Array[Byte](64)
+        val n = in.read(buf)
+        new String(buf, 0, math.max(n, 0), "UTF-8").trim.toLong
+      } finally in.close()
+      // a torn write parses as garbage → None → the data-derived fallback
+    }.toOption
   }
+
+  /** Advance the high-water mark — monotonic, called only after the
+    * batch's codes are durably appended.
+    */
+  private def writeAppliedBatch(s: SparkSession, path: String, batchId: Long): Unit =
+    if (!readAppliedBatch(s, path).exists(_ >= batchId)) {
+      val fs = hadoopFs(s, path)
+      val out = fs.create(new org.apache.hadoop.fs.Path(s"$path/applied_batch"), true)
+      try out.write(s"$batchId\n".getBytes("UTF-8")) finally out.close()
+    }
 
   /** Full recount of the occupancy table from the codes — the recovery
     * path for the (documented) crash window in [[appendSink]], and a

@@ -102,12 +102,16 @@ object PipelineQueries extends QueryPack {
     import org.apache.spark.sql.graftshim.Bridge
     val L = 16
     val bucketDocs = 4096
+    // localCheckpoint: the token stream feeds TWO consumers (the bucket
+    // totals and the pack pass) — materialize the encode once instead of
+    // running the per-rank BPE loop over every document twice
     val toks = t(s, dir, "documents")
       .select(col("doc_id"),
         concat(
           Bridge.column(graft.functions.BpeEncode(Bridge.childExpr(col("text")))),
           array(lit(-1))).as("l"))
       .withColumn("b", floor(col("doc_id") / bucketDocs).cast("long"))
+      .localCheckpoint()
     val totals = toks.groupBy(col("b"))
       .agg(sum(size(col("l")).cast("long")).as("bn"))
       .orderBy("b").collect()

@@ -142,10 +142,26 @@ def main():
             print(f"!! {os.path.basename(tier)} silently narrows: "
                   f"{len(missing)} registered gates neither timed nor "
                   f"excluded: {', '.join(missing)}")
-        else:
+        # a -1.0 sentinel (all reps failed) is only legitimate when the
+        # gate is ALSO declared excluded (the targeted-tables tiers record
+        # non-runnable gates that way); a failed-but-undeclared gate is a
+        # crash hiding inside a "clean" artifact
+        neg = sorted(q for q, v in art["queries"].items()
+                     if isinstance(v, (int, float)) and v < 0)
+        excl = set(art.get("excluded") or [])
+        undeclared = [q for q in neg if q not in excl]
+        if undeclared:
+            bad = True
+            print(f"!! {os.path.basename(tier)}: {len(undeclared)} queries "
+                  f"failed all reps (-1) WITHOUT being declared excluded: "
+                  f"{', '.join(undeclared)}")
+        if not missing and not undeclared:
+            timed = sum(1 for v in art["queries"].values()
+                        if isinstance(v, (int, float)) and v >= 0)
+            extra = f", {len(neg)} declared-excluded -1s" if neg else ""
             print(f"   {os.path.basename(tier)}: registry fully accounted "
-                  f"({len(art['queries'])} timed, "
-                  f"{len(art.get('excluded') or [])} excluded)")
+                  f"({timed} timed, "
+                  f"{len(art.get('excluded') or [])} excluded{extra})")
 
     # 4. Tier-artifact health: contended stamp / dirty calibration probes.
     PROBE_MAX = 0.65  # matches BenchScale's gate; ledger norm ~0.55-0.6

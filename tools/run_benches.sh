@@ -29,11 +29,19 @@ step() { # step <name> <artifact> <cmd...>
   echo "== $name done $(date +%T)"
 }
 
-# 1. builder sf0.1, min-of-3 (no retry gate — must be solo)
+# 1. builder sf0.1, min-of-3 (no retry gate — must be solo). Full output
+# goes to the step log FIRST (no grep -m1 on the live pipe — that
+# SIGPIPE-kills the JVM before the trailing health line and spark.stop());
+# the artifact is extracted from the completed log.
+echo "== builder start $(date +%T)"
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_BENCH_REPS=3 \
-  sbt -batch "runMain graft.Bench" 2>/dev/null \
-  | grep -m1 '"metric":"total"' | sed 's/^\[info\] //' > "BENCH_${RN}_builder_sf01.json"
-[ -s "BENCH_${RN}_builder_sf01.json" ] || { echo "!! builder artifact missing"; exit 1; }
+  sbt -batch "runMain graft.Bench" >"bench_step_builder.log" 2>&1
+rc=$?
+grep -m1 '"metric":"total"' bench_step_builder.log | sed 's/^\[info\] //' \
+  > "BENCH_${RN}_builder_sf01.json"
+if [ $rc -ne 0 ] || [ ! -s "BENCH_${RN}_builder_sf01.json" ]; then
+  echo "!! builder FAILED (rc=$rc) — see bench_step_builder.log"; exit 1
+fi
 echo "== builder done $(date +%T)"
 
 # 2. 10x tier, all gates
