@@ -238,15 +238,27 @@ object VectorIndex {
     * batch's), so the accounting stays corpus-free too.
     */
   def appendBatch(s: SparkSession, path: String, fresh: DataFrame,
-      id: Column, emb: Column, pq: PqParams): Unit = {
+      id: Column, emb: Column, pq: PqParams): Unit =
+    appendCodes(s, path, fresh, id, emb, pq, stamp = None)
+
+  /** THE ingest sequence, shared by the batch ([[appendBatch]]) and
+    * streaming ([[appendSink]]) paths so the two can never drift: encode
+    * under the frozen stored quantizer, cell-cluster BEFORE the eager
+    * checkpoint (the append then reuses the materialized layout — one new
+    * file per touched cell per batch, not one per (task, cell), with no
+    * second pass), append, fold the occupancy delta, and — for stamped
+    * streaming batches — advance the replay high-water mark LAST, so the
+    * marker always trails the durable data.
+    */
+  private def appendCodes(s: SparkSession, path: String, vectors: DataFrame,
+      id: Column, emb: Column, pq: PqParams, stamp: Option[Long]): Unit = {
     val quant = loadQuantizer(s, path, pq)
-    // cell-clustered BEFORE the checkpoint (see write): the append then
-    // reuses the materialized layout — one new file per touched cell per
-    // batch, not one per (task, cell), with no second pass
-    val freshCodes = encode(fresh, id, emb, quant)
+    val encoded = encode(vectors, id, emb, quant)
+    val codes = stamp.fold(encoded)(b => encoded.withColumn("__batch", lit(b)))
       .repartition(col("cell")).localCheckpoint()
-    freshCodes.write.mode("append").partitionBy("cell").parquet(s"$path/codes")
-    mergeOccupancy(s, path, cellOccupancy(freshCodes))
+    codes.write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+    mergeOccupancy(s, path, cellOccupancy(codes))
+    stamp.foreach(writeAppliedBatch(s, path, _))
   }
 
   // ---- deletes / updates -------------------------------------------------
@@ -389,14 +401,7 @@ object VectorIndex {
           } else batch
         case None => batch
       }
-      val quant = loadQuantizer(s, path, pq)
-      val codes = encode(admitted, id, emb, quant)
-        .withColumn("__batch", lit(batchId))
-        .repartition(col("cell")) // cell-clustered append, see write()
-        .localCheckpoint()
-      codes.write.mode("append").partitionBy("cell").parquet(s"$path/codes")
-      mergeOccupancy(s, path, cellOccupancy(codes))
-      writeAppliedBatch(s, path, batchId)
+      appendCodes(s, path, admitted, id, emb, pq, stamp = Some(batchId))
     }
   }
 
