@@ -239,7 +239,7 @@ object VectorIndex {
     */
   def appendBatch(s: SparkSession, path: String, fresh: DataFrame,
       id: Column, emb: Column, pq: PqParams): Unit =
-    appendCodes(s, path, fresh, id, emb, pq, stamp = None)
+    appendCodes(s, path, fresh, id, emb, pq, stamp = None, streamId = None)
 
   /** THE ingest sequence, shared by the batch ([[appendBatch]]) and
     * streaming ([[appendSink]]) paths so the two can never drift: encode
@@ -251,14 +251,16 @@ object VectorIndex {
     * marker always trails the durable data.
     */
   private def appendCodes(s: SparkSession, path: String, vectors: DataFrame,
-      id: Column, emb: Column, pq: PqParams, stamp: Option[Long]): Unit = {
+      id: Column, emb: Column, pq: PqParams, stamp: Option[Long],
+      streamId: Option[String]): Unit = {
     val quant = loadQuantizer(s, path, pq)
     val encoded = encode(vectors, id, emb, quant)
-    val codes = stamp.fold(encoded)(b => encoded.withColumn("__batch", lit(b)))
+    val stamped = stamp.fold(encoded)(b => encoded.withColumn("__batch", lit(b)))
+    val codes = streamId.fold(stamped)(sid => stamped.withColumn("__stream", lit(sid)))
       .repartition(col("cell")).localCheckpoint()
     codes.write.mode("append").partitionBy("cell").parquet(s"$path/codes")
     mergeOccupancy(s, path, cellOccupancy(codes))
-    stamp.foreach(writeAppliedBatch(s, path, _))
+    stamp.foreach(writeAppliedBatch(s, path, _, streamId))
   }
 
   // ---- deletes / updates -------------------------------------------------
@@ -293,6 +295,22 @@ object VectorIndex {
     * are ever collected; the rewritten partitions are materialized via
     * localCheckpoint (bounded by touched-cell codes + the change batch)
     * before the overwrite so the write never reads the path it replaces.
+    *
+    * CRASH WINDOW (documented, with a converging recovery): the upsert is
+    * three mutations — (1) dynamic-overwrite of touched cell partitions,
+    * (2) delete of fully-emptied cell directories, (3) occupancy replace —
+    * and a crash between them leaves (after 1) a fully-tombstoned cell's
+    * stale directory still serving its deleted vectors, or (after 2) a
+    * stale occupancy. Recovery is to RE-RUN THE SAME CHANGE BATCH: the
+    * touched-cell set is re-derived from whatever rows currently match
+    * `changedIds` (the stale emptied cell still holds its deleted ids, so
+    * it re-enters `touched`, survives with zero rows, and step 2 drops its
+    * directory), the overwrite is idempotent, and the occupancy replace
+    * recounts the touched cells — so one clean re-run converges the index
+    * to the exact post-upsert state (spec-pinned from the worst
+    * intermediate state in VectorIndexSpec). Occupancy alone can also be
+    * restored at any time by [[refreshOccupancy]]. Single-writer op, like
+    * all maintenance here.
     *
     * @param updates frame exposing `id`/`emb` — changed or new vectors
     * @param deletes single-column frame of ids to remove (tombstones)
@@ -379,17 +397,35 @@ object VectorIndex {
     * not a correctness surface, and [[refreshOccupancy]] recounts it from
     * the codes at any time.
     *
+    * STREAM IDENTITY (required for multi-lineage safety): `foreachBatch`
+    * batch ids are scoped to a CHECKPOINT LINEAGE and restart at 0 when a
+    * stream is re-created with a new checkpoint location — without an
+    * identity, every batch of the new lineage would compare <= the old
+    * lineage's high-water mark and be silently skipped (data loss). Pass a
+    * stable `streamId` per checkpoint lineage (the idempotent-sink
+    * convention of scoping the txn marker by (appId, version)): the marker
+    * is kept per stream (`applied_batch_<streamId>`) and the rows' replay
+    * stamps carry `__stream`, so both detection layers compare only
+    * against their own lineage — a fresh lineage starts from a clean
+    * marker and nothing is skipped. `streamId = None` keeps the legacy
+    * single-marker behavior and is safe ONLY while the index is fed by
+    * exactly one checkpoint lineage for its whole life.
+    *
     * @param batchCap optional per-batch row cap (no-silent-caps: refused
     *   rows are counted into `capDrops`, the accumulator pattern of
     *   [[graft.streaming.StreamingDedup.nearDupCandidates]]); None admits
     *   everything
+    * @param streamId stable identity of the feeding checkpoint lineage —
+    *   scopes replay detection so independent lineages (or a restart with
+    *   a fresh checkpoint dir under a new id) never mask each other
     */
   def appendSink(path: String, pq: PqParams, id: Column, emb: Column,
       batchCap: Option[Int] = None,
-      capDrops: Option[org.apache.spark.util.LongAccumulator] = None)
+      capDrops: Option[org.apache.spark.util.LongAccumulator] = None,
+      streamId: Option[String] = None)
       : (DataFrame, Long) => Unit = { (batch, batchId) =>
     val s = batch.sparkSession
-    if (!batchApplied(s, path, batchId)) {
+    if (!batchApplied(s, path, batchId, streamId)) {
       val admitted = batchCap match {
         case Some(cap) =>
           val n = batch.count()
@@ -401,7 +437,7 @@ object VectorIndex {
           } else batch
         case None => batch
       }
-      appendCodes(s, path, admitted, id, emb, pq, stamp = Some(batchId))
+      appendCodes(s, path, admitted, id, emb, pq, stamp = Some(batchId), streamId)
     }
   }
 
@@ -418,12 +454,25 @@ object VectorIndex {
     *   2. the data-derived max(__batch) — the fallback for the crash
     *      window where the append landed but the marker write was lost,
     *      and for indexes created before the marker existed.
+    *
+    * Both layers are SCOPED by `streamId` when one is supplied: the marker
+    * file is per-stream and the data max considers only rows whose
+    * `__stream` stamp matches, so a lineage restarted under a new id never
+    * sees another lineage's progress (see [[appendSink]]'s stream-identity
+    * contract).
     */
-  private def batchApplied(s: SparkSession, path: String, batchId: Long): Boolean =
-    readAppliedBatch(s, path).exists(_ >= batchId) || {
+  private def batchApplied(s: SparkSession, path: String, batchId: Long,
+      streamId: Option[String]): Boolean =
+    readAppliedBatch(s, path, streamId).exists(_ >= batchId) || {
       val codes = loadCodesFull(s, path)
+      val scoped = streamId match {
+        case Some(sid) =>
+          if (codes.columns.contains("__stream")) codes.filter(col("__stream") === sid)
+          else codes.limit(0)
+        case None => codes
+      }
       codes.columns.contains("__batch") && {
-        val m = codes.agg(max(col("__batch"))).head()
+        val m = scoped.agg(max(col("__batch"))).head()
         !m.isNullAt(0) && m.getLong(0) >= batchId
       }
     }
@@ -432,9 +481,18 @@ object VectorIndex {
     org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), s.sparkContext.hadoopConfiguration)
 
-  private def readAppliedBatch(s: SparkSession, path: String): Option[Long] = {
+  /** Per-stream marker file name; the unscoped legacy name when no stream
+    * identity is in play. Stream ids are sanitized to a filename-safe
+    * charset so a caller-supplied id can never escape the index directory.
+    */
+  private def markerName(streamId: Option[String]): String =
+    streamId.fold("applied_batch")(sid =>
+      "applied_batch_" + sid.replaceAll("[^A-Za-z0-9._-]", "_"))
+
+  private def readAppliedBatch(s: SparkSession, path: String,
+      streamId: Option[String]): Option[Long] = {
     val fs = hadoopFs(s, path)
-    val p = new org.apache.hadoop.fs.Path(s"$path/applied_batch")
+    val p = new org.apache.hadoop.fs.Path(s"$path/${markerName(streamId)}")
     if (!fs.exists(p)) None
     else scala.util.Try {
       val in = fs.open(p)
@@ -450,10 +508,12 @@ object VectorIndex {
   /** Advance the high-water mark — monotonic, called only after the
     * batch's codes are durably appended.
     */
-  private def writeAppliedBatch(s: SparkSession, path: String, batchId: Long): Unit =
-    if (!readAppliedBatch(s, path).exists(_ >= batchId)) {
+  private def writeAppliedBatch(s: SparkSession, path: String, batchId: Long,
+      streamId: Option[String]): Unit =
+    if (!readAppliedBatch(s, path, streamId).exists(_ >= batchId)) {
       val fs = hadoopFs(s, path)
-      val out = fs.create(new org.apache.hadoop.fs.Path(s"$path/applied_batch"), true)
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(s"$path/${markerName(streamId)}"), true)
       try out.write(s"$batchId\n".getBytes("UTF-8")) finally out.close()
     }
 
@@ -480,20 +540,61 @@ object VectorIndex {
     * swap window is not concurrent-reader-safe, same as any in-place
     * parquet rewrite). All columns survive, including streaming `__batch`
     * stamps — max(__batch) replay detection still works post-compaction.
+    *
+    * CRASH RECOVERY: a crash between the two renames leaves no `codes/`
+    * directory at all (the data survives complete in `codes_old/` and
+    * `codes_compacting/`). Every entry to this method first runs
+    * [[recoverCompaction]], which rolls such a half-swap FORWARD (the
+    * staged rewrite carries `_SUCCESS`, proving it complete) or BACK (a
+    * partial stage without `_SUCCESS` is discarded and the old directory
+    * restored) — so re-running compaction after any crash converges
+    * without manual surgery. Readers that hit the crash window before a
+    * writer does can call [[recoverCompaction]] themselves.
     */
   def compactCells(s: SparkSession, path: String): Unit = {
+    recoverCompaction(s, path)
     val codesPath = s"$path/codes"
     val staged = s"$path/codes_compacting"
     s.read.option("mergeSchema", "true").parquet(codesPath)
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(staged)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(path), s.sparkContext.hadoopConfiguration)
+    val fs = hadoopFs(s, path)
     val old = new org.apache.hadoop.fs.Path(s"$path/codes_old")
     fs.delete(old, true)
     fs.rename(new org.apache.hadoop.fs.Path(codesPath), old)
     fs.rename(new org.apache.hadoop.fs.Path(staged), new org.apache.hadoop.fs.Path(codesPath))
     fs.delete(old, true)
+  }
+
+  /** Repair a [[compactCells]] run interrupted at any point — idempotent,
+    * no-op on a healthy index. Decision table over the three directories:
+    *
+    *   - `codes/` missing: the crash fell between the two swap renames.
+    *     If the staged rewrite is COMPLETE (its `_SUCCESS` commit marker
+    *     exists) roll FORWARD — promote it to `codes/` and drop the old
+    *     copy; otherwise roll BACK — drop the partial stage and rename
+    *     `codes_old/` back into place. Either way the index serves again.
+    *   - `codes/` present: it is authoritative; any leftover stage/old
+    *     directories are debris from a crash before the swap began (or
+    *     after it finished) and are deleted.
+    */
+  def recoverCompaction(s: SparkSession, path: String): Unit = {
+    val fs = hadoopFs(s, path)
+    def p(n: String) = new org.apache.hadoop.fs.Path(s"$path/$n")
+    val (codes, old, staged) = (p("codes"), p("codes_old"), p("codes_compacting"))
+    if (!fs.exists(codes)) {
+      if (fs.exists(new org.apache.hadoop.fs.Path(staged, "_SUCCESS"))) {
+        fs.rename(staged, codes)
+        fs.delete(old, true)
+      } else if (fs.exists(old)) {
+        fs.delete(staged, true)
+        fs.rename(old, codes)
+      }
+    } else {
+      fs.delete(staged, true)
+      fs.delete(old, true)
+    }
+    ()
   }
 
   // ---- occupancy accounting ----------------------------------------------

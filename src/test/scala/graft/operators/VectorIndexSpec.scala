@@ -326,4 +326,115 @@ class VectorIndexSpec extends AnyFunSuite {
     val freshHits = wide.filter(col("neighbor_id") % 10 === 7 && col("neighbor_id") >= 64).count()
     assert(freshHits > 0, "fresh vectors must be reachable through the appended index")
   }
+
+  private def fsOf(path: String) = org.apache.hadoop.fs.FileSystem.get(
+    new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+  private def hp(path: String, n: String) = new org.apache.hadoop.fs.Path(s"$path/$n")
+
+  test("recoverCompaction: half-swap crashes roll forward (complete stage) or back (partial stage)") {
+    val path = java.nio.file.Files.createTempDirectory("graft_vindex_recover").toString
+    val quant = VectorIndex.train(corpus, col("vec_id"), col("embedding"),
+      kCells = 16, iters = 1, pq = pq)
+    VectorIndex.write(quant,
+      VectorIndex.encode(corpus, col("vec_id"), col("embedding"), quant), path)
+    def answer() = VectorIndex.searchAdc(VectorIndex.loadCodes(spark, path),
+      VectorIndex.loadQuantizer(spark, path, pq), queries, nprobe = 4, topK = 5)
+      .orderBy("query_id", "rn").collect().toSeq
+    val healthy = answer()
+    assert(healthy.nonEmpty)
+    val fs = fsOf(path)
+
+    // crash BETWEEN the two swap renames, stage COMPLETE (it carries the
+    // parquet _SUCCESS commit marker): codes/ gone, data split across
+    // codes_old/ and codes_compacting/ — recovery must roll FORWARD
+    fs.rename(hp(path, "codes"), hp(path, "codes_compacting")) // complete stage incl. _SUCCESS
+    fs.mkdirs(hp(path, "codes_old"))
+    VectorIndex.recoverCompaction(spark, path)
+    assert(fs.exists(hp(path, "codes")) && !fs.exists(hp(path, "codes_old")) &&
+      !fs.exists(hp(path, "codes_compacting")), "roll-forward must restore exactly codes/")
+    assert(answer() == healthy, "rolled-forward index must answer identically")
+
+    // crash DURING staging (stage partial, no _SUCCESS) after codes was
+    // renamed away — recovery must roll BACK to the old directory
+    fs.rename(hp(path, "codes"), hp(path, "codes_old"))
+    fs.mkdirs(hp(path, "codes_compacting"))
+    val junk = fs.create(new org.apache.hadoop.fs.Path(hp(path, "codes_compacting"), "part-junk.parquet"), true)
+    junk.write("partial".getBytes("UTF-8")); junk.close()
+    VectorIndex.recoverCompaction(spark, path)
+    assert(fs.exists(hp(path, "codes")) && !fs.exists(hp(path, "codes_old")) &&
+      !fs.exists(hp(path, "codes_compacting")), "roll-back must restore exactly codes/")
+    assert(answer() == healthy, "rolled-back index must answer identically")
+
+    // debris with codes/ intact (crash before the swap began): just cleaned
+    fs.mkdirs(hp(path, "codes_old"))
+    fs.mkdirs(hp(path, "codes_compacting"))
+    // compactCells itself runs recovery on entry — and then compacts fine
+    VectorIndex.compactCells(spark, path)
+    assert(!fs.exists(hp(path, "codes_old")) && !fs.exists(hp(path, "codes_compacting")))
+    assert(answer() == healthy, "compaction after debris cleanup must not change answers")
+  }
+
+  test("upsertBatch crash window: re-running the same change batch converges from the worst intermediate state") {
+    val path = java.nio.file.Files.createTempDirectory("graft_vindex_crash").toString
+    val quant = VectorIndex.train(corpus, col("vec_id"), col("embedding"),
+      kCells = 16, iters = 1, pq = pq)
+    val codes = VectorIndex.encode(corpus, col("vec_id"), col("embedding"), quant)
+    VectorIndex.write(quant, codes, path)
+    // a change batch that fully tombstones one cell — the exact
+    // stale-directory hazard of the documented crash window (a delete-only
+    // batch, so nothing can legitimately re-land in the emptied cell)
+    val someCell = codes.select("cell").head().getAs[Number](0).longValue
+    val condemned = codes.filter(col("cell") === someCell && col("m") === 0).select("vec_id")
+    val updates = corpus.limit(0).select(col("vec_id"), col("embedding"))
+
+    // snapshot pre-upsert state of the pieces the crash would leave stale
+    def copyDir(src: java.io.File, dst: java.io.File): Unit = {
+      if (src.isDirectory) { dst.mkdirs(); Option(src.listFiles()).toSeq.flatten
+        .foreach(f => copyDir(f, new java.io.File(dst, f.getName))) }
+      else java.nio.file.Files.copy(src.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_vindex_snap").toFile
+    copyDir(new java.io.File(s"$path/codes/cell=$someCell"), new java.io.File(tmp, "cell"))
+    copyDir(new java.io.File(s"$path/occupancy"), new java.io.File(tmp, "occupancy"))
+
+    VectorIndex.upsertBatch(spark, path, updates, condemned,
+      col("vec_id"), col("embedding"), pq)
+
+    // SIMULATE the crash-after-overwrite state: the fully-tombstoned cell's
+    // stale directory is back (delete step lost) and occupancy is the
+    // pre-upsert table (replace step lost)
+    copyDir(new java.io.File(tmp, "cell"), new java.io.File(s"$path/codes/cell=$someCell"))
+    val fs = fsOf(path)
+    fs.delete(hp(path, "occupancy"), true)
+    copyDir(new java.io.File(tmp, "occupancy"), new java.io.File(s"$path/occupancy"))
+    assert(VectorIndex.loadCodes(spark, path).filter(col("cell") === someCell).count() > 0,
+      "fixture: the stale tombstoned cell must be serving again before recovery")
+
+    // RECOVERY = re-run the exact same change batch; it must converge
+    VectorIndex.upsertBatch(spark, path, updates, condemned,
+      col("vec_id"), col("embedding"), pq)
+    assert(!new java.io.File(s"$path/codes/cell=$someCell").exists(),
+      "re-run must drop the stale emptied-cell directory")
+    // no duplicate rows survived recovery: one code row per (vector, subspace)
+    val dupRows = VectorIndex.loadCodes(spark, path)
+      .groupBy("vec_id", "m").count().filter(col("count") > 1).count()
+    assert(dupRows == 0, "recovery must not leave duplicated code rows")
+    val post = corpus
+      .join(condemned.withColumnRenamed("vec_id", "__del"),
+        col("vec_id") === col("__del"), "left_anti")
+      .select(col("vec_id"), col("embedding"))
+    val rebuilt = VectorIndex.encode(post, col("vec_id"), col("embedding"), quant)
+    val fromIndex = VectorIndex.searchAdc(VectorIndex.loadCodes(spark, path),
+      VectorIndex.loadQuantizer(spark, path, pq), queries, nprobe = 16, topK = 5)
+      .orderBy("query_id", "rn").collect().toSeq
+    val fromRebuild = VectorIndex.searchAdc(rebuilt, quant, queries, nprobe = 16, topK = 5)
+      .orderBy("query_id", "rn").collect().toSeq
+    assert(fromIndex == fromRebuild,
+      "after recovery the index must answer exactly like the post-change rebuild")
+    val occ = VectorIndex.occupancy(spark, path).orderBy("cell").collect().toSeq
+    val recount = VectorIndex.cellOccupancy(VectorIndex.loadCodes(spark, path))
+      .orderBy("cell").collect().toSeq
+    assert(occ == recount, "occupancy must be consistent again after the re-run")
+  }
 }

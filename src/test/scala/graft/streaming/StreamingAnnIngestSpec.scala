@@ -149,4 +149,47 @@ class StreamingAnnIngestSpec extends AnyFunSuite {
     val expected = batch.select("vec_id").collect().map(_.getLong(0)).sorted.take(25).toSet
     assert(admitted == expected, "cap must admit the smallest ids (replay-stable)")
   }
+
+  test("stream identity scopes replay detection: a new checkpoint lineage's batch 0 is not masked") {
+    val path = java.nio.file.Files.createTempDirectory("graft_ann_lineage").toString
+    val quant = VectorIndex.train(corpus, col("vec_id"), col("embedding"),
+      kCells = 16, iters = 1, pq = pq)
+    VectorIndex.write(quant,
+      VectorIndex.encode(corpus, col("vec_id"), col("embedding"), quant), path)
+
+    // lineage A advances to batch 1
+    val sinkA = VectorIndex.appendSink(path, pq, col("vec_id"), col("embedding"),
+      streamId = Some("lineage-a"))
+    sinkA(emb.filter(col("vec_id") >= 300 && col("vec_id") < 340), 0L)
+    sinkA(emb.filter(col("vec_id") >= 340 && col("vec_id") < 380), 1L)
+    val afterA = VectorIndex.loadCodes(spark, path).count()
+
+    // the stream is re-created with a FRESH checkpoint dir (new lineage):
+    // foreachBatch ids restart at 0 — the scoped marker must NOT mask it
+    val sinkB = VectorIndex.appendSink(path, pq, col("vec_id"), col("embedding"),
+      streamId = Some("lineage-b"))
+    sinkB(emb.filter(col("vec_id") >= 380 && col("vec_id") < 410), 0L)
+    val afterB = VectorIndex.loadCodes(spark, path).count()
+    assert(afterB > afterA,
+      "a new lineage's batch 0 must land even though another lineage is past it")
+
+    // replay WITHIN lineage B is still skipped
+    sinkB(emb.filter(col("vec_id") >= 380 && col("vec_id") < 410), 0L)
+    assert(VectorIndex.loadCodes(spark, path).count() == afterB,
+      "replay within the same lineage must be skipped")
+
+    // marker-crash window: lose lineage B's marker file — the __stream-scoped
+    // data max must still detect the replay, and must NOT be confused by
+    // lineage A's stamps
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/applied_batch_lineage-b"), false)
+    sinkB(emb.filter(col("vec_id") >= 380 && col("vec_id") < 410), 0L)
+    assert(VectorIndex.loadCodes(spark, path).count() == afterB,
+      "data-derived replay detection must be scoped to the lineage's own stamps")
+
+    // and lineage A replay is still skipped too (its marker is untouched)
+    sinkA(emb.filter(col("vec_id") >= 300 && col("vec_id") < 340), 0L)
+    assert(VectorIndex.loadCodes(spark, path).count() == afterB)
+  }
 }
