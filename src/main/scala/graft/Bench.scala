@@ -95,10 +95,25 @@ object Bench {
     // recorded in the JSON's "reps" methodology marker either way.
     val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").flatMap(_.toIntOption)
       .filter(_ >= 1).getOrElse(2)
+    // Quiet-host gate, ported from BenchScale (the r11 verdict's ask): the
+    // official per-round artifact must be self-defending against host
+    // contention, not adjudicated after the fact. A run only counts as
+    // clean when BOTH fixed-work probes are inside the uncontended band;
+    // otherwise the whole timed pass retries (up to maxAttempts), and a
+    // still-dirty final attempt is stamped contended:true in the JSON.
+    val probeMax = sys.env.get("SPARK_GRAFT_PROBE_MAX").flatMap(_.toDoubleOption)
+      .getOrElse(0.65)
+    val maxAttempts = sys.env.get("SPARK_GRAFT_BENCH_ATTEMPTS").flatMap(_.toIntOption)
+      .filter(_ >= 1).getOrElse(3)
     // First probe call is discarded: it pays the probe loop's own JIT
     // (~0.15 s measured), which would skew before-vs-after comparison.
     calibrationProbe()
-    val probeBefore = calibrationProbe()
+    def quietProbe(): Double = {
+      var p = calibrationProbe()
+      var waits = 0
+      while (p > probeMax && waits < 20) { Thread.sleep(15000); waits += 1; p = calibrationProbe() }
+      p
+    }
     val spark = LocalSession.build()
     // Untimed warmup: run every query once at the target dir. First
     // execution pays Janino whole-stage-codegen compilation + classloading
@@ -123,29 +138,45 @@ object Bench {
     // residual JIT/GC/page-cache noise, while back-to-back runs agree within
     // ~10% — the min is the steady-state cost, which is what a long-lived
     // cluster pays.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // min over SUCCESSFUL reps only — a fast-failing rep must not shadow
-      // a real slow success with a near-zero time; all-failed → -1 marker.
-      val times = (1 to reps).flatMap { _ =>
-        val t0 = System.nanoTime()
-        val built =
-          try { val df = fn(spark, sfDir); action(df); Some(df) }
-          catch { case _: Throwable => None }
-        val t = (System.nanoTime() - t0) / 1e9
-        // Outside the timed region: dead caches/checkpoints from this rep
-        // would otherwise sit in storage memory under later timings.
-        built.foreach(releaseCheckpoints)
-        spark.catalog.clearCache()
-        if (built.isDefined) Some(t) else None
+    def timedPass(): Seq[(String, Double, Double)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        // min over SUCCESSFUL reps only — a fast-failing rep must not shadow
+        // a real slow success with a near-zero time; all-failed → -1 marker.
+        val times = (1 to reps).flatMap { _ =>
+          val t0 = System.nanoTime()
+          val built =
+            try { val df = fn(spark, sfDir); action(df); Some(df) }
+            catch { case _: Throwable => None }
+          val t = (System.nanoTime() - t0) / 1e9
+          // Outside the timed region: dead caches/checkpoints from this rep
+          // would otherwise sit in storage memory under later timings.
+          built.foreach(releaseCheckpoints)
+          spark.catalog.clearCache()
+          if (built.isDefined) Some(t) else None
+        }
+        // min = steady-state cost; median exposes the spread a contended host
+        // injects (min alone can hide it when one rep got lucky).
+        val med =
+          if (times.isEmpty) -1.0
+          else { val s = times.sorted; (s((s.size - 1) / 2) + s(s.size / 2)) / 2 }
+        (name, if (times.isEmpty) -1.0 else times.min, med)
       }
-      // min = steady-state cost; median exposes the spread a contended host
-      // injects (min alone can hide it when one rep got lucky).
-      val med =
-        if (times.isEmpty) -1.0
-        else { val s = times.sorted; (s((s.size - 1) / 2) + s(s.size / 2)) / 2 }
-      (name, if (times.isEmpty) -1.0 else times.min, med)
+    var attempt = 0
+    var probeBefore = 0.0
+    var probeAfter = 0.0
+    var results: Seq[(String, Double, Double)] = Seq.empty
+    var clean = false
+    while (!clean && attempt < maxAttempts) {
+      attempt += 1
+      probeBefore = quietProbe()
+      results = timedPass()
+      probeAfter = calibrationProbe()
+      clean = probeBefore <= probeMax && probeAfter <= probeMax
+      if (!clean) System.err.println(
+        s"[bench] attempt $attempt contended (probes $probeBefore/$probeAfter > $probeMax)" +
+          (if (attempt < maxAttempts) " — retrying the whole timed pass"
+           else " — giving up, artifact stamped contended"))
     }
-    val probeAfter = calibrationProbe()
     // 3-decimal (ms) precision: sub-ms digits are pure noise at these
     // scales, and the shorter line keeps the whole JSON inside the driver's
     // bounded stdout-tail capture (full-precision lines were truncated in
@@ -208,7 +239,7 @@ object Bench {
     // round 3+ the min of 2; cross-round comparisons can detect the change.
     // calibration: fixed-work probe seconds before/after the suite — compare
     // against the committed uncontended ledger value to adjudicate the run.
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"agg":"min","action":"$actionName","calibration":{"before":${fmt(probeBefore)},"after":${fmt(probeAfter)}},"inversions":$inversions,"queries":$qs,"queries_median":$qsMed,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"agg":"min","action":"$actionName","contended":${!clean},"attempts":$attempt,"calibration":{"before":${fmt(probeBefore)},"after":${fmt(probeAfter)}},"inversions":$inversions,"queries":$qs,"queries_median":$qsMed,"sf":"$sfDir"}"""
     // Truncation-proofing: the driver captures stdout's tail, which has
     // clipped the head of this (long) line in past rounds. Persist the full
     // JSON to a file first, then print it — the artifact on disk is always
@@ -225,7 +256,8 @@ object Bench {
     // sentinel must show up as a smaller queries_timed here (BenchScale
     // already counts this way; the two callers must agree)
     println(healthLine(probeBefore, probeAfter, total, reps,
-      results.count(_._2 >= 0)))
+      results.count(_._2 >= 0),
+      extra = s""","contended":${!clean},"attempts":$attempt"""))
     spark.stop()
   }
 
