@@ -137,6 +137,182 @@ object Bpe {
     learned.toSeq
   }
 
+  /** Result of [[trainBatched]]: the learned table plus how many corpus
+    * scans (rounds) it took — the observable the V/M round-count contract
+    * is pinned on.
+    */
+  final case class BpeTraining(merges: Seq[(Int, Int, Int, Long)], rounds: Int)
+
+  /** BATCHED BPE trainer — [[train]]'s scale path: each round adopts up to
+    * `batchM` pairwise SYMBOL-DISJOINT pairs from ONE pair count instead
+    * of one, so a vocabulary of V merges costs ~V/M corpus scans, not V
+    * (the SentencePiece/HF-tokenizers production trainers batch the same
+    * way). Selection per round is the exact greedy: walk pairs in
+    * (count DESC, left, right) order, adopt a pair iff neither of its
+    * symbols was used by an earlier adoption this round.
+    *
+    * Why disjointness is load-bearing (BpeSpec property-pins both laws):
+    *
+    *   - COUNTS STAY TRUE: merging (a,b)→X only touches positions holding
+    *     a or b, and replaces two adjacent symbols with one new one — it
+    *     can neither create nor destroy an occurrence of a symbol-disjoint
+    *     pair (c,d) (a new (c,d) adjacency would need the merge to put c
+    *     next to d, but the merge inserts X). So every adopted pair's
+    *     pre-round count is still its exact applyable count at adoption.
+    *   - ORDER DOESN'T MATTER: the same argument makes the round's merges
+    *     commute, so the sequential rank-order apply ([[encode]]) equals a
+    *     simultaneous round apply — which keeps the loop-free SQL oracle
+    *     ([[duckdbTrainBatchedSql]]) exact, the same law the left≠right
+    *     constraint buys within one pair.
+    *
+    * What batching changes vs sequential greedy: round k's later picks use
+    * counts measured BEFORE round k's earlier picks, so a pair CREATED by
+    * an earlier pick (one containing a fresh merged id) can't be adopted
+    * until the next round. When the top-M pairs are symbol-disjoint and no
+    * created pair would outrank them, batched ≡ sequential (spec-pinned
+    * with batchM=1 ≡ [[train]] exactly, any batchM on disjoint fixtures).
+    *
+    * No silent caps: candidate pairs are fetched in bounded chunks but the
+    * chunk query re-filters by the used-symbol set, so selection never
+    * drops an eligible pair — a short chunk just means another tiny fetch
+    * against the (checkpointed, pair-vocabulary-sized) count table. Driver
+    * state per round: ≤ chunk rows. Scale shape per round: one codegen
+    * re-tokenize scan + one map-side-combinable pair aggregate — identical
+    * to [[train]], just ~M× fewer rounds.
+    */
+  def trainBatched(docs: org.apache.spark.sql.DataFrame, text: org.apache.spark.sql.Column,
+      nMerges: Int, batchM: Int, minPairCount: Long = 2L): BpeTraining = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graftshim.Bridge
+    require(batchM >= 1, "batchM must be >= 1")
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int, Long)]
+    var rounds = 0
+    var continue = true
+    while (continue && learned.size < nMerges) {
+      rounds += 1
+      val merges = learned.toSeq.map(m => (m._1, m._2, m._3))
+      val toks = Bridge.column(BpeEncodeWith(Bridge.childExpr(text), merges))
+      // pair-vocabulary-sized (distinct (a,b) pairs), checkpointed so the
+      // chunked selection below never re-scans the corpus
+      val counts = docs
+        .select(toks.as("l"))
+        .select(explode(filter(
+          transform(col("l"), (x, i) =>
+            struct(x.as("a"), get(col("l"), i + 1).as("b"))),
+          p => p.getField("b").isNotNull)).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+        .filter(col("a") =!= col("b")) // self-pairs excluded, same as train
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= minPairCount)
+        .localCheckpoint()
+      val want = math.min(batchM, nMerges - learned.size)
+      val used = scala.collection.mutable.Set.empty[Int]
+      var adopted = 0
+      var exhausted = false
+      while (adopted < want && !exhausted) {
+        val eligible =
+          if (used.isEmpty) counts
+          else counts.filter(!col("a").isin(used.toSeq: _*) &&
+            !col("b").isin(used.toSeq: _*))
+        val chunk = eligible
+          .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+          .limit(math.max(8 * want, 32)).collect()
+        if (chunk.isEmpty) exhausted = true
+        else {
+          val before = adopted
+          chunk.iterator.takeWhile(_ => adopted < want).foreach { r =>
+            val (a, b) = (r.getAs[Int]("a"), r.getAs[Int]("b"))
+            if (!used(a) && !used(b)) {
+              learned += ((a, b, TrainIdBase + learned.size, r.getAs[Long]("cnt")))
+              used += a; used += b; adopted += 1
+            }
+          }
+          // a fully-blocked chunk that was ALSO the whole eligible set
+          // means no disjoint pair remains this round
+          if (adopted == before && chunk.length < math.max(8 * want, 32))
+            exhausted = true
+        }
+      }
+      // free the round's checkpointed count table deterministically (the
+      // Bench.releaseCheckpoints device — Dataset.unpersist cannot touch
+      // checkpoint storage)
+      counts.queryExecution.logical.foreach {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+        case _ => ()
+      }
+      if (adopted == 0) continue = false
+    }
+    BpeTraining(learned.toSeq, rounds)
+  }
+
+  /** DuckDB CTE chain re-deriving [[trainBatched]] for the oracle — the
+    * batched sibling of [[duckdbTrainSql]]. Per round k: `tt{k}` is the
+    * corpus tokenized under everything learned so far; `p{k}` its pair
+    * counts; the round's greedy disjoint selection UNROLLS into `batchM`
+    * one-row CTEs `m{k}_{j}` — each the (count DESC, left, right) top
+    * among pairs sharing no symbol with the round's earlier picks (exactly
+    * the greedy walk, expressible without recursion because batchM is a
+    * compile-time constant of the generated SQL); the round's apply CTE
+    * replaces all `batchM` pairs SIMULTANEOUSLY (exact by symbol-
+    * disjointness — see [[trainBatched]]). Merged ids are the
+    * deterministic literals TrainIdBase + k·batchM + j.
+    *
+    * Oracle contract: every round must fill all `batchM` slots (the
+    * one-row selection CTEs cross-join; an empty one would empty the
+    * round) — the gate's corpus/parameters guarantee it, and a mismatch
+    * reds the gate rather than passing silently.
+    */
+  def duckdbTrainBatchedSql(nRounds: Int, batchM: Int, src: String = "documents",
+      textCol: String = "text", minPairCount: Int = 2): String = {
+    val t0 =
+      s"""tt0 AS (SELECT doc_id,
+         list_transform(range(1, length($textCol) + 1), i -> unicode($textCol[i])) AS l
+         FROM $src)"""
+    def pairsOf(k: Int) =
+      s"""p$k AS (
+         SELECT a, b, count(*) AS cnt FROM (
+           SELECT unnest(list_transform(range(1, len(l)), i ->
+             struct_pack(a := l[i], b := l[i + 1])), recursive := true)
+           FROM tt$k)
+         WHERE a != b
+         GROUP BY a, b HAVING count(*) >= $minPairCount)"""
+    def selOf(k: Int, j: Int) = {
+      val blockers = (0 until j).map(i => s"m${k}_$i s$i")
+      val from = (s"p$k" +: blockers).mkString(", ")
+      val notShared =
+        if (j == 0) ""
+        else " WHERE " + (0 until j).map(i =>
+          s"p$k.a NOT IN (s$i.a, s$i.b) AND p$k.b NOT IN (s$i.a, s$i.b)").mkString(" AND ")
+      s"""m${k}_$j AS (
+         SELECT p$k.a, p$k.b, p$k.cnt FROM $from$notShared
+         ORDER BY p$k.cnt DESC, p$k.a, p$k.b LIMIT 1)"""
+    }
+    def applyOf(k: Int) = {
+      val from = (s"tt$k" +: (0 until batchM).map(j => s"m${k}_$j s$j")).mkString(", ")
+      val startCases = (0 until batchM).map(j =>
+        s"WHEN l[i] = s$j.a AND l[i + 1] = s$j.b THEN ${TrainIdBase + k * batchM + j}")
+        .mkString("\n              ")
+      val dropCond = (0 until batchM).map(j =>
+        s"(l[i] = s$j.b AND l[i - 1] = s$j.a)").mkString(" OR ")
+      s"""tt${k + 1} AS (
+         SELECT doc_id, list_filter(list_transform(range(1, len(l) + 1), i ->
+           CASE $startCases
+              WHEN $dropCond THEN -1
+              ELSE l[i] END), x -> x != -1) AS l
+         FROM $from)"""
+    }
+    val ctes = (t0 +: (0 until nRounds).flatMap(k =>
+      Seq(pairsOf(k)) ++ (0 until batchM).map(j => selOf(k, j)) ++
+        (if (k < nRounds - 1) Seq(applyOf(k)) else Nil))).mkString(",\n       ")
+    val sel = (for { k <- 0 until nRounds; j <- 0 until batchM } yield
+      s"SELECT ${k * batchM + j} AS rank, a AS lhs, b AS rhs, " +
+        s"${TrainIdBase + k * batchM + j} AS merged, cnt FROM m${k}_$j")
+      .mkString("\n       UNION ALL ")
+    s"""WITH $ctes
+       $sel
+       ORDER BY rank"""
+  }
+
   /** DuckDB CTE chain re-deriving [[train]] for the oracle: per round k,
     * `tt{k}` is the corpus tokenized under the merges learned so far
     * (round 0 = raw code points) and `m{k}` is that round's winning pair

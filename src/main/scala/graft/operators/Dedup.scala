@@ -774,6 +774,45 @@ object Dedup {
       .withColumn("n_tokens", col("end_tok") - col("start_tok") + 1)
   }
 
+  /** Exact-substring span REMOVAL (Lee et al. "Deduplicating Training Data
+    * Makes Language Models Better" §4 — the production op on top of
+    * [[duplicatedSpanRuns]]'s diagnostics): cut every corpus-duplicated
+    * maximal run out of each document's token stream and re-emit the
+    * cleaned corpus. A document with no duplicated span passes through
+    * textually unchanged; a fully-duplicated document shrinks to the empty
+    * string (the caller decides whether to drop empties — removal is not
+    * filtering).
+    *
+    * Token discipline matches the whole span family: whitespace split,
+    * window = `w` tokens, run = gaps-and-islands merge of duplicated
+    * window positions with gap ≤ `w` — so the removed token set is exactly
+    * the union of the duplicated windows' [pos, pos+w−1] ranges (gap ≤ w
+    * makes adjacent windows touch, so the union of a run's windows IS
+    * [start_tok, end_tok]).
+    *
+    * Scale shape: one extra shuffle beyond the run derivation — the
+    * per-doc span list (sparse: only docs WITH duplicated spans have rows)
+    * joins back to the corpus on the doc key; the cut itself is a
+    * per-row array filter, no data moves. Output: (id, clean_text,
+    * n_tokens_removed).
+    */
+  def removeDuplicatedSpans(df: DataFrame, id: Column, text: Column, w: Int): DataFrame = {
+    val spans = duplicatedSpanRuns(df, id, text, w)
+      .groupBy(col("id"))
+      .agg(collect_list(struct(col("start_tok"), col("end_tok"))).as("__spans"))
+    spread(df, id)
+      .select(id.as("id"), text.as("__text"))
+      .join(spans, Seq("id"), "left")
+      .withColumn("__toks", split(col("__text"), " "))
+      .withColumn("__keep",
+        when(col("__spans").isNull, col("__toks")).otherwise(
+          filter(col("__toks"), (t, i) => !exists(col("__spans"),
+            s => i >= s.getField("start_tok") && i <= s.getField("end_tok")))))
+      .select(col("id"),
+        array_join(col("__keep"), " ").as("clean_text"),
+        (size(col("__toks")) - size(col("__keep"))).as("n_tokens_removed"))
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023): cluster embeddings
     * around `centroids` (nearest by L2, centroid-id tie-break — same
     * deterministic assignment as the IVF ANN path), then find cosine
@@ -800,7 +839,16 @@ object Dedup {
     *
     * @return (__id, __v, cell)
     */
-  def assignCells(df: DataFrame, id: Column, vec: Column, centroids: DataFrame): DataFrame = {
+  def assignCells(df: DataFrame, id: Column, vec: Column, centroids: DataFrame): DataFrame =
+    assignCells(df, id, vec, centroids, Nil)
+
+  /** [[assignCells]] carrying extra metadata columns (by name, from `df`)
+    * through the map pass unchanged — the filtered-ANN encode path rides
+    * here (metadata must stay ON the row: a join-back after assignment
+    * would shuffle the corpus, the carry is free).
+    */
+  def assignCells(df: DataFrame, id: Column, vec: Column, centroids: DataFrame,
+      carry: Seq[String]): DataFrame = {
     import graft.functions.VectorFunctions.argminL2
     // Centroids collapse to ONE broadcast row of parallel (ids, vectors)
     // arrays, sorted by cent_id so ArgminL2's first-wins tie-break realizes
@@ -812,10 +860,11 @@ object Dedup {
       .agg(array_sort(collect_list(struct(col("cent_id"), col("cent")))).as("__cs"))
       .select(transform(col("__cs"), c => c.getField("cent_id")).as("__cids"),
         transform(col("__cs"), c => c.getField("cent")).as("__cents")))
-    df.select(id.as("__id"), vec.as("__v"))
+    df.select(id.as("__id") +: vec.as("__v") +: carry.map(col): _*)
       .crossJoin(centArr)
-      .select(col("__id"), col("__v"),
-        argminL2(col("__v"), col("__cents")).as("__am"), col("__cids"))
+      .select(col("__id") +: col("__v") +:
+        argminL2(col("__v"), col("__cents")).as("__am") +: col("__cids") +:
+        carry.map(col): _*)
       // argmin is null when no centroid applies (empty centroid table, null
       // vector, dimension mismatch) — drop those rows BEFORE element_at so
       // (a) the degenerate empty-centroids input yields an EMPTY frame, as
@@ -823,8 +872,9 @@ object Dedup {
       // sees a null index (its codegen error check fires on the slot's
       // default value even for null inputs)
       .filter(col("__am").isNotNull)
-      .select(col("__id"), col("__v"),
-        element_at(col("__cids"), col("__am") + 1).as("cell"))
+      .select(col("__id") +: col("__v") +:
+        element_at(col("__cids"), col("__am") + 1).as("cell") +:
+        carry.map(col): _*)
   }
 
   def semanticDuplicates(df: DataFrame, id: Column, vec: Column,

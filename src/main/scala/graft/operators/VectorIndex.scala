@@ -71,12 +71,13 @@ object VectorIndex {
   /** Element-wise residual x − cent(cell): broadcast k-row centroid join,
     * double arithmetic in array order (the oracle's list_transform order).
     */
-  private def residuals(assigned: DataFrame, cents: DataFrame): DataFrame =
+  private def residuals(assigned: DataFrame, cents: DataFrame,
+      carry: Seq[String] = Nil): DataFrame =
     assigned
       .join(broadcast(cents.select(col("cent_id").as("cell"), col("cent").as("__cent"))), "cell")
-      .select(col("vec_id"), col("cell"),
+      .select(col("vec_id") +: col("cell") +:
         zip_with(col("embedding"), col("__cent"), (x, c) => x.cast("double") - c)
-          .as("embedding"))
+          .as("embedding") +: carry.map(col): _*)
 
   /** Codebook collapsed to one row per subspace (k sorted code words, so
     * ArgminL2's first-wins tie-break realizes `dist ASC, cent_id ASC`).
@@ -117,13 +118,30 @@ object VectorIndex {
     * asserts exactly this), which is what makes appends corpus-free.
     */
   def encode(vectors: DataFrame, id: Column, emb: Column,
-      quant: IvfadcQuantizer): DataFrame = {
-    val assigned = Dedup.assignCells(vectors, id, emb, quant.cents)
-      .select(col("__id").as("vec_id"), col("cell"), col("__v").as("embedding"))
-    subspaces(residuals(assigned, quant.cents), "vec_id", quant.pq, Seq("cell"))
+      quant: IvfadcQuantizer): DataFrame =
+    encode(vectors, id, emb, quant, Nil)
+
+  /** [[encode]] carrying FILTERABLE METADATA columns (by name, from
+    * `vectors`) onto every code row — the storage side of filtered ANN
+    * search. Every production vector query rides with a predicate (source,
+    * lang, date, licence); storing the metadata ON the code rows (repeated
+    * per subspace — parquet RLE makes the repetition ~free) means a
+    * filtered search evaluates the predicate INSIDE the codes scan, before
+    * any ADC scoring, instead of post-filtering a top-k and starving. The
+    * carry is a pure map-pass pass-through: no join, no shuffle — the
+    * encode plan shape is unchanged (VectorIndexSpec's zero-exchange
+    * assertion covers it).
+    */
+  def encode(vectors: DataFrame, id: Column, emb: Column,
+      quant: IvfadcQuantizer, meta: Seq[String]): DataFrame = {
+    val assigned = Dedup.assignCells(vectors, id, emb, quant.cents, meta)
+      .select(col("__id").as("vec_id") +: col("cell") +:
+        col("__v").as("embedding") +: meta.map(col): _*)
+    subspaces(residuals(assigned, quant.cents, meta), "vec_id", quant.pq, "cell" +: meta)
       .join(broadcast(codebookOf(quant.csubs)), "m")
-      .select(col("vec_id"), col("cell"), col("m"),
-        element_at(col("__cids"), argminL2(col("sub"), col("__csubs")) + 1).as("code"))
+      .select(col("vec_id") +: col("cell") +: col("m") +:
+        element_at(col("__cids"), argminL2(col("sub"), col("__csubs")) + 1).as("code") +:
+        meta.map(col): _*)
   }
 
   /** ADC search over a codes table: probe the query's `nprobe` nearest
@@ -195,10 +213,28 @@ object VectorIndex {
     * joins on a probed cell, so un-probed cells can contribute nothing.
     */
   def searchAdcPruned(codes: DataFrame, quant: IvfadcQuantizer, queries: DataFrame,
-      nprobe: Int, topK: Int): DataFrame = {
+      nprobe: Int, topK: Int): DataFrame =
+    searchAdcPruned(codes, quant, queries, nprobe, topK, None)
+
+  /** [[searchAdcPruned]] with a METADATA PREDICATE pushed into the codes
+    * scan — filtered ANN serving. The predicate (over columns carried by
+    * the metadata-aware [[encode]]) composes with the probed-cell
+    * partition filter, so on a persisted index BOTH reach the parquet
+    * reader: partition pruning opens only the probed cells' files, and the
+    * predicate lands in PushedFilters / the scan's data filters
+    * (spec-asserted) — candidates are eliminated BEFORE any ADC scoring
+    * work. That is what makes a selective filtered query return its full
+    * `topK`: the top-k window ranks ONLY predicate-matching candidates
+    * from the probed cells, instead of post-filtering an unfiltered top-k
+    * and starving toward <k rows. (Matches fewer than k in the probed
+    * cells → fewer rows, like any ANN search; raise nprobe for recall.)
+    */
+  def searchAdcPruned(codes: DataFrame, quant: IvfadcQuantizer, queries: DataFrame,
+      nprobe: Int, topK: Int, predicate: Option[Column]): DataFrame = {
     val cells = probeFrame(queries, quant.cents, nprobe)
       .select(col("cell")).distinct().collect().map(_.get(0))
-    searchAdc(codes.filter(col("cell").isin(cells.toSeq: _*)), quant, queries, nprobe, topK)
+    val pruned = codes.filter(col("cell").isin(cells.toSeq: _*))
+    searchAdc(predicate.fold(pruned)(pruned.filter), quant, queries, nprobe, topK)
   }
 
   /** Persist quantizer + codes. Codes are laid out partitioned by `cell`,
@@ -228,8 +264,17 @@ object VectorIndex {
       s.read.parquet(s"$path/codebook"), pq)
 
   def loadCodes(s: SparkSession, path: String): DataFrame =
+    loadCodes(s, path, Nil)
+
+  /** [[loadCodes]] keeping named metadata columns (stored by the
+    * metadata-aware [[encode]]) alongside the search schema — the read
+    * side of filtered ANN serving. Projection stays explicit so a search
+    * never drags ingest bookkeeping (`__batch`/`__stream`) into its scan.
+    */
+  def loadCodes(s: SparkSession, path: String, meta: Seq[String]): DataFrame =
     s.read.parquet(s"$path/codes")
-      .select(col("vec_id"), col("cell"), col("m"), col("code"))
+      .select(col("vec_id") +: col("cell") +: col("m") +: col("code") +:
+        meta.map(col): _*)
 
   /** Index a fresh batch into a persisted index: encode under the FROZEN
     * stored quantizer and append the codes — the persisted corpus codes are
@@ -316,12 +361,24 @@ object VectorIndex {
     * @param deletes single-column frame of ids to remove (tombstones)
     */
   def upsertBatch(s: SparkSession, path: String, updates: DataFrame,
-      deletes: DataFrame, id: Column, emb: Column, pq: PqParams): Unit = {
+      deletes: DataFrame, id: Column, emb: Column, pq: PqParams): Unit =
+    upsertBatch(s, path, updates, deletes, id, emb, pq, Nil)
+
+  /** [[upsertBatch]] for a METADATA-CARRYING index: `meta` names the
+    * filterable columns the index was encoded with (see the metadata-aware
+    * [[encode]]) — they must be present on `updates` so rewritten rows
+    * keep their metadata (a plain upsert on such an index would null the
+    * updated rows' metadata and silently exempt them from every filtered
+    * search).
+    */
+  def upsertBatch(s: SparkSession, path: String, updates: DataFrame,
+      deletes: DataFrame, id: Column, emb: Column, pq: PqParams,
+      meta: Seq[String]): Unit = {
     val quant = loadQuantizer(s, path, pq)
     val delIds = deletes.select(deletes.columns.head).toDF("vec_id")
     val updIds = updates.select(id.as("vec_id"))
     val changedIds = updIds.union(delIds).distinct()
-    val newCodes = encode(updates, id, emb, quant).localCheckpoint()
+    val newCodes = encode(updates, id, emb, quant, meta).localCheckpoint()
     val codes = loadCodesFull(s, path)
     // ONE action for the whole touched-cell set: the old cells of changed
     // ids ∪ the new cells of updated vectors (an update may move a vector

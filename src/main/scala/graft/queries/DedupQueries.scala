@@ -309,6 +309,37 @@ object DedupQueries extends QueryPack {
          CAST(max(pos) + 4 AS INT) AS end_tok, CAST(max(pos) + 5 - min(pos) AS INT) AS n_tokens
        FROM g GROUP BY doc_id, run_idx ORDER BY doc_id, run_idx"""
 
+  // -- exact duplicated-span REMOVAL (Lee et al. §4 — the production cut) ------------
+  // The op on top of dedup_span_runs' diagnostics: every maximal
+  // corpus-duplicated run is cut out of the token stream and the cleaned
+  // corpus re-emitted. The oracle re-derives the duplicated window
+  // positions, expands each to its w-token coverage, and filters the
+  // token list by position — the union of a run's windows is exactly the
+  // run's [start_tok, end_tok] (gap ≤ w makes adjacent windows touch), so
+  // the two formulations remove identical token sets.
+  private def qSpanRemove(s: SparkSession, dir: String): DataFrame =
+    Dedup.removeDuplicatedSpans(t(s, dir, "documents"), col("doc_id"), col("text"), w = 5)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
+  private val qSpanRemoveSql =
+    """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+       d AS (SELECT doc_id, list_transform(range(1, greatest(len(toks)-3, 1)),
+               i -> array_to_string(list_slice(toks, i, i+4), ' ')) AS wins FROM t),
+       w AS (SELECT doc_id, unnest(wins) AS win, generate_subscripts(wins, 1) - 1 AS pos FROM d),
+       cnt AS (SELECT win, count(DISTINCT doc_id) AS nd FROM w GROUP BY 1),
+       dp AS (SELECT DISTINCT doc_id, pos FROM w JOIN cnt USING (win) WHERE nd > 1),
+       cov AS (SELECT DISTINCT doc_id, pos + o AS cut
+               FROM dp CROSS JOIN (SELECT unnest([0,1,2,3,4]) AS o)),
+       covl AS (SELECT doc_id, list(cut) AS cuts FROM cov GROUP BY 1)
+       SELECT t.doc_id,
+         coalesce(array_to_string(list_filter(list_transform(range(1, len(toks)+1),
+           i -> CASE WHEN cl.cuts IS NOT NULL AND list_contains(cl.cuts, i - 1)
+                THEN NULL ELSE toks[i] END), x -> x IS NOT NULL), ' '), '') AS clean_text,
+         CAST(coalesce(len(cl.cuts), 0) AS INT) AS n_tokens_removed
+       FROM t LEFT JOIN covl cl USING (doc_id)
+       ORDER BY doc_id"""
+
   // -- SemDeDup-style semantic dedup: IVF cells, within-cell cosine pairs ------------
   // Deterministic seeded centroids (first k corpus rows), so the oracle
   // re-derives cell assignment identically. k SCALES WITH THE CORPUS —
@@ -361,6 +392,7 @@ object DedupQueries extends QueryPack {
     "dedup_simhash" -> (qSimHash _),
     "dedup_span_windows" -> (qSpans _),
     "dedup_span_runs" -> (qSpanRuns _),
+    "dedup_span_remove" -> (qSpanRemove _),
     "dedup_semantic" -> (qSemantic _),
     "dedup_embedding_cosine" -> (qEmbDup _))
 
@@ -375,6 +407,7 @@ object DedupQueries extends QueryPack {
     "dedup_simhash" -> qSimHashSql,
     "dedup_span_windows" -> qSpansSql,
     "dedup_span_runs" -> qSpanRunsSql,
+    "dedup_span_remove" -> qSpanRemoveSql,
     "dedup_semantic" -> qSemanticSql,
     "dedup_embedding_cosine" -> qEmbDupSql)
 }

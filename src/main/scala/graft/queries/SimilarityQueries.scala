@@ -578,7 +578,7 @@ object SimilarityQueries extends QueryPack {
     * always come from the raw `embeddings` table (vec_id < 10) — gates
     * keep query rows outside their corpus perturbations.
     */
-  private def ivfPqAdcSqlBodyFor(src: String): String =
+  private def ivfPqAdcSqlBodyFor(src: String, codesWhere: String = ""): String =
     s"""${kmAssign("c2", "acell", src)},
        rs AS (
          SELECT a.vec_id, a.cell,
@@ -617,7 +617,7 @@ object SimilarityQueries extends QueryPack {
          FROM codes cd
          JOIN q ON q.cell = cd.cell AND q.m = cd.m
          JOIN csubs c ON c.m = cd.m AND c.cent_id = cd.code
-         WHERE cd.vec_id != q.query_id),
+         WHERE cd.vec_id != q.query_id$codesWhere),
        adc AS (
          SELECT query_id, neighbor_id,
            ((sum(CASE WHEN m=0 THEN term END) + sum(CASE WHEN m=1 THEN term END))
@@ -774,6 +774,39 @@ object SimilarityQueries extends QueryPack {
          round(avg(n_vecs), 2) AS mean_cell,
          round(max(n_vecs) / avg(n_vecs), 2) AS imbalance
        FROM occ"""
+
+  /** Filtered ANN search gate — the production vector-query shape: a
+    * metadata predicate (here `label % 3 = 1`) rides WITH the vector
+    * query. The index is encoded with the metadata ON the code rows
+    * ([[graft.operators.VectorIndex.encode]]'s meta overload — a free
+    * map-pass carry), and the predicate is applied to the candidate codes
+    * BEFORE any ADC scoring via `searchAdcPruned(..., predicate)` — so the
+    * per-query top-k ranks only matching candidates and a selective filter
+    * still fills k rows instead of post-filter starving. The oracle
+    * re-derives the frozen quantizer, the full-corpus encode, and an ADC
+    * ranking over only the label-matching candidates. (Persisted-layout
+    * pushdown — partition pruning + PushedFilters on `label` — is
+    * spec-asserted in VectorIndexSpec; this gate pins the answers.)
+    */
+  private def qAnnFiltered(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{PqParams, VectorIndex}
+    val emb = t(s, dir, "embeddings")
+    val pq = PqParams(pqM, pqSubDim, pqK)
+    val quant = VectorIndex.train(emb, col("vec_id"), col("embedding"),
+      kCells = ivfProdK, iters = 2, pq = pq)
+    val codes = VectorIndex.encode(emb, col("vec_id"), col("embedding"), quant,
+      meta = Seq("label"))
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    VectorIndex.searchAdcPruned(codes, quant, queries,
+        nprobe = ivfProdNprobe, topK = 5, predicate = Some(col("label") % 3 === 1))
+      .orderBy("query_id", "rn")
+  }
+
+  private lazy val qAnnFilteredSql =
+    s"""WITH ${kmTrainCtes(ivfProdK)},
+       ${ivfPqAdcSqlBodyFor("embeddings",
+         codesWhere = " AND cd.vec_id IN (SELECT vec_id FROM embeddings WHERE label % 3 = 1)")}"""
 
   // -- ANN quality gate: recall@5 of every approximate path vs brute force -------
   // Joins each ANN path's top-5 against the exact brute-force top-5 and emits
@@ -1055,6 +1088,7 @@ object SimilarityQueries extends QueryPack {
     "ann_ivfpq_append" -> (qAnnIvfPqAppend _),
     "ann_ivfpq_upsert" -> (qAnnIvfPqUpsert _),
     "ann_index_occupancy" -> (qAnnIndexOccupancy _),
+    "ann_filtered_search" -> (qAnnFiltered _),
     "ann_recall_at_5" -> (qAnnRecall _),
     "knn_cosine_brute" -> (qKnn _),
     "emb_outliers" -> (qEmbOutliers _),
@@ -1073,6 +1107,7 @@ object SimilarityQueries extends QueryPack {
     "ann_ivfpq_append" -> qAnnIvfPqAppendSql,
     "ann_ivfpq_upsert" -> qAnnIvfPqUpsertSql,
     "ann_index_occupancy" -> qAnnIndexOccupancySql,
+    "ann_filtered_search" -> qAnnFilteredSql,
     "ann_recall_at_5" -> qAnnRecallSql,
     "knn_cosine_brute" -> qKnnSql,
     "emb_outliers" -> qEmbOutliersSql,

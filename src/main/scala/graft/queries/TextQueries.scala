@@ -160,6 +160,28 @@ object TextQueries extends QueryPack {
 
   private lazy val qBpeTrainSql = graft.functions.Bpe.duckdbTrainSql(6)
 
+  /** Batched BPE training gate — [[graft.functions.Bpe.trainBatched]]'s
+    * oracle dual: 8 merges learned as 2 rounds × 4 pairwise-disjoint
+    * adoptions (vs 8 corpus scans sequentially). The oracle unrolls each
+    * round's greedy disjoint selection into one-row CTEs and applies the
+    * round simultaneously — exact by symbol-disjointness. The round-count
+    * contract itself (V/M scans, batched ≡ sequential laws) is
+    * property-pinned in BpeSpec; this gate pins the learned table
+    * cross-engine.
+    */
+  private def qBpeTrainBatched(s: SparkSession, dir: String): DataFrame = {
+    val res = graft.functions.Bpe.trainBatched(
+      t(s, dir, "documents"), col("text"), nMerges = 8, batchM = 4, minPairCount = 1L)
+    import s.implicits._
+    res.merges.zipWithIndex.map { case ((a, b, m, c), k) => (k, a, b, m, c) }
+      .toDF("rank", "lhs", "rhs", "merged", "cnt")
+      .select(col("rank").cast("int"), col("lhs").cast("int"),
+        col("rhs").cast("int"), col("merged").cast("int"), col("cnt"))
+  }
+
+  private lazy val qBpeTrainBatchedSql =
+    graft.functions.Bpe.duckdbTrainBatchedSql(2, 4, minPairCount = 1)
+
   // -- content fingerprint ----------------------------------------------------------------
   private def qFingerprint(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(
@@ -703,6 +725,7 @@ object TextQueries extends QueryPack {
     "text_bpe_count" -> (qBpeCount _),
     "text_bpe_encode" -> (qBpeEncode _),
     "text_bpe_train" -> (qBpeTrain _),
+    "text_bpe_train_batched" -> (qBpeTrainBatched _),
     "text_fingerprint" -> (qFingerprint _),
     "text_term_freq" -> (qTermFreq _),
     "text_bigrams" -> (qBigrams _),
@@ -724,6 +747,7 @@ object TextQueries extends QueryPack {
     "text_bpe_count" -> qBpeCountSql,
     "text_bpe_encode" -> qBpeEncodeSql,
     "text_bpe_train" -> qBpeTrainSql,
+    "text_bpe_train_batched" -> qBpeTrainBatchedSql,
     "text_fingerprint" -> qFingerprintSql,
     "text_term_freq" -> qTermFreqSql,
     "text_bigrams" -> qBigramsSql,

@@ -99,6 +99,83 @@ class BpeSpec extends AnyFunSuite {
     assert(learned == Seq(('a'.toInt, 'b'.toInt, x, 5L), (x, 'c'.toInt, x + 1, 4L)))
   }
 
+  test("batched trainer: batchM=1 reproduces the sequential trainer exactly") {
+    import spark.implicits._
+    // pairs never span rows, so row-per-occurrence fixtures give exact
+    // pair counts with no space symbols in play (the trainer is over raw
+    // code points — space IS a symbol)
+    val docs = Seq((1L, "ababab"), (2L, "abab"), (3L, "cd"), (4L, "cd"), (5L, "efefef"))
+      .toDF("doc_id", "text")
+    val seq = Bpe.train(docs, col("text"), nMerges = 3, minPairCount = 2)
+    val bat = Bpe.trainBatched(docs, col("text"), nMerges = 3, batchM = 1, minPairCount = 2)
+    assert(bat.merges == seq, "batchM=1 must equal the sequential greedy")
+    assert(bat.rounds == seq.size, "batchM=1 costs one scan per merge")
+    // asking for more merges than the corpus supports costs ONE extra
+    // probe scan to discover exhaustion — rounds reports real scans
+    val exhausted = Bpe.trainBatched(docs, col("text"), nMerges = 10, batchM = 1,
+      minPairCount = 2)
+    assert(exhausted.merges == seq, "exhaustion must stop at the sequential table")
+    assert(exhausted.rounds == seq.size + 1,
+      "the terminal empty round is a real corpus scan and is counted")
+  }
+
+  test("batched trainer: round adoptions are symbol-disjoint; batched == sequential on disjoint data") {
+    import spark.implicits._
+    // four pairwise symbol-disjoint pair families with distinct counts —
+    // the top-4 of every count are disjoint, so batched(4) must adopt the
+    // same merges as four sequential rounds, in the same order, in 1 round
+    val docs = (Seq.fill(5)("ab") ++ Seq.fill(4)("cd") ++
+        Seq.fill(3)("ef") ++ Seq.fill(2)("gh"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text") // (a,b)×5 (c,d)×4 (e,f)×3 (g,h)×2, nothing else
+    val bat = Bpe.trainBatched(docs, col("text"), nMerges = 4, batchM = 4, minPairCount = 2)
+    val seq = Bpe.train(docs, col("text"), nMerges = 4, minPairCount = 2)
+    assert(bat.rounds == 1, s"4 disjoint merges must cost ONE scan, took ${bat.rounds}")
+    assert(bat.merges.map(m => (m._1, m._2, m._4)) == seq.map(m => (m._1, m._2, m._4)),
+      "batched must adopt the sequential merges when the top-M are disjoint")
+    // every round's adoption group is pairwise symbol-disjoint
+    bat.merges.grouped(4).foreach { g =>
+      val syms = g.flatMap(m => Seq(m._1, m._2))
+      assert(syms.distinct.size == syms.size, s"round group not disjoint: $g")
+    }
+    // determinism on any partitioning
+    val bat7 = Bpe.trainBatched(docs.repartition(7), col("text"),
+      nMerges = 4, batchM = 4, minPairCount = 2)
+    assert(bat7.merges == bat.merges)
+  }
+
+  test("batched trainer: a blocking overlap defers the pair to the next round") {
+    import spark.implicits._
+    // (a,b) ×4 and (b,c) ×4 share symbol b: round 1 adopts (a,b) and must
+    // SKIP (b,c) (its count would be stale after the (a,b) merge), adopt
+    // the disjoint (d,e) ×3 instead; (b,c) pairs are consumed by the (a,b)
+    // merge ("abc" -> X c), so the next round sees no (b,c) at all — the
+    // stale-count hazard the disjointness rule exists to prevent
+    val docs = (Seq.fill(4)("abc") ++ Seq.fill(3)("de"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val bat = Bpe.trainBatched(docs, col("text"), nMerges = 2, batchM = 2, minPairCount = 3)
+    assert(bat.merges.map(m => (m._1, m._2)) ==
+      Seq(('a'.toInt, 'b'.toInt), ('d'.toInt, 'e'.toInt)),
+      s"blocked (b,c) must not be adopted on stale counts, got ${bat.merges}")
+  }
+
+  test("batched trainer: V/M round count at scale (64 merges, 16 per round)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val bat = Bpe.trainBatched(docs, col("text"), nMerges = 64, batchM = 16,
+      minPairCount = 2)
+    assert(bat.merges.size == 64, s"corpus must support 64 merges, got ${bat.merges.size}")
+    assert(bat.rounds <= 64 / 16 + 1,
+      s"64 merges at M=16 must cost <= 5 corpus scans, took ${bat.rounds}")
+    // merged ids are dense from TrainIdBase in adoption order
+    assert(bat.merges.map(_._3) == (0 until 64).map(Bpe.TrainIdBase + _))
+    // the learned table drives the encoder end-to-end (apply is rank-order
+    // sequential; within-round groups are disjoint so order is immaterial)
+    val table = bat.merges.map(m => (m._1, m._2, m._3))
+    val enc = Bpe.encode("the quick brown fox jumps over the lazy dog", table)
+    assert(enc.nonEmpty)
+  }
+
   test("the codegen expression agrees with the driver-side encode through a DataFrame") {
     import spark.implicits._
     import org.apache.spark.sql.graftshim.Bridge

@@ -452,6 +452,29 @@ class DedupSpec extends AnyFunSuite {
     assert(r2 == Set((1L, 0, 2), (2L, 5, 7)))
   }
 
+  test("removeDuplicatedSpans: cuts exactly the duplicated runs, passes clean docs through") {
+    val d = Seq(
+      // docs 10/11 share "a b c d e f" and "s t u" (two runs each, w=3)
+      (10L, "a b c d e f p1 q1 r1 z1 s t u"),
+      (11L, "x y a b c d e f p2 q2 r2 z2 s t u"),
+      // within-doc repeat only → untouched
+      (12L, "m n o k1 k2 k3 m n o"),
+      (13L, "totally unrelated tokens here throughout"),
+      // fully duplicated doc → empty string, not dropped
+      (14L, "s t u"))
+      .toDF("doc_id", "text")
+    val out = Dedup.removeDuplicatedSpans(d, col("doc_id"), col("text"), w = 3)
+      .select("id", "clean_text", "n_tokens_removed")
+      .as[(Long, String, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(10L) == ("p1 q1 r1 z1", 9))       // runs [0,5] and [10,12] cut
+    assert(out(11L) == ("x y p2 q2 r2 z2", 9))   // runs [2,7] and [12,14] cut
+    assert(out(12L) == ("m n o k1 k2 k3 m n o", 0))
+    assert(out(13L) == ("totally unrelated tokens here throughout", 0))
+    assert(out(14L) == ("", 3))                  // shrinks to empty, still emitted
+    assert(out.size == 5, "removal is not filtering: every doc re-emitted")
+  }
+
   test("semanticDuplicates: pairs only within cells, above threshold") {
     val vecs = Seq(
       (1L, Array(1f, 0f, 0f)),

@@ -327,6 +327,84 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(freshHits > 0, "fresh vectors must be reachable through the appended index")
   }
 
+  test("filtered search: metadata predicate reaches the pruned scan; top-k never starves post-filter") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val path = java.nio.file.Files.createTempDirectory("graft_vindex_filtered").toString
+    val quant = VectorIndex.train(corpus, col("vec_id"), col("embedding"),
+      kCells = 16, iters = 1, pq = pq)
+    val codes = VectorIndex.encode(corpus, col("vec_id"), col("embedding"), quant,
+      meta = Seq("label"))
+    assert(codes.columns.contains("label"), "meta-aware encode must carry the column")
+    VectorIndex.write(quant, codes, path)
+
+    val loaded = VectorIndex.loadCodes(spark, path, meta = Seq("label"))
+    val pred = col("label") % 2 === 0
+    val qs = queries.filter(col("query_id") < 2)
+    val filtered = VectorIndex.searchAdcPruned(loaded, quant, qs,
+      nprobe = 8, topK = 5, predicate = Some(pred))
+    val rows = filtered.collect()
+
+    // every neighbor satisfies the predicate (label rides on the codes)
+    val labels = corpus.select(col("vec_id"), col("label"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => labels(r.getLong(1)) % 2 == 0),
+      "every returned neighbor must match the metadata predicate")
+
+    // NO POST-FILTER STARVATION: per query, exactly min(topK, matching
+    // candidates in the probed cells) rows come back — the top-k ranks
+    // only matching candidates, it does not rank-then-drop
+    val fullUnfiltered = VectorIndex.searchAdc(loaded, quant, qs, nprobe = 8, topK = 2000)
+    val inProbed = fullUnfiltered.join(
+        corpus.select(col("vec_id").as("neighbor_id"), col("label")), "neighbor_id")
+      .filter(col("label") % 2 === 0)
+      .groupBy("query_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val returned = rows.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    returned.foreach { case (q, n) =>
+      assert(n == math.min(5L, inProbed.getOrElse(q, 0L)),
+        s"query $q returned $n rows but probed cells hold ${inProbed.getOrElse(q, 0L)} matches")
+    }
+    assert(returned.values.sum > 0)
+
+    // plan: the predicate reaches the codes scan (pushed or data filter),
+    // composed with the probed-cell partition pruning
+    def scansOf(p: SparkPlan): Seq[FileSourceScanExec] =
+      p.collect {
+        case s: FileSourceScanExec => Seq(s)
+        case q: QueryStageExec => scansOf(q.plan)
+        case a: AdaptiveSparkPlanExec => scansOf(a.executedPlan)
+      }.flatten
+    val scans = scansOf(filtered.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("codes")))
+    assert(scans.nonEmpty, "codes file scan not found")
+    val scan = scans.head
+    assert(scan.partitionFilters.nonEmpty, "probed-cell partition filter must still prune")
+    assert(scan.dataFilters.exists(_.references.exists(_.name == "label")),
+      s"label predicate must reach the scan's data filters, got ${scan.dataFilters}")
+    assert(scan.metadata.get("PushedFilters").exists(_.contains("label")),
+      s"label predicate must be pushed to parquet, got ${scan.metadata.get("PushedFilters")}")
+
+    // equivalence with in-memory filter-then-score
+    val inMem = VectorIndex.searchAdc(
+      VectorIndex.encode(corpus, col("vec_id"), col("embedding"), quant, meta = Seq("label"))
+        .filter(pred), quant, qs, nprobe = 8, topK = 5)
+    def sorted(rs: Array[org.apache.spark.sql.Row]) =
+      rs.toSeq.sortBy(r => (r.getLong(0), r.getInt(3)))
+    assert(sorted(rows) == sorted(inMem.collect()),
+      "persisted filtered search must equal in-memory filter-then-score")
+
+    // metadata-aware upsert keeps the carried columns on rewritten rows
+    val upd = corpus.filter(col("vec_id") >= 20 && col("vec_id") < 24)
+      .select(col("vec_id"), reverse(col("embedding")).as("embedding"), col("label"))
+    VectorIndex.upsertBatch(spark, path, upd, corpus.limit(0).select(col("vec_id")),
+      col("vec_id"), col("embedding"), pq, meta = Seq("label"))
+    val nullMeta = VectorIndex.loadCodes(spark, path, meta = Seq("label"))
+      .filter(col("label").isNull).count()
+    assert(nullMeta == 0, "upsert on a metadata index must not null out metadata")
+  }
+
   private def fsOf(path: String) = org.apache.hadoop.fs.FileSystem.get(
     new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
   private def hp(path: String, n: String) = new org.apache.hadoop.fs.Path(s"$path/$n")

@@ -34,6 +34,13 @@ class ExchangeBudgetSpec extends AnyFunSuite {
     "ann_index_occupancy" -> 4, // k-means train aggs + per-cell count +
                                 // the 1-row report reduction; encode itself
                                 // is map-only (VectorIndexSpec)
+    "ann_filtered_search" -> 6, // ann_ivfpq_adc minus the probe-side
+                                // aggregates: the pruned serve computes its
+                                // probed-cell set EAGERLY (bounded collect,
+                                // its own job), so only the ADC scoring
+                                // pipeline remains in the public plan; the
+                                // label predicate rides the codes scan —
+                                // filtering itself adds ZERO exchanges
     "ann_pq_adc" -> 4,
     "ann_recall_at_5" -> 19,
     "ann_rhp_lsh" -> 3,
@@ -49,6 +56,11 @@ class ExchangeBudgetSpec extends AnyFunSuite {
     "dedup_semantic" -> 3,
     "dedup_simhash" -> 4,
     "dedup_span_runs" -> 4,
+    "dedup_span_remove" -> 5, // the span-run derivation's 4 + ONE extra:
+                              // the per-doc span-list agg reuses the run
+                              // agg's partitioning, so only the sparse
+                              // join back onto the corpus adds an exchange
+                              // (the scaladoc's declared shape)
     "dedup_span_windows" -> 4,
     "emb_covariance" -> 1, // single 1-row moments reduction
     "text_zipf_slope" -> 1, // term-count agg; regression on 100 bounded rows
@@ -195,6 +207,10 @@ class ExchangeBudgetSpec extends AnyFunSuite {
                             // training round's pair-count aggregate runs
                             // eagerly inside Bpe.train (one tiny shuffle
                             // per round, BpeSpec covers the trainer)
+    "text_bpe_train_batched" -> 0, // same device: the batched trainer runs
+                                   // eagerly (one pair-count shuffle per
+                                   // ROUND, ~M× fewer rounds); the gate
+                                   // returns the local learned table
     "text_ccnet_buckets" -> 6,
     "text_fingerprint" -> 1,
     "text_hashing_tf" -> 1,

@@ -53,8 +53,12 @@ class PlanLintSpec extends AnyFunSuite {
                                //   flags of the hybrid profiler)
     "q_profile_documents",     // same device over documents: 1-row mode
                                //   and exact-distinct validator broadcasts
-    "ann_index_occupancy")     // assignCells 1-row centroid-array broadcast
+    "ann_index_occupancy",     // assignCells 1-row centroid-array broadcast
                                //   (the encode under the trained quantizer)
+    "ann_filtered_search")     // same assignCells/probeCells 1-row
+                               //   centroid-array broadcasts as
+                               //   ann_ivfpq_adc; the metadata predicate is
+                               //   a scan filter, not a join
 
   test("no gate query plans a cartesian product; BNLJ only where whitelisted") {
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
