@@ -27,6 +27,37 @@ object Bench {
       case _ => ()
     }
 
+  /** Untimed warmup pass that doubles as the BYTE-ACCOUNTING pass: runs
+    * every query once (absorbing codegen/classloading cold costs before the
+    * timed pass, as always) while a task-metrics listener attributes total
+    * input bytes read — eager sub-jobs included — to the query that ran
+    * them. Bytes are a property of the DATA SHAPE, not the host, so one
+    * cold pass is the measurement; the artifact's `bytes` field is what
+    * lets the growth gate adjudicate a query's time growth against what it
+    * actually read instead of against the nominal tier ratio
+    * (tools/roundcheck.py consumes it). clearCache between queries so a
+    * sub-plan persisted by an earlier query can never satisfy a later
+    * query's scan and silently under-count its bytes.
+    */
+  def warmupWithBytes(spark: SparkSession, dir: String, action: DataFrame => Unit,
+      qs: Seq[(String, (SparkSession, String) => DataFrame)]): Map[String, Long] = {
+    val meter = org.apache.spark.graftshim.TaskInputBytes.install(spark.sparkContext)
+    qs.map { case (name, fn) =>
+      val before = meter.snapshot(spark.sparkContext)
+      try {
+        val df = fn(spark, dir)
+        action(df)
+        releaseCheckpoints(df)
+      } catch { case _: Throwable => () }
+      spark.catalog.clearCache()
+      name -> (meter.snapshot(spark.sparkContext) - before)
+    }.toMap
+  }
+
+  def bytesJson(bytes: Map[String, Long]): String =
+    bytes.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+
   // Sink for the probe's fold so the JIT cannot dead-code-eliminate the work.
   @volatile private var blackhole: Long = 0L
 
@@ -120,16 +151,11 @@ object Bench {
     // (profiled at ~8s absorbed by whichever query ran first) and cold page
     // cache — costs a long-lived cluster amortizes to zero; the timed pass
     // below measures steady-state execution, which is what scales.
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try {
-        val df = fn(spark, sfDir)
-        action(df)
-        releaseCheckpoints(df)
-      } catch { case _: Throwable => () }
-    }
-    // Drop DataFrames persisted inside query builders (each call persists a
-    // fresh copy; the warmup's copies would sit in storage memory under the
-    // timed pass and show up as GC noise).
+    // (also the byte-accounting pass — see warmupWithBytes; clears the
+    // catalog cache per query and after, so no warmup persist survives
+    // into the timed pass as GC noise)
+    val bytesRead = warmupWithBytes(spark, sfDir, action,
+      SparkEntry.queries.toSeq.sortBy(_._1))
     spark.catalog.clearCache()
     // Stable alphabetical order so per-query timings are comparable across
     // rounds (a HashMap's iteration order shifts when queries are added).
@@ -239,7 +265,7 @@ object Bench {
     // round 3+ the min of 2; cross-round comparisons can detect the change.
     // calibration: fixed-work probe seconds before/after the suite — compare
     // against the committed uncontended ledger value to adjudicate the run.
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"agg":"min","action":"$actionName","contended":${!clean},"attempts":$attempt,"calibration":{"before":${fmt(probeBefore)},"after":${fmt(probeAfter)}},"inversions":$inversions,"queries":$qs,"queries_median":$qsMed,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"agg":"min","action":"$actionName","contended":${!clean},"attempts":$attempt,"calibration":{"before":${fmt(probeBefore)},"after":${fmt(probeAfter)}},"inversions":$inversions,"queries":$qs,"queries_median":$qsMed,"bytes":${bytesJson(bytesRead)},"sf":"$sfDir"}"""
     // Truncation-proofing: the driver captures stdout's tail, which has
     // clipped the head of this (long) line in past rounds. Persist the full
     // JSON to a file first, then print it — the artifact on disk is always

@@ -227,15 +227,12 @@ object BenchScale {
     // packs — the relational/window/TPC-H shapes had no scale data point)
     val qs = SparkEntry.queries.view
       .filterKeys(k => !exclude.contains(k) && only.forall(_.contains(k))).toMap
-    // same methodology as Bench: untimed warmup, then min of 2 timed reps,
-    // clearCache between runs
-    qs.foreach { case (_, fn) =>
-      try {
-        val df = fn(spark, outDir)
-        Bench.materialize(df)
-        Bench.releaseCheckpoints(df)
-      } catch { case _: Throwable => () }
-    }
+    // same methodology as Bench: untimed warmup (doubling as the per-query
+    // byte-accounting pass — the tier artifact's `bytes` field is what lets
+    // tools/roundcheck.py adjudicate growth against the data shape each
+    // query actually read), then min of 2 timed reps, clearCache between
+    val bytesRead = Bench.warmupWithBytes(spark, outDir, Bench.materialize,
+      qs.toSeq.sortBy(_._1))
     spark.catalog.clearCache()
     // same env-tunable rep count as Bench (min reported; marker in JSON)
     val nReps = sys.env.get("SPARK_GRAFT_BENCH_REPS").flatMap(_.toIntOption)
@@ -303,7 +300,7 @@ object BenchScale {
     val timed = results.collect { case (n, t) if t >= 0 => n }.toSet
     val absent = (SparkEntry.queries.keySet -- timed) ++ exclude
     val excl = absent.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"$metric","value":${fmt(total)},"unit":"sec","reps":$nReps,"agg":"min","contended":${!clean},"attempts":$attempt,"calibration":{"before":${fmt(probeBefore)},"after":${fmt(probeAfter)}},"scale":"${scaleReps}x-$srcDir","excluded":$excl,"queries":$qjson}"""
+    val json = s"""{"metric":"$metric","value":${fmt(total)},"unit":"sec","reps":$nReps,"agg":"min","contended":${!clean},"attempts":$attempt,"calibration":{"before":${fmt(probeBefore)},"after":${fmt(probeAfter)}},"scale":"${scaleReps}x-$srcDir","excluded":$excl,"queries":$qjson,"bytes":${Bench.bytesJson(bytesRead)}}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(artifact), json + "\n")
     catch { case _: Throwable => () }
     println(json)

@@ -192,6 +192,12 @@ def main():
         if isinstance(art, dict) and isinstance(art.get("queries"), dict):
             return art["queries"]
         return None
+
+    def qbytes(path):
+        art = load(path)
+        if isinstance(art, dict) and isinstance(art.get("bytes"), dict):
+            return art["bytes"]
+        return {}
     pairs = []
     lo01 = f"{ROOT}/BENCH_r{cur:02d}_builder_sf01.json"
     sf1 = f"{ROOT}/BENCH_r{cur:02d}_sf1.json"
@@ -204,28 +210,47 @@ def main():
         lo, hi = qtimes(lo_path), qtimes(hi_path)
         if lo is None or hi is None:
             continue
+        # Per-query byte accounting (r11 VERDICT #7): when BOTH artifacts
+        # carry task-level bytes-read for a query, the growth bar for that
+        # query is (actual byte ratio)^1.2 instead of the nominal tier
+        # ratio — data-shape skew in the synthesized tiers (e.g. replicas
+        # carrying disproportionate binary payload) is then adjudicated
+        # from the artifacts themselves, not narrated. Artifacts predating
+        # the bytes field fall back to the nominal ratio unchanged.
+        lo_b, hi_b = qbytes(lo_path), qbytes(hi_path)
         allowed = ratio ** 1.2
         over = []
         worst = (0.0, None)
+        n_bytes_adjudicated = 0
         for q in hi:
             if q in lo and lo[q] > 0 and hi[q] > 0:
                 g = hi[q] / lo[q]
                 if g > worst[0]:
                     worst = (g, q)
+                allowed_q, bnote = allowed, ""
+                if lo_b.get(q, 0) > 0 and hi_b.get(q, 0) > 0:
+                    bratio = hi_b[q] / lo_b[q]
+                    # never BELOW the nominal bar: a query reading a fixed
+                    # byte count (bounded probe sets) must not fail on noise
+                    allowed_q = max(bratio, ratio) ** 1.2
+                    bnote = f", read {bratio:.1f}x bytes"
+                    n_bytes_adjudicated += 1
                 # hi > 1s: sub-second fixed-cost queries flip past the
                 # ratio on pure min-of-N noise without being a plan problem
-                if g > allowed and hi[q] > 1.0:
-                    over.append((g, q, lo[q], hi[q]))
+                if g > allowed_q and hi[q] > 1.0:
+                    over.append((g, q, lo[q], hi[q], allowed_q, bnote))
         tag = f"{os.path.basename(lo_path)} -> {os.path.basename(hi_path)}"
         if over:
             bad = True
-            for g, q, l, h in sorted(over, reverse=True):
+            for g, q, l, h, a, bn in sorted(over, reverse=True):
                 print(f"!! SUPER-LINEAR {tag}: {q} grew {g:.1f}x on "
                       f"{ratio:.0f}x data ({l:.2f}s -> {h:.2f}s, allowed "
-                      f"{allowed:.1f}x)")
+                      f"{a:.1f}x{bn})")
         else:
             w = f", worst {worst[0]:.1f}x ({worst[1]})" if worst[1] else ""
-            print(f"   growth {tag}: all under {allowed:.1f}x{w}")
+            b = (f", {n_bytes_adjudicated} byte-adjudicated"
+                 if n_bytes_adjudicated else "")
+            print(f"   growth {tag}: all under the bar{w}{b}")
 
     print("RESULT:", "ATTENTION NEEDED" if bad else "clean")
     return 1 if bad else 0
