@@ -373,8 +373,20 @@ object VectorIndex {
     */
   def upsertBatch(s: SparkSession, path: String, updates: DataFrame,
       deletes: DataFrame, id: Column, emb: Column, pq: PqParams,
+      meta: Seq[String]): Unit =
+    upsertCore(s, path, updates, deletes, id, emb, loadQuantizer(s, path, pq), meta)
+
+  /** [[upsertBatch]] under a caller-supplied quantizer instead of the
+    * stored one — the seam [[splitCell]] rides (it re-encodes a hot cell's
+    * members under the POST-SPLIT centroid table before that table is
+    * persisted). Everything else — touched-cell discovery, dynamic
+    * partition overwrite, emptied-cell cleanup, occupancy — is the one
+    * shared implementation, so the split path can never drift from the
+    * upsert contract.
+    */
+  private def upsertCore(s: SparkSession, path: String, updates: DataFrame,
+      deletes: DataFrame, id: Column, emb: Column, quant: IvfadcQuantizer,
       meta: Seq[String]): Unit = {
-    val quant = loadQuantizer(s, path, pq)
     val delIds = deletes.select(deletes.columns.head).toDF("vec_id")
     val updIds = updates.select(id.as("vec_id"))
     val changedIds = updIds.union(delIds).distinct()
@@ -472,14 +484,40 @@ object VectorIndex {
     *   rows are counted into `capDrops`, the accumulator pattern of
     *   [[graft.streaming.StreamingDedup.nearDupCandidates]]); None admits
     *   everything
+    * AUTO-COMPACTION (the flush-at-threshold policy the reference applies
+    * to its own buffers — pkg/integ buffered writers flush when full):
+    * every micro-batch appends one small file to each touched cell, so a
+    * long-lived stream degrades the pruned serve from opening ~nprobe
+    * files to ~nprobe × batches. With `autoCompactFilesPerCell = Some(n)`,
+    * the sink measures the fragmentation AFTER each applied batch (one
+    * filesystem listing of the codes tree — the same metadata walk every
+    * scan's planning performs) and runs [[compactCells]] when any cell
+    * exceeds `n` files, restoring 1 file/cell. Answers are unchanged and
+    * the `__batch`/`__stream` replay stamps survive (compaction preserves
+    * every column), so exactly-once detection is oblivious to when
+    * compactions happened. Ordering: compaction runs after the batch's
+    * marker write, so a crash mid-compaction loses no append — the next
+    * entry rolls the half-swap forward or back ([[recoverCompaction]]).
+    * Inherits compactCells' single-writer window: concurrent readers
+    * during the brief swap are unsafe, same as any in-place parquet
+    * rewrite — schedule reads off the ingest path or accept the
+    * recovery call.
+    *
+    * @param batchCap optional per-batch row cap (no-silent-caps: refused
+    *   rows are counted into `capDrops`, the accumulator pattern of
+    *   [[graft.streaming.StreamingDedup.nearDupCandidates]]); None admits
+    *   everything
     * @param streamId stable identity of the feeding checkpoint lineage —
     *   scopes replay detection so independent lineages (or a restart with
     *   a fresh checkpoint dir under a new id) never mask each other
+    * @param autoCompactFilesPerCell compact back to 1 file/cell whenever a
+    *   cell exceeds this many files; None (default) never compacts
     */
   def appendSink(path: String, pq: PqParams, id: Column, emb: Column,
       batchCap: Option[Int] = None,
       capDrops: Option[org.apache.spark.util.LongAccumulator] = None,
-      streamId: Option[String] = None)
+      streamId: Option[String] = None,
+      autoCompactFilesPerCell: Option[Int] = None)
       : (DataFrame, Long) => Unit = { (batch, batchId) =>
     val s = batch.sparkSession
     if (!batchApplied(s, path, batchId, streamId)) {
@@ -495,7 +533,25 @@ object VectorIndex {
         case None => batch
       }
       appendCodes(s, path, admitted, id, emb, pq, stamp = Some(batchId), streamId)
+      autoCompactFilesPerCell.foreach { threshold =>
+        require(threshold >= 1, "autoCompactFilesPerCell must be >= 1")
+        if (maxFilesPerCell(s, path) > threshold) compactCells(s, path)
+      }
     }
+  }
+
+  /** Largest parquet-file count in any one cell partition — the
+    * fragmentation signal [[appendSink]]'s auto-compaction triggers on.
+    * One listing pass over the codes tree.
+    */
+  def maxFilesPerCell(s: SparkSession, path: String): Int = {
+    val fs = hadoopFs(s, path)
+    val codes = new org.apache.hadoop.fs.Path(s"$path/codes")
+    if (!fs.exists(codes)) 0
+    else fs.listStatus(codes).iterator
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+      .map(st => fs.listStatus(st.getPath).count(_.getPath.getName.endsWith(".parquet")))
+      .maxOption.getOrElse(0)
   }
 
   /** Has `batchId` (or any later batch) already been applied to the index?
@@ -652,6 +708,182 @@ object VectorIndex {
       fs.delete(old, true)
     }
     ()
+  }
+
+  // ---- hot-cell split ------------------------------------------------------
+
+  /** Split one (hot) cell of a persisted index into two children: sub-train
+    * k'=2 centroids on the cell's member vectors (deterministic [[KMeans]]
+    * seeding), REPLACE the parent centroid with the children in the stored
+    * centroid table, and re-encode only the members under the refined
+    * quantizer — the PQ codebook stays frozen, the rest of the corpus is
+    * untouched, and the whole rewrite rides [[upsertBatch]]'s machinery
+    * (touched-cells-only dynamic overwrite, emptied-parent-dir cleanup,
+    * occupancy maintenance), so the split inherits the upsert's pinned
+    * incremental-≡-rebuild law: the post-split index answers EXACTLY like a
+    * from-scratch encode of the corpus under the post-split centroid table
+    * (spec-pinned). This is the response to the skew signal
+    * `ann_index_occupancy` measures: a hot cell destroys the nprobe/k
+    * pruning promise (one probe reads imbalance× the uniform share);
+    * splitting it halves the hot probe and restores child-granular pruning.
+    *
+    * What a split deliberately does NOT promise: bit-identical answers to
+    * the pre-split index. A refined quantizer assigns members to their
+    * nearest centroid among k+1 (a member may even land in a third,
+    * pre-existing cell if that was always closer than the parent), and a
+    * query's nprobe-cell probe set changes with the geometry — any
+    * "identical answers" scheme would have to probe both children whenever
+    * the parent would have been probed, i.e. read exactly the bytes the
+    * split exists to avoid. The honest contract is the rebuild-equivalence
+    * law above plus the recall gate (`ann_recall_at_5`) the index is
+    * already held to.
+    *
+    * The index stores codes, not vectors, so the caller supplies the
+    * vector source for the members (same contract as [[upsertBatch]]'s
+    * `updates`); rows whose `id` is not a member are ignored.
+    *
+    * CRASH RECOVERY (staged manifest, the [[compactCells]] discipline):
+    * the chosen children centroids are persisted to `split_staging/`
+    * BEFORE any mutation, and every entry here first rolls a previous
+    * interrupted split forward ([[recoverSplit]]). The apply phase is
+    * idempotent given the staged centroids — members are re-derived from
+    * whatever currently sits in parent ∪ children cells, the upsert
+    * converges from any intermediate state (its documented contract), and
+    * the final centroid-table overwrite plus manifest delete commit the
+    * split. Single-writer maintenance op, like compaction.
+    *
+    * @return the two child cell ids
+    */
+  def splitCell(s: SparkSession, path: String, cell: Long, vectors: DataFrame,
+      id: Column, emb: Column, pq: PqParams, meta: Seq[String] = Nil): Seq[Long] = {
+    recoverSplit(s, path, vectors, id, emb, pq, meta)
+    val memberIds = loadCodes(s, path).filter(col("cell") === cell)
+      .select(col("vec_id").as("__split_member")).distinct()
+    val members = vectors.join(broadcast(memberIds),
+      id === col("__split_member"), "left_semi")
+    val sub = KMeans.fit(members, id, emb, k = 2, iters = 3)
+      .orderBy(col("cent_id")).collect()
+    require(sub.length == 2,
+      s"cell $cell holds ${sub.length} distinct vectors — nothing to split")
+    // fresh child ids above every existing cent_id: KMeans labels by seed
+    // ROW id, which could collide with an existing centroid's id
+    val maxId = s.read.parquet(s"$path/cents").agg(max(col("cent_id"))).head().getLong(0)
+    val manifest = sub.zipWithIndex.map { case (r, i) =>
+      (cell, maxId + 1 + i, r.getAs[scala.collection.Seq[Double]]("cent").toSeq)
+    }
+    import s.implicits._
+    manifest.toSeq.toDF("parent", "cent_id", "cent")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/split_staging")
+    applySplit(s, path, vectors, id, emb, pq, meta)
+  }
+
+  /** Roll an interrupted [[splitCell]] forward (complete staged manifest →
+    * re-apply, idempotent) or back (partial manifest without its commit
+    * marker → discard; no mutation had started). No-op on a healthy index.
+    */
+  def recoverSplit(s: SparkSession, path: String, vectors: DataFrame,
+      id: Column, emb: Column, pq: PqParams, meta: Seq[String] = Nil): Unit = {
+    val fs = hadoopFs(s, path)
+    val staging = new org.apache.hadoop.fs.Path(s"$path/split_staging")
+    if (!fs.exists(staging)) return
+    if (fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS"))) {
+      applySplit(s, path, vectors, id, emb, pq, meta)
+      ()
+    } else {
+      fs.delete(staging, true) // the manifest write itself crashed
+    }
+  }
+
+  /** The idempotent apply phase of a split, driven ONLY by the staged
+    * manifest: build the post-split centroid table, re-encode every vector
+    * currently coded in parent ∪ children cells under it (covers the fresh
+    * run AND every crash intermediate — a member duplicated across a
+    * half-swapped rewrite re-enters through either copy and the overwrite
+    * collapses it), persist the new centroid table, drop the manifest.
+    */
+  private def applySplit(s: SparkSession, path: String, vectors: DataFrame,
+      id: Column, emb: Column, pq: PqParams, meta: Seq[String]): Seq[Long] = {
+    val man = s.read.parquet(s"$path/split_staging").orderBy(col("cent_id")).collect()
+    val parent = man.head.getAs[Long]("parent")
+    val childIds = man.map(_.getAs[Long]("cent_id")).toSeq
+    import s.implicits._
+    val childCents = man.map(r =>
+      (r.getAs[Long]("cent_id"), r.getAs[scala.collection.Seq[Double]]("cent").toSeq))
+      .toSeq.toDF("cent_id", "cent")
+    // k+1 rows, checkpointed so nothing reads the cents path once we
+    // overwrite it below
+    val newCents = s.read.parquet(s"$path/cents")
+      .filter(col("cent_id") =!= parent)
+      .unionByName(childCents)
+      .localCheckpoint()
+    val quant = IvfadcQuantizer(newCents, s.read.parquet(s"$path/codebook"), pq)
+    val cellSet = parent +: childIds
+    val memberIds = loadCodes(s, path).filter(col("cell").isin(cellSet: _*))
+      .select(col("vec_id").as("__split_member")).distinct()
+    val updates = vectors.join(broadcast(memberIds),
+      id === col("__split_member"), "left_semi")
+    upsertCore(s, path, updates, updates.limit(0).select(id.as("vec_id")),
+      id, emb, quant, meta)
+    newCents.write.mode("overwrite").parquet(s"$path/cents")
+    hadoopFs(s, path).delete(new org.apache.hadoop.fs.Path(s"$path/split_staging"), true)
+    childIds
+  }
+
+  /** Outcome of one [[splitHottestCell]] policy step. */
+  sealed trait SplitOutcome
+  /** No cell exceeds the probe-cost bound — nothing to do. */
+  case object Balanced extends SplitOutcome
+  /** The hottest cell was split; loop for the next one. */
+  final case class Split(parent: Long, children: Seq[Long]) extends SplitOutcome
+  /** Splitting cannot help this cell (its members are indistinguishable to
+    * the quantizer — the sub-train put them all in one child): the
+    * quantizer itself has drifted past what refinement can fix. Stop
+    * looping and re-train: [[train]] + [[encode]] over the current corpus
+    * is the drift recovery, the FAISS contract.
+    */
+  final case class NeedsRetrain(cell: Long, rows: Long) extends SplitOutcome
+
+  /** The POLICY consuming the skew signal [[occupancyReport]] pins: when
+    * the hottest cell holds more than `maxCellRows` vectors, split it and
+    * report what happened; below the bound, do nothing. One step per call —
+    * callers loop while it returns [[Split]].
+    *
+    * Why the loop target is an ABSOLUTE row bound and not the report's
+    * `imbalance` ratio: the pruning promise is about rows read per probed
+    * cell, and max/mean cannot drive a split loop — every split ADDS a
+    * cell, shrinking the mean, so the ratio tightens itself and can rise
+    * even as the hottest cell halves (measured: 3.75 → 4.08 across a
+    * max-reducing split on the skew fixture). `imbalance` stays the
+    * ALERTING signal (when it degrades, something needs doing);
+    * `maxCellRows` — pick it as (corpus rows / cells) × the skew factor a
+    * probe may tolerate — is the actionable target.
+    *
+    * A step that splits WITHOUT reducing the hot cell (every member landed
+    * in one child — identical or quantizer-indistinguishable vectors)
+    * returns [[NeedsRetrain]]: the ineffective-but-harmless split stays
+    * applied (the index remains rebuild-equivalent), and further splitting
+    * of that cell cannot converge.
+    */
+  def splitHottestCell(s: SparkSession, path: String, vectors: DataFrame,
+      id: Column, emb: Column, pq: PqParams, maxCellRows: Long,
+      meta: Seq[String] = Nil): SplitOutcome = {
+    // cast: `cell` comes back as the partition-directory-inferred type
+    // (int for small ids), not the written long
+    val hottest = occupancy(s, path)
+      .orderBy(col("n_vecs").desc, col("cell")).limit(1)
+      .select(col("cell").cast("long"), col("n_vecs")).collect()
+    if (hottest.isEmpty || hottest.head.getLong(1) <= maxCellRows) Balanced
+    else {
+      val (hot, hotRows) = (hottest.head.getLong(0), hottest.head.getLong(1))
+      val children = splitCell(s, path, hot, vectors, id, emb, pq, meta)
+      // null max = both children empty (every member re-assigned to a
+      // pre-existing closer cell — the hot mass dispersed: progress)
+      val childMaxRow = occupancy(s, path)
+        .filter(col("cell").cast("long").isin(children: _*))
+        .agg(max(col("n_vecs"))).head()
+      val childMax = if (childMaxRow.isNullAt(0)) 0L else childMaxRow.getLong(0)
+      if (childMax >= hotRows) NeedsRetrain(hot, hotRows) else Split(hot, children)
+    }
   }
 
   // ---- occupancy accounting ----------------------------------------------

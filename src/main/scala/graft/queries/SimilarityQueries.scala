@@ -578,17 +578,42 @@ object SimilarityQueries extends QueryPack {
     * always come from the raw `embeddings` table (vec_id < 10) — gates
     * keep query rows outside their corpus perturbations.
     */
-  private def ivfPqAdcSqlBodyFor(src: String, codesWhere: String = ""): String =
-    s"""${kmAssign("c2", "acell", src)},
+  /** @param cents   centroid CTE the SERVING side uses (assignment,
+    *   residuals, probe routing) — `c2` for a plain trained index, the
+    *   post-split table for the hot-split gate
+    * @param cbCents centroid CTE the PQ CODEBOOK derives from; differs from
+    *   `cents` exactly when the index's codebook is FROZEN across a
+    *   centroid-table change (hot-cell split: residual code words stay
+    *   those of the original training assignment). Defaults to `cents`,
+    *   which keeps the generated text of every pre-existing oracle
+    *   byte-identical.
+    */
+  private def ivfPqAdcSqlBodyFor(src: String, codesWhere: String = "",
+      cents: String = "c2", cbCents: String = null): String = {
+    val cb = Option(cbCents).getOrElse(cents)
+    val csubsCte =
+      if (cb == cents)
+        s"""csubs AS (SELECT vec_id AS cent_id, m, sub AS centsub FROM subs WHERE vec_id < $pqK)"""
+      else
+        s"""cbsrc AS (SELECT vec_id, embedding FROM $src WHERE vec_id < $pqK),
+       ${kmAssign(cb, "cbcell", "cbsrc")},
+       cbrs AS (
+         SELECT a.vec_id, a.cell,
+           list_transform(range(1, 65),
+             i -> a.embedding[i]::DOUBLE - c.cent[i]) AS remb
+         FROM cbcell a JOIN $cb c ON c.cent_id = a.cell),
+       csubs AS (SELECT vec_id AS cent_id, m, list_slice(remb, m*16+1, m*16+16) AS centsub
+                 FROM cbrs CROSS JOIN ms)"""
+    s"""${kmAssign(cents, "acell", src)},
        rs AS (
          SELECT a.vec_id, a.cell,
            list_transform(range(1, 65),
              i -> a.embedding[i]::DOUBLE - c.cent[i]) AS remb
-         FROM acell a JOIN c2 c ON c.cent_id = a.cell),
+         FROM acell a JOIN $cents c ON c.cent_id = a.cell),
        ms AS (SELECT unnest([0,1,2,3]) AS m),
        subs AS (SELECT vec_id, cell, m, list_slice(remb, m*16+1, m*16+16) AS sub
                 FROM rs CROSS JOIN ms),
-       csubs AS (SELECT vec_id AS cent_id, m, sub AS centsub FROM subs WHERE vec_id < $pqK),
+       $csubsCte,
        codes AS (
          SELECT vec_id, cell, m, cent_id AS code FROM (
            SELECT s.vec_id, s.cell, s.m, c.cent_id,
@@ -601,13 +626,13 @@ object SimilarityQueries extends QueryPack {
            SELECT e.vec_id, c.cent_id,
              row_number() OVER (PARTITION BY e.vec_id
                ORDER BY ${l2SqlDist("e.embedding", "c.cent")} ASC, c.cent_id) AS arn
-           FROM embeddings e CROSS JOIN c2 c WHERE e.vec_id < 10) WHERE arn <= $ivfProdNprobe),
+           FROM embeddings e CROSS JOIN $cents c WHERE e.vec_id < 10) WHERE arn <= $ivfProdNprobe),
        qr AS (
          SELECT qp.query_id, qp.cell,
            list_transform(range(1, 65),
              i -> e.embedding[i]::DOUBLE - c.cent[i]) AS remb
          FROM qp JOIN embeddings e ON e.vec_id = qp.query_id
-                 JOIN c2 c ON c.cent_id = qp.cell),
+                 JOIN $cents c ON c.cent_id = qp.cell),
        q AS (SELECT query_id, cell, m, list_slice(remb, m*16+1, m*16+16) AS qsub
              FROM qr CROSS JOIN ms),
        terms AS (
@@ -627,6 +652,7 @@ object SimilarityQueries extends QueryPack {
        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
                ORDER BY est_dist ASC, neighbor_id) AS rn FROM adc)
        WHERE rn <= 5 ORDER BY query_id, rn"""
+  }
 
   private lazy val ivfPqAdcSqlBody = ivfPqAdcSqlBodyFor("embeddings")
 
@@ -807,6 +833,77 @@ object SimilarityQueries extends QueryPack {
     s"""WITH ${kmTrainCtes(ivfProdK)},
        ${ivfPqAdcSqlBodyFor("embeddings",
          codesWhere = " AND cd.vec_id IN (SELECT vec_id FROM embeddings WHERE label % 3 = 1)")}"""
+
+  /** Hot-cell SPLIT gate — the maintenance response to the skew
+    * `ann_index_occupancy` measures, exercised end-to-end on a persisted
+    * index: train, write, [[graft.operators.VectorIndex.splitCell]] the
+    * hottest cell (sub-train k'=2 on its members, replace the parent
+    * centroid with the two children, re-encode only the members under the
+    * frozen PQ codebook), then serve via the pruned scan from the reloaded
+    * index. The oracle re-derives the whole lifecycle in SQL: the trained
+    * quantizer, the hottest-cell choice (count DESC, cell ASC), the
+    * 2-means sub-train (3 Lloyd iterations, seeded from the two lowest
+    * member ids), the child relabeling (max cent_id + 1, + 2), and a
+    * from-scratch encode + ADC ranking under the post-split centroid table
+    * with the codebook still derived from the ORIGINAL assignment —
+    * pinning the split's rebuild-equivalence law cross-engine.
+    */
+  private def qAnnHotSplit(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{PqParams, VectorIndex}
+    val emb = t(s, dir, "embeddings")
+    val pq = PqParams(pqM, pqSubDim, pqK)
+    val quant = VectorIndex.train(emb, col("vec_id"), col("embedding"),
+      kCells = ivfProdK, iters = 2, pq = pq)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfpq_split").toString
+    try {
+      VectorIndex.write(quant,
+        VectorIndex.encode(emb, col("vec_id"), col("embedding"), quant), path)
+      val hot = VectorIndex.occupancy(s, path)
+        .orderBy(col("n_vecs").desc, col("cell")).limit(1)
+        .select(col("cell").cast("long")).head().getLong(0)
+      VectorIndex.splitCell(s, path, hot, emb, col("vec_id"), col("embedding"), pq)
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      VectorIndex.searchAdcPruned(VectorIndex.loadCodes(s, path),
+          VectorIndex.loadQuantizer(s, path, pq), queries,
+          nprobe = ivfProdNprobe, topK = 5)
+        .orderBy("query_id", "rn")
+        .localCheckpoint() // eager: must outlive the scratch index deletion
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(path))
+    }
+  }
+
+  /** Oracle: the sub-train is the same assign/update chain as kmTrainCtes,
+    * k=2 over the hot cell's members with one extra iteration (splitCell
+    * runs 3); `newc` is the post-split centroid table; the ADC body serves
+    * under `newc` while the codebook stays pinned to the original `c2`
+    * assignment (cbCents) — the frozen-codebook contract.
+    */
+  private lazy val qAnnHotSplitSql =
+    s"""WITH ${kmTrainCtes(ivfProdK)},
+       ${kmAssign("c2", "asg")},
+       hot AS (SELECT cell FROM (SELECT cell, count(*) AS n FROM asg GROUP BY 1)
+               ORDER BY n DESC, cell LIMIT 1),
+       mem AS (SELECT vec_id, embedding FROM asg WHERE cell = (SELECT cell FROM hot)),
+       s0 AS (SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cent
+              FROM mem ORDER BY vec_id LIMIT 2),
+       ${kmAssign("s0", "sa1", "mem")},
+       ${kmUpdate("sa1", "s0", "s1")},
+       ${kmAssign("s1", "sa2", "mem")},
+       ${kmUpdate("sa2", "s1", "s2")},
+       ${kmAssign("s2", "sa3", "mem")},
+       ${kmUpdate("sa3", "s2", "s3")},
+       newc AS (
+         SELECT cent_id, cent FROM c2 WHERE cent_id != (SELECT cell FROM hot)
+         UNION ALL
+         SELECT (SELECT max(cent_id) FROM c2) + row_number() OVER (ORDER BY cent_id)
+                AS cent_id, cent
+         FROM s3),
+       ${ivfPqAdcSqlBodyFor("embeddings", cents = "newc", cbCents = "c2")}"""
 
   // -- ANN quality gate: recall@5 of every approximate path vs brute force -------
   // Joins each ANN path's top-5 against the exact brute-force top-5 and emits
@@ -1089,6 +1186,7 @@ object SimilarityQueries extends QueryPack {
     "ann_ivfpq_upsert" -> (qAnnIvfPqUpsert _),
     "ann_index_occupancy" -> (qAnnIndexOccupancy _),
     "ann_filtered_search" -> (qAnnFiltered _),
+    "ann_hot_split" -> (qAnnHotSplit _),
     "ann_recall_at_5" -> (qAnnRecall _),
     "knn_cosine_brute" -> (qKnn _),
     "emb_outliers" -> (qEmbOutliers _),
@@ -1108,6 +1206,7 @@ object SimilarityQueries extends QueryPack {
     "ann_ivfpq_upsert" -> qAnnIvfPqUpsertSql,
     "ann_index_occupancy" -> qAnnIndexOccupancySql,
     "ann_filtered_search" -> qAnnFilteredSql,
+    "ann_hot_split" -> qAnnHotSplitSql,
     "ann_recall_at_5" -> qAnnRecallSql,
     "knn_cosine_brute" -> qKnnSql,
     "emb_outliers" -> qEmbOutliersSql,

@@ -308,6 +308,195 @@ class VectorIndexSpec extends AnyFunSuite {
     assert(occ.map(_.getAs[Long]("n_vecs")).sum == 65L)
   }
 
+  test("hot-cell split: probe cost reduced, rebuild-equivalence holds, recovery converges, loop reaches the bound") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val dim = 64
+    // 8 spike outliers (the k-means seeds — one cell each) and a 56-vector
+    // huddle that lands in ONE hot cell; the huddle is BIMODAL (28 near
+    // the origin, 28 offset by 5.0 in dims 10..20 — far smaller than the
+    // spikes' 50, so both modes share the parent cell) so a sub-train has
+    // real structure to find
+    def mkCorpus() = ((0 until 8).map { i =>
+      (i.toLong, Array.tabulate(dim)(d => (if (d == i) 50f else 0f) + rnd.nextFloat() * 0.01f))
+    } ++ (8 until 36).map { i =>
+      (i.toLong, Array.tabulate(dim)(_ => rnd.nextFloat() * 0.01f))
+    } ++ (36 until 64).map { i =>
+      (i.toLong, Array.tabulate(dim)(d =>
+        (if (d >= 10 && d <= 20) 5f else 0f) + rnd.nextFloat() * 0.01f))
+    }).toDF("vec_id", "embedding")
+    val corpusRows = mkCorpus().as[(Long, Array[Float])].collect().toSeq
+    def corpusDf = corpusRows.toDF("vec_id", "embedding")
+
+    def build(path: String): Unit = {
+      val quant = VectorIndex.train(corpusDf, col("vec_id"), col("embedding"),
+        kCells = 8, iters = 2, pq = pq)
+      VectorIndex.write(quant,
+        VectorIndex.encode(corpusDf, col("vec_id"), col("embedding"), quant), path)
+    }
+    def answers(path: String) = VectorIndex.searchAdc(
+      VectorIndex.loadCodes(spark, path), VectorIndex.loadQuantizer(spark, path, pq),
+      corpusDf.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
+      nprobe = 3, topK = 5).orderBy("query_id", "rn").collect().toSeq
+
+    val path = java.nio.file.Files.createTempDirectory("graft_vindex_split").toString
+    build(path)
+    val before = VectorIndex.occupancyReport(spark, path).head()
+    assert(before.getAs[Long]("max_cell") > 10L, "fixture must start hot")
+    val centsBefore = spark.read.parquet(s"$path/cents")
+      .select("cent_id").collect().map(_.getLong(0)).toSet
+
+    // balanced-enough index: the policy declines to act
+    assert(VectorIndex.splitHottestCell(spark, path, corpusDf, col("vec_id"),
+      col("embedding"), pq, maxCellRows = 1000L) == VectorIndex.Balanced,
+      "below the bound the policy must do nothing")
+
+    val VectorIndex.Split(parent, children) = VectorIndex.splitHottestCell(spark, path,
+      corpusDf, col("vec_id"), col("embedding"), pq, maxCellRows = 10L)
+    assert(children.size == 2 && children.forall(!centsBefore.contains(_)),
+      "children must be two FRESH cell ids")
+    val centsAfter = spark.read.parquet(s"$path/cents")
+      .select("cent_id").collect().map(_.getLong(0)).toSet
+    assert(centsAfter == centsBefore - parent ++ children,
+      "the parent centroid is replaced by the two children")
+    assert(!new java.io.File(s"$path/codes/cell=$parent").exists(),
+      "the emptied parent partition directory must be dropped")
+
+    // nothing lost, nothing duplicated: every vector still has m code rows
+    val perVec = VectorIndex.loadCodes(spark, path).groupBy("vec_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perVec.keySet == (0L until 64L).toSet)
+    assert(perVec.values.forall(_ == pq.m.toLong))
+
+    // the split's contract: the index now answers EXACTLY like a
+    // from-scratch encode under the post-split centroid table
+    val postQuant = VectorIndex.loadQuantizer(spark, path, pq)
+    val rebuilt = VectorIndex.encode(corpusDf, col("vec_id"), col("embedding"), postQuant)
+    val fromSplit = answers(path)
+    val fromRebuild = VectorIndex.searchAdc(rebuilt, postQuant,
+      corpusDf.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
+      nprobe = 3, topK = 5).orderBy("query_id", "rn").collect().toSeq
+    assert(fromSplit == fromRebuild, "split index must equal the from-scratch rebuild")
+    assert(fromSplit.nonEmpty)
+
+    // the skew signal responded: the hot probe's cost shrank (max/mean
+    // `imbalance` stays the ALERT, not the target — a split adds a cell
+    // and shrinks the mean, so the ratio can rise as the max halves)
+    val after = VectorIndex.occupancyReport(spark, path).head()
+    assert(after.getAs[Long]("max_cell") < before.getAs[Long]("max_cell"),
+      "the hottest probe must read less after the split")
+    // occupancy stayed a recount-invariant through the split
+    assert(VectorIndex.occupancy(spark, path).orderBy("cell").collect().toSeq ==
+      VectorIndex.cellOccupancy(VectorIndex.loadCodes(spark, path))
+        .orderBy("cell").collect().toSeq)
+
+    // CRASH RECOVERY: same index, the split dies right after staging its
+    // manifest — recoverSplit must roll it forward to the identical state
+    val path2 = java.nio.file.Files.createTempDirectory("graft_vindex_split2").toString
+    build(path2)
+    val memberIds = VectorIndex.loadCodes(spark, path2)
+      .filter(col("cell") === parent).select(col("vec_id").as("__m")).distinct()
+    val members = corpusDf.join(memberIds, col("vec_id") === col("__m"), "left_semi")
+    val sub = KMeans.fit(members, col("vec_id"), col("embedding"), k = 2, iters = 3)
+      .orderBy("cent_id").collect()
+    val maxId = spark.read.parquet(s"$path2/cents").agg(max(col("cent_id"))).head().getLong(0)
+    sub.zipWithIndex.map { case (r, i) =>
+      (parent, maxId + 1 + i, r.getAs[scala.collection.Seq[Double]]("cent").toSeq)
+    }.toSeq.toDF("parent", "cent_id", "cent")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path2/split_staging")
+    VectorIndex.recoverSplit(spark, path2, corpusDf, col("vec_id"), col("embedding"), pq)
+    assert(!new java.io.File(s"$path2/split_staging").exists(),
+      "recovery must consume the manifest")
+    assert(spark.read.parquet(s"$path2/cents").select("cent_id")
+      .collect().map(_.getLong(0)).toSet == centsAfter,
+      "recovery must converge to the same centroid table as the clean split")
+    assert(answers(path2) == fromSplit,
+      "the recovered index must answer exactly like the cleanly-split one")
+
+    // a PARTIAL manifest (no _SUCCESS — the staging write itself crashed)
+    // rolls BACK: nothing had mutated, the debris is dropped
+    val debris = new java.io.File(s"$path2/split_staging")
+    debris.mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(debris, "part-garbage.parquet").toPath, "not parquet")
+    val preRollback = answers(path2)
+    VectorIndex.recoverSplit(spark, path2, corpusDf, col("vec_id"), col("embedding"), pq)
+    assert(!debris.exists(), "a partial manifest is rolled back (deleted)")
+    assert(answers(path2) == preRollback, "rollback must not touch the index")
+
+    // the policy LOOP: keep splitting while a cell exceeds the absolute
+    // probe-cost bound; terminates with every cell under it
+    var splits = 0
+    var outcome: VectorIndex.SplitOutcome = VectorIndex.Split(-1L, Nil)
+    while (splits < 12 && outcome.isInstanceOf[VectorIndex.Split]) {
+      outcome = VectorIndex.splitHottestCell(spark, path, corpusDf,
+        col("vec_id"), col("embedding"), pq, maxCellRows = 10L)
+      if (outcome.isInstanceOf[VectorIndex.Split]) splits += 1
+    }
+    assert(outcome == VectorIndex.Balanced, s"the split loop must terminate, got $outcome")
+    val maxAfterLoop = VectorIndex.occupancyReport(spark, path).head().getAs[Long]("max_cell")
+    assert(maxAfterLoop <= 10L,
+      s"the loop must drive every cell under the bound, got max $maxAfterLoop")
+    // still rebuild-equivalent after every loop split
+    val finalQuant = VectorIndex.loadQuantizer(spark, path, pq)
+    val finalRebuild = VectorIndex.searchAdc(
+      VectorIndex.encode(corpusDf, col("vec_id"), col("embedding"), finalQuant),
+      finalQuant, corpusDf.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
+      nprobe = 3, topK = 5).orderBy("query_id", "rn").collect().toSeq
+    assert(answers(path) == finalRebuild)
+  }
+
+  test("splitHottestCell flags NeedsRetrain when the hot cell's members are quantizer-indistinguishable") {
+    import spark.implicits._
+    // two spike seeds plus 20 IDENTICAL vectors: the sub-train's two
+    // centroids coincide, every member lands in the first child, the split
+    // cannot reduce the hot cell — the policy must say so instead of
+    // letting a caller loop forever
+    val dim = 64
+    val same = Array.tabulate(dim)(_ => 0.5f)
+    val corpusDf = ((0 until 2).map { i =>
+      (i.toLong, Array.tabulate(dim)(d => if (d == i) 50f else 0f))
+    } ++ (2 until 22).map(i => (i.toLong, same.clone()))).toDF("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("graft_vindex_retrain").toString
+    val quant = VectorIndex.train(corpusDf, col("vec_id"), col("embedding"),
+      kCells = 2, iters = 1, pq = pq)
+    VectorIndex.write(quant,
+      VectorIndex.encode(corpusDf, col("vec_id"), col("embedding"), quant), path)
+    // the first step may legitimately peel the spike seed off the hot cell
+    // (that IS a useful split); the identical 20-vector mass must then flag
+    var outcome = VectorIndex.splitHottestCell(spark, path, corpusDf, col("vec_id"),
+      col("embedding"), pq, maxCellRows = 5L)
+    var steps = 1
+    while (steps < 4 && outcome.isInstanceOf[VectorIndex.Split]) {
+      outcome = VectorIndex.splitHottestCell(spark, path, corpusDf, col("vec_id"),
+        col("embedding"), pq, maxCellRows = 5L)
+      steps += 1
+    }
+    outcome match {
+      case VectorIndex.NeedsRetrain(_, rows) =>
+        assert(rows >= 20L, s"the flagged cell must be the identical-member one, got $rows")
+      case other => fail(s"an unsplittable hot cell must flag NeedsRetrain, got $other")
+    }
+    // the ineffective split is harmless: everything still coded once and
+    // rebuild-equivalence holds under whatever the centroid table now is
+    val perVec = VectorIndex.loadCodes(spark, path).groupBy("vec_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perVec.keySet == (0L until 22L).toSet)
+    assert(perVec.values.forall(_ == pq.m.toLong))
+    val postQuant = VectorIndex.loadQuantizer(spark, path, pq)
+    val qs = corpusDf.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val got = VectorIndex.searchAdc(VectorIndex.loadCodes(spark, path), postQuant,
+      qs, nprobe = 2, topK = 5).orderBy("query_id", "rn").collect().toSeq
+    val want = VectorIndex.searchAdc(
+      VectorIndex.encode(corpusDf, col("vec_id"), col("embedding"), postQuant),
+      postQuant, qs, nprobe = 2, topK = 5).orderBy("query_id", "rn").collect().toSeq
+    assert(got == want)
+  }
+
   test("appended index == full re-encode of the combined corpus under the frozen quantizer") {
     val quant = VectorIndex.train(corpus, col("vec_id"), col("embedding"),
       kCells = 16, iters = 1, pq = pq)

@@ -34,6 +34,10 @@ class ExchangeBudgetSpec extends AnyFunSuite {
     "ann_index_occupancy" -> 4, // k-means train aggs + per-cell count +
                                 // the 1-row report reduction; encode itself
                                 // is map-only (VectorIndexSpec)
+    "ann_hot_split" -> 0, // returns a localCheckpoint (scratch index deleted
+                          // before return), the ann_ivfpq_upsert device; the
+                          // split pipeline's own shape is pinned by
+                          // VectorIndexSpec (touched-cells-only rewrite)
     "ann_filtered_search" -> 6, // ann_ivfpq_adc minus the probe-side
                                 // aggregates: the pruned serve computes its
                                 // probed-cell set EAGERLY (bounded collect,

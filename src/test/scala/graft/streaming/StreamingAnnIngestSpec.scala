@@ -150,6 +150,62 @@ class StreamingAnnIngestSpec extends AnyFunSuite {
     assert(admitted == expected, "cap must admit the smallest ids (replay-stable)")
   }
 
+  test("auto-compaction: a long append stream keeps files/cell bounded, answers and replay stamps intact") {
+    val path = java.nio.file.Files.createTempDirectory("graft_ann_autocompact").toString
+    val quant = VectorIndex.train(corpus, col("vec_id"), col("embedding"),
+      kCells = 16, iters = 1, pq = pq)
+    VectorIndex.write(quant,
+      VectorIndex.encode(corpus, col("vec_id"), col("embedding"), quant), path)
+    val threshold = 3
+    val sink = VectorIndex.appendSink(path, pq, col("vec_id"), col("embedding"),
+      autoCompactFilesPerCell = Some(threshold))
+
+    // 8 micro-batches — far past the threshold, so without compaction some
+    // cell would reach 9 files (the seed file + one per touched batch)
+    val batches = (0 until 8).map(k =>
+      emb.filter(col("vec_id") >= 300 + 20 * k && col("vec_id") < 320 + 20 * k))
+    var compactions = 0
+    batches.zipWithIndex.foreach { case (b, k) =>
+      sink(b, k.toLong)
+      val files = VectorIndex.maxFilesPerCell(spark, path)
+      assert(files <= threshold,
+        s"after batch $k a cell holds $files files — the sink must have compacted")
+      if (files == 1 && k > 0) compactions += 1
+    }
+    assert(compactions > 0, "the threshold must actually have fired at least once")
+
+    // every streamed vector landed exactly once (auto-compaction dropped
+    // and duplicated nothing)
+    val codes = VectorIndex.loadCodes(spark, path)
+    val perVec = codes.filter(col("vec_id") >= 300).groupBy("vec_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perVec.keySet == (300L until 460L).toSet)
+    assert(perVec.values.forall(_ == pq.m.toLong))
+
+    // answers == a batch encode of corpus ∪ streamed, as if no compaction
+    val combined = corpus.union(emb.filter(col("vec_id") >= 300 && col("vec_id") < 460))
+    val rebuilt = VectorIndex.encode(combined, col("vec_id"), col("embedding"), quant)
+    val got = VectorIndex.searchAdc(codes, VectorIndex.loadQuantizer(spark, path, pq),
+      queries, nprobe = 4, topK = 5).orderBy("query_id", "rn").collect().toSeq
+    val want = VectorIndex.searchAdc(rebuilt, quant, queries, nprobe = 4, topK = 5)
+      .orderBy("query_id", "rn").collect().toSeq
+    assert(got == want, "auto-compaction must not change any answer")
+    assert(got.nonEmpty)
+
+    // replay stamps survived every auto-compaction: old batch ids are
+    // still skipped, data-derived detection included (marker removed)
+    val n = codes.count()
+    sink(batches(2), 2L)
+    assert(VectorIndex.loadCodes(spark, path).count() == n,
+      "replay after auto-compactions must be skipped (marker layer)")
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/applied_batch"), false)
+    sink(batches(7), 7L)
+    assert(VectorIndex.loadCodes(spark, path).count() == n,
+      "__batch stamps must survive compaction for the marker-crash window")
+  }
+
   test("stream identity scopes replay detection: a new checkpoint lineage's batch 0 is not masked") {
     val path = java.nio.file.Files.createTempDirectory("graft_ann_lineage").toString
     val quant = VectorIndex.train(corpus, col("vec_id"), col("embedding"),
