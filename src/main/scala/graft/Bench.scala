@@ -272,6 +272,16 @@ object Bench {
     // complete regardless of how the console capture slices the stream.
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_last.json"), json + "\n")
     catch { case _: Throwable => () }
+    // ...and APPEND to the durable history: bench_last.json is overwritten
+    // by every run (the r12 judge lost the official run's per-query numbers
+    // to exactly that), while the history keeps every full line. The run's
+    // suite total uniquely keys a line, so tools/roundcheck.py can rescue a
+    // truncated official BENCH_rNN.json by matching the health line's total
+    // against the history (and FAIL when no full record exists at all).
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_history.jsonl"),
+      (json + "\n").getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+    catch { case _: Throwable => () }
     println(json)
     // Trailing health line (r10 VERDICT #6): the per-query JSON above is
     // long and the driver captures a bounded stdout TAIL — a truncated

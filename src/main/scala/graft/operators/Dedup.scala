@@ -610,7 +610,7 @@ object Dedup {
     * never be read again: localCheckpoint truncates lineage, so the dropped
     * data is not recomputable).
     */
-  private[operators] def dropLocalCheckpoint(df: DataFrame): Unit =
+  private[graft] def dropLocalCheckpoint(df: DataFrame): Unit =
     df.queryExecution.logical match {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(blocking = false)
       case _ => ()

@@ -52,7 +52,7 @@ final case class IvfadcQuantizer(cents: DataFrame, csubs: DataFrame, pq: PqParam
   * .SimilarityQueries): residual encoding, argmin and rank ties broken on
   * id, fixed-order ADC association — so oracle determinism carries over.
   */
-object VectorIndex {
+object VectorIndex extends org.apache.spark.internal.Logging {
 
   /** (idAs, carry…, m, sub): a vector frame exploded into its `m` subspace
     * slices — the one definition of the subspace layout (codebook, corpus
@@ -284,7 +284,9 @@ object VectorIndex {
     */
   def appendBatch(s: SparkSession, path: String, fresh: DataFrame,
       id: Column, emb: Column, pq: PqParams): Unit =
-    appendCodes(s, path, fresh, id, emb, pq, stamp = None, streamId = None)
+    withWriterLease(s, path, "appendBatch") {
+      appendCodes(s, path, fresh, id, emb, pq, stamp = None, streamId = None)
+    }
 
   /** THE ingest sequence, shared by the batch ([[appendBatch]]) and
     * streaming ([[appendSink]]) paths so the two can never drift: encode
@@ -374,7 +376,9 @@ object VectorIndex {
   def upsertBatch(s: SparkSession, path: String, updates: DataFrame,
       deletes: DataFrame, id: Column, emb: Column, pq: PqParams,
       meta: Seq[String]): Unit =
-    upsertCore(s, path, updates, deletes, id, emb, loadQuantizer(s, path, pq), meta)
+    withWriterLease(s, path, "upsertBatch") {
+      upsertCore(s, path, updates, deletes, id, emb, loadQuantizer(s, path, pq), meta)
+    }
 
   /** [[upsertBatch]] under a caller-supplied quantizer instead of the
     * stored one — the seam [[splitCell]] rides (it re-encodes a hot cell's
@@ -520,22 +524,37 @@ object VectorIndex {
       autoCompactFilesPerCell: Option[Int] = None)
       : (DataFrame, Long) => Unit = { (batch, batchId) =>
     val s = batch.sparkSession
-    if (!batchApplied(s, path, batchId, streamId)) {
-      val admitted = batchCap match {
-        case Some(cap) =>
-          val n = batch.count()
-          if (n > cap) {
-            capDrops.foreach(_.add(n - cap))
-            // deterministic admission: smallest ids first, so a replayed
-            // capped batch admits the same rows
-            batch.orderBy(id).limit(cap)
-          } else batch
-        case None => batch
-      }
-      appendCodes(s, path, admitted, id, emb, pq, stamp = Some(batchId), streamId)
-      autoCompactFilesPerCell.foreach { threshold =>
-        require(threshold >= 1, "autoCompactFilesPerCell must be >= 1")
-        if (maxFilesPerCell(s, path) > threshold) compactCells(s, path)
+    // One lease spans the whole batch — recovery, replay check, append, and
+    // auto-compaction — so a manual maintenance op cannot interleave with a
+    // half-finished micro-batch (the inner calls re-enter this lease).
+    withWriterLease(s, path, "appendSink") {
+      // Self-recovery BEFORE anything reads the codes path: a crash inside a
+      // previous batch's auto-compaction leaves the half-swap state (no
+      // codes/ directory), and batchApplied's data-derived fallback would
+      // throw on the missing path before compactCells — the only other
+      // recoverCompaction caller — was ever reached, keeping the stream down
+      // until manual surgery. Rolling the swap forward/back here is a cheap
+      // no-op (three fs.exists) on a healthy index, so every sink entry pays
+      // it, not just auto-compacting ones (a manual compactCells crash must
+      // not strand a plain sink either).
+      recoverCompaction(s, path)
+      if (!batchApplied(s, path, batchId, streamId)) {
+        val admitted = batchCap match {
+          case Some(cap) =>
+            val n = batch.count()
+            if (n > cap) {
+              capDrops.foreach(_.add(n - cap))
+              // deterministic admission: smallest ids first, so a replayed
+              // capped batch admits the same rows
+              batch.orderBy(id).limit(cap)
+            } else batch
+          case None => batch
+        }
+        appendCodes(s, path, admitted, id, emb, pq, stamp = Some(batchId), streamId)
+        autoCompactFilesPerCell.foreach { threshold =>
+          require(threshold >= 1, "autoCompactFilesPerCell must be >= 1")
+          if (maxFilesPerCell(s, path) > threshold) compactCells(s, path)
+        }
       }
     }
   }
@@ -574,6 +593,11 @@ object VectorIndex {
     * sees another lineage's progress (see [[appendSink]]'s stream-identity
     * contract).
     */
+  /** Observable count of the adopted-index edge warnings below — a test
+    * seam so the warning's firing is assertable, not just printed.
+    */
+  private[graft] val adoptedIndexWarnings = new java.util.concurrent.atomic.AtomicLong
+
   private def batchApplied(s: SparkSession, path: String, batchId: Long,
       streamId: Option[String]): Boolean =
     readAppliedBatch(s, path, streamId).exists(_ >= batchId) || {
@@ -581,7 +605,23 @@ object VectorIndex {
       val scoped = streamId match {
         case Some(sid) =>
           if (codes.columns.contains("__stream")) codes.filter(col("__stream") === sid)
-          else codes.limit(0)
+          else {
+            // ADOPTED-INDEX EDGE, made loud: a streamId was supplied but no
+            // row carries a __stream stamp — a pre-stream-identity index
+            // adopted under a new id. Correct-conservative for a fresh
+            // lineage (nothing to compare against), but if this index WAS
+            // fed by an unstamped lineage whose marker write was lost in
+            // the crash window, the fallback is dark and a replayed batch
+            // re-applies. The contract ("stable streamId per lineage")
+            // covers it; the warning makes the edge observable.
+            adoptedIndexWarnings.incrementAndGet()
+            logWarning(s"batchApplied: streamId '$sid' supplied but index at " +
+              s"$path carries no __stream stamps (index adopted under a new " +
+              "stream identity?) — data-derived replay fallback is inactive " +
+              "for this lineage; only the high-water marker protects against " +
+              "replays")
+            codes.limit(0)
+          }
         case None => codes
       }
       codes.columns.contains("__batch") && {
@@ -593,6 +633,96 @@ object VectorIndex {
   private def hadoopFs(s: SparkSession, path: String) =
     org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), s.sparkContext.hadoopConfiguration)
+
+  // ---- single-writer lease -------------------------------------------------
+
+  /** A second concurrent maintenance writer was detected and refused. Every
+    * mutation here (append/upsert/compact/split/reindex and their
+    * recoveries) documents single-writer semantics; this makes a violation
+    * fail fast instead of silently corrupting the index.
+    */
+  final case class ConcurrentIndexWriterException(path: String, op: String,
+      holder: String) extends RuntimeException(
+    s"index at $path is held by another maintenance writer [$holder] — " +
+      s"refusing $op; maintenance is single-writer (a crashed holder's " +
+      "lease expires after spark.graft.index.leaseTtlMs, default 10 min)")
+
+  /** Per-thread re-entrancy count per index path: a maintenance op that
+    * calls another (splitCell → upsertCore's caller, appendSink →
+    * recoverCompaction/compactCells, reindex → recoverReindex) re-enters
+    * the lease it already holds instead of deadlocking on itself.
+    */
+  private val leaseDepths =
+    new ThreadLocal[scala.collection.mutable.Map[String, Int]] {
+      override def initialValue() = scala.collection.mutable.Map.empty[String, Int]
+    }
+
+  private def leaseFile(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path/maintenance_lease")
+
+  /** Run `body` holding the index's exclusive maintenance lease — a lease
+    * file created with create-exclusive semantics (atomic on HDFS and on
+    * the local fs), carrying holder id + op + wall time. A second writer
+    * fails fast with [[ConcurrentIndexWriterException]]; a lease whose file
+    * age exceeds `spark.graft.index.leaseTtlMs` (default 10 min) belongs to
+    * a crashed holder and is reclaimed. Readers (loadCodes/searchAdc*) are
+    * NOT serialized by the lease — the brief swap windows of compact/split/
+    * reindex remain documented reader hazards, as before.
+    */
+  private[graft] def withWriterLease[A](s: SparkSession, path: String,
+      op: String)(body: => A): A = {
+    val depths = leaseDepths.get()
+    if (depths.getOrElse(path, 0) > 0) {
+      depths(path) += 1
+      try body finally { depths(path) -= 1; () }
+    } else {
+      acquireLease(s, path, op)
+      depths(path) = 1
+      try body finally {
+        depths.remove(path)
+        try { hadoopFs(s, path).delete(leaseFile(path), false); () }
+        catch { case _: java.io.IOException => () }
+      }
+    }
+  }
+
+  private def acquireLease(s: SparkSession, path: String, op: String): Unit = {
+    val fs = hadoopFs(s, path)
+    val p = leaseFile(path)
+    val ttlMs = scala.util.Try(
+      s.conf.get("spark.graft.index.leaseTtlMs", "600000").toLong)
+      .getOrElse(600000L)
+    val holder = java.lang.management.ManagementFactory.getRuntimeMXBean.getName +
+      "/t" + Thread.currentThread().getId
+    def tryCreate(): Boolean =
+      try {
+        // overwrite=false IS the lock: exactly one concurrent creator wins
+        val out = fs.create(p, false)
+        try out.write(s"$holder $op ${System.currentTimeMillis()}\n".getBytes("UTF-8"))
+        finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    if (!tryCreate()) {
+      val stale =
+        try System.currentTimeMillis() - fs.getFileStatus(p).getModificationTime > ttlMs
+        catch { case _: java.io.FileNotFoundException => true } // holder just released
+      val reclaimed = stale && {
+        try { fs.delete(p, false); () } catch { case _: java.io.IOException => () }
+        tryCreate() // another reclaimer may win the re-create — that's fine
+      }
+      if (!reclaimed) {
+        val h = try {
+          val in = fs.open(p)
+          try {
+            val buf = new Array[Byte](256)
+            val n = in.read(buf)
+            new String(buf, 0, math.max(n, 0), "UTF-8").trim
+          } finally in.close()
+        } catch { case _: java.io.IOException => "unreadable lease" }
+        throw ConcurrentIndexWriterException(path, op, h)
+      }
+    }
+  }
 
   /** Per-stream marker file name; the unscoped legacy name when no stream
     * identity is in play. Stream ids are sanitized to a filename-safe
@@ -635,8 +765,10 @@ object VectorIndex {
     * general consistency restore.
     */
   def refreshOccupancy(s: SparkSession, path: String): Unit =
-    cellOccupancy(loadCodes(s, path)).localCheckpoint()
-      .write.mode("overwrite").parquet(s"$path/occupancy")
+    withWriterLease(s, path, "refreshOccupancy") {
+      cellOccupancy(loadCodes(s, path)).localCheckpoint()
+        .write.mode("overwrite").parquet(s"$path/occupancy")
+    }
 
   // ---- small-file compaction --------------------------------------------
 
@@ -664,7 +796,8 @@ object VectorIndex {
     * without manual surgery. Readers that hit the crash window before a
     * writer does can call [[recoverCompaction]] themselves.
     */
-  def compactCells(s: SparkSession, path: String): Unit = {
+  def compactCells(s: SparkSession, path: String): Unit =
+      withWriterLease(s, path, "compactCells") {
     recoverCompaction(s, path)
     val codesPath = s"$path/codes"
     val staged = s"$path/codes_compacting"
@@ -691,7 +824,8 @@ object VectorIndex {
     *     directories are debris from a crash before the swap began (or
     *     after it finished) and are deleted.
     */
-  def recoverCompaction(s: SparkSession, path: String): Unit = {
+  def recoverCompaction(s: SparkSession, path: String): Unit =
+      withWriterLease(s, path, "recoverCompaction") {
     val fs = hadoopFs(s, path)
     def p(n: String) = new org.apache.hadoop.fs.Path(s"$path/$n")
     val (codes, old, staged) = (p("codes"), p("codes_old"), p("codes_compacting"))
@@ -755,7 +889,8 @@ object VectorIndex {
     * @return the two child cell ids
     */
   def splitCell(s: SparkSession, path: String, cell: Long, vectors: DataFrame,
-      id: Column, emb: Column, pq: PqParams, meta: Seq[String] = Nil): Seq[Long] = {
+      id: Column, emb: Column, pq: PqParams, meta: Seq[String] = Nil): Seq[Long] =
+      withWriterLease(s, path, "splitCell") {
     recoverSplit(s, path, vectors, id, emb, pq, meta)
     val memberIds = loadCodes(s, path).filter(col("cell") === cell)
       .select(col("vec_id").as("__split_member")).distinct()
@@ -763,8 +898,12 @@ object VectorIndex {
       id === col("__split_member"), "left_semi")
     val sub = KMeans.fit(members, id, emb, k = 2, iters = 3)
       .orderBy(col("cent_id")).collect()
-    require(sub.length == 2,
-      s"cell $cell holds ${sub.length} distinct vectors — nothing to split")
+    // fewer than 2 sub-centroids = fewer than 2 member rows to seed from —
+    // refinement cannot help this cell. Thrown BEFORE any staging or
+    // mutation (the manifest write is below), so the index is untouched;
+    // splitHottestCell translates it into NeedsRetrain instead of
+    // propagating, per its documented contract.
+    if (sub.length < 2) throw UnsplittableCellException(cell, sub.length)
     // fresh child ids above every existing cent_id: KMeans labels by seed
     // ROW id, which could collide with an existing centroid's id
     val maxId = s.read.parquet(s"$path/cents").agg(max(col("cent_id"))).head().getLong(0)
@@ -782,15 +921,18 @@ object VectorIndex {
     * marker → discard; no mutation had started). No-op on a healthy index.
     */
   def recoverSplit(s: SparkSession, path: String, vectors: DataFrame,
-      id: Column, emb: Column, pq: PqParams, meta: Seq[String] = Nil): Unit = {
+      id: Column, emb: Column, pq: PqParams, meta: Seq[String] = Nil): Unit =
+      withWriterLease(s, path, "recoverSplit") {
     val fs = hadoopFs(s, path)
     val staging = new org.apache.hadoop.fs.Path(s"$path/split_staging")
-    if (!fs.exists(staging)) return
-    if (fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS"))) {
-      applySplit(s, path, vectors, id, emb, pq, meta)
-      ()
-    } else {
-      fs.delete(staging, true) // the manifest write itself crashed
+    if (fs.exists(staging)) {
+      if (fs.exists(new org.apache.hadoop.fs.Path(staging, "_SUCCESS"))) {
+        applySplit(s, path, vectors, id, emb, pq, meta)
+        ()
+      } else {
+        fs.delete(staging, true) // the manifest write itself crashed
+        ()
+      }
     }
   }
 
@@ -811,9 +953,16 @@ object VectorIndex {
       (r.getAs[Long]("cent_id"), r.getAs[scala.collection.Seq[Double]]("cent").toSeq))
       .toSeq.toDF("cent_id", "cent")
     // k+1 rows, checkpointed so nothing reads the cents path once we
-    // overwrite it below
+    // overwrite it below. The filter removes the CHILD ids too, not just
+    // the parent: a crash between the cents overwrite and the manifest
+    // delete leaves the persisted table already post-split, and a recovery
+    // re-run that filtered only the (absent) parent would union the staged
+    // children a second time — duplicated centroid rows consume probe
+    // slots and double-match the residual join, corrupting ADC sums.
+    // Filtering the staged ids makes this read a fixed point: fresh run
+    // and every crash intermediate both converge to exactly k+1 rows.
     val newCents = s.read.parquet(s"$path/cents")
-      .filter(col("cent_id") =!= parent)
+      .filter(!col("cent_id").isin((parent +: childIds): _*))
       .unionByName(childCents)
       .localCheckpoint()
     val quant = IvfadcQuantizer(newCents, s.read.parquet(s"$path/codebook"), pq)
@@ -828,6 +977,15 @@ object VectorIndex {
     hadoopFs(s, path).delete(new org.apache.hadoop.fs.Path(s"$path/split_staging"), true)
     childIds
   }
+
+  /** Thrown by [[splitCell]] BEFORE any staging or mutation when the cell
+    * cannot yield two sub-centroids (it holds fewer than two member rows):
+    * the index is untouched at throw time. [[splitHottestCell]] — whose
+    * contract is to report rather than throw — maps it to [[NeedsRetrain]].
+    */
+  final case class UnsplittableCellException(cell: Long, centroids: Int)
+    extends RuntimeException(
+      s"cell $cell yields $centroids sub-centroid(s) — nothing to split")
 
   /** Outcome of one [[splitHottestCell]] policy step. */
   sealed trait SplitOutcome
@@ -866,7 +1024,8 @@ object VectorIndex {
     */
   def splitHottestCell(s: SparkSession, path: String, vectors: DataFrame,
       id: Column, emb: Column, pq: PqParams, maxCellRows: Long,
-      meta: Seq[String] = Nil): SplitOutcome = {
+      meta: Seq[String] = Nil): SplitOutcome =
+      withWriterLease(s, path, "splitHottestCell") {
     // cast: `cell` comes back as the partition-directory-inferred type
     // (int for small ids), not the written long
     val hottest = occupancy(s, path)
@@ -875,15 +1034,169 @@ object VectorIndex {
     if (hottest.isEmpty || hottest.head.getLong(1) <= maxCellRows) Balanced
     else {
       val (hot, hotRows) = (hottest.head.getLong(0), hottest.head.getLong(1))
-      val children = splitCell(s, path, hot, vectors, id, emb, pq, meta)
-      // null max = both children empty (every member re-assigned to a
-      // pre-existing closer cell — the hot mass dispersed: progress)
-      val childMaxRow = occupancy(s, path)
-        .filter(col("cell").cast("long").isin(children: _*))
-        .agg(max(col("n_vecs"))).head()
-      val childMax = if (childMaxRow.isNullAt(0)) 0L else childMaxRow.getLong(0)
-      if (childMax >= hotRows) NeedsRetrain(hot, hotRows) else Split(hot, children)
+      try {
+        val children = splitCell(s, path, hot, vectors, id, emb, pq, meta)
+        // null max = both children empty (every member re-assigned to a
+        // pre-existing closer cell — the hot mass dispersed: progress)
+        val childMaxRow = occupancy(s, path)
+          .filter(col("cell").cast("long").isin(children: _*))
+          .agg(max(col("n_vecs"))).head()
+        val childMax = if (childMaxRow.isNullAt(0)) 0L else childMaxRow.getLong(0)
+        if (childMax >= hotRows) NeedsRetrain(hot, hotRows) else Split(hot, children)
+      } catch {
+        // a cell too degenerate to even sub-train (fewer than 2 member
+        // rows) is the strongest possible NeedsRetrain signal, not an
+        // error — splitCell guarantees the index is untouched at throw
+        case UnsplittableCellException(_, _) => NeedsRetrain(hot, hotRows)
+      }
     }
+  }
+
+  // ---- full retrain / reindex ---------------------------------------------
+
+  /** The four persisted parts of an index, in the order the reindex swap
+    * promotes them.
+    */
+  private val indexParts = Seq("cents", "codebook", "codes", "occupancy")
+
+  /** Retrain the quantizer on the CURRENT corpus and atomically swap in a
+    * freshly-encoded index — the response to the [[NeedsRetrain]] signal
+    * and to general quantizer drift (the FAISS contract the scaladoc at
+    * the top of this object cites: the quantizer is trained once and
+    * batches are `add()`ed under it; when the data distribution drifts
+    * past what [[splitCell]] refinement can fix, periodic retrain+reindex
+    * is the recovery). Under the hood this is exactly [[train]] +
+    * [[encode]] over the current corpus, made SAFE for a live index:
+    *
+    *   - the index stores codes, not vectors, so the caller supplies the
+    *     vector source ([[splitCell]]'s contract); rows whose id is not
+    *     currently coded are ignored — reindex changes the quantizer, not
+    *     the membership;
+    *   - the new index (cents/codebook/codes/occupancy) is built COMPLETELY
+    *     under `reindex_staging/` while the old index keeps serving;
+    *     nothing live is touched until the staged build carries its
+    *     `_COMMITTED` marker;
+    *   - the swap is per-part metadata renames (live → `reindex_old/`,
+    *     staged → live), rolled forward from any crash point by
+    *     [[recoverReindex]] (the [[compactCells]]/[[splitCell]] staged-
+    *     manifest discipline): _COMMITTED present → the staged index wins,
+    *     absent → the old index was never touched and the stage is debris.
+    *
+    * Equivalence contract (the `ann_reindex` oracle gate pins it
+    * cross-engine): the reindexed index answers exactly like a from-scratch
+    * [[train]]+[[encode]]+[[write]] over the current corpus — because that
+    * is literally what the staged build is.
+    *
+    * Replay bookkeeping: the `applied_batch*` high-water markers live at
+    * the index root and SURVIVE the swap — a replayed streaming batch is
+    * still refused after a reindex (its vectors are already inside the
+    * re-encoded corpus; re-appending them would duplicate). The re-encoded
+    * rows carry no `__batch`/`__stream` stamps, so the data-derived
+    * fallback restarts dark for pre-reindex batches — the marker is the
+    * authority, the same trade documented on [[appendSink]].
+    *
+    * Single-writer maintenance op (lease-enforced, like everything here).
+    * Readers during the brief per-part swap window are unsafe, as with
+    * compaction — serve from a settled index or accept the recovery call.
+    *
+    * @param vectors vector source; only ids currently in the index are used
+    * @param meta    filterable metadata columns to carry onto the new code
+    *                rows (see the metadata-aware [[encode]])
+    */
+  def reindex(s: SparkSession, path: String, vectors: DataFrame, id: Column,
+      emb: Column, kCells: Int, iters: Int, pq: PqParams,
+      meta: Seq[String] = Nil): Unit = withWriterLease(s, path, "reindex") {
+    recoverReindex(s, path) // settle any interrupted predecessor first
+    val memberIds = loadCodes(s, path)
+      .select(col("vec_id").as("__member")).distinct()
+    val corpus = vectors.join(broadcast(memberIds),
+      id === col("__member"), "left_semi")
+    val quant = train(corpus, id, emb, kCells, iters, pq)
+    val codes = encode(corpus, id, emb, quant, meta)
+    val staging = s"$path/reindex_staging"
+    val fs = hadoopFs(s, path)
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    quant.cents.write.mode("overwrite").parquet(s"$staging/cents")
+    quant.csubs.write.mode("overwrite").parquet(s"$staging/codebook")
+    // same cell-clustered one-file-per-cell layout as [[write]]
+    codes.repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$staging/codes")
+    cellOccupancy(s.read.parquet(s"$staging/codes"))
+      .write.mode("overwrite").parquet(s"$staging/occupancy")
+    // the commit point: everything below is roll-forwardable
+    fs.create(new org.apache.hadoop.fs.Path(s"$staging/_COMMITTED"), true).close()
+    completeReindexSwap(s, path)
+  }
+
+  /** The roll-forwardable promote phase: for each part still present in the
+    * staging area, move the live copy aside and promote the staged one,
+    * then drop the old copies and the staging area. Idempotent given a
+    * _COMMITTED stage: a part already promoted (absent from staging) is
+    * skipped; a part whose live copy was moved aside but not yet replaced
+    * (the mid-part crash window) has no live dir and promotes directly.
+    */
+  private def completeReindexSwap(s: SparkSession, path: String): Unit = {
+    val fs = hadoopFs(s, path)
+    def p(n: String) = new org.apache.hadoop.fs.Path(s"$path/$n")
+    def staged(n: String) = new org.apache.hadoop.fs.Path(s"$path/reindex_staging/$n")
+    def old(n: String) = new org.apache.hadoop.fs.Path(s"$path/reindex_old/$n")
+    fs.mkdirs(p("reindex_old"))
+    indexParts.foreach { n =>
+      if (fs.exists(staged(n))) {
+        if (fs.exists(p(n))) { fs.delete(old(n), true); fs.rename(p(n), old(n)) }
+        fs.rename(staged(n), p(n))
+      }
+    }
+    fs.delete(p("reindex_old"), true)
+    fs.delete(p("reindex_staging"), true)
+    ()
+  }
+
+  /** Repair an interrupted [[reindex]] — idempotent, cheap no-op on a
+    * healthy index. Decision table:
+    *
+    *   - `reindex_staging/` present WITH `_COMMITTED`: the staged build is
+    *     complete and authoritative — roll the swap FORWARD
+    *     ([[completeReindexSwap]] skips already-promoted parts).
+    *   - present WITHOUT the marker: the staged build itself crashed; the
+    *     live index was never touched — drop the stage.
+    *   - absent but `reindex_old/` present: the crash fell inside the
+    *     final cleanup; every part was already promoted — the old copies
+    *     are debris (any part still missing live-side is restored from its
+    *     old copy first, defensively).
+    */
+  def recoverReindex(s: SparkSession, path: String): Unit =
+      withWriterLease(s, path, "recoverReindex") {
+    val fs = hadoopFs(s, path)
+    def p(n: String) = new org.apache.hadoop.fs.Path(s"$path/$n")
+    val staging = p("reindex_staging")
+    if (fs.exists(staging)) {
+      if (fs.exists(new org.apache.hadoop.fs.Path(staging, "_COMMITTED")))
+        completeReindexSwap(s, path)
+      else {
+        fs.delete(staging, true)
+        restoreFromOld(fs, path)
+      }
+    } else if (fs.exists(p("reindex_old"))) {
+      restoreFromOld(fs, path)
+    }
+  }
+
+  /** Put back any part whose live copy is missing but whose pre-swap copy
+    * survives under `reindex_old/`, then drop the old area. Defensive —
+    * unreachable from [[completeReindexSwap]]'s own crash windows (the
+    * stage, deleted last, still exists in all of them), but it makes
+    * recovery total over hand-damaged states too.
+    */
+  private def restoreFromOld(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Unit = {
+    def p(n: String) = new org.apache.hadoop.fs.Path(s"$path/$n")
+    def old(n: String) = new org.apache.hadoop.fs.Path(s"$path/reindex_old/$n")
+    indexParts.foreach { n =>
+      if (!fs.exists(p(n)) && fs.exists(old(n))) fs.rename(old(n), p(n))
+    }
+    fs.delete(p("reindex_old"), true)
+    ()
   }
 
   // ---- occupancy accounting ----------------------------------------------

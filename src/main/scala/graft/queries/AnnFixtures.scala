@@ -1,0 +1,128 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.operators.{Dedup, IvfadcQuantizer, PqParams, VectorIndex}
+
+/** Process-wide DETERMINISTIC fixtures shared by the `ann_*` gates that all
+  * start from the same full-corpus trained quantizer (r12 VERDICT #2: six
+  * gates were each paying the identical train/encode/write fixed cost —
+  * ~27% of the bench suite — for a byte-identical artifact).
+  *
+  * Sharing is sound because everything here is a pure function of the data
+  * directory: [[VectorIndex.train]] is deterministic (seeded k-means,
+  * rounded means, id tie-breaks), so the quantizer — and the index written
+  * from it — is the same object no matter which gate builds it first.
+  * Oracles are unchanged by construction: gates receive bit-identical
+  * inputs, they just stop re-deriving them.
+  *
+  *  - READ-ONLY consumers ([[cents]]/[[quantizer]], e.g. the rerank/recall/
+  *    filtered/occupancy gates) use the cached quantizer directly.
+  *  - MUTATION consumers (upsert/split/reindex gates) take a private COPY
+  *    of the shared written index ([[copyIndex]] — a file copy, far cheaper
+  *    than re-train + re-encode + re-write) and mutate that.
+  *
+  * The cache stores collected ROWS (k + m·k quantizer rows — tiny), not
+  * DataFrames, so nothing pins localCheckpoint storage for the process
+  * lifetime; frames are rebuilt per call from the rows. The shared index
+  * directory lives under java.io.tmpdir and is removed on JVM exit.
+  */
+private[queries] object AnnFixtures {
+
+  /** The one production operating point every sharing gate uses. */
+  private val (kCells, iters) = (SimilarityQueries.ivfProdK, 2)
+
+  private final case class QuantRows(cents: (Seq[Row], StructType),
+      csubs: (Seq[Row], StructType))
+
+  private val quantCache =
+    new java.util.concurrent.ConcurrentHashMap[String, QuantRows]()
+  private val indexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def embOf(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  private def rowsOf(df: DataFrame): (Seq[Row], StructType) =
+    (df.collect().toSeq, df.schema)
+
+  private def frameOf(s: SparkSession, rows: (Seq[Row], StructType)): DataFrame =
+    s.createDataFrame(java.util.Arrays.asList(rows._1: _*), rows._2)
+
+  private def quantRows(s: SparkSession, dir: String, pq: PqParams): QuantRows =
+    quantCache.computeIfAbsent(dir, _ => {
+      val quant = VectorIndex.train(embOf(s, dir), col("vec_id"), col("embedding"),
+        kCells = kCells, iters = iters, pq = pq)
+      val out = QuantRows(rowsOf(quant.cents), rowsOf(quant.csubs))
+      // train() localCheckpoints both sides; drop the pins now that the
+      // (tiny) rows are cached — otherwise every bench process holds two
+      // checkpoint RDDs per data dir until exit
+      Dedup.dropLocalCheckpoint(quant.cents)
+      Dedup.dropLocalCheckpoint(quant.csubs)
+      out
+    })
+
+  /** The shared trained coarse centroids (k-means, production operating
+    * point) — identical to `KMeans.fit(embeddings, vec_id, embedding,
+    * ivfProdK, 2)`, computed once per (process, dir).
+    */
+  def cents(s: SparkSession, dir: String, pq: PqParams): DataFrame =
+    frameOf(s, quantRows(s, dir, pq).cents)
+
+  /** The shared full-corpus trained quantizer — identical to
+    * `VectorIndex.train(embeddings, …, ivfProdK, 2, pq)`, computed once per
+    * (process, dir).
+    */
+  def quantizer(s: SparkSession, dir: String, pq: PqParams): IvfadcQuantizer = {
+    val q = quantRows(s, dir, pq)
+    IvfadcQuantizer(frameOf(s, q.cents), frameOf(s, q.csubs), pq)
+  }
+
+  /** Path of the shared PERSISTED index (quantizer + full-corpus encode +
+    * occupancy, [[VectorIndex.write]] layout), built once per (process,
+    * dir). Callers must treat it as READ-ONLY — mutation gates go through
+    * [[copyIndex]].
+    */
+  def indexPath(s: SparkSession, dir: String, pq: PqParams): String =
+    indexCache.computeIfAbsent(dir, _ => {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_ann_shared_index").toString
+      val quant = quantizer(s, dir, pq)
+      VectorIndex.write(quant,
+        VectorIndex.encode(embOf(s, dir), col("vec_id"), col("embedding"), quant),
+        path)
+      Runtime.getRuntime.addShutdownHook(new Thread(() => rm(new java.io.File(path))))
+      path
+    })
+
+  /** A fresh PRIVATE copy of the shared index for a mutation gate (upsert/
+    * split/reindex) — a recursive file copy of the settled directory, so
+    * the expensive train/encode/write runs once per process while every
+    * mutation still starts from a pristine index. Caller deletes the copy.
+    */
+  def copyIndex(s: SparkSession, dir: String, pq: PqParams): String = {
+    val src = new java.io.File(indexPath(s, dir, pq))
+    val dst = java.nio.file.Files.createTempDirectory("graft_ann_index_copy").toFile
+    copyDir(src, dst)
+    dst.toString
+  }
+
+  private def copyDir(src: java.io.File, dst: java.io.File): Unit =
+    if (src.isDirectory) {
+      dst.mkdirs()
+      Option(src.listFiles()).toSeq.flatten
+        .foreach(f => copyDir(f, new java.io.File(dst, f.getName)))
+    } else {
+      java.nio.file.Files.copy(src.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      ()
+    }
+
+  private[queries] def rm(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rm))
+    f.delete()
+    ()
+  }
+}

@@ -224,12 +224,10 @@ object SimilarityQueries extends QueryPack {
     * baseline's half-corpus probes. Recall at this selectivity is an
     * oracle-pinned number in ann_recall_at_5.
     */
-  private def qAnnIvfTrained(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings")
-    ivfTop5(s, dir,
-      graft.operators.KMeans.fit(emb, col("vec_id"), col("embedding"),
-        k = ivfProdK, iters = 2), ivfProdNprobe)
-  }
+  private def qAnnIvfTrained(s: SparkSession, dir: String): DataFrame =
+    // shared trained centroids (== KMeans.fit(emb, ivfProdK, 2), cached per
+    // process — see AnnFixtures; the result is bit-identical)
+    ivfTop5(s, dir, AnnFixtures.cents(s, dir, prodPq), ivfProdNprobe)
 
   /** `ORDER BY`-ready squared-L2 distance between a vector expr and a
     * centroid expr — the one distance definition every oracle-side argmin /
@@ -301,6 +299,9 @@ object SimilarityQueries extends QueryPack {
   // deterministic (seeded centroids, argmin and rank tie-breaks on id) →
   // oracle-checked.
   private val (pqM, pqSubDim, pqK) = (4, 16, 16)
+
+  /** The one PqParams every production-operating-point gate shares. */
+  private[queries] def prodPq = graft.operators.PqParams(pqM, pqSubDim, pqK)
 
   /** (id, carry…, m, sub): each vector exploded into its M subspace slices
     * — THE one definition of the PQ subspace layout (codebook, corpus
@@ -435,12 +436,8 @@ object SimilarityQueries extends QueryPack {
   // residual arithmetic is element-wise double math in fixed order; every
   // argmin/rank ties on id) → the oracle re-derives training + assignment
   // + residuals + encoding + ADC in SQL.
-  private def qAnnIvfPq(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings")
-    ivfPqTop5(s, dir,
-      graft.operators.KMeans.fit(emb, col("vec_id"), col("embedding"),
-        k = ivfProdK, iters = 2))
-  }
+  private def qAnnIvfPq(s: SparkSession, dir: String): DataFrame =
+    ivfPqTop5(s, dir, AnnFixtures.cents(s, dir, prodPq))
 
   /** @param byResidual FAISS IndexIVFPQ.by_residual: encode x − cent(cell)
     *   (true, the IVFADC formulation — resolution spent on within-cell
@@ -533,13 +530,9 @@ object SimilarityQueries extends QueryPack {
       .orderBy("query_id", "rn")
   }
 
-  private def qAnnIvfPqRerank(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings")
-    val cents =
-      graft.operators.KMeans.fit(emb, col("vec_id"), col("embedding"),
-        k = ivfProdK, iters = 2)
-    ivfPqRerank(s, dir, ivfPqTop5(s, dir, cents, k = 30))
-  }
+  private def qAnnIvfPqRerank(s: SparkSession, dir: String): DataFrame =
+    ivfPqRerank(s, dir,
+      ivfPqTop5(s, dir, AnnFixtures.cents(s, dir, prodPq), k = 30))
 
   // the same IVFADC chain widened to rn <= 30 — the final SELECT's rank
   // filter is the only `rn <=` clause (inner argmin/probe ranks use `arn`)
@@ -729,15 +722,14 @@ object SimilarityQueries extends QueryPack {
     * the scratch index directory can be deleted before returning.
     */
   private def qAnnIvfPqUpsert(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.{PqParams, VectorIndex}
+    import graft.operators.VectorIndex
     val emb = t(s, dir, "embeddings")
-    val pq = PqParams(pqM, pqSubDim, pqK)
-    val quant = VectorIndex.train(emb, col("vec_id"), col("embedding"),
-      kCells = ivfProdK, iters = 2, pq = pq)
-    val path = java.nio.file.Files.createTempDirectory("graft_ivfpq_upsert").toString
+    val pq = prodPq
+    // private copy of the shared full-corpus index (AnnFixtures): the
+    // train/encode/write fixed cost runs once per process; the gate still
+    // exercises the persisted maintenance path end-to-end on its own copy
+    val path = AnnFixtures.copyIndex(s, dir, pq)
     try {
-      VectorIndex.write(quant,
-        VectorIndex.encode(emb, col("vec_id"), col("embedding"), quant), path)
       val updates = emb.filter(updCond)
         .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
       val deletes = emb.filter(delCond).select(col("vec_id"))
@@ -771,6 +763,65 @@ object SimilarityQueries extends QueryPack {
        ${kmTrainCtes(ivfProdK)},
        ${ivfPqAdcSqlBodyFor("emb2")}"""
 
+  /** REINDEX gate — the drift response closing the index lifecycle
+    * (r12 VERDICT #3, the [[graft.operators.VectorIndex.NeedsRetrain]]
+    * answer): start from the persisted full-corpus index, apply the same
+    * change batch as the upsert gate (tombstones + reversed-embedding
+    * updates) under the FROZEN original quantizer, then
+    * [[graft.operators.VectorIndex.reindex]] — train a FRESH quantizer on
+    * the post-change corpus, re-encode it, and atomically swap the staged
+    * build in — and serve from the reloaded index via the pruned scan.
+    * The oracle re-derives a from-scratch train+encode+ADC over the
+    * post-change corpus (`emb2`), pinning reindex's rebuild-equivalence
+    * contract cross-engine: a reindexed live index answers exactly like a
+    * cold rebuild. (Contrast with the upsert gate, whose oracle trains on
+    * the ORIGINAL table — upsert keeps the quantizer, reindex replaces
+    * it.) Crash recovery for every swap window is spec-pinned in
+    * VectorIndexSpec.
+    */
+  private def qAnnReindex(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.VectorIndex
+    val emb = t(s, dir, "embeddings")
+    val pq = prodPq
+    val path = AnnFixtures.copyIndex(s, dir, pq)
+    try {
+      val updates = emb.filter(updCond)
+        .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
+      val deletes = emb.filter(delCond).select(col("vec_id"))
+      VectorIndex.upsertBatch(s, path, updates, deletes,
+        col("vec_id"), col("embedding"), pq)
+      // the CURRENT corpus as the caller-supplied vector source (the index
+      // stores codes, not vectors — splitCell's contract)
+      val emb2 = emb.filter(!delCond && !updCond)
+        .select(col("vec_id"), col("embedding"))
+        .union(updates)
+      VectorIndex.reindex(s, path, emb2, col("vec_id"), col("embedding"),
+        kCells = ivfProdK, iters = 2, pq = pq)
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      VectorIndex.searchAdcPruned(VectorIndex.loadCodes(s, path),
+          VectorIndex.loadQuantizer(s, path, pq), queries,
+          nprobe = ivfProdNprobe, topK = 5)
+        .orderBy("query_id", "rn")
+        .localCheckpoint() // eager: must outlive the scratch index deletion
+    } finally AnnFixtures.rm(new java.io.File(path))
+  }
+
+  /** Oracle: the post-change corpus (`emb2`), a quantizer trained ON it
+    * (`kmTrainCtes(…, "emb2")` — the one line that differs from the upsert
+    * oracle, which trains on the original table), and the standard ADC
+    * body over it.
+    */
+  private lazy val qAnnReindexSql =
+    s"""WITH emb2 AS (
+         SELECT vec_id, embedding FROM embeddings
+         WHERE NOT $delCondSql AND NOT $updCondSql
+         UNION ALL
+         SELECT vec_id, list_reverse(embedding) AS embedding
+         FROM embeddings WHERE $updCondSql),
+       ${kmTrainCtes(ivfProdK, "emb2")},
+       ${ivfPqAdcSqlBodyFor("emb2")}"""
+
   /** Cell-occupancy accounting gate: the no-silent-caps principle applied
     * to the coarse quantizer, ORACLE-CHECKED — not just produced. k-means
     * on a skewed corpus concentrates vectors in few cells, silently
@@ -781,10 +832,9 @@ object SimilarityQueries extends QueryPack {
     * worst-case pruned-scan degradation factor the serving path inherits.
     */
   private def qAnnIndexOccupancy(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.{PqParams, VectorIndex}
+    import graft.operators.VectorIndex
     val emb = t(s, dir, "embeddings")
-    val quant = VectorIndex.train(emb, col("vec_id"), col("embedding"),
-      kCells = ivfProdK, iters = 2, pq = PqParams(pqM, pqSubDim, pqK))
+    val quant = AnnFixtures.quantizer(s, dir, prodPq)
     VectorIndex.occupancyReportOf(
       VectorIndex.cellOccupancy(
         VectorIndex.encode(emb, col("vec_id"), col("embedding"), quant)))
@@ -815,11 +865,9 @@ object SimilarityQueries extends QueryPack {
     * spec-asserted in VectorIndexSpec; this gate pins the answers.)
     */
   private def qAnnFiltered(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.{PqParams, VectorIndex}
+    import graft.operators.VectorIndex
     val emb = t(s, dir, "embeddings")
-    val pq = PqParams(pqM, pqSubDim, pqK)
-    val quant = VectorIndex.train(emb, col("vec_id"), col("embedding"),
-      kCells = ivfProdK, iters = 2, pq = pq)
+    val quant = AnnFixtures.quantizer(s, dir, prodPq)
     val codes = VectorIndex.encode(emb, col("vec_id"), col("embedding"), quant,
       meta = Seq("label"))
     val queries = emb.filter(col("vec_id") < 10)
@@ -828,6 +876,41 @@ object SimilarityQueries extends QueryPack {
         nprobe = ivfProdNprobe, topK = 5, predicate = Some(col("label") % 3 === 1))
       .orderBy("query_id", "rn")
   }
+
+  /** SELECTIVE filtered ANN search gate (r12 VERDICT #6): the ~1/3
+    * selectivity of `ann_filtered_search` barely stresses the starvation
+    * claim — this gate rides a RARE predicate (`vec_id % 97 = 1`, ~1%
+    * selectivity, attached as a derived metadata column the way any ingest
+    * attaches licence/source tags) through the same
+    * encode-with-meta → filter-before-ADC path. The per-query top-k ranks
+    * only the few matching candidates inside the probed cells — fewer than
+    * `topK` matches there legitimately returns fewer rows (raise nprobe for
+    * recall), but a matching candidate is NEVER displaced by a
+    * non-matching one, which is what post-filtering would do at this
+    * selectivity. Serving cost tracks the FILTERED candidate count: the
+    * ADC aggregation sees ~1% of the probed rows (the scale-tier artifacts
+    * carry the comparison against `ann_filtered_search`; the no-starvation
+    * law is spec-pinned in VectorIndexSpec on a fixture with ≥k in-probe
+    * matches).
+    */
+  private def qAnnFilteredSelective(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.VectorIndex
+    val emb = t(s, dir, "embeddings")
+    val quant = AnnFixtures.quantizer(s, dir, prodPq)
+    val codes = VectorIndex.encode(
+      emb.withColumn("rare", col("vec_id") % 97),
+      col("vec_id"), col("embedding"), quant, meta = Seq("rare"))
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    VectorIndex.searchAdcPruned(codes, quant, queries,
+        nprobe = ivfProdNprobe, topK = 5, predicate = Some(col("rare") === 1))
+      .orderBy("query_id", "rn")
+  }
+
+  private lazy val qAnnFilteredSelectiveSql =
+    s"""WITH ${kmTrainCtes(ivfProdK)},
+       ${ivfPqAdcSqlBodyFor("embeddings",
+         codesWhere = " AND cd.vec_id % 97 = 1")}"""
 
   private lazy val qAnnFilteredSql =
     s"""WITH ${kmTrainCtes(ivfProdK)},
@@ -849,15 +932,12 @@ object SimilarityQueries extends QueryPack {
     * pinning the split's rebuild-equivalence law cross-engine.
     */
   private def qAnnHotSplit(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.{PqParams, VectorIndex}
+    import graft.operators.VectorIndex
     val emb = t(s, dir, "embeddings")
-    val pq = PqParams(pqM, pqSubDim, pqK)
-    val quant = VectorIndex.train(emb, col("vec_id"), col("embedding"),
-      kCells = ivfProdK, iters = 2, pq = pq)
-    val path = java.nio.file.Files.createTempDirectory("graft_ivfpq_split").toString
+    val pq = prodPq
+    // private copy of the shared full-corpus index — see qAnnIvfPqUpsert
+    val path = AnnFixtures.copyIndex(s, dir, pq)
     try {
-      VectorIndex.write(quant,
-        VectorIndex.encode(emb, col("vec_id"), col("embedding"), quant), path)
       val hot = VectorIndex.occupancy(s, path)
         .orderBy(col("n_vecs").desc, col("cell")).limit(1)
         .select(col("cell").cast("long")).head().getLong(0)
@@ -922,13 +1002,10 @@ object SimilarityQueries extends QueryPack {
     // is auto-freed by the ContextCleaner when the result is released.
     val brute = bruteTop5(s, dir).select(col("query_id"), col("neighbor_id"))
       .localCheckpoint()
-    // ONE k-means training for both trained paths (KMeans.fit materializes
-    // eagerly, so building the trained-IVF and IVF-PQ paths independently
-    // here would run the whole Lloyd chain twice)
-    val emb = t(s, dir, "embeddings")
-    val trainedCents =
-      graft.operators.KMeans.fit(emb, col("vec_id"), col("embedding"),
-        k = ivfProdK, iters = 2)
+    // ONE k-means training for both trained paths — the process-wide shared
+    // fixture (AnnFixtures): the Lloyd chain runs once per process, not
+    // once per gate, and the cached centroids are bit-identical
+    val trainedCents = AnnFixtures.cents(s, dir, prodPq)
     // ONE widened (k=30) IVFADC pass feeds both the plain ADC path (its
     // rn<=5 prefix) and the exact re-rank path — materialized via
     // localCheckpoint (~20 rows/query) so the code-space pipeline runs once
@@ -1184,8 +1261,10 @@ object SimilarityQueries extends QueryPack {
     "ann_ivfpq_rerank" -> (qAnnIvfPqRerank _),
     "ann_ivfpq_append" -> (qAnnIvfPqAppend _),
     "ann_ivfpq_upsert" -> (qAnnIvfPqUpsert _),
+    "ann_reindex" -> (qAnnReindex _),
     "ann_index_occupancy" -> (qAnnIndexOccupancy _),
     "ann_filtered_search" -> (qAnnFiltered _),
+    "ann_filtered_selective" -> (qAnnFilteredSelective _),
     "ann_hot_split" -> (qAnnHotSplit _),
     "ann_recall_at_5" -> (qAnnRecall _),
     "knn_cosine_brute" -> (qKnn _),
@@ -1204,8 +1283,10 @@ object SimilarityQueries extends QueryPack {
     "ann_ivfpq_rerank" -> qAnnIvfPqRerankSql,
     "ann_ivfpq_append" -> qAnnIvfPqAppendSql,
     "ann_ivfpq_upsert" -> qAnnIvfPqUpsertSql,
+    "ann_reindex" -> qAnnReindexSql,
     "ann_index_occupancy" -> qAnnIndexOccupancySql,
     "ann_filtered_search" -> qAnnFilteredSql,
+    "ann_filtered_selective" -> qAnnFilteredSelectiveSql,
     "ann_hot_split" -> qAnnHotSplitSql,
     "ann_recall_at_5" -> qAnnRecallSql,
     "knn_cosine_brute" -> qKnnSql,

@@ -176,6 +176,25 @@ class BpeSpec extends AnyFunSuite {
     assert(enc.nonEmpty)
   }
 
+  test("batched trainer: production batch width (128 merges, 64 per round) stays near the V/M floor") {
+    // At M=64 the V/M floor (2) is NOT reachable: round 1 can adopt at most
+    // ~vocab/2 symbol-disjoint pairs (base text vocab ≈ 80 symbols) and the
+    // top pairs collide on hot symbols — the warm-up measured at exactly 7
+    // rounds on this corpus. The law pinned here is floor + warm-up ≤
+    // floor + 8 (graft.BpeBench commits the same bound at 1024 merges on
+    // sf0.1): scans stay O(V/M + warmup), never the O(V) sequential cost.
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val bat = Bpe.trainBatched(docs, col("text"), nMerges = 128, batchM = 64,
+      minPairCount = 2)
+    assert(bat.merges.size == 128, s"corpus must support 128 merges, got ${bat.merges.size}")
+    assert(bat.rounds <= 128 / 64 + 8,
+      s"128 merges at M=64 must cost <= 10 corpus scans, took ${bat.rounds}")
+    // every round after the first must have adopted more than one merge on
+    // average — the batching is actually batching
+    assert(bat.merges.size.toDouble / bat.rounds > 8.0,
+      s"mean adoptions/round must beat sequential by far, got ${bat.merges.size}/${bat.rounds}")
+  }
+
   test("the codegen expression agrees with the driver-side encode through a DataFrame") {
     import spark.implicits._
     import org.apache.spark.sql.graftshim.Bridge

@@ -45,6 +45,13 @@ class ExchangeBudgetSpec extends AnyFunSuite {
                                 // pipeline remains in the public plan; the
                                 // label predicate rides the codes scan —
                                 // filtering itself adds ZERO exchanges
+    "ann_filtered_selective" -> 6, // ann_filtered_search at ~1% selectivity:
+                                   // identical plan shape, the rarer
+                                   // predicate changes row counts only
+    "ann_reindex" -> 0, // returns a localCheckpoint (scratch index deleted
+                        // before return) — the ann_ivfpq_upsert device; the
+                        // reindex pipeline's staged-build/swap shape is
+                        // pinned by VectorIndexLifecycleSpec
     "ann_pq_adc" -> 4,
     "ann_recall_at_5" -> 19,
     "ann_rhp_lsh" -> 3,

@@ -55,10 +55,12 @@ class PlanLintSpec extends AnyFunSuite {
                                //   and exact-distinct validator broadcasts
     "ann_index_occupancy",     // assignCells 1-row centroid-array broadcast
                                //   (the encode under the trained quantizer)
-    "ann_filtered_search")     // same assignCells/probeCells 1-row
+    "ann_filtered_search",     // same assignCells/probeCells 1-row
                                //   centroid-array broadcasts as
                                //   ann_ivfpq_adc; the metadata predicate is
                                //   a scan filter, not a join
+    "ann_filtered_selective")  // ann_filtered_search at ~1% selectivity —
+                               //   identical plan shape
 
   test("no gate query plans a cartesian product; BNLJ only where whitelisted") {
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

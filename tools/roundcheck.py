@@ -102,6 +102,32 @@ def main():
             elif isinstance(bench.get("parsed"), dict) and \
                     isinstance(bench["parsed"].get("queries"), dict):
                 full = bench["parsed"]
+        if full is None:
+            # Truncated official artifact (the r11/r12 blemish): try the
+            # durable history Bench appends every full JSON line to —
+            # the health line's suite total (always inside the captured
+            # tail) uniquely keys the run. A rescue is reported; NO full
+            # record anywhere is a FAILURE, not a shrug: a round whose
+            # official per-query numbers exist nowhere cannot be judged.
+            text = bench.get("tail", "") if isinstance(bench, dict) else ""
+            mh = re.search(r'"health"\s*:\s*\{.*?"total"\s*:\s*([\d.]+)', text)
+            want_total = mh.group(1) if mh else None
+            try:
+                with open(f"{ROOT}/bench_history.jsonl") as f:
+                    for line in f:
+                        try:
+                            rec = json.loads(line)
+                        except ValueError:
+                            continue
+                        if want_total is not None and \
+                                isinstance(rec.get("queries"), dict) and \
+                                f'{rec.get("value", -1):.3f}' == want_total:
+                            full = rec  # last match wins (newest run)
+            except FileNotFoundError:
+                pass
+            if full is not None:
+                print(f"   BENCH r{cur:02d} tail truncated — full line "
+                      f"rescued from bench_history.jsonl (total {want_total}s)")
         if full is not None:
             failed = sorted(n for n, v in full["queries"].items() if v < 0)
             inv = full.get("inversions") or {}
@@ -109,6 +135,10 @@ def main():
             names = inv.get("structural_names", []) if isinstance(inv, dict) else []
             total = full.get("value", "?")
         else:
+            bad = True
+            print(f"!! BENCH_r{cur:02d}.json is truncated and no full record "
+                  f"matches in bench_history.jsonl — the round's per-query "
+                  f"numbers are lost; fix the capture")
             text = bench.get("tail", "") if isinstance(bench, dict) else ""
             failed = sorted(set(re.findall(r'"(\w+)"\s*:\s*-1\.0', text)))
             m = re.search(r'"structural"\s*:\s*(\d+)', text)
@@ -219,6 +249,16 @@ def main():
         # the bytes field fall back to the nominal ratio unchanged.
         lo_b, hi_b = qbytes(lo_path), qbytes(hi_path)
         allowed = ratio ** 1.2
+        # Byte-derived allowance is CAPPED at ratio * BYTE_SKEW_CAP before
+        # the exponent: task-level bytesRead scales with how many corpus
+        # scans the plan performs, not only with the tier's data shape — an
+        # uncapped allowance would let a plan whose scan count grows with
+        # data (trainer-round-style loops) license its own extra scans and
+        # defeat the super-linear gate for exactly that regression class.
+        # The cap admits data-shape skew (e.g. binary payload replicating
+        # disproportionately: mm_decode_real measured 1.54x skew) up to 2x
+        # over nominal, and nothing a scan-count blow-up needs.
+        BYTE_SKEW_CAP = 2.0
         over = []
         worst = (0.0, None)
         n_bytes_adjudicated = 0
@@ -232,7 +272,8 @@ def main():
                     bratio = hi_b[q] / lo_b[q]
                     # never BELOW the nominal bar: a query reading a fixed
                     # byte count (bounded probe sets) must not fail on noise
-                    allowed_q = max(bratio, ratio) ** 1.2
+                    allowed_q = max(min(bratio, ratio * BYTE_SKEW_CAP),
+                                    ratio) ** 1.2
                     bnote = f", read {bratio:.1f}x bytes"
                     n_bytes_adjudicated += 1
                 # hi > 1s: sub-second fixed-cost queries flip past the

@@ -59,11 +59,18 @@ SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_SCALE_DIR=/tmp/graft_sf100_f
   SPARK_GRAFT_SCALE_REPS=100 SPARK_GRAFT_SCALE_EXCLUDE=dedup_embedding_cosine \
   step sf10_full "BENCH_${RN}_sf10_full.json" sbt -batch "runMain graft.BenchScale BENCH_${RN}_sf10_full.json"
 
-# 5. 100x relational growth points
+# 5. 100x relational growth points (r11 ask #8: include the as-of/range/
+# top-k-per-group shapes alongside the TPC-H heavies)
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_SCALE_DIR=/tmp/graft_sf100_rel \
   SPARK_GRAFT_SCALE_REPS=100 \
   SPARK_GRAFT_SCALE_TABLES=events,customer,supplier,part,orders,lineitem,nation,region \
-  SPARK_GRAFT_SCALE_ONLY=q1_pricing_summary,q9_product_profit,q21_waiting_suppliers,q_session_stats,q_upsert_cdc \
+  SPARK_GRAFT_SCALE_ONLY=q1_pricing_summary,q9_product_profit,q21_waiting_suppliers,q_session_stats,q_upsert_cdc,q_asof_join,q_range_join,q_topk_per_group \
   step sf10_rel "BENCH_${RN}_sf10_relational.json" sbt -batch "runMain graft.BenchScale BENCH_${RN}_sf10_relational.json"
+
+# 6. production-vocab BPE training point (r12 VERDICT #5): 1024 merges at
+# batchM=64 on sf0.1 documents — commits round count + wall time; the main
+# exits non-zero if the V/M round law fails, which step() surfaces.
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+  step bpe "BENCH_${RN}_bpe.json" sbt -batch "runMain graft.BpeBench BENCH_${RN}_bpe.json"
 
 echo ALL_BENCHES_DONE
