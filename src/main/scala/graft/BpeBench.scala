@@ -38,11 +38,13 @@ object BpeBench {
     // than batchM because symbol-disjointness caps a round at ~vocab/2
     // pairs and the top pairs collide on hot symbols (space, 'e') — a
     // vocabulary warm-up that is steep only while vocab < 2·batchM
-    // (measured: 128 merges @ M=64 on sf0.01 = 7 rounds vs floor 2, i.e.
-    // +5 warm-up rounds; warm-up shrinks RELATIVELY as V/M grows). The
-    // committed bound is floor + 8: generous to warm-up, still two orders
-    // under the O(V) sequential regression this gate exists to forbid.
-    val bound = (nMerges + batchM - 1) / batchM + 8
+    // (measured: 128 merges @ M=64 on sf0.01 = 7 rounds vs floor 2;
+    // 1024 @ M=64 on sf0.1 = 24 rounds vs floor 16 — warm-up shrinks
+    // RELATIVELY as V/M grows). The committed bound is floor + 10:
+    // the measured warm-up (+8) with margin for corpus regeneration,
+    // still ~40x under the O(V) sequential regression this exists to
+    // forbid (24 scans vs 1024).
+    val bound = (nMerges + batchM - 1) / batchM + 10
     val ok = trained.merges.size == nMerges && trained.rounds <= bound
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val json = s"""{"metric":"bpe_train","value":${fmt(sec)},"unit":"sec"""" +
