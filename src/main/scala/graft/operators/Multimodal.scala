@@ -186,7 +186,23 @@ object Multimodal {
     * same trait, same per-partition construction, exercised end-to-end by
     * the `mm_decode_real` gate query on deterministic synthetic PNGs.
     */
+  /** One-time per-JVM ImageIO configuration: ImageIO defaults to
+    * DISK-backed stream caches, so every encode/decode creates and deletes
+    * a temp file under java.io.tmpdir. Invisible at spec scale; at corpus
+    * scale it is a super-linear cliff — the r13 byte-adjudicated growth
+    * gate measured mm_decode_real at 22.7× time on 10.3× bytes into the
+    * 100× tier (≈1M temp-file create/deletes churning one directory's
+    * metadata across 32 threads). Memory-cached streams restore
+    * byte-linearity; media payloads here are KB-sized, so the memory cost
+    * is nil. Referenced from every encode/decode entry point so any
+    * executor JVM configures itself on first use.
+    */
+  private object ImageIoConfig {
+    javax.imageio.ImageIO.setUseCache(false)
+  }
+
   final class ImageIoDecoder extends MediaDecoder {
+    ImageIoConfig
     override def decode(mediaType: String, payload: Array[Byte]): MediaFeatures.Raw = {
       // NonFatal, not just IOException: the JDK codec plugins throw runtime
       // exceptions (IndexOutOfBounds, NegativeArraySize, CMMException, …) on
@@ -225,6 +241,7 @@ object Multimodal {
     * media column to decode).
     */
   def syntheticPng(id: Long): Array[Byte] = {
+    ImageIoConfig // memory-cached streams — see the object's scaladoc
     // floorMod: Scala % yields negative remainders for negative ids, which
     // would make w = 1 and the gradient divide 0/0. The SQL dual's closed
     // form applies to the (non-negative) fixture id domain; floorMod keeps
