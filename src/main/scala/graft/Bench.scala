@@ -111,6 +111,54 @@ object Bench {
     (root.path("sf").asText(root.path("scale").asText("")), qs)
   }
 
+  /** Classify this run's per-query minima against a committed LARGER-tier
+    * reference. An inversion (this SF slower than 10× the data, same code)
+    * is physically impossible except as measurement noise or host
+    * contention. `marginal`: fixed-cost sub-second queries barely grow with
+    * data, so min-of-N noise flips the sign — weather, present on a quiet
+    * host (the r6 judge's own clean re-run had 6). STRUCTURAL: >1.5× AND
+    * >0.5 s over the big-tier time — comfortably past fixed-cost spread,
+    * far under the real contention signature's 3-13× (r6: 9.07 s vs
+    * 0.67 s). Pure so BenchInversionSpec can drive it with fake ledgers.
+    * Returns (raw inversion count, structural query names).
+    */
+  def classifyInversions(results: Seq[(String, Double)],
+      refTimes: Map[String, Double]): (Int, Seq[String]) = {
+    val inv = results.collect {
+      case (name, v) if v >= 0 && refTimes.get(name).exists(r => r >= 0 && v > r) =>
+        (name, v, refTimes(name))
+    }
+    val structural = inv.collect {
+      case (name, v, r) if v > r * 1.5 && v - r > 0.5 => name
+    }
+    (inv.size, structural)
+  }
+
+  /** The acceptance decision for one completed timed pass (r13 VERDICT #1:
+    * the official 159 s artifact had clean probes, attempts:1 — and 13
+    * structural inversions; a run the tooling could prove absurd became
+    * the round's number because only probes gated acceptance). A pass is
+    * clean only when BOTH probes are quiet AND no structural inversions
+    * exist; either failure mode retries the whole suite identically.
+    */
+  def passClean(probeBefore: Double, probeAfter: Double, probeMax: Double,
+      structuralCount: Int): Boolean =
+    probeBefore <= probeMax && probeAfter <= probeMax && structuralCount == 0
+
+  /** Larger-tier reference for the inversion check: SPARK_GRAFT_BENCH_REF,
+    * else the newest committed BENCH_r*_sf1.json in cwd. */
+  def resolveInversionRef(): Option[java.io.File] =
+    sys.env.get("SPARK_GRAFT_BENCH_REF").map(new java.io.File(_))
+      .filter(_.isFile)
+      .orElse {
+        val cwd = new java.io.File(".").getAbsoluteFile.getParentFile
+        val round = "BENCH_r(\\d+)_sf1\\.json".r
+        Option(cwd.listFiles((_, n) => round.matches(n)))
+          // numeric round order: lexicographic would rank r10 before r7
+          .flatMap(_.sortBy(f => f.getName match { case round(n) => n.toInt case _ => -1 })
+            .lastOption)
+      }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // "noop" (default) is the honest action; "count" reproduces the
@@ -187,22 +235,54 @@ object Bench {
           else { val s = times.sorted; (s((s.size - 1) / 2) + s(s.size / 2)) / 2 }
         (name, if (times.isEmpty) -1.0 else times.min, med)
       }
+    // Larger-tier reference for the per-attempt inversion gate. Resolved
+    // once (the committed artifact doesn't change mid-run); None when
+    // absent or when it IS this run's SF (tier runs referencing themselves).
+    val invRef: Option[(String, String, Map[String, Double])] =
+      resolveInversionRef().flatMap { f =>
+        try {
+          val (refSf, refTimes) = readBenchArtifact(f)
+          if (refSf == sfDir) None else Some((f.getName, refSf, refTimes))
+        } catch { case _: Throwable => None }
+      }
     var attempt = 0
     var probeBefore = 0.0
     var probeAfter = 0.0
     var results: Seq[(String, Double, Double)] = Seq.empty
+    var invCount = 0
+    var structural: Seq[String] = Seq.empty
     var clean = false
     while (!clean && attempt < maxAttempts) {
       attempt += 1
       probeBefore = quietProbe()
       results = timedPass()
       probeAfter = calibrationProbe()
-      clean = probeBefore <= probeMax && probeAfter <= probeMax
-      if (!clean) System.err.println(
-        s"[bench] attempt $attempt contended (probes $probeBefore/$probeAfter > $probeMax)" +
-          (if (attempt < maxAttempts) " — retrying the whole timed pass"
-           else " — giving up, artifact stamped contended"))
+      // Structural inversions gate acceptance exactly like dirty probes
+      // (r13 VERDICT #1: a 13-inversion run with clean probes became the
+      // official number because only probes were checked).
+      val classified = invRef match {
+        case Some((_, _, refTimes)) =>
+          classifyInversions(results.map { case (n, v, _) => (n, v) }, refTimes)
+        case None => (0, Seq.empty[String])
+      }
+      invCount = classified._1
+      structural = classified._2
+      clean = passClean(probeBefore, probeAfter, probeMax, structural.size)
+      if (!clean) {
+        val why =
+          (if (probeBefore > probeMax || probeAfter > probeMax)
+             Seq(s"probes $probeBefore/$probeAfter > $probeMax") else Seq.empty) ++
+          (if (structural.nonEmpty)
+             Seq(s"${structural.size} structural inversions vs ${invRef.map(_._1).getOrElse("?")}: ${structural.take(5).mkString(",")}")
+           else Seq.empty)
+        System.err.println(
+          s"[bench] attempt $attempt rejected (${why.mkString("; ")})" +
+            (if (attempt < maxAttempts) " — retrying the whole timed pass"
+             else " — giving up, artifact stamped"))
+      }
     }
+    val probesClean = probeBefore <= probeMax && probeAfter <= probeMax
+    val inverted = structural.nonEmpty
     // 3-decimal (ms) precision: sub-ms digits are pure noise at these
     // scales, and the shorter line keeps the whole JSON inside the driver's
     // bounded stdout-tail capture (full-precision lines were truncated in
@@ -215,57 +295,24 @@ object Bench {
     // total over SUCCESSFUL queries only: summing the -1 failure sentinels
     // would report a phantom speedup of ~1s per failed query
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
-    // Inversion self-check: a query at this SF running SLOWER than the same
-    // code on the committed larger-tier artifact is physically impossible —
-    // each one is direct in-artifact evidence of host contention during
-    // THIS run. Ref = SPARK_GRAFT_BENCH_REF, else the newest committed
-    // BENCH_r*_sf1.json in cwd; skipped (null) when the ref is this run's
-    // own SF or absent.
-    val inversions: String = {
-      val ref = sys.env.get("SPARK_GRAFT_BENCH_REF").map(new java.io.File(_))
-        .filter(_.isFile)
-        .orElse {
-          val cwd = new java.io.File(".").getAbsoluteFile.getParentFile
-          val round = "BENCH_r(\\d+)_sf1\\.json".r
-          Option(cwd.listFiles((_, n) => round.matches(n)))
-            // numeric round order: lexicographic would rank r10 before r7
-            .flatMap(_.sortBy(f => f.getName match { case round(n) => n.toInt case _ => -1 })
-              .lastOption)
-        }
-      ref.flatMap { f =>
-        try {
-          val (refSf, refTimes) = readBenchArtifact(f)
-          if (refSf == sfDir) None
-          else {
-            // marginal: a fixed-cost sub-second query barely grows with
-            // data (profiled: text_unigram_kl runs ~0.55 s at BOTH tiers
-            // with ±30% spread), so min-of-N noise flips the sign — that is
-            // measurement weather, present even on a quiet host (the r6
-            // judge's own clean re-run had 6). STRUCTURAL: this SF
-            // meaningfully slower than 10× the data (>1.5× AND >0.5 s
-            // over — comfortably past fixed-cost spread, far under the real
-            // contention signature's 3-13×, e.g. r6's official 9.07 s vs
-            // 0.67 s) — physically impossible, the host-contention mark
-            // that invalidated two rounds' official artifacts. A clean run
-            // means structural == 0; raw count is reported for continuity.
-            val inv = results.collect {
-              case (name, v, _) if v >= 0 && refTimes.get(name).exists(r => r >= 0 && v > r) =>
-                (name, v, refTimes(name))
-            }
-            val structural = inv.collect {
-              case (name, v, r) if v > r * 1.5 && v - r > 0.5 => name
-            }
-            val names = structural.take(10).map("\"" + _ + "\"").mkString("[", ",", "]")
-            Some(s"""{"ref":"${f.getName}","count":${inv.size},"structural":${structural.size},"structural_names":$names}""")
-          }
-        } catch { case _: Throwable => None }
-      }.getOrElse("null")
+    // Inversion record (computed per-attempt inside the loop above — it
+    // now GATES acceptance rather than being recorded post-hoc): null when
+    // no cross-tier reference resolved.
+    val inversions: String = invRef match {
+      case Some((refName, _, _)) =>
+        val names = structural.take(10).map("\"" + _ + "\"").mkString("[", ",", "]")
+        s"""{"ref":"$refName","count":$invCount,"structural":${structural.size},"structural_names":$names}"""
+      case None => "null"
     }
     // reps/agg: methodology marker — rounds 1-2 reported a single timed run,
     // round 3+ the min of 2; cross-round comparisons can detect the change.
     // calibration: fixed-work probe seconds before/after the suite — compare
     // against the committed uncontended ledger value to adjudicate the run.
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"agg":"min","action":"$actionName","contended":${!clean},"attempts":$attempt,"calibration":{"before":${fmt(probeBefore)},"after":${fmt(probeAfter)}},"inversions":$inversions,"queries":$qs,"queries_median":$qsMed,"bytes":${bytesJson(bytesRead)},"sf":"$sfDir"}"""
+    // contended = the PROBES were dirty on the final attempt; inverted =
+    // structural inversions persisted through every retry. Distinct stamps:
+    // roundcheck refuses either, but they implicate different causes
+    // (co-tenant load vs something slow inside this JVM's own run).
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"agg":"min","action":"$actionName","contended":${!probesClean},"inverted":$inverted,"attempts":$attempt,"calibration":{"before":${fmt(probeBefore)},"after":${fmt(probeAfter)}},"inversions":$inversions,"queries":$qs,"queries_median":$qsMed,"bytes":${bytesJson(bytesRead)},"sf":"$sfDir"}"""
     // Truncation-proofing: the driver captures stdout's tail, which has
     // clipped the head of this (long) line in past rounds. Persist the full
     // JSON to a file first, then print it — the artifact on disk is always
@@ -282,18 +329,19 @@ object Bench {
       (json + "\n").getBytes("UTF-8"),
       java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
     catch { case _: Throwable => () }
-    println(json)
-    // Trailing health line (r10 VERDICT #6): the per-query JSON above is
-    // long and the driver captures a bounded stdout TAIL — a truncated
-    // capture used to lose the leading calibration field, so a polluted run
-    // was indistinguishable from a clean one. This compact second line
-    // always fits in the tail and carries the run-health signal on its own.
+    // Print order matters (r13 VERDICT #4, third round of "parsed":null):
+    // the driver captures a bounded stdout TAIL, which always retains the
+    // LAST lines and clips the earliest. Health line FIRST (compact,
+    // survives even a tiny tail), full per-query JSON LAST — so any tail
+    // that holds anything holds the full record, and roundcheck no longer
+    // needs its bench_history rescue.
     // count only queries that actually timed — a -1 all-reps-failed
     // sentinel must show up as a smaller queries_timed here (BenchScale
     // already counts this way; the two callers must agree)
     println(healthLine(probeBefore, probeAfter, total, reps,
       results.count(_._2 >= 0),
-      extra = s""","contended":${!clean},"attempts":$attempt"""))
+      extra = s""","contended":${!probesClean},"inverted":$inverted,"attempts":$attempt"""))
+    println(json)
     spark.stop()
   }
 

@@ -22,6 +22,32 @@ class BenchCalibrationSpec extends AnyFunSuite {
       s"warm probe minima disagree: $a vs $b — fixed work should be stable")
   }
 
+  test("a structurally-inverted ledger forces a retry even with clean probes") {
+    // The r13 failure mode verbatim: official run had clean probes
+    // (0.604/0.571), attempts:1 — and q7 at 8.9 s vs 4.2 s on 100× the
+    // data. classifyInversions must flag it structural and passClean must
+    // reject the pass (→ Bench's attempt loop retries).
+    val ref = Map("q7_nation_volume" -> 4.2, "q1_agg" -> 1.0, "q_small" -> 0.55)
+    val results = Seq(
+      ("q7_nation_volume", 8.9), // >1.5x and >0.5s over → structural
+      ("q1_agg", 0.9),           // faster than ref → not an inversion
+      ("q_small", 0.60))         // slower but inside fixed-cost spread → marginal
+    val (count, structural) = Bench.classifyInversions(results, ref)
+    assert(count == 2, "q7 and q_small are raw inversions")
+    assert(structural == Seq("q7_nation_volume"))
+    assert(!Bench.passClean(0.604, 0.571, 0.65, structural.size),
+      "clean probes must NOT accept a structurally-inverted pass")
+    assert(Bench.passClean(0.604, 0.571, 0.65, 0))
+    assert(!Bench.passClean(0.9, 0.5, 0.65, 0), "dirty probe still rejects")
+  }
+
+  test("classifyInversions ignores failed reps and missing ref entries") {
+    val ref = Map("a" -> 1.0, "b" -> -1.0)
+    val results = Seq(("a", -1.0), ("b", 9.0), ("c", 9.0))
+    // a failed this run; b failed in the ref; c absent from ref — none count
+    assert(Bench.classifyInversions(results, ref) == ((0, Seq.empty)))
+  }
+
   test("readBenchArtifact parses both sf- and scale-keyed artifacts") {
     val f = java.io.File.createTempFile("bench", ".json")
     f.deleteOnExit()

@@ -166,6 +166,11 @@ def main():
         if structural:
             bad = True
             print(f"!! {structural} structural bench inversions: {names}")
+        if full is not None and full.get("inverted") is True:
+            bad = True
+            print(f"!! BENCH_r{cur:02d} is stamped inverted=true — Bench "
+                  f"retried and the inversions persisted; the artifact is "
+                  f"refused as the round's number")
         print(f"== BENCH r{cur:02d}: total {total}s"
               f" ({'full' if full else 'truncated tail'} artifact)")
 
@@ -218,6 +223,12 @@ def main():
             bad = True
             print(f"!! {name} is stamped contended=true "
                   f"(attempts={art.get('attempts')}) — re-run it solo")
+        if art.get("inverted") is True:
+            bad = True
+            print(f"!! {name} is stamped inverted=true (structural "
+                  f"inversions persisted through every retry, "
+                  f"attempts={art.get('attempts')}) — the run is refused; "
+                  f"re-run it solo")
         cal = art.get("calibration") or {}
         dirty = {k: v for k, v in cal.items()
                  if isinstance(v, (int, float)) and v > PROBE_MAX}
