@@ -527,7 +527,15 @@ object VectorIndex extends org.apache.spark.internal.Logging {
     // One lease spans the whole batch — recovery, replay check, append, and
     // auto-compaction — so a manual maintenance op cannot interleave with a
     // half-finished micro-batch (the inner calls re-enter this lease).
-    withWriterLease(s, path, "appendSink") {
+    // Acquisition RETRIES with bounded backoff instead of failing fast: the
+    // stream-identity contract above explicitly supports multiple checkpoint
+    // lineages feeding one index, and their micro-batches may overlap — a
+    // fail-fast would terminate the losing lineage's whole streaming query,
+    // when all it needs is serialization. A lease still held past
+    // spark.graft.index.sinkLeaseWaitMs (default 10 min) rethrows: by then
+    // the holder is either dead (its TTL reclaim will fire) or wedged, and
+    // the stream SHOULD surface the failure.
+    withWriterLeaseRetry(s, path, "appendSink") {
       // Self-recovery BEFORE anything reads the codes path: a crash inside a
       // previous batch's auto-compaction leaves the half-swap state (no
       // codes/ directory), and batchApplied's data-derived fallback would
@@ -660,14 +668,41 @@ object VectorIndex extends org.apache.spark.internal.Logging {
   private def leaseFile(path: String) =
     new org.apache.hadoop.fs.Path(s"$path/maintenance_lease")
 
+  /** Thrown on exit from a maintenance op whose lease was observed held by
+    * ANOTHER writer mid-op (the TTL reclaim fired against a live-but-slow
+    * holder — e.g. a long encode inside [[reindex]] starved the heartbeat
+    * past the TTL). The op's mutations may have interleaved with the
+    * reclaimer's; the index should be verified ([[refreshOccupancy]], the
+    * recovery entry points) before further maintenance. The heartbeat
+    * (period ttl/3) makes this practically unreachable for healthy JVMs —
+    * it exists so the failure is LOUD, never silent.
+    */
+  final case class LostIndexLeaseException(path: String, op: String,
+      holder: String, observed: String) extends RuntimeException(
+    s"maintenance lease on $path was lost mid-$op: this writer is [$holder] " +
+      s"but the lease now reads [$observed] — the TTL reclaim fired against " +
+      "a live holder; mutations may have interleaved, verify the index " +
+      "before further maintenance")
+
   /** Run `body` holding the index's exclusive maintenance lease — a lease
     * file created with create-exclusive semantics (atomic on HDFS and on
     * the local fs), carrying holder id + op + wall time. A second writer
     * fails fast with [[ConcurrentIndexWriterException]]; a lease whose file
     * age exceeds `spark.graft.index.leaseTtlMs` (default 10 min) belongs to
-    * a crashed holder and is reclaimed. Readers (loadCodes/searchAdc*) are
-    * NOT serialized by the lease — the brief swap windows of compact/split/
-    * reindex remain documented reader hazards, as before.
+    * a crashed holder and is reclaimed (via an atomic rename-to-tombstone,
+    * so two reclaimers can never both win, and a fresh lease that slipped
+    * in under the staleness check is put back untouched).
+    *
+    * While `body` runs, a daemon HEARTBEAT thread re-stamps the lease every
+    * ttl/3, so a live holder's lease never goes stale no matter how long
+    * the op runs — the TTL only ever reclaims genuinely dead holders. On
+    * release, the lease is deleted ONLY if this writer still owns it; a
+    * foreign lease (the reclaim fired anyway — e.g. the whole JVM was
+    * paused past the TTL) is left in place for its rightful holder and the
+    * op exits loudly with [[LostIndexLeaseException]].
+    *
+    * Readers (loadCodes/searchAdc*) are NOT serialized by the lease; their
+    * consistency across swaps is the generation manifest's job.
     */
   private[graft] def withWriterLease[A](s: SparkSession, path: String,
       op: String)(body: => A): A = {
@@ -676,22 +711,112 @@ object VectorIndex extends org.apache.spark.internal.Logging {
       depths(path) += 1
       try body finally { depths(path) -= 1; () }
     } else {
-      acquireLease(s, path, op)
+      val ttlMs = leaseTtlMs(s)
+      val holder = acquireLease(s, path, op, ttlMs)
+      val fs = hadoopFs(s, path)
+      val p = leaseFile(path)
+      val ownerTag = s"$holder $op"
+      val lost = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val stop = new java.util.concurrent.CountDownLatch(1)
+      val beat = new Thread(() => {
+        val period = math.max(ttlMs / 3, 100L)
+        var live = true
+        while (live && !stop.await(period, java.util.concurrent.TimeUnit.MILLISECONDS)) {
+          try {
+            if (readLease(fs, p).exists(_.startsWith(ownerTag))) {
+              val out = fs.create(p, true) // still ours: re-stamp (mtime bump)
+              try out.write(s"$ownerTag ${System.currentTimeMillis()}\n".getBytes("UTF-8"))
+              finally out.close()
+            } else { lost.set(true); live = false } // reclaimed under us — go loud
+          } catch { case _: java.io.IOException => () } // transient; next beat retries
+        }
+      }, s"graft-lease-heartbeat-$op")
+      beat.setDaemon(true)
+      beat.start()
       depths(path) = 1
-      try body finally {
+      // ownership-checked release: delete ONLY a lease this writer still
+      // owns — deleting blindly would evict a reclaimer that took over
+      // mid-op and silently admit a third writer. Idempotent (success path
+      // releases eagerly so it can THROW on a foreign lease; the finally
+      // re-runs it non-throwing for the exception path).
+      var releaseDone = false
+      def release(throwOnForeign: Boolean): Unit = if (!releaseDone) {
+        releaseDone = true
+        readLease(fs, p) match {
+          case Some(content) if content.startsWith(ownerTag) =>
+            try { fs.delete(p, false); () } catch { case _: java.io.IOException => () }
+          case Some(content) =>
+            val msg = s"maintenance lease on $path held by [$content] at " +
+              s"release of $op by [$holder] — leaving it in place; the TTL " +
+              "reclaim fired against this live holder"
+            if (throwOnForeign) throw LostIndexLeaseException(path, op, holder, content)
+            else logError(msg)
+          case None => () // already gone (reclaim in flight) — nothing to release
+        }
+      }
+      try {
+        val r = body
+        stop.countDown(); beat.join(2000)
+        if (lost.get()) // heartbeat saw the reclaim first — abort loudly
+          throw LostIndexLeaseException(path, op, holder,
+            readLease(fs, p).getOrElse("<missing>"))
+        release(throwOnForeign = true)
+        r
+      } finally {
         depths.remove(path)
-        try { hadoopFs(s, path).delete(leaseFile(path), false); () }
+        stop.countDown(); beat.join(2000)
+        try release(throwOnForeign = false)
         catch { case _: java.io.IOException => () }
       }
     }
   }
 
-  private def acquireLease(s: SparkSession, path: String, op: String): Unit = {
+  /** [[withWriterLease]] with bounded-backoff retry on contention — the
+    * streaming-sink acquisition mode (see [[appendSink]]): micro-batches
+    * from concurrent lineages serialize instead of killing each other's
+    * query. Backoff doubles 250 ms → 5 s; gives up (rethrowing the
+    * contention) after `spark.graft.index.sinkLeaseWaitMs` (default 10 min,
+    * = the default lease TTL, so a dead holder is always outlasted).
+    */
+  private[graft] def withWriterLeaseRetry[A](s: SparkSession, path: String,
+      op: String)(body: => A): A = {
+    val maxWaitMs = scala.util.Try(
+      s.conf.get("spark.graft.index.sinkLeaseWaitMs", "600000").toLong)
+      .getOrElse(600000L)
+    val deadline = System.currentTimeMillis() + maxWaitMs
+    var backoff = 250L
+    while (true) {
+      try return withWriterLease(s, path, op)(body)
+      catch {
+        case e: ConcurrentIndexWriterException =>
+          if (System.currentTimeMillis() + backoff > deadline) throw e
+          Thread.sleep(backoff)
+          backoff = math.min(backoff * 2, 5000L)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def leaseTtlMs(s: SparkSession): Long = scala.util.Try(
+    s.conf.get("spark.graft.index.leaseTtlMs", "600000").toLong)
+    .getOrElse(600000L)
+
+  private def readLease(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Option[String] =
+    try {
+      val in = fs.open(p)
+      try {
+        val buf = new Array[Byte](256)
+        val n = in.read(buf)
+        Some(new String(buf, 0, math.max(n, 0), "UTF-8").trim)
+      } finally in.close()
+    } catch { case _: java.io.IOException => None }
+
+  /** @return the holder id stamped into the acquired lease */
+  private def acquireLease(s: SparkSession, path: String, op: String,
+      ttlMs: Long): String = {
     val fs = hadoopFs(s, path)
     val p = leaseFile(path)
-    val ttlMs = scala.util.Try(
-      s.conf.get("spark.graft.index.leaseTtlMs", "600000").toLong)
-      .getOrElse(600000L)
     val holder = java.lang.management.ManagementFactory.getRuntimeMXBean.getName +
       "/t" + Thread.currentThread().getId
     def tryCreate(): Boolean =
@@ -706,20 +831,53 @@ object VectorIndex extends org.apache.spark.internal.Logging {
       val stale =
         try System.currentTimeMillis() - fs.getFileStatus(p).getModificationTime > ttlMs
         catch { case _: java.io.FileNotFoundException => true } // holder just released
-      val reclaimed = stale && {
-        try { fs.delete(p, false); () } catch { case _: java.io.IOException => () }
-        tryCreate() // another reclaimer may win the re-create — that's fine
+      val reclaimed = stale && tryReclaim(fs, p, ttlMs) && {
+        // another reclaimer may win the re-create — that's fine (exactly one
+        // writer emerges either way)
+        tryCreate()
       }
       if (!reclaimed) {
-        val h = try {
-          val in = fs.open(p)
-          try {
-            val buf = new Array[Byte](256)
-            val n = in.read(buf)
-            new String(buf, 0, math.max(n, 0), "UTF-8").trim
-          } finally in.close()
-        } catch { case _: java.io.IOException => "unreadable lease" }
-        throw ConcurrentIndexWriterException(path, op, h)
+        throw ConcurrentIndexWriterException(path, op,
+          readLease(fs, p).getOrElse("unreadable lease"))
+      }
+    }
+    holder
+  }
+
+  /** Atomic stale-lease steal, closing the check-then-act race: RENAME the
+    * lease to a unique tombstone (exactly one contender's rename succeeds —
+    * the source vanishes for everyone else), then RE-VERIFY staleness on
+    * the tombstone (rename preserves mtime): if a fresh lease slipped in
+    * between the caller's staleness read and our rename, it is put straight
+    * back and the steal is abandoned. Returns true when the path is clear
+    * for a create attempt.
+    */
+  private def tryReclaim(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, ttlMs: Long): Boolean = {
+    val tomb = new org.apache.hadoop.fs.Path(p.getParent,
+      p.getName + ".reclaim." + System.nanoTime() + "." + Thread.currentThread().getId)
+    val renamed = try fs.rename(p, tomb)
+      catch { case _: java.io.IOException => false }
+    if (!renamed) {
+      // source vanished: the holder released or another reclaimer won the
+      // rename — either way the path may now be free; let create decide
+      try !fs.exists(p) catch { case _: java.io.IOException => false }
+    } else {
+      val stillStale = try
+        System.currentTimeMillis() - fs.getFileStatus(tomb).getModificationTime > ttlMs
+        catch { case _: java.io.IOException => false }
+      if (stillStale) {
+        try { fs.delete(tomb, false); () } catch { case _: java.io.IOException => () }
+        true
+      } else {
+        // we stole a FRESH lease (holder re-stamped between check and
+        // rename) — restore it; if its owner already re-created one, drop
+        // the duplicate tombstone instead
+        try { if (!fs.rename(tomb, p)) fs.delete(tomb, false); () }
+        catch { case _: java.io.IOException =>
+          try { fs.delete(tomb, false); () } catch { case _: java.io.IOException => () }
+        }
+        false
       }
     }
   }

@@ -37,10 +37,18 @@ private[queries] object AnnFixtures {
   private final case class QuantRows(cents: (Seq[Row], StructType),
       csubs: (Seq[Row], StructType))
 
+  // Keyed by the FULL operating point, not the data dir alone: a caller
+  // passing different PqParams (or a future kCells/iters change) must get
+  // its own fixture, never the first-seen params' csubs silently re-stamped
+  // with its pq — a wrong subspace layout with no error.
+  private final case class FixtureKey(dir: String, pq: PqParams,
+      kCells: Int, iters: Int)
+  private def keyOf(dir: String, pq: PqParams) =
+    FixtureKey(dir, pq, kCells, iters)
   private val quantCache =
-    new java.util.concurrent.ConcurrentHashMap[String, QuantRows]()
+    new java.util.concurrent.ConcurrentHashMap[FixtureKey, QuantRows]()
   private val indexCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new java.util.concurrent.ConcurrentHashMap[FixtureKey, String]()
 
   private def embOf(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
@@ -52,7 +60,7 @@ private[queries] object AnnFixtures {
     s.createDataFrame(java.util.Arrays.asList(rows._1: _*), rows._2)
 
   private def quantRows(s: SparkSession, dir: String, pq: PqParams): QuantRows =
-    quantCache.computeIfAbsent(dir, _ => {
+    quantCache.computeIfAbsent(keyOf(dir, pq), _ => {
       val quant = VectorIndex.train(embOf(s, dir), col("vec_id"), col("embedding"),
         kCells = kCells, iters = iters, pq = pq)
       val out = QuantRows(rowsOf(quant.cents), rowsOf(quant.csubs))
@@ -86,7 +94,7 @@ private[queries] object AnnFixtures {
     * [[copyIndex]].
     */
   def indexPath(s: SparkSession, dir: String, pq: PqParams): String =
-    indexCache.computeIfAbsent(dir, _ => {
+    indexCache.computeIfAbsent(keyOf(dir, pq), _ => {
       val path = java.nio.file.Files
         .createTempDirectory("graft_ann_shared_index").toString
       val quant = quantizer(s, dir, pq)

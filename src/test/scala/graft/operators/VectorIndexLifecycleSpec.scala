@@ -427,6 +427,111 @@ class VectorIndexLifecycleSpec extends AnyFunSuite {
     assert(maxCell == 10L, s"the irreducible duplicate group must be the hot cell, got $maxCell")
   }
 
+  test("lease release is ownership-checked: a reclaimed lease survives release and the op aborts loudly") {
+    // r13 ADVICE (medium): a writer whose op outlives the TTL kept mutating
+    // after a reclaimer took over, and its finally-block deleted the
+    // RECLAIMER's lease — silently admitting a third writer. Now the
+    // release deletes only a lease this writer still owns, and an op that
+    // lost its lease exits with LostIndexLeaseException instead of
+    // pretending it completed cleanly.
+    val path = tmp("graft_lease_own")
+    build(bimodalCorpus(), path)
+    val fs = fsOf(path)
+    val ex = intercept[VectorIndex.LostIndexLeaseException] {
+      VectorIndex.withWriterLease(spark, path, "slow-op") {
+        // simulate the TTL reclaim firing mid-op: a reclaimer replaces the
+        // lease with its own
+        val out = fs.create(hp(path, "maintenance_lease"), true)
+        out.write("reclaimer-holder reclaimed-op 0\n".getBytes("UTF-8")); out.close()
+      }
+    }
+    assert(ex.observed.startsWith("reclaimer-holder"))
+    // the reclaimer's lease must survive this writer's release
+    val content = {
+      val in = fs.open(hp(path, "maintenance_lease"))
+      try { val b = new Array[Byte](64); val n = in.read(b); new String(b, 0, n, "UTF-8") }
+      finally in.close()
+    }
+    assert(content.startsWith("reclaimer-holder"),
+      "release must never delete a lease it does not own")
+    fs.delete(hp(path, "maintenance_lease"), false)
+  }
+
+  test("lease heartbeat: a live holder's lease never goes stale, however long the op runs") {
+    // r13 VERDICT #7: the TTL reclaim could fire against an alive-but-slow
+    // holder (a long encode inside reindex). The heartbeat re-stamps the
+    // lease every ttl/3, so a contender arriving after 2x the TTL still
+    // sees a FRESH lease and fails fast instead of reclaiming.
+    val path = tmp("graft_lease_beat")
+    build(bimodalCorpus(), path)
+    spark.conf.set("spark.graft.index.leaseTtlMs", "900")
+    try {
+      val started = new java.util.concurrent.CountDownLatch(1)
+      val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      val holder = new Thread(() =>
+        try VectorIndex.withWriterLease(spark, path, "slow-holder") {
+          started.countDown()
+          Thread.sleep(2500) // ~3x the TTL: without heartbeats this lease is long stale
+        } catch { case t: Throwable => failure.set(t) })
+      holder.start()
+      assert(started.await(30, java.util.concurrent.TimeUnit.SECONDS))
+      Thread.sleep(2000) // let the TTL elapse twice over
+      intercept[VectorIndex.ConcurrentIndexWriterException] {
+        VectorIndex.refreshOccupancy(spark, path) // must NOT reclaim a heartbeating lease
+      }
+      holder.join()
+      assert(failure.get() == null,
+        s"the slow holder must complete cleanly (lease never lost): ${failure.get()}")
+      VectorIndex.refreshOccupancy(spark, path) // released: next writer proceeds
+    } finally spark.conf.unset("spark.graft.index.leaseTtlMs")
+  }
+
+  test("appendSink serializes on a held lease with backoff instead of killing the stream") {
+    // r13 ADVICE (medium): two live lineages' micro-batches can overlap;
+    // fail-fast inside foreachBatch terminated the losing streaming query.
+    // The sink now retries with bounded backoff — the batch lands once the
+    // holder releases.
+    val corpus = bimodalCorpus()
+    val path = tmp("graft_lease_sink")
+    build(corpus, path)
+    val before = VectorIndex.loadCodes(spark, path).select("vec_id").distinct().count()
+    val fresh = corpus.filter(col("vec_id") < 2)
+      .select(col("vec_id") + 500 as "vec_id", col("embedding"))
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val started = new java.util.concurrent.CountDownLatch(1)
+    val holder = new Thread(() =>
+      VectorIndex.withWriterLease(spark, path, "overlapping-lineage") {
+        started.countDown(); release.await()
+      })
+    holder.start()
+    assert(started.await(30, java.util.concurrent.TimeUnit.SECONDS))
+    // release the lease while the sink is backing off
+    new Thread(() => { Thread.sleep(1200); release.countDown() }).start()
+    VectorIndex.appendSink(path, pq, col("vec_id"), col("embedding"),
+      streamId = Some("lineageB"))(fresh, 0L) // must WAIT, then apply
+    holder.join()
+    assert(VectorIndex.loadCodes(spark, path).select("vec_id").distinct().count()
+      == before + 2, "the blocked batch must land after the lease frees")
+
+    // bounded: a lease held past sinkLeaseWaitMs rethrows the contention
+    spark.conf.set("spark.graft.index.sinkLeaseWaitMs", "400")
+    try {
+      val release2 = new java.util.concurrent.CountDownLatch(1)
+      val started2 = new java.util.concurrent.CountDownLatch(1)
+      val holder2 = new Thread(() =>
+        VectorIndex.withWriterLease(spark, path, "wedged-holder") {
+          started2.countDown(); release2.await()
+        })
+      holder2.start()
+      assert(started2.await(30, java.util.concurrent.TimeUnit.SECONDS))
+      intercept[VectorIndex.ConcurrentIndexWriterException] {
+        VectorIndex.appendSink(path, pq, col("vec_id"), col("embedding"),
+          streamId = Some("lineageC"))(fresh, 1L)
+      }
+      release2.countDown(); holder2.join()
+    } finally spark.conf.unset("spark.graft.index.sinkLeaseWaitMs")
+  }
+
   test("selective filtered search: a rare predicate still fills the full top-k when the probed cells hold ≥k matches") {
     // 2 far clusters; queries sit in cluster A; 8 of A's 24 members carry
     // the rare tag (~selective in-cluster, rare globally). nprobe covers
