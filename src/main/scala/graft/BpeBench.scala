@@ -34,17 +34,20 @@ object BpeBench {
       nMerges = nMerges, batchM = batchM, minPairCount = 2L)
     val sec = (System.nanoTime() - t0) / 1e9
     val probeAfter = Bench.calibrationProbe()
-    // ceil(V/M) is the round-count FLOOR; the first rounds adopt fewer
-    // than batchM because symbol-disjointness caps a round at ~vocab/2
-    // pairs and the top pairs collide on hot symbols (space, 'e') — a
-    // vocabulary warm-up that is steep only while vocab < 2·batchM
-    // (measured: 128 merges @ M=64 on sf0.01 = 7 rounds vs floor 2;
-    // 1024 @ M=64 on sf0.1 = 24 rounds vs floor 16 — warm-up shrinks
-    // RELATIVELY as V/M grows). The committed bound is floor + 10:
-    // the measured warm-up (+8) with margin for corpus regeneration,
-    // still ~40x under the O(V) sequential regression this exists to
-    // forbid (24 scans vs 1024).
-    val bound = (nMerges + batchM - 1) / batchM + 10
+    // The pinned round law (r13 VERDICT #5, derived across four operating
+    // points — see BpeSpec's warm-up-law test for the mechanism): rounds ≤
+    // 2·ceil(V/M) + log2(M) + 2, i.e. scans are O(V/M + log M) — a log2(M)
+    // capacity ramp (a round adopts only symbol-disjoint pairs, whose
+    // supply grows with the vocabulary the adoptions build) plus an
+    // amortized ≥ M/2 adoptions per steady round (Zipf-head disjointness
+    // collisions cost at most half a round's capacity). Measured
+    // rounds-over-floor: 5 @ (128,64), 9 @ (256,128), 8 @ (1024,64) —
+    // grows with both M and V/M, so neither a constant nor a pure log term
+    // is the law; this amortized bound holds all points with margin, while
+    // still forbidding the O(V) sequential regression (24 scans vs 1024 at
+    // the M=64 point).
+    val bound = 2 * ((nMerges + batchM - 1) / batchM) +
+      (math.log(batchM) / math.log(2)).round.toInt + 2
     val ok = trained.merges.size == nMerges && trained.rounds <= bound
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val json = s"""{"metric":"bpe_train","value":${fmt(sec)},"unit":"sec"""" +

@@ -229,13 +229,50 @@ object VectorIndex extends org.apache.spark.internal.Logging {
     * and starving toward <k rows. (Matches fewer than k in the probed
     * cells → fewer rows, like any ANN search; raise nprobe for recall.)
     */
+  /** Observation name under which a PREDICATE-filtered pruned search
+    * reports its top-k starvation: `returned` (result rows that
+    * materialized) vs `expected` (queries × topK). A filtered search
+    * silently returns <k per query when the probed cells hold too few
+    * matches — the one remaining silent cap in the index; this is the
+    * no-silent-caps accounting ([[Dedup.CapObservation]]'s discipline)
+    * that makes it observable. Read with [[prunedShortfall]] after an
+    * action on the returned frame. Unfiltered searches attach nothing
+    * (they under-fill only when the probed cells themselves hold <k
+    * vectors — the plain ANN recall trade, not a cap).
+    */
+  val ShortfallObservation = "ann_pruned_shortfall"
+
   def searchAdcPruned(codes: DataFrame, quant: IvfadcQuantizer, queries: DataFrame,
       nprobe: Int, topK: Int, predicate: Option[Column]): DataFrame = {
     val cells = probeFrame(queries, quant.cents, nprobe)
       .select(col("cell")).distinct().collect().map(_.get(0))
     val pruned = codes.filter(col("cell").isin(cells.toSeq: _*))
-    searchAdc(predicate.fold(pruned)(pruned.filter), quant, queries, nprobe, topK)
+    val result = searchAdc(predicate.fold(pruned)(pruned.filter), quant, queries, nprobe, topK)
+    predicate.fold(result) { _ =>
+      // queries is the (small) serving batch and this method is already
+      // driver-interactive (the probe-cell collect above) — one count on it
+      // pins the expected row total into the observation, so the metric is
+      // well-defined even when EVERY query starves to zero rows (count
+      // aggregates never null; 0·count keeps the expression aggregate-legal)
+      val expected = queries.count() * topK
+      result.observe(ShortfallObservation,
+        count(lit(1)).as("returned"),
+        (lit(expected) + count(lit(1)) * 0L).as("expected"))
+    }
   }
+
+  /** Starvation accounting of an EXECUTED predicate-filtered
+    * [[searchAdcPruned]] frame (run an action first — observed metrics
+    * materialize with the action): Some(expected − returned), i.e. how many
+    * of the queries×topK result slots the probed cells could not fill; None
+    * if no filtered-search observation is in the plan or it has not
+    * executed. A persistent nonzero shortfall under a selective predicate
+    * is the raise-nprobe / partition-by-label signal.
+    */
+  def prunedShortfall(executed: DataFrame): Option[Long] =
+    executed.queryExecution.observedMetrics.get(ShortfallObservation)
+      .map(r => r.getAs[Number]("expected").longValue() -
+        r.getAs[Number]("returned").longValue())
 
   /** Persist quantizer + codes. Codes are laid out partitioned by `cell`,
     * so a search probing `nprobe` of `k` cells can prune its scan to
@@ -245,23 +282,40 @@ object VectorIndex extends org.apache.spark.internal.Logging {
     * its own skew accounting from birth.
     */
   def write(quant: IvfadcQuantizer, codes: DataFrame, path: String): Unit = {
-    quant.cents.write.mode("overwrite").parquet(s"$path/cents")
-    quant.csubs.write.mode("overwrite").parquet(s"$path/codebook")
-    // cluster by cell before the partitioned write: without it every input
-    // task emits a file into every cell directory (tasks × cells small
-    // files — measured as the dominant cost of the index build); with it
-    // each cell's rows sit in one task → one file per cell, and every
-    // later reload/prune opens k files instead of tasks·k
-    codes.repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
-    cellOccupancy(loadCodes(codes.sparkSession, path))
-      .write.mode("overwrite").parquet(s"$path/occupancy")
+    val s = codes.sparkSession
+    withWriterLease(s, path, "write") {
+      quant.cents.write.mode("overwrite").parquet(s"$path/cents")
+      quant.csubs.write.mode("overwrite").parquet(s"$path/codebook")
+      // cluster by cell before the partitioned write: without it every input
+      // task emits a file into every cell directory (tasks × cells small
+      // files — measured as the dominant cost of the index build); with it
+      // each cell's rows sit in one task → one file per cell, and every
+      // later reload/prune opens k files instead of tasks·k
+      codes.repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+      cellOccupancy(s.read.parquet(s"$path/codes")
+        .select(col("vec_id"), col("cell"), col("m"), col("code")))
+        .write.mode("overwrite").parquet(s"$path/occupancy")
+      // a rebuild over a path that previously carried swapped generations:
+      // re-point the manifest at the freshly-written flat parts (readers of
+      // the old generation keep their files until the NEXT commit's GC)
+      if (manifestGens(hadoopFs(s, path), path).nonEmpty)
+        commitParts(s, path, flatDirs)
+    }
   }
 
   def loadQuantizer(s: SparkSession, path: String, pq: PqParams): IvfadcQuantizer =
+    loadQuantizer(s, snapshot(s, path), pq)
+
+  /** [[loadQuantizer]] against an already-resolved generation — the
+    * consistent-read path: pair with [[loadCodes]] on the SAME snapshot and
+    * the two parts are guaranteed to belong to one committed generation.
+    */
+  def loadQuantizer(s: SparkSession, snap: IndexSnapshot,
+      pq: PqParams): IvfadcQuantizer =
     IvfadcQuantizer(
-      s.read.parquet(s"$path/cents"),
-      s.read.parquet(s"$path/codebook"), pq)
+      s.read.parquet(snap.partPath("cents")),
+      s.read.parquet(snap.partPath("codebook")), pq)
 
   def loadCodes(s: SparkSession, path: String): DataFrame =
     loadCodes(s, path, Nil)
@@ -272,7 +326,14 @@ object VectorIndex extends org.apache.spark.internal.Logging {
     * never drags ingest bookkeeping (`__batch`/`__stream`) into its scan.
     */
   def loadCodes(s: SparkSession, path: String, meta: Seq[String]): DataFrame =
-    s.read.parquet(s"$path/codes")
+    loadCodes(s, snapshot(s, path), meta)
+
+  /** [[loadCodes]] against an already-resolved generation (see
+    * [[loadQuantizer]]'s snapshot overload).
+    */
+  def loadCodes(s: SparkSession, snap: IndexSnapshot,
+      meta: Seq[String] = Nil): DataFrame =
+    s.read.parquet(snap.partPath("codes"))
       .select(col("vec_id") +: col("cell") +: col("m") +: col("code") +:
         meta.map(col): _*)
 
@@ -300,12 +361,13 @@ object VectorIndex extends org.apache.spark.internal.Logging {
   private def appendCodes(s: SparkSession, path: String, vectors: DataFrame,
       id: Column, emb: Column, pq: PqParams, stamp: Option[Long],
       streamId: Option[String]): Unit = {
-    val quant = loadQuantizer(s, path, pq)
+    val snap = snapshot(s, path)
+    val quant = loadQuantizer(s, snap, pq)
     val encoded = encode(vectors, id, emb, quant)
     val stamped = stamp.fold(encoded)(b => encoded.withColumn("__batch", lit(b)))
     val codes = streamId.fold(stamped)(sid => stamped.withColumn("__stream", lit(sid)))
       .repartition(col("cell")).localCheckpoint()
-    codes.write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+    codes.write.mode("append").partitionBy("cell").parquet(snap.partPath("codes"))
     mergeOccupancy(s, path, cellOccupancy(codes))
     stamp.foreach(writeAppliedBatch(s, path, _, streamId))
   }
@@ -417,9 +479,10 @@ object VectorIndex extends org.apache.spark.internal.Logging {
     val rewritten = survivors.unionByName(newCodes, allowMissingColumns = true)
       .repartition(col("cell"))
       .localCheckpoint()
+    val codesDir = snapshot(s, path).partPath("codes")
     rewritten.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("cell").parquet(s"$path/codes")
+      .partitionBy("cell").parquet(codesDir)
     // ONE pass over the checkpointed rewrite serves two consumers: the
     // per-cell counts are the touched cells' new occupancy AND their cell
     // set is the survivor set (≤ |touched| rows — bounded driver state)
@@ -431,7 +494,7 @@ object VectorIndex extends org.apache.spark.internal.Logging {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), s.sparkContext.hadoopConfiguration)
     touched.filterNot(cellsAfter).foreach { c =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/codes/cell=$c"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$codesDir/cell=$c"), true)
     }
     // occupancy: untouched cells keep their counts; touched cells take the
     // already-collected recounts (a LocalRelation — no extra scan)
@@ -536,15 +599,15 @@ object VectorIndex extends org.apache.spark.internal.Logging {
     // the holder is either dead (its TTL reclaim will fire) or wedged, and
     // the stream SHOULD surface the failure.
     withWriterLeaseRetry(s, path, "appendSink") {
-      // Self-recovery BEFORE anything reads the codes path: a crash inside a
-      // previous batch's auto-compaction leaves the half-swap state (no
-      // codes/ directory), and batchApplied's data-derived fallback would
-      // throw on the missing path before compactCells — the only other
-      // recoverCompaction caller — was ever reached, keeping the stream down
-      // until manual surgery. Rolling the swap forward/back here is a cheap
-      // no-op (three fs.exists) on a healthy index, so every sink entry pays
-      // it, not just auto-compacting ones (a manual compactCells crash must
-      // not strand a plain sink either).
+      // Self-recovery BEFORE anything reads the codes path: a crashed
+      // reindex promote must be settled FIRST — otherwise this batch would
+      // append into the superseded generation and silently vanish when the
+      // pending promote later commits — then compaction debris (legacy
+      // half-swap states and uncommitted staged generations). Both are
+      // cheap no-ops (a few fs.exists) on a healthy index, so every sink
+      // entry pays them, not just auto-compacting ones (a manual
+      // compactCells/reindex crash must not strand a plain sink either).
+      recoverReindex(s, path)
       recoverCompaction(s, path)
       if (!batchApplied(s, path, batchId, streamId)) {
         val admitted = batchCap match {
@@ -573,7 +636,7 @@ object VectorIndex extends org.apache.spark.internal.Logging {
     */
   def maxFilesPerCell(s: SparkSession, path: String): Int = {
     val fs = hadoopFs(s, path)
-    val codes = new org.apache.hadoop.fs.Path(s"$path/codes")
+    val codes = new org.apache.hadoop.fs.Path(snapshot(s, path).partPath("codes"))
     if (!fs.exists(codes)) 0
     else fs.listStatus(codes).iterator
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
@@ -641,6 +704,170 @@ object VectorIndex extends org.apache.spark.internal.Logging {
   private def hadoopFs(s: SparkSession, path: String) =
     org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), s.sparkContext.hadoopConfiguration)
+
+  // ---- generation manifest (reader-atomic swaps) ---------------------------
+
+  /** One resolved generation of the index: the manifest's part→directory
+    * mapping, read ONCE — every part path derived from one snapshot belongs
+    * to the same committed generation, so a reader that resolves a snapshot
+    * and then loads quantizer + codes through it can never observe a
+    * mixed-generation index, no matter what swaps commit meanwhile (the
+    * previous generation's directories are retained until the NEXT commit,
+    * so an in-flight reader's files outlive one concurrent swap; only a
+    * reader spanning TWO swaps fails, loudly, on the missing files).
+    */
+  final case class IndexSnapshot(path: String, gen: Long,
+      dirs: Map[String, String]) {
+    def partPath(part: String): String = s"$path/${dirs(part)}"
+  }
+
+  private val ManifestRe = "manifest-(\\d{9})".r
+  private def manifestFile(path: String, gen: Long) =
+    new org.apache.hadoop.fs.Path(f"$path/manifest-$gen%09d")
+  private def flatDirs: Map[String, String] = indexParts.map(p => p -> p).toMap
+
+  /** Generation numbers of all committed manifests at the index root
+    * (empty for a legacy flat index that has never swapped).
+    */
+  private def manifestGens(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Seq[Long] =
+    try fs.listStatus(new org.apache.hadoop.fs.Path(path)).toSeq
+      .map(_.getPath.getName)
+      .collect { case ManifestRe(g) => g.toLong }
+      .sorted
+    catch { case _: java.io.IOException => Seq.empty }
+
+  /** Resolve the CURRENT committed generation — one atomic read of the
+    * newest manifest (or the implicit generation 0: the legacy flat layout,
+    * which every index starts from until its first swap). This is the
+    * reader entry point: resolve once, then load every part through the
+    * snapshot.
+    */
+  def snapshot(s: SparkSession, path: String): IndexSnapshot = {
+    val fs = hadoopFs(s, path)
+    manifestGens(fs, path).lastOption match {
+      case None => IndexSnapshot(path, 0L, flatDirs)
+      case Some(gen) =>
+        val dirs = readManifest(fs, manifestFile(path, gen))
+        IndexSnapshot(path, gen, flatDirs ++ dirs)
+    }
+  }
+
+  private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Map[String, String] = {
+    val in = fs.open(p)
+    val content = try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      var n = in.read(buf)
+      while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+      out.toString("UTF-8")
+    } finally in.close()
+    content.linesIterator.flatMap { line =>
+      line.split("=", 2) match {
+        case Array(k, v) if indexParts.contains(k) => Some(k -> v)
+        case _ => None
+      }
+    }.toMap
+  }
+
+  /** The directory a swap of `part` must stage its replacement into — the
+    * next generation's name, deterministic from the current snapshot so a
+    * crashed-and-retried swap restages the same target.
+    */
+  private def stagedDirName(snap: IndexSnapshot, part: String): String =
+    s"${part}_gen_${snap.gen + 1}"
+
+  /** COMMIT a swap: write the next manifest (carrying the current mapping
+    * overlaid with `newDirs`) via tmp-file + rename-to-fresh-name — atomic
+    * on HDFS and local fs, and readers always resolve the newest complete
+    * manifest, so the flip is all-or-nothing for every part at once. Then
+    * garbage-collect: directories referenced by neither the new nor the
+    * previous generation are deleted, as are manifests older than the
+    * previous (so at most two generations of any part ever sit on disk —
+    * the MVCC retention that keeps one swap's worth of in-flight readers
+    * alive). Caller must hold the writer lease.
+    */
+  private def commitParts(s: SparkSession, path: String,
+      newDirs: Map[String, String]): Unit = {
+    val fs = hadoopFs(s, path)
+    val snap = snapshot(s, path)
+    val next = snap.dirs ++ newDirs
+    val gen = snap.gen + 1
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$path/.manifest-tmp-${System.nanoTime()}")
+    val out = fs.create(tmp, true)
+    try out.write(indexParts.map(p => s"$p=${next(p)}").mkString("", "\n", "\n")
+      .getBytes("UTF-8"))
+    finally out.close()
+    val dst = manifestFile(path, gen)
+    if (!fs.rename(tmp, dst)) {
+      fs.delete(tmp, false)
+      throw new java.io.IOException(
+        s"manifest commit for generation $gen at $path lost a race — " +
+          "a concurrent writer committed despite the lease")
+    }
+    gcGenerations(s, path, gen)
+  }
+
+  /** Drop everything no generation ≥ (committedGen − 1) references: old
+    * manifests and orphaned part directories. The previous generation's
+    * refs are kept whole for in-flight readers (see [[commitParts]]).
+    */
+  private def gcGenerations(s: SparkSession, path: String,
+      committedGen: Long): Unit = {
+    val fs = hadoopFs(s, path)
+    def refs(g: Long): Set[String] =
+      if (g <= 0) flatDirs.values.toSet
+      else try (flatDirs ++ readManifest(fs, manifestFile(path, g))).values.toSet
+      catch { case _: java.io.IOException => flatDirs.values.toSet }
+    val keep = refs(committedGen) ++ refs(committedGen - 1)
+    val partDirRe = s"(${indexParts.mkString("|")})(_gen_\\d+)?".r
+    try fs.listStatus(new org.apache.hadoop.fs.Path(path)).foreach { st =>
+      val n = st.getPath.getName
+      n match {
+        case ManifestRe(g) if g.toLong < committedGen - 1 =>
+          fs.delete(st.getPath, false); ()
+        case partDirRe(_, _) if st.isDirectory && !keep.contains(n) =>
+          fs.delete(st.getPath, true); ()
+        case _ => ()
+      }
+    } catch { case _: java.io.IOException => () }
+  }
+
+  /** Delete STAGED-BUT-UNCOMMITTED generation directories (a swap that
+    * crashed before its manifest commit): any `part_gen_g` with g beyond
+    * the committed generation is debris — EXCEPT the target generation of a
+    * pending committed reindex (`reindex_staging/_COMMITTED` names it),
+    * whose promoted parts must survive until [[recoverReindex]] rolls the
+    * swap forward. Caller must hold the writer lease.
+    */
+  private def dropUncommittedStaging(s: SparkSession, path: String): Unit = {
+    val fs = hadoopFs(s, path)
+    val committed = snapshot(s, path).gen
+    val pendingReindexGen = pendingReindexTarget(s, path)
+    val partDirRe = s"(${indexParts.mkString("|")})_gen_(\\d+)".r
+    try fs.listStatus(new org.apache.hadoop.fs.Path(path)).foreach { st =>
+      st.getPath.getName match {
+        case partDirRe(_, g)
+            if st.isDirectory && g.toLong > committed &&
+              !pendingReindexGen.contains(g.toLong) =>
+          fs.delete(st.getPath, true); ()
+        case _ => ()
+      }
+    } catch { case _: java.io.IOException => () }
+  }
+
+  /** Target generation of a committed-but-unpromoted reindex, read from the
+    * `_COMMITTED` marker; None when no reindex is pending or the marker is
+    * the legacy (empty) form.
+    */
+  private def pendingReindexTarget(s: SparkSession, path: String): Option[Long] = {
+    val fs = hadoopFs(s, path)
+    val marker = new org.apache.hadoop.fs.Path(s"$path/reindex_staging/_COMMITTED")
+    if (!fs.exists(marker)) None
+    else readLease(fs, marker).flatMap(_.trim.toLongOption)
+  }
 
   // ---- single-writer lease -------------------------------------------------
 
@@ -924,8 +1151,9 @@ object VectorIndex extends org.apache.spark.internal.Logging {
     */
   def refreshOccupancy(s: SparkSession, path: String): Unit =
     withWriterLease(s, path, "refreshOccupancy") {
-      cellOccupancy(loadCodes(s, path)).localCheckpoint()
-        .write.mode("overwrite").parquet(s"$path/occupancy")
+      val snap = snapshot(s, path)
+      cellOccupancy(loadCodes(s, snap)).localCheckpoint()
+        .write.mode("overwrite").parquet(snap.partPath("occupancy"))
     }
 
   // ---- small-file compaction --------------------------------------------
@@ -937,67 +1165,66 @@ object VectorIndex extends org.apache.spark.internal.Logging {
     * 1-file-per-cell layout ([[Compaction]] is the generic dual; this one
     * knows the cell layout). `repartition(cell)` puts each cell's rows in
     * exactly one task, so the rewrite emits exactly one file per cell; the
-    * result is staged in a sibling directory and swapped in with two
-    * metadata renames — no driver/executor materialization of the corpus,
-    * no read-overwrite conflict. Single-writer maintenance op (the brief
-    * swap window is not concurrent-reader-safe, same as any in-place
-    * parquet rewrite). All columns survive, including streaming `__batch`
-    * stamps — max(__batch) replay detection still works post-compaction.
+    * result is staged COMPLETE in the next generation's directory and
+    * committed with one atomic manifest flip ([[commitParts]]) — no
+    * driver/executor materialization of the corpus, no read-overwrite
+    * conflict, and READERS ARE SAFE THROUGHOUT: the live generation's
+    * files are untouched until the commit, and retained through one more
+    * commit after it for in-flight readers. All columns survive, including
+    * streaming `__batch` stamps — max(__batch) replay detection still
+    * works post-compaction.
     *
-    * CRASH RECOVERY: a crash between the two renames leaves no `codes/`
-    * directory at all (the data survives complete in `codes_old/` and
-    * `codes_compacting/`). Every entry to this method first runs
-    * [[recoverCompaction]], which rolls such a half-swap FORWARD (the
-    * staged rewrite carries `_SUCCESS`, proving it complete) or BACK (a
-    * partial stage without `_SUCCESS` is discarded and the old directory
-    * restored) — so re-running compaction after any crash converges
-    * without manual surgery. Readers that hit the crash window before a
-    * writer does can call [[recoverCompaction]] themselves.
+    * CRASH RECOVERY: a crash before the manifest commit leaves the staged
+    * generation as unreferenced debris and the live index UNTOUCHED —
+    * [[recoverCompaction]] (run on every entry here and on every
+    * [[appendSink]] entry) just deletes the debris; re-running the
+    * compaction redoes the work. There is no crash window in which the
+    * index stops serving — the improvement over the old rename-swap, whose
+    * mid-swap states this recovery still repairs when found on a
+    * pre-manifest index.
     */
   def compactCells(s: SparkSession, path: String): Unit =
       withWriterLease(s, path, "compactCells") {
+    recoverReindex(s, path) // settle a pending reindex promote first (gen order)
     recoverCompaction(s, path)
-    val codesPath = s"$path/codes"
-    val staged = s"$path/codes_compacting"
-    s.read.option("mergeSchema", "true").parquet(codesPath)
+    val snap = snapshot(s, path)
+    val stagedDir = stagedDirName(snap, "codes")
+    s.read.option("mergeSchema", "true").parquet(snap.partPath("codes"))
       .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(staged)
-    val fs = hadoopFs(s, path)
-    val old = new org.apache.hadoop.fs.Path(s"$path/codes_old")
-    fs.delete(old, true)
-    fs.rename(new org.apache.hadoop.fs.Path(codesPath), old)
-    fs.rename(new org.apache.hadoop.fs.Path(staged), new org.apache.hadoop.fs.Path(codesPath))
-    fs.delete(old, true)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/$stagedDir")
+    commitParts(s, path, Map("codes" -> stagedDir))
   }
 
-  /** Repair a [[compactCells]] run interrupted at any point — idempotent,
-    * no-op on a healthy index. Decision table over the three directories:
+  /** Repair an interrupted [[compactCells]] — idempotent, no-op on a
+    * healthy index. Under the generation manifest the only crash state is
+    * staged-but-uncommitted debris ([[dropUncommittedStaging]]); the
+    * legacy pre-manifest rename-swap states (`codes/` missing with
+    * `codes_old/` + `codes_compacting/` present) are still repaired when
+    * found on an index that has never committed a manifest:
     *
-    *   - `codes/` missing: the crash fell between the two swap renames.
-    *     If the staged rewrite is COMPLETE (its `_SUCCESS` commit marker
-    *     exists) roll FORWARD — promote it to `codes/` and drop the old
-    *     copy; otherwise roll BACK — drop the partial stage and rename
-    *     `codes_old/` back into place. Either way the index serves again.
-    *   - `codes/` present: it is authoritative; any leftover stage/old
-    *     directories are debris from a crash before the swap began (or
-    *     after it finished) and are deleted.
+    *   - legacy `codes/` missing: roll FORWARD if the stage carries
+    *     `_SUCCESS`, else roll BACK to `codes_old/`;
+    *   - legacy `codes/` present: stage/old directories are debris.
     */
   def recoverCompaction(s: SparkSession, path: String): Unit =
       withWriterLease(s, path, "recoverCompaction") {
     val fs = hadoopFs(s, path)
-    def p(n: String) = new org.apache.hadoop.fs.Path(s"$path/$n")
-    val (codes, old, staged) = (p("codes"), p("codes_old"), p("codes_compacting"))
-    if (!fs.exists(codes)) {
-      if (fs.exists(new org.apache.hadoop.fs.Path(staged, "_SUCCESS"))) {
-        fs.rename(staged, codes)
-        fs.delete(old, true)
-      } else if (fs.exists(old)) {
+    dropUncommittedStaging(s, path)
+    if (manifestGens(fs, path).isEmpty) {
+      def p(n: String) = new org.apache.hadoop.fs.Path(s"$path/$n")
+      val (codes, old, staged) = (p("codes"), p("codes_old"), p("codes_compacting"))
+      if (!fs.exists(codes)) {
+        if (fs.exists(new org.apache.hadoop.fs.Path(staged, "_SUCCESS"))) {
+          fs.rename(staged, codes)
+          fs.delete(old, true)
+        } else if (fs.exists(old)) {
+          fs.delete(staged, true)
+          fs.rename(old, codes)
+        }
+      } else {
         fs.delete(staged, true)
-        fs.rename(old, codes)
+        fs.delete(old, true)
       }
-    } else {
-      fs.delete(staged, true)
-      fs.delete(old, true)
     }
     ()
   }
@@ -1049,6 +1276,7 @@ object VectorIndex extends org.apache.spark.internal.Logging {
   def splitCell(s: SparkSession, path: String, cell: Long, vectors: DataFrame,
       id: Column, emb: Column, pq: PqParams, meta: Seq[String] = Nil): Seq[Long] =
       withWriterLease(s, path, "splitCell") {
+    recoverReindex(s, path) // settle a pending reindex promote first (gen order)
     recoverSplit(s, path, vectors, id, emb, pq, meta)
     val memberIds = loadCodes(s, path).filter(col("cell") === cell)
       .select(col("vec_id").as("__split_member")).distinct()
@@ -1064,7 +1292,8 @@ object VectorIndex extends org.apache.spark.internal.Logging {
     if (sub.length < 2) throw UnsplittableCellException(cell, sub.length)
     // fresh child ids above every existing cent_id: KMeans labels by seed
     // ROW id, which could collide with an existing centroid's id
-    val maxId = s.read.parquet(s"$path/cents").agg(max(col("cent_id"))).head().getLong(0)
+    val maxId = s.read.parquet(snapshot(s, path).partPath("cents"))
+      .agg(max(col("cent_id"))).head().getLong(0)
     val manifest = sub.zipWithIndex.map { case (r, i) =>
       (cell, maxId + 1 + i, r.getAs[scala.collection.Seq[Double]]("cent").toSeq)
     }
@@ -1110,20 +1339,22 @@ object VectorIndex extends org.apache.spark.internal.Logging {
     val childCents = man.map(r =>
       (r.getAs[Long]("cent_id"), r.getAs[scala.collection.Seq[Double]]("cent").toSeq))
       .toSeq.toDF("cent_id", "cent")
-    // k+1 rows, checkpointed so nothing reads the cents path once we
-    // overwrite it below. The filter removes the CHILD ids too, not just
-    // the parent: a crash between the cents overwrite and the manifest
-    // delete leaves the persisted table already post-split, and a recovery
-    // re-run that filtered only the (absent) parent would union the staged
-    // children a second time — duplicated centroid rows consume probe
-    // slots and double-match the residual join, corrupting ADC sums.
-    // Filtering the staged ids makes this read a fixed point: fresh run
-    // and every crash intermediate both converge to exactly k+1 rows.
-    val newCents = s.read.parquet(s"$path/cents")
+    // k+1 rows, checkpointed before the staged write below. The filter
+    // removes the CHILD ids too, not just the parent: a crash between the
+    // cents commit and the manifest delete leaves the persisted table
+    // already post-split, and a recovery re-run that filtered only the
+    // (absent) parent would union the staged children a second time —
+    // duplicated centroid rows consume probe slots and double-match the
+    // residual join, corrupting ADC sums. Filtering the staged ids makes
+    // this read a fixed point: fresh run and every crash intermediate both
+    // converge to exactly k+1 rows.
+    val snap = snapshot(s, path)
+    val newCents = s.read.parquet(snap.partPath("cents"))
       .filter(!col("cent_id").isin((parent +: childIds): _*))
       .unionByName(childCents)
       .localCheckpoint()
-    val quant = IvfadcQuantizer(newCents, s.read.parquet(s"$path/codebook"), pq)
+    val quant = IvfadcQuantizer(newCents,
+      s.read.parquet(snap.partPath("codebook")), pq)
     val cellSet = parent +: childIds
     val memberIds = loadCodes(s, path).filter(col("cell").isin(cellSet: _*))
       .select(col("vec_id").as("__split_member")).distinct()
@@ -1131,7 +1362,15 @@ object VectorIndex extends org.apache.spark.internal.Logging {
       id === col("__split_member"), "left_semi")
     upsertCore(s, path, updates, updates.limit(0).select(id.as("vec_id")),
       id, emb, quant, meta)
-    newCents.write.mode("overwrite").parquet(s"$path/cents")
+    // the cents replace is a GENERATION COMMIT, not an in-place overwrite:
+    // readers resolve either the whole pre-commit or whole post-commit
+    // centroid table (the codes rewrite above is partition-wise in place —
+    // the split's documented touched-cells-only cost bound — so the split's
+    // own window is still writer-side-only; the atomic flip here closes the
+    // mixed cents/codes hazard the old in-place overwrite had)
+    val stagedDir = stagedDirName(snapshot(s, path), "cents")
+    newCents.write.mode("overwrite").parquet(s"$path/$stagedDir")
+    commitParts(s, path, Map("cents" -> stagedDir))
     hadoopFs(s, path).delete(new org.apache.hadoop.fs.Path(s"$path/split_staging"), true)
     childIds
   }
@@ -1281,19 +1520,85 @@ object VectorIndex extends org.apache.spark.internal.Logging {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$staging/codes")
     cellOccupancy(s.read.parquet(s"$staging/codes"))
       .write.mode("overwrite").parquet(s"$staging/occupancy")
-    // the commit point: everything below is roll-forwardable
-    fs.create(new org.apache.hadoop.fs.Path(s"$staging/_COMMITTED"), true).close()
-    completeReindexSwap(s, path)
+    // the commit point: the marker names the target generation, making the
+    // promote below (staged-part renames + one manifest flip) re-runnable
+    // from any crash point with a stable target
+    val targetGen = snapshot(s, path).gen + 1
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$staging/_COMMITTED"), true)
+    try out.write(s"$targetGen\n".getBytes("UTF-8")) finally out.close()
+    promoteReindex(s, path, targetGen)
   }
 
-  /** The roll-forwardable promote phase: for each part still present in the
-    * staging area, move the live copy aside and promote the staged one,
-    * then drop the old copies and the staging area. Idempotent given a
-    * _COMMITTED stage: a part already promoted (absent from staging) is
-    * skipped; a part whose live copy was moved aside but not yet replaced
-    * (the mid-part crash window) has no live dir and promotes directly.
+  /** The roll-forwardable promote phase: rename each still-staged part to
+    * its target-generation directory (a part already renamed by a crashed
+    * predecessor is skipped), then flip the manifest — ONE atomic commit
+    * covering all four parts, so a reader can never observe new cents with
+    * old codes — and drop the staging area. Idempotent: re-runs skip
+    * completed renames, and the commit is skipped if the target generation
+    * is already live.
     */
-  private def completeReindexSwap(s: SparkSession, path: String): Unit = {
+  private def promoteReindex(s: SparkSession, path: String,
+      targetGen: Long): Unit = {
+    val fs = hadoopFs(s, path)
+    def staged(n: String) = new org.apache.hadoop.fs.Path(s"$path/reindex_staging/$n")
+    def target(n: String) = new org.apache.hadoop.fs.Path(s"$path/${n}_gen_$targetGen")
+    indexParts.foreach { n =>
+      if (fs.exists(staged(n)) && !fs.exists(target(n))) fs.rename(staged(n), target(n))
+    }
+    // every part must now sit at its target dir (renamed by us or a crashed
+    // predecessor) — a missing one means the staged build was damaged by
+    // hand; refuse to commit a broken generation
+    val missing = indexParts.filterNot(n => fs.exists(target(n)))
+    require(missing.isEmpty,
+      s"reindex promote at $path: staged parts missing for generation " +
+        s"$targetGen: ${missing.mkString(", ")}")
+    if (snapshot(s, path).gen < targetGen)
+      commitParts(s, path,
+        indexParts.map(n => n -> s"${n}_gen_$targetGen").toMap)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/reindex_staging"), true)
+    ()
+  }
+
+  /** Repair an interrupted [[reindex]] — idempotent, cheap no-op on a
+    * healthy index. Decision table:
+    *
+    *   - `reindex_staging/` present WITH a generation-stamped `_COMMITTED`:
+    *     the staged build is complete and authoritative — roll the promote
+    *     FORWARD ([[promoteReindex]] skips completed renames and an
+    *     already-live commit).
+    *   - present WITH a legacy (empty) `_COMMITTED`: a pre-manifest crash —
+    *     roll forward via the legacy flat-rename swap.
+    *   - present WITHOUT the marker: the staged build itself crashed; the
+    *     live index was never touched — drop the stage.
+    *   - absent but legacy `reindex_old/` present: pre-manifest cleanup
+    *     crash; restore any missing flat part and drop the debris.
+    */
+  def recoverReindex(s: SparkSession, path: String): Unit =
+      withWriterLease(s, path, "recoverReindex") {
+    val fs = hadoopFs(s, path)
+    def p(n: String) = new org.apache.hadoop.fs.Path(s"$path/$n")
+    val staging = p("reindex_staging")
+    if (fs.exists(staging)) {
+      val marker = new org.apache.hadoop.fs.Path(staging, "_COMMITTED")
+      if (fs.exists(marker)) {
+        pendingReindexTarget(s, path) match {
+          case Some(targetGen) => promoteReindex(s, path, targetGen)
+          case None => completeReindexSwapLegacy(s, path)
+        }
+      } else {
+        fs.delete(staging, true)
+        restoreFromOld(fs, path)
+      }
+    } else if (fs.exists(p("reindex_old"))) {
+      restoreFromOld(fs, path)
+    }
+  }
+
+  /** The pre-manifest promote: move live flat parts aside and rename the
+    * staged ones into the flat locations. Only reachable for a crash state
+    * left by a pre-manifest build (empty `_COMMITTED` marker).
+    */
+  private def completeReindexSwapLegacy(s: SparkSession, path: String): Unit = {
     val fs = hadoopFs(s, path)
     def p(n: String) = new org.apache.hadoop.fs.Path(s"$path/$n")
     def staged(n: String) = new org.apache.hadoop.fs.Path(s"$path/reindex_staging/$n")
@@ -1308,36 +1613,6 @@ object VectorIndex extends org.apache.spark.internal.Logging {
     fs.delete(p("reindex_old"), true)
     fs.delete(p("reindex_staging"), true)
     ()
-  }
-
-  /** Repair an interrupted [[reindex]] — idempotent, cheap no-op on a
-    * healthy index. Decision table:
-    *
-    *   - `reindex_staging/` present WITH `_COMMITTED`: the staged build is
-    *     complete and authoritative — roll the swap FORWARD
-    *     ([[completeReindexSwap]] skips already-promoted parts).
-    *   - present WITHOUT the marker: the staged build itself crashed; the
-    *     live index was never touched — drop the stage.
-    *   - absent but `reindex_old/` present: the crash fell inside the
-    *     final cleanup; every part was already promoted — the old copies
-    *     are debris (any part still missing live-side is restored from its
-    *     old copy first, defensively).
-    */
-  def recoverReindex(s: SparkSession, path: String): Unit =
-      withWriterLease(s, path, "recoverReindex") {
-    val fs = hadoopFs(s, path)
-    def p(n: String) = new org.apache.hadoop.fs.Path(s"$path/$n")
-    val staging = p("reindex_staging")
-    if (fs.exists(staging)) {
-      if (fs.exists(new org.apache.hadoop.fs.Path(staging, "_COMMITTED")))
-        completeReindexSwap(s, path)
-      else {
-        fs.delete(staging, true)
-        restoreFromOld(fs, path)
-      }
-    } else if (fs.exists(p("reindex_old"))) {
-      restoreFromOld(fs, path)
-    }
   }
 
   /** Put back any part whose live copy is missing but whose pre-swap copy
@@ -1375,7 +1650,7 @@ object VectorIndex extends org.apache.spark.internal.Logging {
     * [[appendBatch]]/[[upsertBatch]] maintain it incrementally).
     */
   def occupancy(s: SparkSession, path: String): DataFrame =
-    s.read.parquet(s"$path/occupancy")
+    s.read.parquet(snapshot(s, path).partPath("occupancy"))
 
   /** Skew summary over the persisted occupancy: `imbalance` is the
     * worst-case pruned-scan degradation factor (max cell / mean cell) —
@@ -1408,7 +1683,7 @@ object VectorIndex extends org.apache.spark.internal.Logging {
     */
   private def mergeOccupancy(s: SparkSession, path: String, delta: DataFrame,
       replace: Boolean = false): Unit = {
-    val occPath = s"$path/occupancy"
+    val occPath = snapshot(s, path).partPath("occupancy")
     val merged =
       if (replace) delta
       else occupancy(s, path).unionByName(delta)
@@ -1421,5 +1696,6 @@ object VectorIndex extends org.apache.spark.internal.Logging {
     * schema; maintenance paths need the full rows to rewrite losslessly.
     */
   private[graft] def loadCodesFull(s: SparkSession, path: String): DataFrame =
-    s.read.option("mergeSchema", "true").parquet(s"$path/codes")
+    s.read.option("mergeSchema", "true")
+      .parquet(snapshot(s, path).partPath("codes"))
 }

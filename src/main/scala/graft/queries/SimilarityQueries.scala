@@ -765,11 +765,10 @@ object SimilarityQueries extends QueryPack {
 
   /** REINDEX gate — the drift response closing the index lifecycle
     * (r12 VERDICT #3, the [[graft.operators.VectorIndex.NeedsRetrain]]
-    * answer): start from the persisted full-corpus index, apply the same
-    * change batch as the upsert gate (tombstones + reversed-embedding
-    * updates) under the FROZEN original quantizer, then
-    * [[graft.operators.VectorIndex.reindex]] — train a FRESH quantizer on
-    * the post-change corpus, re-encode it, and atomically swap the staged
+    * answer): start from the persisted full-corpus index and
+    * [[graft.operators.VectorIndex.reindex]] it against the post-change
+    * corpus (the upsert gate's tombstones + reversed-embedding updates) —
+    * train a FRESH quantizer on it, re-encode, atomically swap the staged
     * build in — and serve from the reloaded index via the pruned scan.
     * The oracle re-derives a from-scratch train+encode+ADC over the
     * post-change corpus (`emb2`), pinning reindex's rebuild-equivalence
@@ -778,6 +777,17 @@ object SimilarityQueries extends QueryPack {
     * the ORIGINAL table — upsert keeps the quantizer, reindex replaces
     * it.) Crash recovery for every swap window is spec-pinned in
     * VectorIndexSpec.
+    *
+    * The change batch rides the reindex itself, not a preceding
+    * [[graft.operators.VectorIndex.upsertBatch]] (r13 VERDICT #8 — the
+    * gate used to pay the upsert's full cost for an identical final
+    * index): reindex re-trains and re-encodes every row from the supplied
+    * vector source, so tombstoned ids are deleted by EXCLUSION from that
+    * source (membership = index ids ∩ source ids) and updated content
+    * flows in directly — the upsert+reindex composition and the bare
+    * reindex converge to byte-identical indexes whenever the change batch
+    * inserts no new ids (this one doesn't). The upsert path keeps its own
+    * gate (`ann_ivfpq_upsert`) and the composition its lifecycle specs.
     */
   private def qAnnReindex(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.VectorIndex
@@ -787,11 +797,9 @@ object SimilarityQueries extends QueryPack {
     try {
       val updates = emb.filter(updCond)
         .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
-      val deletes = emb.filter(delCond).select(col("vec_id"))
-      VectorIndex.upsertBatch(s, path, updates, deletes,
-        col("vec_id"), col("embedding"), pq)
       // the CURRENT corpus as the caller-supplied vector source (the index
-      // stores codes, not vectors — splitCell's contract)
+      // stores codes, not vectors — splitCell's contract); delCond rows are
+      // absent, which IS their deletion
       val emb2 = emb.filter(!delCond && !updCond)
         .select(col("vec_id"), col("embedding"))
         .union(updates)

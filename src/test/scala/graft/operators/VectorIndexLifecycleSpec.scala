@@ -70,7 +70,7 @@ class VectorIndexLifecycleSpec extends AnyFunSuite {
     build(corpus, path)
     val VectorIndex.Split(parent, children) = VectorIndex.splitHottestCell(
       spark, path, corpus, col("vec_id"), col("embedding"), pq, maxCellRows = 10L)
-    val centsClean = spark.read.parquet(s"$path/cents")
+    val centsClean = spark.read.parquet(VectorIndex.snapshot(spark, path).partPath("cents"))
       .collect().map(r => r.getLong(0)).sorted.toSeq
     val cleanAnswers = answers(path, corpus)
 
@@ -78,7 +78,7 @@ class VectorIndexLifecycleSpec extends AnyFunSuite {
     // already post-split) but the manifest delete was lost — re-stage the
     // exact manifest the original run staged (parent + the two children,
     // whose centroids now live in the cents table)
-    val childCents = spark.read.parquet(s"$path/cents")
+    val childCents = spark.read.parquet(VectorIndex.snapshot(spark, path).partPath("cents"))
       .filter(col("cent_id").isin(children: _*))
       .orderBy("cent_id").collect()
     childCents.map(r => (parent, r.getLong(0),
@@ -90,7 +90,7 @@ class VectorIndexLifecycleSpec extends AnyFunSuite {
 
     assert(!new java.io.File(s"$path/split_staging").exists(),
       "recovery must consume the manifest")
-    val centIds = spark.read.parquet(s"$path/cents")
+    val centIds = spark.read.parquet(VectorIndex.snapshot(spark, path).partPath("cents"))
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(centIds == centIds.distinct,
       s"recovery from the post-cents-overwrite window must not duplicate child centroids, got $centIds")
@@ -411,13 +411,14 @@ class VectorIndexLifecycleSpec extends AnyFunSuite {
       case other => fail(s"the identical mass must end the loop in NeedsRetrain, got $other")
     }
     assert(flagged >= 0L)
-    val cellsAfterLoop = spark.read.parquet(s"$path/cents").count()
+    val cellsAfterLoop = spark.read.parquet(
+      VectorIndex.snapshot(spark, path).partPath("cents")).count()
     assert(cellsAfterLoop > 2L, "the loop's splits must have inflated the cell count")
 
     // the documented response
     VectorIndex.reindex(spark, path, corpus, col("vec_id"), col("embedding"),
       kCells = 4, iters = 2, pq = pq)
-    assert(spark.read.parquet(s"$path/cents").count() == 4L,
+    assert(spark.read.parquet(VectorIndex.snapshot(spark, path).partPath("cents")).count() == 4L,
       "reindex must restore a clean k-cell layout")
     // feasible bound = the duplicate multiplicity (10): Balanced now holds
     assert(VectorIndex.splitHottestCell(spark, path, corpus,
@@ -425,6 +426,136 @@ class VectorIndexLifecycleSpec extends AnyFunSuite {
     // and the identical mass is exactly one cell of 10 — the Dedup signal
     val maxCell = VectorIndex.occupancyReport(spark, path).head().getAs[Long]("max_cell")
     assert(maxCell == 10L, s"the irreducible duplicate group must be the hot cell, got $maxCell")
+  }
+
+  test("generation manifest: a reader looping through snapshots during a concurrent reindex never observes a mixed-generation index") {
+    // r13 VERDICT #3: a query racing the old rename-swap could read cents
+    // from the new index and codes from the old. Every read resolved
+    // through one snapshot must now see a SINGLE committed generation:
+    // while a reindex (kCells 2 → 8, materially different quantizer) runs,
+    // every concurrent answer equals either the complete pre-reindex or the
+    // complete post-reindex answer — never a hybrid, never an exception.
+    val corpus = bimodalCorpus().cache()
+    val path = tmp("graft_gen_reader")
+    build(corpus, path, kCells = 2)
+    val qs = corpus.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    def serve(): Seq[org.apache.spark.sql.Row] = {
+      val snap = VectorIndex.snapshot(spark, path)
+      VectorIndex.searchAdc(VectorIndex.loadCodes(spark, snap),
+        VectorIndex.loadQuantizer(spark, snap, pq), qs, nprobe = 1, topK = 3)
+        .orderBy("query_id", "rn").collect().toSeq
+    }
+    val ansBefore = serve()
+
+    val violations = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val iterations = new java.util.concurrent.atomic.AtomicInteger(0)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    @volatile var ansAfterOpt: Option[Seq[org.apache.spark.sql.Row]] = None
+    val reader = new Thread(() => {
+      while (!stop.get()) {
+        try {
+          val ans = serve()
+          iterations.incrementAndGet()
+          val legit = ans == ansBefore || ansAfterOpt.forall(ans == _)
+          if (!legit && ansAfterOpt.isDefined)
+            violations.add(s"mixed-generation answer: $ans")
+        } catch {
+          case t: Throwable => violations.add(s"reader threw: ${t.getClass.getName}: ${t.getMessage}")
+        }
+      }
+    })
+    reader.start()
+    VectorIndex.reindex(spark, path, corpus, col("vec_id"), col("embedding"),
+      kCells = 8, iters = 2, pq = pq)
+    val ansAfter = serve()
+    ansAfterOpt = Some(ansAfter)
+    // keep reading a little against the settled post-reindex index
+    Thread.sleep(300)
+    stop.set(true); reader.join()
+    assert(ansAfter != ansBefore,
+      "fixture must discriminate generations (different kCells ⇒ different answers)")
+    assert(iterations.get() >= 3, s"reader must have raced the swap, got ${iterations.get()} iterations")
+    assert(violations.isEmpty, s"reader observed: ${violations.toArray.mkString("; ")}")
+    // the reader raced under the PREVIOUS generation's retained files; its
+    // mid-swap answers are only checkable against ansBefore (ansAfter was
+    // unknown then) — re-verify the settled index equals the cold rebuild
+    val cold = VectorIndex.train(corpus, col("vec_id"), col("embedding"),
+      kCells = 8, iters = 2, pq = pq)
+    val coldAns = VectorIndex.searchAdc(
+      VectorIndex.encode(corpus, col("vec_id"), col("embedding"), cold), cold,
+      qs, nprobe = 1, topK = 3).orderBy("query_id", "rn").collect().toSeq
+    assert(ansAfter == coldAns)
+  }
+
+  test("generation manifest: a legacy flat index upgrades on its first swap and retains exactly one previous generation") {
+    val corpus = bimodalCorpus().cache()
+    val path = tmp("graft_gen_upgrade")
+    build(corpus, path)
+    assert(VectorIndex.snapshot(spark, path).gen == 0L, "fresh index is generation 0 (flat)")
+    assert(new java.io.File(s"$path/codes").isDirectory)
+    val ans = answers(path, corpus)
+
+    VectorIndex.compactCells(spark, path)
+    val s1 = VectorIndex.snapshot(spark, path)
+    assert(s1.gen == 1L && s1.dirs("codes") == "codes_gen_1",
+      s"first swap must commit generation 1, got $s1")
+    assert(new java.io.File(s"$path/codes").isDirectory,
+      "the previous (flat) generation must be RETAINED for in-flight readers")
+    assert(answers(path, corpus) == ans)
+
+    VectorIndex.compactCells(spark, path)
+    val s2 = VectorIndex.snapshot(spark, path)
+    assert(s2.gen == 2L && s2.dirs("codes") == "codes_gen_2")
+    assert(!new java.io.File(s"$path/codes").exists(),
+      "the generation before the previous must be GC'd at the next commit")
+    assert(new java.io.File(s"$path/codes_gen_1").isDirectory,
+      "generation 1 is now the retained previous")
+    assert(answers(path, corpus) == ans)
+
+    // staged-but-uncommitted debris (a swap that crashed before its commit)
+    // is dropped by recovery without touching the live generation
+    new java.io.File(s"$path/codes_gen_99").mkdirs()
+    VectorIndex.recoverCompaction(spark, path)
+    assert(!new java.io.File(s"$path/codes_gen_99").exists(), "debris must be dropped")
+    assert(answers(path, corpus) == ans)
+  }
+
+  test("recoverReindex rolls a committed-but-unpromoted staged build forward into one atomic manifest flip") {
+    val corpus = bimodalCorpus().cache()
+    val path = tmp("graft_gen_reindex_fwd")
+    build(corpus, path, kCells = 2)
+    val ansOld = answers(path, corpus)
+
+    // hand-build the crash state: a COMPLETE staged retrain (kCells=8) with
+    // the generation-stamped _COMMITTED marker, process dead before promote
+    val quant2 = VectorIndex.train(corpus, col("vec_id"), col("embedding"),
+      kCells = 8, iters = 2, pq = pq)
+    val codes2 = VectorIndex.encode(corpus, col("vec_id"), col("embedding"), quant2)
+    val staging = s"$path/reindex_staging"
+    quant2.cents.write.mode("overwrite").parquet(s"$staging/cents")
+    quant2.csubs.write.mode("overwrite").parquet(s"$staging/codebook")
+    codes2.repartition(col("cell")).write.mode("overwrite")
+      .partitionBy("cell").parquet(s"$staging/codes")
+    VectorIndex.cellOccupancy(spark.read.parquet(s"$staging/codes"))
+      .write.mode("overwrite").parquet(s"$staging/occupancy")
+    val fs = fsOf(path)
+    val out = fs.create(hp(path, "reindex_staging/_COMMITTED"), true)
+    out.write("1\n".getBytes("UTF-8")); out.close()
+
+    VectorIndex.recoverReindex(spark, path)
+
+    val snap = VectorIndex.snapshot(spark, path)
+    assert(snap.gen == 1L, "the promote must have committed generation 1")
+    assert(Seq("cents", "codebook", "codes", "occupancy")
+      .forall(p => snap.dirs(p) == s"${p}_gen_1"), s"all parts flip together, got ${snap.dirs}")
+    assert(!fs.exists(hp(path, "reindex_staging")), "staging must be consumed")
+    val ansNew = answers(path, corpus)
+    assert(ansNew != ansOld, "the promoted retrain must be live")
+    // idempotent: a second recovery call is a no-op
+    VectorIndex.recoverReindex(spark, path)
+    assert(VectorIndex.snapshot(spark, path).gen == 1L)
+    assert(answers(path, corpus) == ansNew)
   }
 
   test("lease release is ownership-checked: a reclaimed lease survives release and the op aborts loudly") {
@@ -558,5 +689,29 @@ class VectorIndexLifecycleSpec extends AnyFunSuite {
     val rareIds = (4L until 12L).toSet
     assert(got.forall(r => rareIds.contains(r.getLong(1))),
       "every returned neighbor must carry the rare tag")
+
+    // no shortfall here: the probed cells held ≥k matches
+    val full = VectorIndex.searchAdcPruned(codes, quant, qs,
+      nprobe = 2, topK = 5, predicate = Some(col("rare") === 1))
+    full.collect()
+    assert(VectorIndex.prunedShortfall(full) == Some(0L))
+
+    // STARVATION accounting (r13 VERDICT #6): a predicate with only 2
+    // matches anywhere cannot fill top-5 — the <k return is now OBSERVABLE
+    // (shortfall = queries·topK − returned) instead of silent
+    val ultraRare = VectorIndex.searchAdcPruned(
+      codes.withColumn("rare", (col("vec_id") < 2).cast("int")), quant, qs,
+      nprobe = 2, topK = 5, predicate = Some(col("rare") === 1))
+    val starved = ultraRare.collect()
+    assert(starved.length < 2 * 5, "fixture must actually starve")
+    assert(VectorIndex.prunedShortfall(ultraRare) ==
+      Some(2L * 5 - starved.length),
+      "the filtered search must report exactly its unfilled top-k slots")
+
+    // an UNFILTERED search attaches no observation (nothing can silently cap)
+    val plain = VectorIndex.searchAdcPruned(codes, quant, qs,
+      nprobe = 2, topK = 5, predicate = None)
+    plain.collect()
+    assert(VectorIndex.prunedShortfall(plain).isEmpty)
   }
 }

@@ -243,7 +243,8 @@ class VectorIndexSpec extends AnyFunSuite {
       emb.filter(col("vec_id") % 10 === 7 && col("vec_id") >= 400))
     batches.foreach(b =>
       VectorIndex.appendBatch(spark, path, b, col("vec_id"), col("embedding"), pq))
-    def filesPerCell(): Map[String, Int] = new java.io.File(s"$path/codes").listFiles()
+    def filesPerCell(): Map[String, Int] =
+      new java.io.File(VectorIndex.snapshot(spark, path).partPath("codes")).listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("cell="))
       .map(d => d.getName -> d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
     val beforeCounts = filesPerCell()
@@ -344,7 +345,7 @@ class VectorIndexSpec extends AnyFunSuite {
     build(path)
     val before = VectorIndex.occupancyReport(spark, path).head()
     assert(before.getAs[Long]("max_cell") > 10L, "fixture must start hot")
-    val centsBefore = spark.read.parquet(s"$path/cents")
+    val centsBefore = spark.read.parquet(VectorIndex.snapshot(spark, path).partPath("cents"))
       .select("cent_id").collect().map(_.getLong(0)).toSet
 
     // balanced-enough index: the policy declines to act
@@ -356,11 +357,12 @@ class VectorIndexSpec extends AnyFunSuite {
       corpusDf, col("vec_id"), col("embedding"), pq, maxCellRows = 10L)
     assert(children.size == 2 && children.forall(!centsBefore.contains(_)),
       "children must be two FRESH cell ids")
-    val centsAfter = spark.read.parquet(s"$path/cents")
+    val centsAfter = spark.read.parquet(VectorIndex.snapshot(spark, path).partPath("cents"))
       .select("cent_id").collect().map(_.getLong(0)).toSet
     assert(centsAfter == centsBefore - parent ++ children,
       "the parent centroid is replaced by the two children")
-    assert(!new java.io.File(s"$path/codes/cell=$parent").exists(),
+    assert(!new java.io.File(
+      VectorIndex.snapshot(spark, path).partPath("codes") + s"/cell=$parent").exists(),
       "the emptied parent partition directory must be dropped")
 
     // nothing lost, nothing duplicated: every vector still has m code rows
@@ -401,7 +403,8 @@ class VectorIndexSpec extends AnyFunSuite {
     val members = corpusDf.join(memberIds, col("vec_id") === col("__m"), "left_semi")
     val sub = KMeans.fit(members, col("vec_id"), col("embedding"), k = 2, iters = 3)
       .orderBy("cent_id").collect()
-    val maxId = spark.read.parquet(s"$path2/cents").agg(max(col("cent_id"))).head().getLong(0)
+    val maxId = spark.read.parquet(VectorIndex.snapshot(spark, path2).partPath("cents"))
+      .agg(max(col("cent_id"))).head().getLong(0)
     sub.zipWithIndex.map { case (r, i) =>
       (parent, maxId + 1 + i, r.getAs[scala.collection.Seq[Double]]("cent").toSeq)
     }.toSeq.toDF("parent", "cent_id", "cent")
@@ -409,7 +412,7 @@ class VectorIndexSpec extends AnyFunSuite {
     VectorIndex.recoverSplit(spark, path2, corpusDf, col("vec_id"), col("embedding"), pq)
     assert(!new java.io.File(s"$path2/split_staging").exists(),
       "recovery must consume the manifest")
-    assert(spark.read.parquet(s"$path2/cents").select("cent_id")
+    assert(spark.read.parquet(VectorIndex.snapshot(spark, path2).partPath("cents")).select("cent_id")
       .collect().map(_.getLong(0)).toSet == centsAfter,
       "recovery must converge to the same centroid table as the clean split")
     assert(answers(path2) == fromSplit,
