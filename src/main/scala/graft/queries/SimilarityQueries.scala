@@ -740,8 +740,11 @@ object SimilarityQueries extends QueryPack {
       // the serving shape: the probed-cell set prunes the reloaded codes
       // scan to its cell partitions (result-identical to searchAdc — every
       // ADC candidate joins on a probed cell)
-      VectorIndex.searchAdcPruned(VectorIndex.loadCodes(s, path),
-          VectorIndex.loadQuantizer(s, path, pq), queries,
+      // ONE snapshot for quantizer + codes: the consistent-read serving
+      // pattern (both parts from the same committed generation)
+      val snap = VectorIndex.snapshot(s, path)
+      VectorIndex.searchAdcPruned(VectorIndex.loadCodes(s, snap),
+          VectorIndex.loadQuantizer(s, snap, pq), queries,
           nprobe = ivfProdNprobe, topK = 5)
         .orderBy("query_id", "rn")
         .localCheckpoint() // eager: must outlive the scratch index deletion
@@ -807,8 +810,11 @@ object SimilarityQueries extends QueryPack {
         kCells = ivfProdK, iters = 2, pq = pq)
       val queries = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-      VectorIndex.searchAdcPruned(VectorIndex.loadCodes(s, path),
-          VectorIndex.loadQuantizer(s, path, pq), queries,
+      // ONE snapshot for quantizer + codes: the consistent-read serving
+      // pattern (both parts from the same committed generation)
+      val snap = VectorIndex.snapshot(s, path)
+      VectorIndex.searchAdcPruned(VectorIndex.loadCodes(s, snap),
+          VectorIndex.loadQuantizer(s, snap, pq), queries,
           nprobe = ivfProdNprobe, topK = 5)
         .orderBy("query_id", "rn")
         .localCheckpoint() // eager: must outlive the scratch index deletion
@@ -952,8 +958,11 @@ object SimilarityQueries extends QueryPack {
       VectorIndex.splitCell(s, path, hot, emb, col("vec_id"), col("embedding"), pq)
       val queries = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-      VectorIndex.searchAdcPruned(VectorIndex.loadCodes(s, path),
-          VectorIndex.loadQuantizer(s, path, pq), queries,
+      // ONE snapshot for quantizer + codes: the consistent-read serving
+      // pattern (both parts from the same committed generation)
+      val snap = VectorIndex.snapshot(s, path)
+      VectorIndex.searchAdcPruned(VectorIndex.loadCodes(s, snap),
+          VectorIndex.loadQuantizer(s, snap, pq), queries,
           nprobe = ivfProdNprobe, topK = 5)
         .orderBy("query_id", "rn")
         .localCheckpoint() // eager: must outlive the scratch index deletion
