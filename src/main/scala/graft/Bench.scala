@@ -159,6 +159,34 @@ object Bench {
             .lastOption)
       }
 
+  /** DIRECTIONAL GUARD for the inversion gate: "inversion" only means
+    * anything when the reference tier is genuinely LARGER than this run's —
+    * gating against a smaller tier would reject every attempt for being
+    * physically ordinary (this run SHOULD be slower than less data) and
+    * burn maxAttempts full suite passes before stamping a false
+    * `inverted:true` that roundcheck then refuses. When both dirs are still
+    * on disk, their actual bytes decide (ref must be ≥1.5× this run's);
+    * when the ref's dir is gone (tier dirs live in /tmp and don't survive
+    * reboots), fall back to "this run is the official small-tier run" —
+    * only the default testdata path may still gate.
+    */
+  def inversionRefEligible(refSf: String, sfDir: String): Boolean = {
+    def dirBytes(d: String): Option[Long] = {
+      val root = new java.io.File(d)
+      if (!root.isDirectory) None
+      else {
+        def walk(f: java.io.File): Long =
+          if (f.isFile) f.length()
+          else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+        Some(walk(root))
+      }
+    }
+    (dirBytes(refSf), dirBytes(sfDir)) match {
+      case (Some(rb), Some(cb)) => rb > cb * 3 / 2
+      case _ => sfDir.startsWith("/root/testdata/")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // "noop" (default) is the honest action; "count" reproduces the
@@ -242,7 +270,12 @@ object Bench {
       resolveInversionRef().flatMap { f =>
         try {
           val (refSf, refTimes) = readBenchArtifact(f)
-          if (refSf == sfDir) None else Some((f.getName, refSf, refTimes))
+          if (refSf == sfDir || !inversionRefEligible(refSf, sfDir)) {
+            if (refSf != sfDir) System.err.println(
+              s"[bench] inversion ref ${f.getName} ($refSf) is not a larger " +
+                s"tier than $sfDir — inversion gate disabled for this run")
+            None
+          } else Some((f.getName, refSf, refTimes))
         } catch { case _: Throwable => None }
       }
     var attempt = 0

@@ -244,22 +244,32 @@ object VectorIndex extends org.apache.spark.internal.Logging {
 
   def searchAdcPruned(codes: DataFrame, quant: IvfadcQuantizer, queries: DataFrame,
       nprobe: Int, topK: Int, predicate: Option[Column]): DataFrame = {
-    val cells = probeFrame(queries, quant.cents, nprobe)
-      .select(col("cell")).distinct().collect().map(_.get(0))
-    val pruned = codes.filter(col("cell").isin(cells.toSeq: _*))
+    // ONE bounded job (≤ queries × nprobe rows) serves both driver needs:
+    // the distinct probed-cell set for the scan prune AND the query count
+    // that pins the observation's expected total — no separate count job
+    // on the queries source at frame-construction time.
+    val probed = probeFrame(queries, quant.cents, nprobe)
+      .agg(collect_set(col("cell")).as("cells"),
+        countDistinct(col("query_id")).as("nq")).head()
+    val cells = probed.getSeq[Any](0)
+    val nQueries = probed.getLong(1)
+    val pruned = codes.filter(col("cell").isin(cells: _*))
     val result = searchAdc(predicate.fold(pruned)(pruned.filter), quant, queries, nprobe, topK)
     predicate.fold(result) { _ =>
-      // queries is the (small) serving batch and this method is already
-      // driver-interactive (the probe-cell collect above) — one count on it
-      // pins the expected row total into the observation, so the metric is
-      // well-defined even when EVERY query starves to zero rows (count
-      // aggregates never null; 0·count keeps the expression aggregate-legal)
-      val expected = queries.count() * topK
-      result.observe(ShortfallObservation,
+      // expected is well-defined even when EVERY query starves to zero rows
+      // (count aggregates never null; 0·count keeps the expression
+      // aggregate-legal). The observation name carries a per-call unique
+      // suffix: Spark requires observed-metric names to be unique per plan,
+      // and a composition of two filtered searches (union/join) would
+      // otherwise fail analysis. prunedShortfall matches by prefix.
+      val expected = nQueries * topK
+      result.observe(
+        s"$ShortfallObservation-${shortfallSeq.incrementAndGet()}",
         count(lit(1)).as("returned"),
         (lit(expected) + count(lit(1)) * 0L).as("expected"))
     }
   }
+  private val shortfallSeq = new java.util.concurrent.atomic.AtomicLong()
 
   /** Starvation accounting of an EXECUTED predicate-filtered
     * [[searchAdcPruned]] frame (run an action first — observed metrics
@@ -269,10 +279,19 @@ object VectorIndex extends org.apache.spark.internal.Logging {
     * executed. A persistent nonzero shortfall under a selective predicate
     * is the raise-nprobe / partition-by-label signal.
     */
-  def prunedShortfall(executed: DataFrame): Option[Long] =
-    executed.queryExecution.observedMetrics.get(ShortfallObservation)
-      .map(r => r.getAs[Number]("expected").longValue() -
-        r.getAs[Number]("returned").longValue())
+  def prunedShortfall(executed: DataFrame): Option[Long] = {
+    // prefix-match: each filtered search stamps a unique-suffixed
+    // observation (see searchAdcPruned); a plan composing several filtered
+    // searches reports their SUMMED shortfall
+    val shortfalls = executed.queryExecution.observedMetrics.collect {
+      case (name, r)
+          if name == ShortfallObservation ||
+            name.startsWith(ShortfallObservation + "-") =>
+        r.getAs[Number]("expected").longValue() -
+          r.getAs[Number]("returned").longValue()
+    }
+    if (shortfalls.isEmpty) None else Some(shortfalls.sum)
+  }
 
   /** Persist quantizer + codes. Codes are laid out partitioned by `cell`,
     * so a search probing `nprobe` of `k` cells can prune its scan to
@@ -284,23 +303,36 @@ object VectorIndex extends org.apache.spark.internal.Logging {
   def write(quant: IvfadcQuantizer, codes: DataFrame, path: String): Unit = {
     val s = codes.sparkSession
     withWriterLease(s, path, "write") {
-      quant.cents.write.mode("overwrite").parquet(s"$path/cents")
-      quant.csubs.write.mode("overwrite").parquet(s"$path/codebook")
+      // settle a crashed-but-committed reindex FIRST: its promote rolling
+      // forward AFTER this rebuild would overwrite the fresh index with the
+      // stale staged build
+      recoverReindex(s, path)
+      val snap = snapshot(s, path)
+      // A generation-managed index (≥1 committed swap) is rebuilt with the
+      // same reader-atomic discipline as compact/split/reindex: stage the
+      // full part set COMPLETE in the next generation's directories, then
+      // flip the manifest in one commit — never overwrite the directories
+      // the live manifest references in place, which a concurrent reader
+      // resolving the live snapshot is still scanning. A fresh/legacy flat
+      // index (gen 0, no manifest) writes flat, as ever.
+      val managed = manifestGens(hadoopFs(s, path), path).nonEmpty
+      val dirs: Map[String, String] =
+        if (managed) indexParts.map(p => p -> stagedDirName(snap, p)).toMap
+        else flatDirs
+      def dst(part: String) = s"$path/${dirs(part)}"
+      quant.cents.write.mode("overwrite").parquet(dst("cents"))
+      quant.csubs.write.mode("overwrite").parquet(dst("codebook"))
       // cluster by cell before the partitioned write: without it every input
       // task emits a file into every cell directory (tasks × cells small
       // files — measured as the dominant cost of the index build); with it
       // each cell's rows sit in one task → one file per cell, and every
       // later reload/prune opens k files instead of tasks·k
       codes.repartition(col("cell"))
-        .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
-      cellOccupancy(s.read.parquet(s"$path/codes")
+        .write.mode("overwrite").partitionBy("cell").parquet(dst("codes"))
+      cellOccupancy(s.read.parquet(dst("codes"))
         .select(col("vec_id"), col("cell"), col("m"), col("code")))
-        .write.mode("overwrite").parquet(s"$path/occupancy")
-      // a rebuild over a path that previously carried swapped generations:
-      // re-point the manifest at the freshly-written flat parts (readers of
-      // the old generation keep their files until the NEXT commit's GC)
-      if (manifestGens(hadoopFs(s, path), path).nonEmpty)
-        commitParts(s, path, flatDirs)
+        .write.mode("overwrite").parquet(dst("occupancy"))
+      if (managed) commitParts(s, path, dirs)
     }
   }
 
@@ -346,6 +378,10 @@ object VectorIndex extends org.apache.spark.internal.Logging {
   def appendBatch(s: SparkSession, path: String, fresh: DataFrame,
       id: Column, emb: Column, pq: PqParams): Unit =
     withWriterLease(s, path, "appendBatch") {
+      // settle a crashed-but-committed reindex FIRST (same hazard as
+      // appendSink): appending into the superseded generation loses the
+      // batch when the promote later rolls forward and GC's it
+      recoverReindex(s, path)
       appendCodes(s, path, fresh, id, emb, pq, stamp = None, streamId = None)
     }
 
@@ -439,6 +475,10 @@ object VectorIndex extends org.apache.spark.internal.Logging {
       deletes: DataFrame, id: Column, emb: Column, pq: PqParams,
       meta: Seq[String]): Unit =
     withWriterLease(s, path, "upsertBatch") {
+      // settle a crashed-but-committed reindex FIRST: an upsert applied to
+      // the superseded generation silently vanishes when the promote later
+      // rolls forward
+      recoverReindex(s, path)
       upsertCore(s, path, updates, deletes, id, emb, loadQuantizer(s, path, pq), meta)
     }
 
@@ -731,11 +771,16 @@ object VectorIndex extends org.apache.spark.internal.Logging {
     */
   private def manifestGens(fs: org.apache.hadoop.fs.FileSystem,
       path: String): Seq[Long] =
+    // ONLY a missing root means "fresh/legacy index" (no manifests yet).
+    // Any other IO failure must propagate: swallowing it would silently
+    // resolve a generation-managed index as the flat gen-0 layout — a
+    // reader would serve the superseded generation and a writer would
+    // append into a directory the next GC deletes.
     try fs.listStatus(new org.apache.hadoop.fs.Path(path)).toSeq
       .map(_.getPath.getName)
       .collect { case ManifestRe(g) => g.toLong }
       .sorted
-    catch { case _: java.io.IOException => Seq.empty }
+    catch { case _: java.io.FileNotFoundException => Seq.empty }
 
   /** Resolve the CURRENT committed generation — one atomic read of the
     * newest manifest (or the implicit generation 0: the legacy flat layout,
@@ -807,32 +852,48 @@ object VectorIndex extends org.apache.spark.internal.Logging {
         s"manifest commit for generation $gen at $path lost a race — " +
           "a concurrent writer committed despite the lease")
     }
-    gcGenerations(s, path, gen)
+    gcGenerations(s, path, gen, next)
   }
 
   /** Drop everything no generation ≥ (committedGen − 1) references: old
     * manifests and orphaned part directories. The previous generation's
     * refs are kept whole for in-flight readers (see [[commitParts]]).
+    *
+    * `committedDirs` is the just-committed mapping, passed IN-MEMORY from
+    * [[commitParts]]: the live generation's refs must never be re-read from
+    * disk here, where a transient IOException would degrade them to a guess
+    * and the guess would delete the live data. The previous generation's
+    * manifest IS read back — and an unreadable read ABORTS the GC (it is
+    * best-effort; debris is re-collected on the next commit) rather than
+    * falling back to a ref set that can't be proven.
     */
   private def gcGenerations(s: SparkSession, path: String,
-      committedGen: Long): Unit = {
+      committedGen: Long, committedDirs: Map[String, String]): Unit = {
     val fs = hadoopFs(s, path)
-    def refs(g: Long): Set[String] =
-      if (g <= 0) flatDirs.values.toSet
-      else try (flatDirs ++ readManifest(fs, manifestFile(path, g))).values.toSet
-      catch { case _: java.io.IOException => flatDirs.values.toSet }
-    val keep = refs(committedGen) ++ refs(committedGen - 1)
-    val partDirRe = s"(${indexParts.mkString("|")})(_gen_\\d+)?".r
-    try fs.listStatus(new org.apache.hadoop.fs.Path(path)).foreach { st =>
-      val n = st.getPath.getName
-      n match {
-        case ManifestRe(g) if g.toLong < committedGen - 1 =>
-          fs.delete(st.getPath, false); ()
-        case partDirRe(_, _) if st.isDirectory && !keep.contains(n) =>
-          fs.delete(st.getPath, true); ()
-        case _ => ()
+    val prevRefs: Option[Set[String]] =
+      if (committedGen - 1 <= 0) Some(flatDirs.values.toSet)
+      else try Some(
+        (flatDirs ++ readManifest(fs, manifestFile(path, committedGen - 1)))
+          .values.toSet)
+      catch { case e: java.io.IOException =>
+        logError(s"skipping generation GC at $path: previous manifest " +
+          s"(gen ${committedGen - 1}) unreadable — ${e.getMessage}")
+        None
       }
-    } catch { case _: java.io.IOException => () }
+    prevRefs.foreach { prev =>
+      val keep = committedDirs.values.toSet ++ prev
+      val partDirRe = s"(${indexParts.mkString("|")})(_gen_\\d+)?".r
+      try fs.listStatus(new org.apache.hadoop.fs.Path(path)).foreach { st =>
+        val n = st.getPath.getName
+        n match {
+          case ManifestRe(g) if g.toLong < committedGen - 1 =>
+            fs.delete(st.getPath, false); ()
+          case partDirRe(_, _) if st.isDirectory && !keep.contains(n) =>
+            fs.delete(st.getPath, true); ()
+          case _ => ()
+        }
+      } catch { case _: java.io.IOException => () }
+    }
   }
 
   /** Delete STAGED-BUT-UNCOMMITTED generation directories (a swap that
@@ -961,6 +1022,17 @@ object VectorIndex extends org.apache.spark.internal.Logging {
       beat.setDaemon(true)
       beat.start()
       depths(path) = 1
+      // The heartbeat must be CONFIRMED DEAD before the release delete: a
+      // beat caught between its ownership read and its re-stamp create
+      // would resurrect the lease right after the delete — a zombie no
+      // heartbeat maintains, blocking every writer until the TTL reclaim.
+      // Idempotent; waits in 500 ms joins up to the cap.
+      def beatStopped(maxWaitMs: Long): Boolean = {
+        stop.countDown()
+        val deadline = System.currentTimeMillis() + maxWaitMs
+        while (beat.isAlive && System.currentTimeMillis() < deadline) beat.join(500)
+        !beat.isAlive
+      }
       // ownership-checked release: delete ONLY a lease this writer still
       // owns — deleting blindly would evict a reclaimer that took over
       // mid-op and silently admit a third writer. Idempotent (success path
@@ -969,7 +1041,12 @@ object VectorIndex extends org.apache.spark.internal.Logging {
       var releaseDone = false
       def release(throwOnForeign: Boolean): Unit = if (!releaseDone) {
         releaseDone = true
-        readLease(fs, p) match {
+        if (!beatStopped(60000L)) {
+          // wedged in a slow fs call — deleting now could race its
+          // re-stamp; leave the lease for the TTL reclaim (loud, bounded)
+          logError(s"lease heartbeat for $op on $path did not stop in 60s " +
+            "— leaving the lease in place for the TTL reclaim")
+        } else readLease(fs, p) match {
           case Some(content) if content.startsWith(ownerTag) =>
             try { fs.delete(p, false); () } catch { case _: java.io.IOException => () }
           case Some(content) =>
@@ -983,7 +1060,7 @@ object VectorIndex extends org.apache.spark.internal.Logging {
       }
       try {
         val r = body
-        stop.countDown(); beat.join(2000)
+        beatStopped(60000L)
         if (lost.get()) // heartbeat saw the reclaim first — abort loudly
           throw LostIndexLeaseException(path, op, holder,
             readLease(fs, p).getOrElse("<missing>"))
@@ -991,7 +1068,6 @@ object VectorIndex extends org.apache.spark.internal.Logging {
         r
       } finally {
         depths.remove(path)
-        stop.countDown(); beat.join(2000)
         try release(throwOnForeign = false)
         catch { case _: java.io.IOException => () }
       }
@@ -1151,6 +1227,10 @@ object VectorIndex extends org.apache.spark.internal.Logging {
     */
   def refreshOccupancy(s: SparkSession, path: String): Unit =
     withWriterLease(s, path, "refreshOccupancy") {
+      // settle a crashed-but-committed reindex first — recounting the
+      // superseded generation's codes would persist an occupancy the
+      // promote immediately invalidates
+      recoverReindex(s, path)
       val snap = snapshot(s, path)
       cellOccupancy(loadCodes(s, snap)).localCheckpoint()
         .write.mode("overwrite").parquet(snap.partPath("occupancy"))

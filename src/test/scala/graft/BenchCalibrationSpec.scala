@@ -48,6 +48,29 @@ class BenchCalibrationSpec extends AnyFunSuite {
     assert(Bench.classifyInversions(results, ref) == ((0, Seq.empty)))
   }
 
+  test("inversion gate is directional: a smaller-or-equal-tier ref never gates") {
+    // a run at a LARGER dir than the ref would flag most of the registry
+    // "inverted" for being physically ordinary; the gate must disable
+    // itself instead of burning maxAttempts full passes
+    def dirWith(bytes: Int): String = {
+      val d = java.nio.file.Files.createTempDirectory("graft_bench_dir")
+      java.nio.file.Files.write(d.resolve("t.parquet"), Array.fill(bytes)(0x61.toByte))
+      d.toString
+    }
+    val small = dirWith(1000)
+    val big = dirWith(10000)
+    assert(Bench.inversionRefEligible(big, small),
+      "a genuinely larger ref tier gates")
+    assert(!Bench.inversionRefEligible(small, big),
+      "a smaller ref tier must not gate a larger run")
+    assert(!Bench.inversionRefEligible(small, small + ""),
+      "an equal-size ref must not gate")
+    // ref dir gone: only the official small-tier run may still gate
+    assert(Bench.inversionRefEligible("/tmp/graft_gone_xyz", "/root/testdata/sf0.1"))
+    assert(!Bench.inversionRefEligible("/tmp/graft_gone_xyz", big),
+      "with the ref dir gone, a non-testdata run must not gate")
+  }
+
   test("readBenchArtifact parses both sf- and scale-keyed artifacts") {
     val f = java.io.File.createTempFile("bench", ".json")
     f.deleteOnExit()

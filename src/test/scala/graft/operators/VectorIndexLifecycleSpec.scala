@@ -448,19 +448,18 @@ class VectorIndexLifecycleSpec extends AnyFunSuite {
     }
     val ansBefore = serve()
 
+    // EVERY answer the reader observes is buffered and validated AFTER the
+    // race, against the then-known {ansBefore, ansAfter} pair — validating
+    // inline against a not-yet-known ansAfter would make the check
+    // vacuously true during the only window where a mixed-generation
+    // answer can occur (mid-swap, before the post state is computable).
+    val observed = new java.util.concurrent.ConcurrentLinkedQueue[Seq[org.apache.spark.sql.Row]]()
     val violations = new java.util.concurrent.ConcurrentLinkedQueue[String]()
-    val iterations = new java.util.concurrent.atomic.AtomicInteger(0)
     val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
-    @volatile var ansAfterOpt: Option[Seq[org.apache.spark.sql.Row]] = None
     val reader = new Thread(() => {
       while (!stop.get()) {
-        try {
-          val ans = serve()
-          iterations.incrementAndGet()
-          val legit = ans == ansBefore || ansAfterOpt.forall(ans == _)
-          if (!legit && ansAfterOpt.isDefined)
-            violations.add(s"mixed-generation answer: $ans")
-        } catch {
+        try observed.add(serve())
+        catch {
           case t: Throwable => violations.add(s"reader threw: ${t.getClass.getName}: ${t.getMessage}")
         }
       }
@@ -469,17 +468,19 @@ class VectorIndexLifecycleSpec extends AnyFunSuite {
     VectorIndex.reindex(spark, path, corpus, col("vec_id"), col("embedding"),
       kCells = 8, iters = 2, pq = pq)
     val ansAfter = serve()
-    ansAfterOpt = Some(ansAfter)
     // keep reading a little against the settled post-reindex index
     Thread.sleep(300)
     stop.set(true); reader.join()
     assert(ansAfter != ansBefore,
       "fixture must discriminate generations (different kCells ⇒ different answers)")
-    assert(iterations.get() >= 3, s"reader must have raced the swap, got ${iterations.get()} iterations")
+    assert(observed.size >= 3, s"reader must have raced the swap, got ${observed.size} iterations")
+    import scala.jdk.CollectionConverters._
+    observed.asScala.zipWithIndex.foreach { case (ans, i) =>
+      if (ans != ansBefore && ans != ansAfter)
+        violations.add(s"mixed-generation answer at iteration $i: $ans")
+    }
     assert(violations.isEmpty, s"reader observed: ${violations.toArray.mkString("; ")}")
-    // the reader raced under the PREVIOUS generation's retained files; its
-    // mid-swap answers are only checkable against ansBefore (ansAfter was
-    // unknown then) — re-verify the settled index equals the cold rebuild
+    // re-verify the settled index equals the cold rebuild
     val cold = VectorIndex.train(corpus, col("vec_id"), col("embedding"),
       kCells = 8, iters = 2, pq = pq)
     val coldAns = VectorIndex.searchAdc(
@@ -713,5 +714,94 @@ class VectorIndexLifecycleSpec extends AnyFunSuite {
       nprobe = 2, topK = 5, predicate = None)
     plain.collect()
     assert(VectorIndex.prunedShortfall(plain).isEmpty)
+
+    // COMPOSABILITY: two filtered searches in ONE executed plan — Spark
+    // requires observed-metric names unique per plan, so the observation
+    // must carry a per-call suffix; prunedShortfall then SUMS the plan's
+    // shortfalls (0 from the filled search + the starved one's deficit)
+    val both = VectorIndex.searchAdcPruned(codes, quant, qs,
+        nprobe = 2, topK = 5, predicate = Some(col("rare") === 1))
+      .unionByName(VectorIndex.searchAdcPruned(
+        codes.withColumn("rare", (col("vec_id") < 2).cast("int")), quant, qs,
+        nprobe = 2, topK = 5, predicate = Some(col("rare") === 1)))
+    val bothRows = both.collect()
+    assert(VectorIndex.prunedShortfall(both) ==
+      Some(2L * (2 * 5) - bothRows.length),
+      "a plan composing two filtered searches must report their summed shortfall")
+  }
+
+  test("write() on a generation-managed index is a staged atomic swap, not an in-place overwrite") {
+    // The manifest's reader-atomicity contract must cover FULL REBUILDS
+    // too: once an index has swapped generations, write() staging into the
+    // live flat directories would hand a concurrent reader mixed parts.
+    val corpus = bimodalCorpus().cache()
+    val path = tmp("graft_gen_write")
+    build(corpus, path, kCells = 2)
+    VectorIndex.compactCells(spark, path) // upgrade to generation management
+    val s1 = VectorIndex.snapshot(spark, path)
+    assert(s1.gen >= 1L)
+
+    val quant8 = VectorIndex.train(corpus, col("vec_id"), col("embedding"),
+      kCells = 8, iters = 2, pq = pq)
+    VectorIndex.write(quant8,
+      VectorIndex.encode(corpus, col("vec_id"), col("embedding"), quant8), path)
+
+    val s2 = VectorIndex.snapshot(spark, path)
+    assert(s2.gen == s1.gen + 1, "the rebuild must commit the NEXT generation")
+    assert(Seq("cents", "codebook", "codes", "occupancy")
+      .forall(p => s2.dirs(p) == s"${p}_gen_${s2.gen}"),
+      s"every part must resolve to the staged generation, got ${s2.dirs}")
+    // the previous generation's directories survive one commit for
+    // in-flight readers
+    assert(s1.dirs.values.forall(d => fsOf(path).exists(hp(path, d))),
+      "the superseded generation must be retained for in-flight readers")
+    // and the rebuild is live: 8 cells now
+    assert(spark.read.parquet(s2.partPath("cents")).count() == 8L)
+  }
+
+  test("appendBatch and upsertBatch settle a pending committed reindex before mutating") {
+    // A crashed-but-committed reindex (staged build + _COMMITTED marker,
+    // promote never ran) supersedes the live generation. A batch append or
+    // upsert that lands in the OLD generation is silently destroyed when
+    // the promote later rolls forward — so both entries must settle the
+    // promote first, exactly like appendSink.
+    val corpus = bimodalCorpus().cache()
+    val path = tmp("graft_gen_append_settle")
+    build(corpus, path, kCells = 2)
+
+    // hand-build the crash state (same shape as the recoverReindex test)
+    val quant8 = VectorIndex.train(corpus, col("vec_id"), col("embedding"),
+      kCells = 8, iters = 2, pq = pq)
+    val codes8 = VectorIndex.encode(corpus, col("vec_id"), col("embedding"), quant8)
+    val staging = s"$path/reindex_staging"
+    quant8.cents.write.mode("overwrite").parquet(s"$staging/cents")
+    quant8.csubs.write.mode("overwrite").parquet(s"$staging/codebook")
+    codes8.repartition(col("cell")).write.mode("overwrite")
+      .partitionBy("cell").parquet(s"$staging/codes")
+    VectorIndex.cellOccupancy(spark.read.parquet(s"$staging/codes"))
+      .write.mode("overwrite").parquet(s"$staging/occupancy")
+    val out = fsOf(path).create(hp(path, "reindex_staging/_COMMITTED"), true)
+    out.write("1\n".getBytes("UTF-8")); out.close()
+
+    val fresh = Seq((100L, Array.tabulate(dim)(_ => 0.005f)))
+      .toDF("vec_id", "embedding")
+    VectorIndex.appendBatch(spark, path, fresh, col("vec_id"), col("embedding"), pq)
+
+    val snap = VectorIndex.snapshot(spark, path)
+    assert(snap.gen == 1L, "appendBatch must have promoted the pending reindex first")
+    // codes carry one row per PQ subspace (m rows per vector) — count ids
+    def ids(codes: org.apache.spark.sql.DataFrame, id: Long): Long =
+      codes.filter(col("vec_id") === id).select("vec_id").distinct().count()
+    assert(ids(VectorIndex.loadCodes(spark, snap), 100L) == 1L,
+      "the appended vector must live in the PROMOTED generation, not the superseded one")
+
+    // and the upsert path: update the appended row, delete one corpus row
+    val upd = Seq((100L, Array.tabulate(dim)(_ => 0.009f)))
+      .toDF("vec_id", "embedding")
+    val del = Seq(0L).toDF("vec_id")
+    VectorIndex.upsertBatch(spark, path, upd, del, col("vec_id"), col("embedding"), pq)
+    val served = VectorIndex.loadCodes(spark, path)
+    assert(ids(served, 100L) == 1L)
+    assert(ids(served, 0L) == 0L)
   }
 }

@@ -74,9 +74,9 @@ SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
   step bpe "BENCH_${RN}_bpe.json" sbt -batch "runMain graft.BpeBench BENCH_${RN}_bpe.json"
 
 # 7. second production-vocab BPE point (r13 VERDICT #5): 4096 merges at
-# batchM=128 — pins the warm-up constant as scale-invariant (same floor+10
-# formula machine-checked via rounds_ok; BpeSpec ties the two points at
-# small scale).
+# batchM=128 — pins the round law rounds ≤ 2*ceil(V/M)+log2(M)+2 as
+# scale-invariant (machine-checked via rounds_ok; BpeSpec ties the two
+# points to the same formula at small scale).
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_BPE_MERGES=4096 SPARK_GRAFT_BPE_BATCH_M=128 \
   step bpe2 "BENCH_${RN}_bpe2.json" sbt -batch "runMain graft.BpeBench BENCH_${RN}_bpe2.json"
 
