@@ -251,6 +251,15 @@ def main():
         if isinstance(art, dict) and isinstance(art.get("bytes"), dict):
             return art["bytes"]
         return {}
+    def scale_of(path):
+        # replication factor stamped by BenchScale, e.g. "1000x-/root/..."
+        art = load(path)
+        if isinstance(art, dict):
+            m = re.match(r"(\d+)x-", str(art.get("scale") or ""))
+            if m:
+                return float(m.group(1))
+        return None
+
     pairs = []
     lo01 = f"{ROOT}/BENCH_r{cur:02d}_builder_sf01.json"
     sf1 = f"{ROOT}/BENCH_r{cur:02d}_sf1.json"
@@ -258,7 +267,13 @@ def main():
         pairs.append((lo01, sf1, 10.0))
     for hi in sorted(glob.glob(f"{ROOT}/BENCH_r{cur:02d}_sf10*.json")):
         if os.path.exists(sf1):
-            pairs.append((sf1, hi, 10.0))
+            # the DATA ratio between the two tiers, not a hardcoded decade:
+            # sf1 (10x) -> sf10* (100x) is 10x, but sf1 -> sf100 (1000x) is
+            # a 100x step — judging the latter against a 10x allowance
+            # would flag every healthy linear gate as super-linear
+            hs, ls = scale_of(hi), scale_of(sf1)
+            ratio = (hs / ls) if (hs and ls and hs > ls) else 10.0
+            pairs.append((sf1, hi, ratio))
     for lo_path, hi_path, ratio in pairs:
         lo, hi = qtimes(lo_path), qtimes(hi_path)
         if lo is None or hi is None:
