@@ -48,16 +48,23 @@ object Dedup {
         r.getAs[Number]("dropped_pairs").longValue()))
 
   /** Exact dedup: one surviving row id per distinct content value.
-    * Deterministic (min id wins), unlike dropDuplicates.
+    * Deterministic (min id wins), unlike dropDuplicates. The grouping hash
+    * is sha-256, not md5: "exact" is a contract, and md5 collisions are
+    * practically constructible — a web-scraped corpus containing a public
+    * collision pair would silently collapse two DISTINCT documents under
+    * md5, whereas second-preimage resistance makes sha-256 grouping
+    * collision-safe for any realistic corpus size.
     */
   def exact(df: DataFrame, content: Column, id: Column): DataFrame =
-    df.groupBy(md5(content.cast("binary")).as("content_hash"))
+    df.groupBy(sha2(content.cast("binary"), 256).as("content_hash"))
       .agg(min(id).as("keep_id"), count(lit(1)).as("n_copies"))
 
   /** Keyed keep-first: reference-style PrimaryKey dedup — the first row per
     * key under `order` survives with all its columns.
     */
   def keepFirst(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    require(!df.columns.contains("__rn"),
+      "keepFirst reserves the column name __rn; rename the input column")
     val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
@@ -116,6 +123,12 @@ object Dedup {
     */
   def bandTable(docs: DataFrame, idCol: String, shingleCol: String,
       nHashes: Int, r: Int, seed: Long): DataFrame = {
+    // a non-divisible (nHashes, r) would silently floor the band count,
+    // discarding the trailing nHashes % r signature hashes — the recall
+    // formula 1-(1-t^r)^(nHashes/r) the scaladocs advertise would quietly
+    // degrade while the caller still pays for the unused hashes
+    require(nHashes % r == 0,
+      s"nHashes ($nHashes) must be a multiple of the band width r ($r)")
     val nBands = nHashes / r
     // Signature materialized in its own projection (referenced nBands× below,
     // which blocks CollapseProject from re-inlining it into each band hash);
@@ -238,8 +251,14 @@ object Dedup {
       .select(id.as("__id"), array_sort(shingleHashes(text, shingleWidth)).as("__sh"))
       .filter(size(col("__sh")) > 0)
       .persist()
+    // ceil over an EPSILON-RELAXED product: 25 * 0.28 = 7.000000000000001
+    // in a double, and an un-relaxed ceil of that is 8 — one prefix token
+    // SHORT, which silently drops exact-threshold pairs. Subtracting the
+    // epsilon can only lengthen the prefix (extra candidates, verified
+    // exactly downstream) — the same keep-side discipline as the two
+    // PPJoin filters below.
     val prefixLen = greatest(
-      (size(col("__sh")) - ceil(size(col("__sh")) * lit(threshold)) + lit(1)).cast("int"),
+      (size(col("__sh")) - ceil(size(col("__sh")) * lit(threshold) - lit(1e-9)) + lit(1)).cast("int"),
       lit(1))
     // Prefix tokens carry their 0-based position and the set size, enabling
     // the PPJoin filters below on the matched rows — both are applied
@@ -440,8 +459,13 @@ object Dedup {
     try {
       val out = result.localCheckpoint() // eager: runs the pipeline (and fills the hot cache)
       val acct = hotFrame.map { hot =>
+        // dropped_buckets counts only buckets with FRESH occupancy, matching
+        // the fresh-aware dropped_pairs bound below: a hot bucket holding
+        // zero fresh docs could never have produced a candidate on this
+        // path, so counting it would overstate the cap's losses (the same
+        // overstatement the pairs bound was fixed for)
         val r = hot.agg(
-          coalesce(sum(lit(1L)), lit(0L)).cast("long"),
+          coalesce(sum(when(col("__wf") > 0L, 1L).otherwise(0L)), lit(0L)).cast("long"),
           coalesce(sum(col("__wf") * (col("__w") - col("__wf")) +
             col("__wf") * (col("__wf") - 1L) / 2L), lit(0L)).cast("long")).head()
         (r.getLong(0), r.getLong(1))
@@ -542,9 +566,21 @@ object Dedup {
     // against the EFFECTIVE collected cap so a limit beyond Int.MaxValue
     // can't silently truncate the edge set yet still take the driver path.
     val effLimit = math.min(driverEdgeLimit, Int.MaxValue - 2L).toInt
-    val probe = edges.select(col("id_a").cast("long"), col("id_b").cast("long"))
-      .limit(effLimit + 1).collect()
-    if (probe.length <= effLimit) {
+    // The driver fast path is INTEGRAL-ID ONLY: a long cast of string/UUID
+    // ids yields nulls (NPE at getLong) and would silently re-type the
+    // output's rep column to long. Non-integral id types take the
+    // distributed propagation below, which is id-type-generic.
+    val integralIds = edges.schema.fields.forall(f => f.dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    })
+    val probe =
+      if (integralIds)
+        edges.select(col("id_a").cast("long"), col("id_b").cast("long"))
+          .limit(effLimit + 1).collect()
+      else Array.empty[org.apache.spark.sql.Row]
+    if (integralIds && probe.length <= effLimit) {
       val parent = scala.collection.mutable.Map[Long, Long]()
       def find(x: Long): Long = {
         var r = x
@@ -560,10 +596,14 @@ object Dedup {
       val reps = parent.keys.map(k => (k, find(k))).toSeq
       val spark = ids.sparkSession
       import spark.implicits._
-      val repDf = broadcast(reps.toDF("id", "rep0"))
+      // output schema parity with the distributed path: id and rep both
+      // keep the caller's id type (the long-typed union-find keys are an
+      // internal detail, never the result type)
+      val idType = ids.schema(idCol).dataType
+      val repDf = broadcast(reps.toDF("id0", "rep0"))
       return ids.select(col(idCol).as("id"))
-        .join(repDf, Seq("id"), "left")
-        .select(col("id"), coalesce(col("rep0"), col("id")).as("rep"))
+        .join(repDf, col("id").cast("long") === col("id0"), "left")
+        .select(col("id"), coalesce(col("rep0").cast(idType), col("id")).as("rep"))
     }
     edges.persist() // re-read every propagation round on this path only
     // Each generation is localCheckpoint'd (eager), NOT merely persisted:
@@ -602,6 +642,16 @@ object Dedup {
       iter += 1
     }
     edges.unpersist(blocking = false)
+    // Unconverged labels are WRONG labels (one component, several
+    // representatives) — propagation needs as many rounds as the largest
+    // component's min-label eccentricity, and a transitive near-dup chain
+    // can exceed any fixed cap. Fail loudly rather than hand a curation
+    // pipeline silently-split duplicate clusters.
+    if (!converged)
+      throw new IllegalStateException(
+        s"clusterRepresentatives: label propagation did not converge in " +
+          s"$maxIter rounds — a duplicate chain's diameter exceeds the cap; " +
+          "raise maxIter (rounds needed ≈ the longest chain's hop count)")
     labels
   }
 

@@ -17,13 +17,28 @@ import org.apache.spark.sql.functions._
   */
 object Upsert {
 
-  /** Latest row per key by `version` (ties: all columns of the later-sorted
-    * row win deterministically via the extra ordering columns).
+  /** Latest row per key by `version`. Deterministic under EVERY tie: after
+    * `version` and the caller's `tieBreak` columns, a hash over the full
+    * row is the final ordering key — two distinct payloads sharing
+    * (key, version) in one change batch (a day of at-least-once CDC) would
+    * otherwise be picked arbitrarily per run, and a replayed batch could
+    * materialize a different snapshot than the interrupted run it repeats
+    * (the idempotency [[graft.streaming.EventStreams]]' CDC sink recovery
+    * depends on). Fully identical rows still tie, harmlessly.
     */
   def latestByKey(df: DataFrame, keys: Seq[String], version: Column,
       tieBreak: Seq[Column] = Nil): DataFrame = {
+    require(!df.columns.contains("__rn"),
+      "latestByKey reserves the column name __rn; rename the input column")
+    // map columns are not hashable in Spark — exclude them from the row
+    // hash (rows differing ONLY in a map column still tie, documented)
+    val hashable = df.schema.fields.collect {
+      case f if !f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] =>
+        col(f.name)
+    }.toSeq
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy((version.desc +: tieBreak.map(_.desc)): _*)
+      .orderBy((version.desc +: tieBreak.map(_.desc)) :+
+        xxhash64(hashable: _*).desc: _*)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
@@ -34,11 +49,14 @@ object Upsert {
     * change survive. Schemas must align (unionByName).
     */
   def apply(base: DataFrame, changes: DataFrame, keys: Seq[String],
-      versionCol: String): DataFrame =
+      versionCol: String): DataFrame = {
+    require(!base.columns.contains("__src") && !changes.columns.contains("__src"),
+      "Upsert.apply reserves the column name __src; rename the input column")
     latestByKey(
       base.withColumn("__src", lit(0)).unionByName(changes.withColumn("__src", lit(1))),
       keys, col(versionCol), tieBreak = Seq(col("__src")))
       .drop("__src")
+  }
 
   /** Broadcast-split CDC merge for a LARGE base — the 100 TB refinement the
     * window formulation's scaladoc points at. [[apply]]'s window over a
@@ -63,9 +81,21 @@ object Upsert {
     * (SQL join semantics) nor collapse duplicate base rows the window
     * formulation would dedup.
     */
+  /** @param maxBroadcastKeys guard on the broadcast change-key set: a
+    *   backfill/replay batch with tens of millions of distinct keys would
+    *   blow the broadcast limit (or the driver) mid-stream — above the
+    *   bound this falls back to the window formulation ([[apply]]), which
+    *   shuffles the base once but never materializes the keys on one node.
+    *   The count costs one pass over the (small-by-contract) change batch.
+    */
   def mergeLargeBase(base: DataFrame, changes: DataFrame, keys: Seq[String],
-      versionCol: String): DataFrame = {
+      versionCol: String, maxBroadcastKeys: Long = 5_000_000L): DataFrame = {
     val changeKeys = changes.select(keys.map(col): _*).distinct()
+    // guard probe on its own (uncached) frame: the broadcast plan below
+    // stays byte-identical to the unguarded form (UpsertSpec pins its
+    // exchange count); the distinct runs twice, over the small batch only
+    if (changeKeys.count() > maxBroadcastKeys)
+      return apply(base, changes, keys, versionCol)
     val survivors = base.join(broadcast(changeKeys), keys, "left_anti")
     val contested = base.join(broadcast(changeKeys), keys, "left_semi")
     survivors.unionByName(apply(contested, changes, keys, versionCol))

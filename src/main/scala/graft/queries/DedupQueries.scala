@@ -26,8 +26,8 @@ object DedupQueries extends QueryPack {
       .orderBy("keep_id")
 
   private val qExactSql =
-    """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
-       FROM documents GROUP BY md5(text) ORDER BY keep_id"""
+    """SELECT sha256(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+       FROM documents GROUP BY sha256(text) ORDER BY keep_id"""
 
   // -- keyed keep-first (reference PrimaryKey dedup, schema.go:5-12) -------------
   private def qKeepFirst(s: SparkSession, dir: String): DataFrame =

@@ -600,19 +600,29 @@ object TpchShapes extends QueryPack {
   // EXISTS/NOT-EXISTS formulation, so the equivalence itself is
   // hash-checked.
   private def q21(s: SparkSession, dir: String): DataFrame = {
-    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-    val lateAgg = t(s, dir, "lineitem")
-      .join(t(s, dir, "orders").filter(col("o_orderstatus") === "F"),
-        col("l_orderkey") === col("o_orderkey") &&
-          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY"))
+    // ONE pass over the fact: join F-orders once, then a TWO-LEVEL
+    // aggregation — (orderkey, suppkey) first (map-side combine collapses
+    // the fact to distinct pairs; lateness folds into a per-pair flag),
+    // then per-order counts over the already-collapsed pairs. The previous
+    // shape aggregated lineitem TWICE (the late-join agg + a full-table
+    // countDistinct) and joined the two aggregates — a second fact-scale
+    // scan+shuffle this fuses away. Restricting the "all suppliers" count
+    // to F-orders changes nothing: only F-orders survive the late filter.
+    // Two-level beats two countDistinct in one groupBy, which would Expand
+    // (duplicate) every fact row per distinct aggregate.
+    val perPair = t(s, dir, "lineitem")
+      .join(t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY"), 1)
+        .otherwise(0)).as("is_late"))
+    perPair
       .groupBy(col("l_orderkey"))
-      .agg(countDistinct(col("l_suppkey")).as("cnt_late"),
-        min(col("l_suppkey")).as("sole_supp"))
-    val allAgg = li.groupBy(col("l_orderkey"))
-      .agg(countDistinct(col("l_suppkey")).as("cnt_all"))
-    lateAgg.filter(col("cnt_late") === 1)
-      .join(allAgg, "l_orderkey")
-      .filter(col("cnt_all") > 1)
+      .agg(count(lit(1)).as("cnt_all"),
+        sum(col("is_late")).as("cnt_late"),
+        min(when(col("is_late") === 1, col("l_suppkey"))).as("sole_supp"))
+      .filter(col("cnt_late") === 1 && col("cnt_all") > 1)
       .groupBy(col("sole_supp").as("l_suppkey"))
       .agg(count(lit(1)).as("numwait"))
       .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))

@@ -119,6 +119,50 @@ class DedupSpec extends AnyFunSuite {
     assert(expected.nonEmpty) // non-vacuous: the dup pairs must be found
   }
 
+  test("jaccardJoin keeps exact-threshold pairs whose product hits double rounding (prefix epsilon)") {
+    // 25 * 0.28 = 7.000000000000001 in a double: an un-relaxed
+    // ceil(|a|·t) computes 8 instead of 7, shortening a's prefix to 18 —
+    // and a subset doc holding exactly a's 7 LARGEST-hash shingles
+    // (jaccard exactly 7/25 = 0.28) then shares no prefix token and is
+    // silently dropped. Width-1 shingles make the adversarial subset
+    // constructible: rank a's words by their shingle hash and take the
+    // top 7.
+    val words = (1 to 25).map(i => s"w$i")
+    val wordDocs = words.zipWithIndex
+      .map { case (w, i) => (100L + i, w) }.toDF("doc_id", "text")
+    val ranked = wordDocs
+      .select(col("text"), Dedup.shingleHashes(col("text"), 1)(0).as("h"))
+      .as[(String, Long)].collect().sortBy(_._2).map(_._1)
+    val docA = ranked.mkString(" ")               // all 25 words
+    val docB = ranked.takeRight(7).mkString(" ")  // the 7 largest-hash words
+    val pair = Seq((1L, docA), (2L, docB)).toDF("doc_id", "text")
+    val out = Dedup.jaccardJoin(pair, col("doc_id"), col("text"), 1, threshold = 0.28)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+    assert(out.toSeq == Seq((1L, 2L, 0.28)),
+      s"the exact-threshold subset pair must survive the prefix filter, got ${out.toSeq}")
+  }
+
+  test("clusterRepresentatives handles string ids (no driver fast path) and fails loudly on non-convergence") {
+    // string ids: the long-cast driver union-find would NPE — the operator
+    // must route them to the distributed propagation and keep the id type
+    val pairs = Seq(("a", "b"), ("b", "c")).toDF("id_a", "id_b")
+    val ids = Seq("a", "b", "c", "d").toDF("doc_id")
+    val reps = Dedup.clusterRepresentatives(pairs, ids, "doc_id")
+      .as[(String, String)].collect().toMap
+    assert(reps == Map("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "d"))
+
+    // a 6-hop chain under maxIter=2 cannot converge — wrong labels must
+    // throw, not return silently-split clusters (forced onto the
+    // distributed path: driverEdgeLimit=0)
+    val chain = (1L until 8L).map(i => (i - 1, i)).toDF("id_a", "id_b")
+    val chainIds = (0L until 8L).toDF("doc_id")
+    val e = intercept[IllegalStateException] {
+      Dedup.clusterRepresentatives(chain, chainIds, "doc_id",
+        maxIter = 2, driverEdgeLimit = 0L).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("jaccardJoin with duplicate-heavy shingles still matches set-Jaccard brute force") {
     // Repeated n-grams: if the prefix were derived from the multiset size (or
     // the array sorted without dedup), low-hash duplicate shingles would crowd

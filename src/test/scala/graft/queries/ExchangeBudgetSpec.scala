@@ -150,11 +150,12 @@ class ExchangeBudgetSpec extends AnyFunSuite {
     "q19_disjunctive" -> 1,
     "q1_pricing_summary" -> 2,
     "q20_excess_supply" -> 7,
-    "q21_waiting_suppliers" -> 5, // r10 sole-late-supplier rewrite: two
-                                  // per-order distinct aggs + orderkey
-                                  // join replace the pair-set semi/anti
-                                  // self-joins (was 6 exchanges, 15 s on
-                                  // 100x data)
+    "q21_waiting_suppliers" -> 3, // r14 fused single-pass rewrite: ONE
+                                  // F-orders join + a two-level
+                                  // (orderkey,suppkey)->orderkey agg
+                                  // replace the two separate distinct
+                                  // aggs + their join (was 5 exchanges /
+                                  // 17 s at 100x; now 3 / 5.3 s)
     "q22_inactive" -> 3,
     "q2_min_cost" -> 5,
     "q3_top_revenue" -> 1,
