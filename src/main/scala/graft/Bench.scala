@@ -164,11 +164,16 @@ object Bench {
     * gating against a smaller tier would reject every attempt for being
     * physically ordinary (this run SHOULD be slower than less data) and
     * burn maxAttempts full suite passes before stamping a false
-    * `inverted:true` that roundcheck then refuses. When both dirs are still
-    * on disk, their actual bytes decide (ref must be ≥1.5× this run's);
-    * when the ref's dir is gone (tier dirs live in /tmp and don't survive
-    * reboots), fall back to "this run is the official small-tier run" —
-    * only the default testdata path may still gate.
+    * `inverted:true` that roundcheck then refuses.
+    *
+    * A scale-stamped ref ("Nx-<baseDir>", BenchScale's format) is decided
+    * from the STAMP, like roundcheck.py's scale_of — the synthesized tier
+    * dir's raw bytes depend on compression/layout and may skew past 1.5×
+    * between same-scale tiers, and the dir itself lives in /tmp and rarely
+    * survives to the next run anyway. Unstamped refs fall back to walking
+    * both dirs' bytes (ref must be ≥1.5× this run's), skipping symlinks so
+    * a cycle can't hang the walk nor a link double-count its target; with
+    * the ref dir gone, only the default testdata path may still gate.
     */
   def inversionRefEligible(refSf: String, sfDir: String): Boolean = {
     def dirBytes(d: String): Option[Long] = {
@@ -176,14 +181,24 @@ object Bench {
       if (!root.isDirectory) None
       else {
         def walk(f: java.io.File): Long =
-          if (f.isFile) f.length()
+          if (java.nio.file.Files.isSymbolicLink(f.toPath)) 0L
+          else if (f.isFile) f.length()
           else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
         Some(walk(root))
       }
     }
-    (dirBytes(refSf), dirBytes(sfDir)) match {
-      case (Some(rb), Some(cb)) => rb > cb * 3 / 2
-      case _ => sfDir.startsWith("/root/testdata/")
+    def byBytes(refDir: String, refMult: Long): Boolean =
+      (dirBytes(refDir), dirBytes(sfDir)) match {
+        case (Some(rb), Some(cb)) => refMult * rb > cb * 3 / 2
+        case _ => sfDir.startsWith("/root/testdata/")
+      }
+    val stamp = "^(\\d+)x-(.*)$".r
+    refSf match {
+      case stamp(n, base) =>
+        // ref is stamped n× its base: when this run IS that base, n>1 makes
+        // the ref strictly larger by construction — no byte walk needed
+        if (base == sfDir) n.toLong > 1L else byBytes(base, n.toLong)
+      case _ => byBytes(refSf, 1L)
     }
   }
 
@@ -210,15 +225,22 @@ object Bench {
     // still-dirty final attempt is stamped contended:true in the JSON.
     val probeMax = sys.env.get("SPARK_GRAFT_PROBE_MAX").flatMap(_.toDoubleOption)
       .getOrElse(0.65)
+    // Default raised 3 → 5 (r14 VERDICT #7): the official driver-side run —
+    // whose env the builder cannot set — ended contended at 1-in-3 on a
+    // busy host even though the gate itself worked; two more attempts (each
+    // ~2×suite ≈ 3-4 min) buy a clean stamp far more often than they cost.
     val maxAttempts = sys.env.get("SPARK_GRAFT_BENCH_ATTEMPTS").flatMap(_.toIntOption)
-      .filter(_ >= 1).getOrElse(3)
+      .filter(_ >= 1).getOrElse(5)
     // First probe call is discarded: it pays the probe loop's own JIT
     // (~0.15 s measured), which would skew before-vs-after comparison.
     calibrationProbe()
+    // quiet-probe wait doubled 5 → 10 min (same verdict ask): co-tenant
+    // bursts on this host are minutes-long; outwaiting one is cheaper than
+    // burning a full timed pass into a dirty probe.
     def quietProbe(): Double = {
       var p = calibrationProbe()
       var waits = 0
-      while (p > probeMax && waits < 20) { Thread.sleep(15000); waits += 1; p = calibrationProbe() }
+      while (p > probeMax && waits < 40) { Thread.sleep(15000); waits += 1; p = calibrationProbe() }
       p
     }
     val spark = LocalSession.build()
@@ -362,19 +384,25 @@ object Bench {
       (json + "\n").getBytes("UTF-8"),
       java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
     catch { case _: Throwable => () }
-    // Print order matters (r13 VERDICT #4, third round of "parsed":null):
+    // Print order matters (r14 VERDICT #1, FOURTH round of capture pain):
     // the driver captures a bounded stdout TAIL, which always retains the
-    // LAST lines and clips the earliest. Health line FIRST (compact,
-    // survives even a tiny tail), full per-query JSON LAST — so any tail
-    // that holds anything holds the full record, and roundcheck no longer
-    // needs its bench_history rescue.
+    // LAST lines and clips the earliest. The full per-query JSON is ~8 KB —
+    // LARGER than the observed 2000-char tail — so whichever line ends the
+    // stream decides what survives. r14 printed the full record last and
+    // the tail kept only its clipped middle: neither parseable nor
+    // rescuable. Order that always yields a number: full JSON first (whole
+    // when the tail is generous), compact health line LAST (~180 chars —
+    // survives ANY tail and its suite total keys the full record in
+    // bench_history.jsonl / bench_last.json for roundcheck's rescue).
+    // BenchCalibrationSpec pins this by slicing the combined stdout to its
+    // final 2000 chars and recovering the total.
     // count only queries that actually timed — a -1 all-reps-failed
     // sentinel must show up as a smaller queries_timed here (BenchScale
     // already counts this way; the two callers must agree)
+    println(json)
     println(healthLine(probeBefore, probeAfter, total, reps,
       results.count(_._2 >= 0),
       extra = s""","contended":${!probesClean},"inverted":$inverted,"attempts":$attempt"""))
-    println(json)
     spark.stop()
   }
 

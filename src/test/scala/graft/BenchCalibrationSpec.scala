@@ -71,6 +71,64 @@ class BenchCalibrationSpec extends AnyFunSuite {
       "with the ref dir gone, a non-testdata run must not gate")
   }
 
+  test("scale-stamped ref is judged by its stamp, not tier-dir bytes") {
+    // BenchScale stamps "Nx-<baseDir>"; the synthesized dir lives in /tmp
+    // and its raw bytes skew with compression/layout (ADVICE r14) — the
+    // stamp is the truth. A 10x stamp over this run's own base dir gates;
+    // a degenerate 1x stamp must not.
+    val base = java.nio.file.Files.createTempDirectory("graft_stamp_base").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(base, "t.parquet"),
+      Array.fill(1000)(0x61.toByte))
+    assert(Bench.inversionRefEligible(s"10x-$base", base),
+      "a 10x-stamped ref over this run's base dir gates")
+    assert(!Bench.inversionRefEligible(s"1x-$base", base),
+      "a 1x stamp is the same tier — must not gate")
+    // stamp over a DIFFERENT dir: multiplier applies to the base's bytes
+    val bigger = java.nio.file.Files.createTempDirectory("graft_stamp_big").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(bigger, "t.parquet"),
+      Array.fill(5000)(0x61.toByte))
+    assert(Bench.inversionRefEligible(s"10x-$base", bigger),
+      "10x of 1000B base outweighs a 5000B run dir")
+    assert(!Bench.inversionRefEligible(s"2x-$base", bigger),
+      "2x of 1000B base does not outweigh a 5000B run dir")
+  }
+
+  test("dir-bytes walk skips symlinks: a cycle cannot hang eligibility") {
+    val d = java.nio.file.Files.createTempDirectory("graft_link_dir")
+    java.nio.file.Files.write(d.resolve("t.parquet"), Array.fill(100)(0x61.toByte))
+    try java.nio.file.Files.createSymbolicLink(d.resolve("loop"), d)
+    catch { case _: UnsupportedOperationException => cancel("fs lacks symlinks") }
+    val other = java.nio.file.Files.createTempDirectory("graft_link_other")
+    java.nio.file.Files.write(other.resolve("t.parquet"), Array.fill(1000)(0x61.toByte))
+    // would recurse forever (or stack-overflow) without the symlink guard;
+    // with it, d counts 100B vs other's 1000B → not eligible
+    assert(!Bench.inversionRefEligible(d.toString, other.toString))
+    assert(Bench.inversionRefEligible(other.toString, d.toString))
+  }
+
+  test("a 2000-char stdout tail always recovers the run's total (r14 capture fix)") {
+    // The driver keeps only the LAST ~2000 chars of Bench's stdout. The full
+    // per-query record is ~8 KB, so whatever prints last decides what the
+    // tail retains. Bench prints: full JSON, then the compact health line.
+    // Build the combined stdout exactly as Bench.main does and slice it.
+    val qs = (1 to 159).map(i => s""""q${"%03d".format(i)}_operator_name_of_typical_length":${i % 7}.${i % 997}""")
+      .mkString("{", ",", "}")
+    val fullJson =
+      s"""{"metric":"total","value":94.613,"unit":"sec","reps":3,"agg":"min","action":"noop","contended":false,"inverted":false,"attempts":1,"calibration":{"before":0.627,"after":0.609},"inversions":null,"queries":$qs,"queries_median":$qs,"sf":"/root/testdata/sf0.1"}"""
+    assert(fullJson.length > 4000, "fixture must model the real ~8KB record")
+    val health = Bench.healthLine(0.627, 0.609, 94.613, 3, 159,
+      extra = ""","contended":false,"inverted":false,"attempts":1""")
+    assert(health.length < 400, s"health line must survive any tail: ${health.length}")
+    val stdout = fullJson + "\n" + health + "\n"
+    val tail = stdout.takeRight(2000)
+    // roundcheck.py's exact rescue key: the health line's total
+    val m = """"health"\s*:\s*\{.*?"total"\s*:\s*([\d.]+)""".r
+      .findFirstMatchIn(tail)
+    assert(m.isDefined, s"health line missing from the 2000-char tail: ...${tail.takeRight(300)}")
+    assert(m.get.group(1) == "94.613",
+      "the recovered total must key the full record in bench_history.jsonl")
+  }
+
   test("readBenchArtifact parses both sf- and scale-keyed artifacts") {
     val f = java.io.File.createTempFile("bench", ".json")
     f.deleteOnExit()

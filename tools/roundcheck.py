@@ -124,6 +124,7 @@ def main():
             text = bench.get("tail", "") if isinstance(bench, dict) else ""
             mh = re.search(r'"health"\s*:\s*\{.*?"total"\s*:\s*([\d.]+)', text)
             want_total = mh.group(1) if mh else None
+            newest = None  # newest full history record, whatever its total
             try:
                 with open(f"{ROOT}/bench_history.jsonl") as f:
                     for line in f:
@@ -131,8 +132,10 @@ def main():
                             rec = json.loads(line)
                         except ValueError:
                             continue
+                        if not isinstance(rec.get("queries"), dict):
+                            continue
+                        newest = rec
                         if want_total is not None and \
-                                isinstance(rec.get("queries"), dict) and \
                                 f'{rec.get("value", -1):.3f}' == want_total:
                             full = rec  # last match wins (newest run)
             except FileNotFoundError:
@@ -140,6 +143,28 @@ def main():
             if full is not None:
                 print(f"   BENCH r{cur:02d} tail truncated — full line "
                       f"rescued from bench_history.jsonl (total {want_total}s)")
+            else:
+                # Last-resort fallback (r14 VERDICT #1): Bench always writes
+                # the complete record to bench_last.json BEFORE printing, so
+                # when the tail kept no health line at all, accept it —
+                # provided it matches either the tail's total (if any
+                # survived) or the newest bench_history line (bench_last is
+                # overwritten by every run; agreeing with the newest history
+                # line proves it IS the newest run, not a stale leftover).
+                bl = load(f"{ROOT}/bench_last.json")
+                if isinstance(bl, dict) and isinstance(bl.get("queries"), dict):
+                    matches_tail = want_total is not None and \
+                        f'{bl.get("value", -1):.3f}' == want_total
+                    matches_hist = newest is not None and \
+                        bl.get("value") == newest.get("value") and \
+                        bl.get("queries") == newest.get("queries")
+                    if matches_tail or matches_hist:
+                        full = bl
+                        why = "tail total" if matches_tail else \
+                            "newest bench_history line"
+                        print(f"   BENCH r{cur:02d} tail truncated — full "
+                              f"record rescued from bench_last.json "
+                              f"(matches {why}, total {bl.get('value')}s)")
         if full is not None:
             failed = sorted(n for n, v in full["queries"].items() if v < 0)
             inv = full.get("inversions") or {}
