@@ -568,13 +568,20 @@ object Dedup {
     val effLimit = math.min(driverEdgeLimit, Int.MaxValue - 2L).toInt
     // The driver fast path is INTEGRAL-ID ONLY: a long cast of string/UUID
     // ids yields nulls (NPE at getLong) and would silently re-type the
-    // output's rep column to long. Non-integral id types take the
-    // distributed propagation below, which is id-type-generic.
-    val integralIds = edges.schema.fields.forall(f => f.dataType match {
+    // output's rep column to long. The check covers the `ids` frame's id
+    // column AND both edge columns (ADVICE r14): integral edges over
+    // string-typed ids would otherwise null out on the final
+    // `id.cast(long) === id0` join and keep every doc as its own
+    // representative — silently-split clusters, exactly what this guard
+    // exists to prevent. Any non-integral type takes the distributed
+    // propagation below, which is id-type-generic.
+    def integral(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
       case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
            org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
       case _ => false
-    })
+    }
+    val integralIds = edges.schema.fields.forall(f => integral(f.dataType)) &&
+      integral(ids.schema(idCol).dataType)
     val probe =
       if (integralIds)
         edges.select(col("id_a").cast("long"), col("id_b").cast("long"))
@@ -605,7 +612,16 @@ object Dedup {
         .join(repDf, col("id").cast("long") === col("id0"), "left")
         .select(col("id"), coalesce(col("rep0").cast(idType), col("id")).as("rep"))
     }
-    edges.persist() // re-read every propagation round on this path only
+    // Align the edge endpoints with the ids frame's id TYPE before joining:
+    // under ANSI mode a mixed-type equi-join (long edges, string ids) would
+    // otherwise throw on the first non-numeric id mid-propagation. Casting
+    // INTO the caller's id domain (long→string is total) keeps the join
+    // type-exact; an edge that cannot enter the id domain is garbage input
+    // and still fails loudly.
+    val idT = ids.schema(idCol).dataType
+    val edgesT = edges.select(col("id_a").cast(idT).as("id_a"),
+      col("id_b").cast(idT).as("id_b"))
+    edgesT.persist() // re-read every propagation round on this path only
     // Each generation is localCheckpoint'd (eager), NOT merely persisted:
     // gen i+1's plan references gen i TWICE (the union arm and the neighbor
     // join), so without lineage truncation the logical plan DOUBLES per
@@ -626,9 +642,9 @@ object Dedup {
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      val viaNeighbors = edges
-        .join(labels, edges("id_b") === labels("id"))
-        .select(edges("id_a").as("id"), col("rep"))
+      val viaNeighbors = edgesT
+        .join(labels, edgesT("id_b") === labels("id"))
+        .select(edgesT("id_a").as("id"), col("rep"))
       val next = labels.select(col("id"), col("rep"))
         .union(viaNeighbors)
         .groupBy("id").agg(min("rep").as("rep"))
@@ -641,7 +657,7 @@ object Dedup {
       converged = !changed
       iter += 1
     }
-    edges.unpersist(blocking = false)
+    edgesT.unpersist(blocking = false)
     // Unconverged labels are WRONG labels (one component, several
     // representatives) — propagation needs as many rounds as the largest
     // component's min-label eccentricity, and a transitive near-dup chain

@@ -30,15 +30,24 @@ object Upsert {
       tieBreak: Seq[Column] = Nil): DataFrame = {
     require(!df.columns.contains("__rn"),
       "latestByKey reserves the column name __rn; rename the input column")
-    // map columns are not hashable in Spark — exclude them from the row
-    // hash (rows differing ONLY in a map column still tie, documented)
+    // map types are not hashable in Spark — exclude any column whose type
+    // CONTAINS one at any nesting depth (array<map<..>>, struct with a map
+    // field: xxhash64 rejects those exactly like a top-level map) from the
+    // row hash. Rows differing ONLY in such a column still tie, documented.
+    def containsMap(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => true
+      case a: org.apache.spark.sql.types.ArrayType => containsMap(a.elementType)
+      case s: org.apache.spark.sql.types.StructType => s.fields.exists(f => containsMap(f.dataType))
+      case _ => false
+    }
     val hashable = df.schema.fields.collect {
-      case f if !f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] =>
-        col(f.name)
+      case f if !containsMap(f.dataType) => col(f.name)
     }.toSeq
+    // xxhash64 requires ≥1 argument; a schema where EVERY column nests a
+    // map has no hashable tiebreak — constant-tie, same as all-identical
+    val rowHash = if (hashable.isEmpty) lit(0L) else xxhash64(hashable: _*)
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy((version.desc +: tieBreak.map(_.desc)) :+
-        xxhash64(hashable: _*).desc: _*)
+      .orderBy((version.desc +: tieBreak.map(_.desc)) :+ rowHash.desc: _*)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
@@ -86,14 +95,17 @@ object Upsert {
     *   blow the broadcast limit (or the driver) mid-stream — above the
     *   bound this falls back to the window formulation ([[apply]]), which
     *   shuffles the base once but never materializes the keys on one node.
-    *   The count costs one pass over the (small-by-contract) change batch.
+    *   The key set is localCheckpoint-materialized ONCE (eager, executor-
+    *   resident, lineage-truncated), so the guard decision and the
+    *   broadcast read the SAME snapshot — a nondeterministic `changes`
+    *   source cannot diverge between them (ADVICE r14) — and the
+    *   under-bound path pays one distinct pass total, where the previous
+    *   count-then-broadcast form re-ran it per use. Storage is freed by the
+    *   ContextCleaner once the result frame is released.
     */
   def mergeLargeBase(base: DataFrame, changes: DataFrame, keys: Seq[String],
       versionCol: String, maxBroadcastKeys: Long = 5_000_000L): DataFrame = {
-    val changeKeys = changes.select(keys.map(col): _*).distinct()
-    // guard probe on its own (uncached) frame: the broadcast plan below
-    // stays byte-identical to the unguarded form (UpsertSpec pins its
-    // exchange count); the distinct runs twice, over the small batch only
+    val changeKeys = changes.select(keys.map(col): _*).distinct().localCheckpoint()
     if (changeKeys.count() > maxBroadcastKeys)
       return apply(base, changes, keys, versionCol)
     val survivors = base.join(broadcast(changeKeys), keys, "left_anti")

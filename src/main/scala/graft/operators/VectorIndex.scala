@@ -293,6 +293,75 @@ object VectorIndex extends org.apache.spark.internal.Logging {
     if (shortfalls.isEmpty) None else Some(shortfalls.sum)
   }
 
+  /** Observation name carrying a widening search's attempt record:
+    * `first_nprobe` / `first_shortfall` (the initial attempt) and
+    * `widened_nprobe` (= first_nprobe when no widening was needed). Read
+    * with [[wideningRecord]] after an action on the returned frame.
+    */
+  val WidenObservation = "ann_probe_widened"
+
+  /** Starvation-DRIVEN probe widening — the documented response to a
+    * nonzero [[prunedShortfall]] (r14 VERDICT #6), opt-in via this separate
+    * entry point (plain [[searchAdcPruned]] callers keep the report-only
+    * behavior). Runs the predicate-filtered pruned search at `nprobe` and
+    * materializes it eagerly (localCheckpoint — the shortfall observation
+    * only exists post-action); a zero shortfall returns that result with no
+    * re-execution (the checkpoint serves the caller's action). A starved
+    * attempt re-runs at `widenTo` probes — deliberately from scratch: the
+    * widened probe set strictly contains the narrow one, but re-deriving
+    * beats stitching partial per-cell rankings whose top-k windows differ.
+    * Both attempts are accounted on the returned frame ([[Dedup]]'s
+    * no-silent-work discipline, in reverse — no silent EXTRA cost either):
+    * the widened run's own shortfall observation plus a
+    * [[WidenObservation]] record of what the first attempt saw.
+    *
+    * At 100 TB the widening is per-QUERY-BATCH, not per-query: one starved
+    * rare-label batch pays one extra bounded pruned scan (widenTo/k of the
+    * index), while the common unfiltered/filled path never re-executes.
+    */
+  def searchAdcPrunedWidening(codes: DataFrame, quant: IvfadcQuantizer,
+      queries: DataFrame, nprobe: Int, topK: Int, predicate: Column,
+      widenTo: Int): DataFrame = {
+    require(widenTo >= nprobe,
+      s"widenTo ($widenTo) must be ≥ the initial nprobe ($nprobe)")
+    def record(df: DataFrame, firstShortfall: Long, widened: Int): DataFrame =
+      df.observe(s"$WidenObservation-${shortfallSeq.incrementAndGet()}",
+        max(lit(nprobe)).as("first_nprobe"),
+        max(lit(firstShortfall)).as("first_shortfall"),
+        max(lit(widened)).as("widened_nprobe"))
+    val first = searchAdcPruned(codes, quant, queries, nprobe, topK, Some(predicate))
+    val materialized = first.localCheckpoint() // eager: one execution, reusable
+    val starved = prunedShortfall(first).getOrElse(0L)
+    if (starved == 0L || widenTo == nprobe)
+      record(materialized, starved, nprobe)
+    else {
+      // the narrow attempt's checkpoint storage serves nothing downstream —
+      // free it now rather than waiting on the ContextCleaner
+      materialized.queryExecution.logical.foreach {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          l.rdd.unpersist(blocking = false); ()
+        case _ => ()
+      }
+      record(
+        searchAdcPruned(codes, quant, queries, widenTo, topK, Some(predicate)),
+        starved, widenTo)
+    }
+  }
+
+  /** The attempt record of an EXECUTED [[searchAdcPrunedWidening]] frame:
+    * Some((firstNprobe, firstShortfall, widenedNprobe)); widenedNprobe ==
+    * firstNprobe means the first attempt filled its top-k and nothing
+    * widened. None when the frame carries no widening record or has not
+    * executed.
+    */
+  def wideningRecord(executed: DataFrame): Option[(Int, Long, Int)] =
+    executed.queryExecution.observedMetrics.collectFirst {
+      case (name, r) if name.startsWith(WidenObservation + "-") =>
+        (r.getAs[Number]("first_nprobe").intValue(),
+          r.getAs[Number]("first_shortfall").longValue(),
+          r.getAs[Number]("widened_nprobe").intValue())
+    }
+
   /** Persist quantizer + codes. Codes are laid out partitioned by `cell`,
     * so a search probing `nprobe` of `k` cells can prune its scan to
     * `nprobe/k` of the files — the layout IS the coarse index on disk
@@ -1010,13 +1079,10 @@ object VectorIndex extends org.apache.spark.internal.Logging {
         val period = math.max(ttlMs / 3, 100L)
         var live = true
         while (live && !stop.await(period, java.util.concurrent.TimeUnit.MILLISECONDS)) {
-          try {
-            if (readLease(fs, p).exists(_.startsWith(ownerTag))) {
-              val out = fs.create(p, true) // still ours: re-stamp (mtime bump)
-              try out.write(s"$ownerTag ${System.currentTimeMillis()}\n".getBytes("UTF-8"))
-              finally out.close()
-            } else { lost.set(true); live = false } // reclaimed under us — go loud
-          } catch { case _: java.io.IOException => () } // transient; next beat retries
+          restampLease(fs, p, ownerTag) match {
+            case RestampResult.Stamped | RestampResult.Transient => ()
+            case RestampResult.Lost => lost.set(true); live = false // reclaimed under us — go loud
+          }
         }
       }, s"graft-lease-heartbeat-$op")
       beat.setDaemon(true)
@@ -1146,6 +1212,46 @@ object VectorIndex extends org.apache.spark.internal.Logging {
     }
     holder
   }
+
+  private[graft] sealed trait RestampResult
+  private[graft] object RestampResult {
+    case object Stamped extends RestampResult   // re-stamped; still the owner
+    case object Transient extends RestampResult // fs hiccup / in-flight cycle; retry next beat
+    case object Lost extends RestampResult      // lease is someone else's — go loud
+  }
+
+  /** Re-stamp the heartbeat's lease WITHOUT writing content — the r14
+    * residual race closed. The old read-then-`create(overwrite=true)`
+    * re-stamp could CLOBBER a reclaimer that completed its full tombstone
+    * cycle (rename → verify-stale → delete → create) inside the read/write
+    * window, replacing the reclaimer's lease with the old holder's and
+    * leaving TWO JVMs each believing they own the index — persistently,
+    * because every later beat re-affirmed the clobbered state.
+    *
+    * The staleness check ([[acquireLease]]/[[tryReclaim]]) reads only the
+    * lease file's MTIME, so the re-stamp needs no content write at all:
+    * `setTimes` bumps the mtime in place. The read→touch window still
+    * exists, but its worst case is now harmless — touching a lease a
+    * reclaimer just created keeps the reclaimer's lease FRESH (content
+    * untouched; it survives as the one true lease) and the very next beat
+    * reads the foreign tag and goes loud (Lost → the op aborts with
+    * [[LostIndexLeaseException]]). No interleaving can vacate the lease
+    * path (contenders always fail fast against a present lease) and none
+    * can end with two surviving leases. Every arm is driven directly by
+    * VectorIndexLifecycleSpec.
+    */
+  private[graft] def restampLease(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, ownerTag: String): RestampResult =
+    readLease(fs, p) match {
+      case Some(c) if c.startsWith(ownerTag) =>
+        try { fs.setTimes(p, System.currentTimeMillis(), -1); RestampResult.Stamped }
+        // incl. FileNotFound: an in-flight reclaim cycle holds the file
+        // right now; the next beat sees its outcome (restored ours → stamp;
+        // foreign → Lost)
+        catch { case _: java.io.IOException => RestampResult.Transient }
+      case Some(_) => RestampResult.Lost // reclaimed under us — go loud
+      case None => RestampResult.Transient // released/mid-cycle; next beat resolves
+    }
 
   /** Atomic stale-lease steal, closing the check-then-act race: RENAME the
     * lease to a unique tombstone (exactly one contender's rename succeeds —

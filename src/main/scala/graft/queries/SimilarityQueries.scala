@@ -931,6 +931,37 @@ object SimilarityQueries extends QueryPack {
        ${ivfPqAdcSqlBodyFor("embeddings",
          codesWhere = " AND cd.vec_id IN (SELECT vec_id FROM embeddings WHERE label % 3 = 1)")}"""
 
+  /** Starvation-driven probe WIDENING gate (r14 VERDICT #6) — the documented
+    * response to `ann_pruned_shortfall`: start at nprobe=1, and when the
+    * executed attempt reports unfilled top-k slots, re-run at the production
+    * nprobe with both attempts accounted on the returned frame
+    * ([[graft.operators.VectorIndex.searchAdcPrunedWidening]] /
+    * `wideningRecord`). The predicate (`vec_id BETWEEN 10 AND 13`) matches
+    * exactly FOUR vectors at every scale tier (replica ids shift far past
+    * 13), fewer than topK=5 — so the narrow attempt starves BY CONSTRUCTION
+    * and the widening deterministically fires, making the gate's answer
+    * equal to the filtered search at the widened nprobe, which is exactly
+    * what the oracle re-derives in SQL. (Starvation-dependent-on-data would
+    * make the oracle scale-fragile; matches<topK pins it.)
+    */
+  private def qAnnFilteredWiden(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.VectorIndex
+    val emb = t(s, dir, "embeddings")
+    val quant = AnnFixtures.quantizer(s, dir, prodPq)
+    val codes = VectorIndex.encode(emb, col("vec_id"), col("embedding"), quant)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    VectorIndex.searchAdcPrunedWidening(codes, quant, queries,
+        nprobe = 1, topK = 5, predicate = col("vec_id").between(10, 13),
+        widenTo = ivfProdNprobe)
+      .orderBy("query_id", "rn")
+  }
+
+  private lazy val qAnnFilteredWidenSql =
+    s"""WITH ${kmTrainCtes(ivfProdK)},
+       ${ivfPqAdcSqlBodyFor("embeddings",
+         codesWhere = " AND cd.vec_id BETWEEN 10 AND 13")}"""
+
   /** Hot-cell SPLIT gate — the maintenance response to the skew
     * `ann_index_occupancy` measures, exercised end-to-end on a persisted
     * index: train, write, [[graft.operators.VectorIndex.splitCell]] the
@@ -1282,6 +1313,7 @@ object SimilarityQueries extends QueryPack {
     "ann_index_occupancy" -> (qAnnIndexOccupancy _),
     "ann_filtered_search" -> (qAnnFiltered _),
     "ann_filtered_selective" -> (qAnnFilteredSelective _),
+    "ann_filtered_widen" -> (qAnnFilteredWiden _),
     "ann_hot_split" -> (qAnnHotSplit _),
     "ann_recall_at_5" -> (qAnnRecall _),
     "knn_cosine_brute" -> (qKnn _),
@@ -1304,6 +1336,7 @@ object SimilarityQueries extends QueryPack {
     "ann_index_occupancy" -> qAnnIndexOccupancySql,
     "ann_filtered_search" -> qAnnFilteredSql,
     "ann_filtered_selective" -> qAnnFilteredSelectiveSql,
+    "ann_filtered_widen" -> qAnnFilteredWidenSql,
     "ann_hot_split" -> qAnnHotSplitSql,
     "ann_recall_at_5" -> qAnnRecallSql,
     "knn_cosine_brute" -> qKnnSql,

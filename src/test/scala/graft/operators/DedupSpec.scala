@@ -163,6 +163,23 @@ class DedupSpec extends AnyFunSuite {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("integral EDGES over string IDS route to the distributed path (ADVICE r14)") {
+    // numeric-looking edges with a string-typed ids frame: the driver path's
+    // final `id.cast(long) === id0` join WOULD match here ("1".cast(long)=1),
+    // but string ids in general (uuids) null out and silently keep every doc
+    // its own representative — the guard must consider the ids frame's type,
+    // not only the edges', and take the type-generic distributed path
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val ids = Seq("1", "2", "3", "x-uuid").toDF("doc_id")
+    val reps = Dedup.clusterRepresentatives(pairs, ids, "doc_id")
+      .as[(String, String)].collect().toMap
+    assert(reps == Map("1" -> "1", "2" -> "1", "3" -> "1", "x-uuid" -> "x-uuid"),
+      s"string ids must cluster via the distributed path, got $reps")
+    // and the rep column kept the caller's id type
+    assert(Dedup.clusterRepresentatives(pairs, ids, "doc_id")
+      .schema("rep").dataType == org.apache.spark.sql.types.StringType)
+  }
+
   test("jaccardJoin with duplicate-heavy shingles still matches set-Jaccard brute force") {
     // Repeated n-grams: if the prefix were derived from the multiset size (or
     // the array sorted without dedup), low-hash duplicate shingles would crowd

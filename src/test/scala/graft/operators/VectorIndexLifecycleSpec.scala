@@ -618,6 +618,82 @@ class VectorIndexLifecycleSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.index.leaseTtlMs")
   }
 
+  test("heartbeat re-stamp never clobbers a completed reclaim (r14 VERDICT #4)") {
+    // The r14 residual race: the beat's read-then-create(overwrite) could
+    // land its write AFTER a reclaimer completed its full tombstone cycle,
+    // replacing the reclaimer's fresh lease with the old holder's — two
+    // JVMs each believing they own the index, re-affirmed every beat. The
+    // re-stamp is now an mtime-only setTimes: it cannot rewrite content, so
+    // every interleaving leaves EXACTLY ONE surviving writer.
+    val path = tmp("graft_lease_restamp")
+    val fs = fsOf(path)
+    val p = hp(path, "maintenance_lease")
+    def writeLease(c: String): Unit = {
+      val out = fs.create(p, true); out.write(c.getBytes("UTF-8")); out.close()
+    }
+    def readBack(): String = {
+      val in = fs.open(p)
+      try { val b = new Array[Byte](64); val n = in.read(b); new String(b, 0, n, "UTF-8") }
+      finally in.close()
+    }
+    // arm 1 — our live lease: Stamped; mtime bumped, content UNTOUCHED
+    writeLease("me myop 1\n")
+    fs.setTimes(p, System.currentTimeMillis() - 60000L, -1)
+    val before = fs.getFileStatus(p).getModificationTime
+    assert(VectorIndex.restampLease(fs, p, "me myop") == VectorIndex.RestampResult.Stamped)
+    assert(fs.getFileStatus(p).getModificationTime > before, "re-stamp must bump mtime")
+    assert(readBack().startsWith("me myop 1"), "re-stamp must not rewrite content")
+
+    // arm 2 — the race injected at its worst: a reclaim COMPLETED and a
+    // foreign lease sits at the path. The beat must report Lost and leave
+    // the reclaimer's lease byte-identical (the old overwrite clobbered it).
+    writeLease("reclaimer rop 2\n")
+    assert(VectorIndex.restampLease(fs, p, "me myop") == VectorIndex.RestampResult.Lost)
+    assert(readBack().startsWith("reclaimer rop 2"),
+      "exactly one surviving writer: the reclaimer's lease must survive the beat untouched")
+
+    // arm 3 — mid-cycle (lease renamed away by an in-flight reclaim):
+    // Transient, and the beat must NOT create anything at the path
+    fs.delete(p, false)
+    assert(VectorIndex.restampLease(fs, p, "me myop") == VectorIndex.RestampResult.Transient)
+    assert(!fs.exists(p), "re-stamp must never vacate-and-recreate the lease path")
+  }
+
+  test("a reclaim landing mid-op survives the live heartbeat end-to-end") {
+    // Integration arm of the re-stamp fix: while an op's heartbeat is LIVE
+    // (beating every ttl/3), forcibly install a reclaimer's lease. Under the
+    // old overwrite re-stamp the very next beat rewrote it; now the beats
+    // observe Lost, the foreign lease stays byte-identical through several
+    // beat periods, and the op exits with LostIndexLeaseException.
+    val path = tmp("graft_lease_midop")
+    build(bimodalCorpus(), path)
+    val fs = fsOf(path)
+    val p = hp(path, "maintenance_lease")
+    spark.conf.set("spark.graft.index.leaseTtlMs", "600") // beat every 200ms
+    try {
+      val ex = intercept[VectorIndex.LostIndexLeaseException] {
+        VectorIndex.withWriterLease(spark, path, "clobber-victim") {
+          val out = fs.create(p, true)
+          out.write("reclaimer-holder rop 0\n".getBytes("UTF-8")); out.close()
+          Thread.sleep(900) // ≥4 beat periods fire against the foreign lease
+          val in = fs.open(p)
+          val content = try {
+            val b = new Array[Byte](64); val n = in.read(b); new String(b, 0, n, "UTF-8")
+          } finally in.close()
+          assert(content.startsWith("reclaimer-holder rop 0"),
+            s"a live heartbeat must never clobber the reclaimer's lease, saw: $content")
+        }
+      }
+      assert(ex.observed.startsWith("reclaimer-holder"))
+      assert({
+        val in = fs.open(p)
+        try { val b = new Array[Byte](64); val n = in.read(b); new String(b, 0, n, "UTF-8").startsWith("reclaimer-holder") }
+        finally in.close()
+      }, "the reclaimer's lease survives the aborted op's release too")
+      fs.delete(p, false)
+    } finally spark.conf.unset("spark.graft.index.leaseTtlMs")
+  }
+
   test("appendSink serializes on a held lease with backoff instead of killing the stream") {
     // r13 ADVICE (medium): two live lineages' micro-batches can overlap;
     // fail-fast inside foreachBatch terminated the losing streaming query.
@@ -728,6 +804,56 @@ class VectorIndexLifecycleSpec extends AnyFunSuite {
     assert(VectorIndex.prunedShortfall(both) ==
       Some(2L * (2 * 5) - bothRows.length),
       "a plan composing two filtered searches must report their summed shortfall")
+  }
+
+  test("starvation-driven widening: a rare-label query that starves at nprobe=1 fills k at the widened probe (r14 VERDICT #6)") {
+    val rnd = new scala.util.Random(23)
+    // cluster A (near the queries) has NO rare rows; the 8 rare rows all
+    // live in far cluster B — a narrow probe of A's cells finds zero
+    // matches, the exact starvation the widening responds to
+    val corpus = ((0 until 24).map { i =>
+      (i.toLong, Array.tabulate(dim)(_ => rnd.nextFloat() * 0.01f), 0)
+    } ++ (24 until 48).map { i =>
+      (i.toLong, Array.tabulate(dim)(d => (if (d < 8) 40f else 0f) + rnd.nextFloat() * 0.01f),
+        if (i < 32) 1 else 0) // 8 rare rows, all in cluster B
+    }).toDF("vec_id", "embedding", "rare").cache()
+    val quant = VectorIndex.train(corpus, col("vec_id"), col("embedding"),
+      kCells = 4, iters = 2, pq = pq)
+    val codes = VectorIndex.encode(corpus, col("vec_id"), col("embedding"), quant,
+      meta = Seq("rare"))
+    val qs = corpus.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+
+    // the narrow attempt genuinely starves (precondition, report-only path)
+    val narrow = VectorIndex.searchAdcPruned(codes, quant, qs,
+      nprobe = 1, topK = 5, predicate = Some(col("rare") === 1))
+    val narrowRows = narrow.collect()
+    assert(narrowRows.isEmpty, "fixture must starve completely at nprobe=1")
+    assert(VectorIndex.prunedShortfall(narrow) == Some(10L))
+
+    // widening fills the full top-k and records BOTH attempts
+    val widened = VectorIndex.searchAdcPrunedWidening(codes, quant, qs,
+      nprobe = 1, topK = 5, predicate = col("rare") === 1, widenTo = 4)
+    val rows = widened.collect()
+    val perQuery = rows.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(perQuery.keySet == Set(0L, 1L) && perQuery.values.forall(_ == 5),
+      s"the widened probe must fill top-5 per query, got $perQuery")
+    val rareIds = (24L until 32L).toSet
+    assert(rows.forall(r => rareIds.contains(r.getLong(1))),
+      "every widened neighbor must carry the rare tag")
+    assert(VectorIndex.wideningRecord(widened) == Some((1, 10L, 4)),
+      "the record must carry the starved attempt (nprobe=1, shortfall=10) and the widened probe")
+    assert(VectorIndex.prunedShortfall(widened) == Some(0L),
+      "the widened attempt's own shortfall accounting rides the returned frame")
+
+    // no-starvation path: plenty of matches inside the narrow probe → the
+    // first attempt's result is returned with NO widening (record says so)
+    val easy = VectorIndex.searchAdcPrunedWidening(codes, quant, qs,
+      nprobe = 2, topK = 5, predicate = col("rare") === 0, widenTo = 4)
+    val easyRows = easy.collect()
+    assert(easyRows.groupBy(_.getLong(0)).values.forall(_.length == 5))
+    assert(VectorIndex.wideningRecord(easy) == Some((2, 0L, 2)),
+      "a filled first attempt must not widen")
   }
 
   test("write() on a generation-managed index is a staged atomic swap, not an in-place overwrite") {

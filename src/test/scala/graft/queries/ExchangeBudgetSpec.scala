@@ -48,6 +48,12 @@ class ExchangeBudgetSpec extends AnyFunSuite {
     "ann_filtered_selective" -> 6, // ann_filtered_search at ~1% selectivity:
                                    // identical plan shape, the rarer
                                    // predicate changes row counts only
+    "ann_filtered_widen" -> 6, // the PUBLIC plan is the widened re-run —
+                               // identical shape to ann_filtered_search
+                               // (the <topK-match predicate guarantees the
+                               // narrow attempt starves, so the widening
+                               // always fires; the starved attempt ran
+                               // eagerly at build time, checkpoint freed)
     "ann_reindex" -> 0, // returns a localCheckpoint (scratch index deleted
                         // before return) — the ann_ivfpq_upsert device; the
                         // reindex pipeline's staged-build/swap shape is
@@ -202,7 +208,10 @@ class ExchangeBudgetSpec extends AnyFunSuite {
     "q_topk_agg" -> 2,
     "q_topk_per_group" -> 2,
     "q_tumbling_hourly" -> 2,
-    "q_upsert_cdc" -> 5,
+    "q_upsert_cdc" -> 3, // was 5: mergeLargeBase now localCheckpoints the
+                         // change-key distinct at build time (one shared
+                         // materialization for guard + broadcast, ADVICE
+                         // r14), so its two exchanges left the public plan
     "q_weighted_avg" -> 2,
     "q_window_first_last" -> 2,
     "q_window_lag" -> 2,

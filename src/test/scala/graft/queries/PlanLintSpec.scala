@@ -59,8 +59,12 @@ class PlanLintSpec extends AnyFunSuite {
                                //   centroid-array broadcasts as
                                //   ann_ivfpq_adc; the metadata predicate is
                                //   a scan filter, not a join
-    "ann_filtered_selective")  // ann_filtered_search at ~1% selectivity —
+    "ann_filtered_selective",  // ann_filtered_search at ~1% selectivity —
                                //   identical plan shape
+    "ann_filtered_widen")      // the widened re-run is the same pruned
+                               //   serve (assignCells/probeCells 1-row
+                               //   broadcasts); the starved first attempt
+                               //   materializes eagerly at build time
 
   test("no gate query plans a cartesian product; BNLJ only where whitelisted") {
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
