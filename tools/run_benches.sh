@@ -80,4 +80,22 @@ SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_BPE_MERGES=4096 SPARK_GRAFT_BPE_BATCH_M=128 \
   step bpe2 "BENCH_${RN}_bpe2.json" sbt -batch "runMain graft.BpeBench BENCH_${RN}_bpe2.json"
 
+# 8. 1000x documents/embeddings tier (r14 VERDICT #3): the r14 flagship
+# set PLUS the index-MUTATION lifecycle ops (appendBatch / upsertBatch /
+# reindex against the 5M-vector corpus) — the generation staging +
+# two-generation retention copies corpus-scale parts per swap; this
+# measures that write amplification at 5M instead of asserting it.
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_SCALE_DIR=/tmp/graft_sf100 \
+  SPARK_GRAFT_SCALE_REPS=1000 SPARK_GRAFT_SCALE_TABLES=documents,embeddings \
+  SPARK_GRAFT_SCALE_ONLY=dedup_exact,dedup_minhash_lsh,dedup_simhash,text_lang_id,text_quality,pipeline_pack_tokens,ann_ivfpq_adc,emb_kmeans,mm_byte_features,ann_ivfpq_append,ann_ivfpq_upsert,ann_reindex \
+  step sf100 "BENCH_${RN}_sf100.json" sbt -batch "runMain graft.BenchScale BENCH_${RN}_sf100.json"
+
+# 9. 1000x relational flagships (r14 VERDICT #3): q21 (the round-14 fused
+# single-fact-pass plan), q9, q1 against a ~600M-row lineitem.
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_SCALE_DIR=/tmp/graft_sf1000_rel \
+  SPARK_GRAFT_SCALE_REPS=1000 \
+  SPARK_GRAFT_SCALE_TABLES=customer,supplier,part,orders,lineitem,nation,region \
+  SPARK_GRAFT_SCALE_ONLY=q1_pricing_summary,q9_product_profit,q21_waiting_suppliers \
+  step sf100_rel "BENCH_${RN}_sf100_relational.json" sbt -batch "runMain graft.BenchScale BENCH_${RN}_sf100_relational.json"
+
 echo ALL_BENCHES_DONE
