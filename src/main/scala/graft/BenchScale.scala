@@ -251,12 +251,7 @@ object BenchScale {
     val maxAttempts = sys.env.get("SPARK_GRAFT_BENCH_ATTEMPTS").flatMap(_.toIntOption)
       .filter(_ >= 1).getOrElse(3)
     Bench.calibrationProbe() // discard: probe-loop JIT warmup
-    def quietProbe(): Double = {
-      var p = Bench.calibrationProbe()
-      var waits = 0
-      while (p > probeMax && waits < 20) { Thread.sleep(15000); waits += 1; p = Bench.calibrationProbe() }
-      p
-    }
+    def quietProbe(): Bench.ProbeGate = Bench.quietOrWeather(probeMax, maxWaits = 20)
     def timedPass(): Seq[(String, Double)] =
       qs.toSeq.sortBy(_._1).map { case (name, fn) =>
         val times = (1 to nReps).flatMap { _ =>
@@ -274,16 +269,19 @@ object BenchScale {
     var attempt = 0
     var probeBefore = 0.0
     var probeAfter = 0.0
+    var probeLine = probeMax
+    var weather = false
     var results: Seq[(String, Double)] = Seq.empty
     var clean = false
     while (!clean && attempt < maxAttempts) {
       attempt += 1
-      probeBefore = quietProbe()
+      val gate = quietProbe()
+      probeBefore = gate.probe; probeLine = gate.line; weather = gate.weather
       results = timedPass()
-      probeAfter = Bench.calibrationProbe()
-      clean = probeBefore <= probeMax && probeAfter <= probeMax
+      probeAfter = Bench.settledProbe()
+      clean = probeBefore <= probeLine && probeAfter <= probeLine
       if (!clean) System.err.println(
-        s"[bench-scale] attempt $attempt contended (probes $probeBefore/$probeAfter > $probeMax)" +
+        s"[bench-scale] attempt $attempt contended (probes $probeBefore/$probeAfter > $probeLine)" +
           (if (attempt < maxAttempts) " — retrying the whole timed pass" else " — giving up, artifact stamped contended"))
     }
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
@@ -300,7 +298,7 @@ object BenchScale {
     val timed = results.collect { case (n, t) if t >= 0 => n }.toSet
     val absent = (SparkEntry.queries.keySet -- timed) ++ exclude
     val excl = absent.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"$metric","value":${fmt(total)},"unit":"sec","reps":$nReps,"agg":"min","contended":${!clean},"attempts":$attempt,"calibration":{"before":${fmt(probeBefore)},"after":${fmt(probeAfter)}},"scale":"${scaleReps}x-$srcDir","excluded":$excl,"queries":$qjson,"bytes":${Bench.bytesJson(bytesRead)}}"""
+    val json = s"""{"metric":"$metric","value":${fmt(total)},"unit":"sec","reps":$nReps,"agg":"min","contended":${!clean},"attempts":$attempt,"weather":$weather,"probe_line":${fmt(probeLine)},"calibration":{"before":${fmt(probeBefore)},"after":${fmt(probeAfter)}},"scale":"${scaleReps}x-$srcDir","excluded":$excl,"queries":$qjson,"bytes":${Bench.bytesJson(bytesRead)}}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(artifact), json + "\n")
     catch { case _: Throwable => () }
     println(json)

@@ -15,6 +15,25 @@ object LocalSession {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // The status-store listeners run even with the UI disabled and retain
+      // per-execution plan graphs/metrics; the defaults (1000 executions,
+      // 1000 jobs/stages) let a multi-attempt bench pass — thousands of
+      // small executions per attempt — grow the store until the heap is
+      // mostly listener state. That both OOMs the run (r15: the 100x tier
+      // died at attempt 3 with Xmx8g) and thrashes GC enough to dirty the
+      // in-JVM calibration probes, which then FORCES the extra attempts:
+      // a self-inflicted contention loop. Tight bounds keep the store a
+      // rounding error at any attempt count.
+      .config("spark.sql.ui.retainedExecutions", "50")
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "100")
+      .config("spark.ui.retainedTasks", "1000")
+      // ContextCleaner reclaims unreferenced broadcasts/checkpoint RDDs only
+      // at a driver GC; the default periodic-GC interval (30 min) is longer
+      // than a whole bench pass, so off-heap/store blocks from dropped
+      // frames pile up across attempts. 2 min bounds the pile without
+      // measurable cost (the timed reps are seconds each).
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

@@ -144,4 +144,51 @@ class BenchCalibrationSpec extends AnyFunSuite {
       """{"metric":"total","value":1.0,"sf":"/x/sf0.1","queries":{"q1":0.4}}""")
     assert(Bench.readBenchArtifact(g)._1 == "/x/sf0.1")
   }
+
+  test("quietOrWeather: steady elevated floor is weather — line rises, stamped") {
+    // 8 consecutive settled probes inside a ±6% band above the ledger line:
+    // hypervisor weather, not a co-tenant burst. Line = floor × 1.10.
+    val g = Bench.quietOrWeather(0.65, maxWaits = 40, sleepMs = 0,
+      probe = () => 0.70)
+    assert(g.weather)
+    assert(math.abs(g.line - 0.70 * 1.18) < 1e-9)
+    assert(g.probe <= g.line)
+  }
+
+  test("quietOrWeather: a transient burst is outwaited, ledger line kept") {
+    val seq = Iterator(0.92, 0.88, 0.61) ++ Iterator.continually(0.60)
+    val g = Bench.quietOrWeather(0.65, maxWaits = 40, sleepMs = 0,
+      probe = () => seq.next())
+    assert(!g.weather)
+    assert(g.line == 0.65)
+    assert(g.probe <= 0.65)
+  }
+
+  test("quietOrWeather: oscillating probes are contention, never weather") {
+    // Variance outside the band for the whole wait: a co-tenant burst
+    // pattern. The gate must exhaust its waits and return dirty at the
+    // ledger line, not wash the run as weather.
+    var i = 0
+    val g = Bench.quietOrWeather(0.65, maxWaits = 12, sleepMs = 0,
+      probe = () => { i += 1; if (i % 2 == 0) 0.70 else 0.95 })
+    assert(!g.weather)
+    assert(g.line == 0.65)
+    assert(g.probe > 0.65)
+  }
+
+  test("quietOrWeather: a floor above WeatherCap is refused — too slow to measure") {
+    val g = Bench.quietOrWeather(0.65, maxWaits = 12, sleepMs = 0,
+      probe = () => 1.2)
+    assert(!g.weather)
+    assert(g.line == 0.65)
+  }
+
+  test("settledProbe discards a one-off GC pause: min of two runs") {
+    // One dirty run (GC debt from the pass that just finished) must not
+    // read as host contention: only a co-tenant dirties BOTH runs.
+    val seq = Iterator(0.97, 0.61)
+    assert(Bench.settledProbe(() => seq.next()) == 0.61)
+    val contended = Iterator(0.93, 0.95)
+    assert(Bench.settledProbe(() => contended.next()) == 0.93)
+  }
 }

@@ -254,12 +254,28 @@ def main():
                   f"inversions persisted through every retry, "
                   f"attempts={art.get('attempts')}) — the run is refused; "
                   f"re-run it solo")
+        # Steady-weather acceptance (r15): a run may be stamped weather=true
+        # with an elevated probe_line when N consecutive settled probes
+        # agreed within a tight band above the ledger line — the host was
+        # uniformly slow (hypervisor neighbors), not burst-contended. Its
+        # numbers are honest-but-slow: adjudicate probes against the
+        # STAMPED line, and surface a note instead of failing. A floor
+        # above 1.0s is never weather (Bench.WeatherCap refuses it too).
+        line = PROBE_MAX
+        pl = art.get("probe_line")
+        # cap = WeatherCap (1.0) x the floor->line multiplier (1.18)
+        if art.get("weather") is True and isinstance(pl, (int, float)) \
+                and PROBE_MAX < pl <= 1.0 * 1.18:
+            line = pl
+            print(f"?? {name} stamped weather=true (probe_line={pl}) — "
+                  f"host uniformly slow during the run; timings are "
+                  f"comparable within-run, conservative cross-round")
         cal = art.get("calibration") or {}
         dirty = {k: v for k, v in cal.items()
-                 if isinstance(v, (int, float)) and v > PROBE_MAX}
+                 if isinstance(v, (int, float)) and v > line}
         if dirty:
             bad = True
-            print(f"!! {name} calibration probe over {PROBE_MAX}s: {dirty} "
+            print(f"!! {name} calibration probe over {line}s: {dirty} "
                   f"— the run was contended, its numbers are not evidence")
 
     # 5. Growth exponents from the committed artifacts (r10 VERDICT #1:

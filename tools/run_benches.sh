@@ -16,9 +16,28 @@ set -u
 cd "$(dirname "$0")/.."
 R="${ROUND:?set ROUND=<n>}"
 RN=$(printf "r%02d" "$R")
+# The scale tiers run up to maxAttempts full timed passes in ONE JVM when
+# the contention gate trips; 8g OOM'd the r15 100x tier on attempt 3.
+export SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-24g}"
+
+# A stray JVM (e.g. an orphaned forked bench child — killing the sbt
+# launcher does NOT kill its fork) turns every probe dirty and the ladder
+# into a retry treadmill: two benches each read the other as contention
+# and both burn all attempts (r15 lost an hour to exactly this). Refuse
+# to start unless the host has zero java processes.
+if pgrep -x java >/dev/null 2>&1 || pgrep -f 'bin/java' >/dev/null 2>&1; then
+  echo "!! a java process is already running (pgrep: $(pgrep -f 'java' | tr '\n' ' ')) — kill it first; a bench ladder must run solo"
+  exit 1
+fi
 
 step() { # step <name> <artifact> <cmd...>
   local name="$1" art="$2"; shift 2
+  # SKIP_EXISTING=1: resume a ladder that died mid-way without re-paying
+  # the completed tiers (artifact presence is the completion marker —
+  # step() only ever leaves a non-empty artifact on success).
+  if [ -n "${SKIP_EXISTING:-}" ] && [ -s "$art" ]; then
+    echo "== $name skipped (artifact present)"; return 0
+  fi
   echo "== $name start $(date +%T)"
   "$@" >"bench_step_${name}.log" 2>&1
   local rc=$?
@@ -33,6 +52,9 @@ step() { # step <name> <artifact> <cmd...>
 # goes to the step log FIRST (no grep -m1 on the live pipe — that
 # SIGPIPE-kills the JVM before the trailing health line and spark.stop());
 # the artifact is extracted from the completed log.
+if [ -n "${SKIP_EXISTING:-}" ] && [ -s "BENCH_${RN}_builder_sf01.json" ]; then
+  echo "== builder skipped (artifact present)"
+else
 echo "== builder start $(date +%T)"
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_BENCH_REPS=3 \
   sbt -batch "runMain graft.Bench" >"bench_step_builder.log" 2>&1
@@ -43,6 +65,7 @@ if [ $rc -ne 0 ] || [ ! -s "BENCH_${RN}_builder_sf01.json" ]; then
   echo "!! builder FAILED (rc=$rc) — see bench_step_builder.log"; exit 1
 fi
 echo "== builder done $(date +%T)"
+fi
 
 # 2. 10x tier, all gates
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_SCALE_DIR=/tmp/graft_sf1 \
