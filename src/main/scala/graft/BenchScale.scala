@@ -279,7 +279,7 @@ object BenchScale {
       probeBefore = gate.probe; probeLine = gate.line; weather = gate.weather
       results = timedPass()
       probeAfter = Bench.settledProbe()
-      clean = probeBefore <= probeLine && probeAfter <= probeLine
+      clean = Bench.passClean(probeBefore, probeAfter, probeLine, 0)
       if (!clean) System.err.println(
         s"[bench-scale] attempt $attempt contended (probes $probeBefore/$probeAfter > $probeLine)" +
           (if (attempt < maxAttempts) " — retrying the whole timed pass" else " — giving up, artifact stamped contended"))

@@ -183,6 +183,38 @@ class BenchCalibrationSpec extends AnyFunSuite {
     assert(g.line == 0.65)
   }
 
+  test("hostFactor normalizes cross-weather inversion refs, clamped [1, 1.5]") {
+    // slow-weather run (probes ~0.82) vs fast-weather ref (0.60): scale up.
+    assert(math.abs(Bench.hostFactor(0.80, 0.84, Some(0.60)) - 82.0 / 60.0) < 1e-9)
+    // like-speed host: never relaxes.
+    assert(Bench.hostFactor(0.58, 0.62, Some(0.60)) == 1.0)
+    // beyond 1.5x the ref's speed: clamp — too slow to adjudicate leniently.
+    assert(Bench.hostFactor(1.3, 1.3, Some(0.60)) == 1.5)
+    // no stamped ref probe: no scaling.
+    assert(Bench.hostFactor(0.9, 0.9, None) == 1.0)
+  }
+
+  test("readArtifactProbe reads the ref's stamped probe floor") {
+    val f = java.io.File.createTempFile("bench_probe", ".json")
+    f.deleteOnExit()
+    java.nio.file.Files.writeString(f.toPath,
+      """{"metric":"total","calibration":{"before":0.62,"after":0.59},"queries":{}}""")
+    assert(Bench.readArtifactProbe(f).contains(0.59))
+    val g = java.io.File.createTempFile("bench_noprobe", ".json")
+    g.deleteOnExit()
+    java.nio.file.Files.writeString(g.toPath, """{"metric":"total","queries":{}}""")
+    assert(Bench.readArtifactProbe(g).isEmpty)
+  }
+
+  test("after-probe drift band: idle noise passes, a mid-pass co-tenant fails") {
+    // before clean at 0.63; after 0.70 is +11% — inside measured idle noise.
+    assert(Bench.passClean(0.63, 0.70, 0.65, 0))
+    // after 1.0 is a mid-pass arrival signature — rejected.
+    assert(!Bench.passClean(0.63, 1.0, 0.65, 0))
+    // the band never relaxes the BEFORE line.
+    assert(!Bench.passClean(0.70, 0.63, 0.65, 0))
+  }
+
   test("settledProbe discards a one-off GC pause: min of two runs") {
     // One dirty run (GC debt from the pass that just finished) must not
     // read as host contention: only a co-tenant dirties BOTH runs.

@@ -271,8 +271,16 @@ def main():
                   f"host uniformly slow during the run; timings are "
                   f"comparable within-run, conservative cross-round")
         cal = art.get("calibration") or {}
+        # The after-probe gets the measured idle-noise drift band (x1.15
+        # over before) — a mid-pass co-tenant reads 1.5-2x, never +15%
+        # (mirrors Bench.passClean / AfterDriftBand).
+        before = cal.get("before")
+        after_line = line
+        if isinstance(before, (int, float)) and before <= line:
+            after_line = max(line, before * 1.15)
         dirty = {k: v for k, v in cal.items()
-                 if isinstance(v, (int, float)) and v > line}
+                 if isinstance(v, (int, float)) and
+                 v > (after_line if k == "after" else line)}
         if dirty:
             bad = True
             print(f"!! {name} calibration probe over {line}s: {dirty} "
