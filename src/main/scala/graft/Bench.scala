@@ -157,15 +157,18 @@ object Bench {
     * (r15: the same idle host probed 0.60 at 01:00 and 0.77-0.86 at 05:00)
     * every sf0.1 query reads ~25-30% slower than the fast-weather 10×-tier
     * reference, so fixed-cost gates blow the 1.5×+0.5 s structural bar
-    * without anything being wrong. Factor = mean(before, after) / refProbe,
-    * clamped to [1, 1.5]: never relaxes on a like-speed host, and a run
-    * more than 1.5× slower than its reference is beyond adjudication (the
-    * structural gate then fires as it should).
+    * without anything being wrong. Factor = min(before, after) / refProbe —
+    * the SAME statistic [[readArtifactProbe]] takes from the reference, so
+    * on a like-speed host (identical probe floors) the factor is exactly
+    * 1.0 rather than mean-vs-min drifting above it and silently loosening
+    * the gate (ADVICE r15). Clamped to [1, 1.5]: never relaxes on a
+    * like-speed host, and a run more than 1.5× slower than its reference
+    * is beyond adjudication (the structural gate then fires as it should).
     */
   def hostFactor(probeBefore: Double, probeAfter: Double,
       refProbe: Option[Double]): Double = refProbe match {
     case Some(r) if r > 0 =>
-      math.min(1.5, math.max(1.0, (probeBefore + probeAfter) / 2 / r))
+      math.min(1.5, math.max(1.0, math.min(probeBefore, probeAfter) / r))
     case _ => 1.0
   }
 
@@ -220,10 +223,16 @@ object Bench {
   val WeatherCap = 1.0
 
   /** Result of waiting for a quiet host: the final settled probe, the
-    * effective acceptance line, and whether that line is an elevated
-    * steady-weather floor rather than the ledger line.
+    * effective acceptance line, whether that line is an elevated
+    * steady-weather floor rather than the ledger line, and the measured
+    * floor itself. The floor is STAMPED into the artifact (`probe_floor`)
+    * so tools/roundcheck.py can derive the weather line from evidence
+    * (floor × the 1.18 multiplier) instead of accepting any self-stamped
+    * probe_line up to the cap (ADVICE r15). Under no-weather acceptance
+    * the floor is just the ledger line.
     */
-  final case class ProbeGate(probe: Double, line: Double, weather: Boolean)
+  final case class ProbeGate(probe: Double, line: Double, weather: Boolean,
+      floor: Double)
 
   /** Wait for a quiet host — but distinguish TRANSIENT contention (a
     * co-tenant burst: probe variance, worth outwaiting) from steady HOST
@@ -252,17 +261,25 @@ object Bench {
       recent += p
       val w = recent.takeRight(window)
       if (w.size == window && w.max <= w.min * band && w.min <= WeatherCap) {
-        val line = w.min * 1.18
+        val line = w.min * WeatherLineMult
         System.err.println(
           f"[bench] steady host weather: $window consecutive settled probes " +
           f"in [${w.min}%.3f, ${w.max}%.3f] — accepting elevated line " +
           f"$line%.3f (ledger $probeMax%.2f); artifact stamped weather:true")
-        return ProbeGate(p, line, weather = true)
+        return ProbeGate(p, line, weather = true, floor = w.min)
       }
       Thread.sleep(sleepMs); waits += 1; p = probe()
     }
-    ProbeGate(p, probeMax, weather = false)
+    ProbeGate(p, probeMax, weather = false, floor = probeMax)
   }
+
+  /** Floor→line multiplier for steady-weather acceptance. MIRRORED in
+    * tools/roundcheck.py (which re-derives the stamped probe_line as
+    * probe_floor × this value — Python can't import Scala, so the constant
+    * is duplicated and BenchCalibrationSpec greps roundcheck.py to assert
+    * the two copies agree).
+    */
+  val WeatherLineMult = 1.18
 
   /** Larger-tier reference for the inversion check: SPARK_GRAFT_BENCH_REF,
     * else the newest committed BENCH_r*_sf1.json in cwd. */
@@ -423,11 +440,12 @@ object Bench {
     var structural: Seq[String] = Seq.empty
     var clean = false
     var probeLine = probeMax
+    var probeFloor = probeMax
     var weather = false
     while (!clean && attempt < maxAttempts) {
       attempt += 1
       val gate = quietProbe()
-      probeLine = gate.line; weather = gate.weather
+      probeLine = gate.line; weather = gate.weather; probeFloor = gate.floor
       probeBefore = gate.probe
       results = timedPass()
       probeAfter = settledProbe()
@@ -450,8 +468,14 @@ object Bench {
       structural = classified._2
       clean = passClean(probeBefore, probeAfter, probeLine, structural.size)
       if (!clean) {
+        // probes are dirty exactly when passClean's probe arm failed — the
+        // after-probe gets the AfterDriftBand allowance here too, so a
+        // structural-only rejection whose after-probe sits above the line
+        // but inside the band is not misreported as contention (ADVICE r15)
+        val probesDirty = probeBefore > probeLine ||
+          probeAfter > math.max(probeLine, probeBefore * AfterDriftBand)
         val why =
-          (if (probeBefore > probeLine || probeAfter > probeLine)
+          (if (probesDirty)
              Seq(s"probes $probeBefore/$probeAfter > $probeLine") else Seq.empty) ++
           (if (structural.nonEmpty)
              Seq(s"${structural.size} structural inversions vs ${invRef.map(_._1).getOrElse("?")}: ${structural.take(5).mkString(",")}")
@@ -497,7 +521,7 @@ object Bench {
     // structural inversions persisted through every retry. Distinct stamps:
     // roundcheck refuses either, but they implicate different causes
     // (co-tenant load vs something slow inside this JVM's own run).
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"agg":"min","action":"$actionName","contended":${!probesClean},"inverted":$inverted,"attempts":$attempt,"weather":$weather,"probe_line":${fmt(probeLine)},"calibration":{"before":${fmt(probeBefore)},"after":${fmt(probeAfter)}},"inversions":$inversions,"queries":$qs,"queries_median":$qsMed,"bytes":${bytesJson(bytesRead)},"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"agg":"min","action":"$actionName","contended":${!probesClean},"inverted":$inverted,"attempts":$attempt,"weather":$weather,"probe_line":${fmt(probeLine)},"probe_floor":${fmt(probeFloor)},"calibration":{"before":${fmt(probeBefore)},"after":${fmt(probeAfter)}},"inversions":$inversions,"queries":$qs,"queries_median":$qsMed,"bytes":${bytesJson(bytesRead)},"sf":"$sfDir"}"""
     // Truncation-proofing: the driver captures stdout's tail, which has
     // clipped the head of this (long) line in past rounds. Persist the full
     // JSON to a file first, then print it — the artifact on disk is always

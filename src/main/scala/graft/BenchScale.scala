@@ -270,6 +270,7 @@ object BenchScale {
     var probeBefore = 0.0
     var probeAfter = 0.0
     var probeLine = probeMax
+    var probeFloor = probeMax
     var weather = false
     var results: Seq[(String, Double)] = Seq.empty
     var clean = false
@@ -277,6 +278,7 @@ object BenchScale {
       attempt += 1
       val gate = quietProbe()
       probeBefore = gate.probe; probeLine = gate.line; weather = gate.weather
+      probeFloor = gate.floor
       results = timedPass()
       probeAfter = Bench.settledProbe()
       clean = Bench.passClean(probeBefore, probeAfter, probeLine, 0)
@@ -298,7 +300,7 @@ object BenchScale {
     val timed = results.collect { case (n, t) if t >= 0 => n }.toSet
     val absent = (SparkEntry.queries.keySet -- timed) ++ exclude
     val excl = absent.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"$metric","value":${fmt(total)},"unit":"sec","reps":$nReps,"agg":"min","contended":${!clean},"attempts":$attempt,"weather":$weather,"probe_line":${fmt(probeLine)},"calibration":{"before":${fmt(probeBefore)},"after":${fmt(probeAfter)}},"scale":"${scaleReps}x-$srcDir","excluded":$excl,"queries":$qjson,"bytes":${Bench.bytesJson(bytesRead)}}"""
+    val json = s"""{"metric":"$metric","value":${fmt(total)},"unit":"sec","reps":$nReps,"agg":"min","contended":${!clean},"attempts":$attempt,"weather":$weather,"probe_line":${fmt(probeLine)},"probe_floor":${fmt(probeFloor)},"calibration":{"before":${fmt(probeBefore)},"after":${fmt(probeAfter)}},"scale":"${scaleReps}x-$srcDir","excluded":$excl,"queries":$qjson,"bytes":${Bench.bytesJson(bytesRead)}}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(artifact), json + "\n")
     catch { case _: Throwable => () }
     println(json)

@@ -32,8 +32,13 @@ object LocalSession {
       // at a driver GC; the default periodic-GC interval (30 min) is longer
       // than a whole bench pass, so off-heap/store blocks from dropped
       // frames pile up across attempts. 2 min bounds the pile without
-      // measurable cost (the timed reps are seconds each).
-      .config("spark.cleaner.periodicGC.interval", "2min")
+      // measurable cost for the seconds-long timed reps — but a 1000×-tier
+      // query RUNS ~2 min, so the periodic stop-the-world GC lands inside
+      // it; env-tunable so the sf100 adjudication (VERDICT r15 #1: the
+      // dedup_minhash_lsh 73.6→120 s same-bytes regression, suspect = this
+      // setting) can A/B the interval without a code change.
+      .config("spark.cleaner.periodicGC.interval",
+        sys.env.getOrElse("SPARK_GRAFT_PERIODIC_GC", "2min"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

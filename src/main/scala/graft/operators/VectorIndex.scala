@@ -389,6 +389,10 @@ object VectorIndex extends org.apache.spark.internal.Logging {
         if (managed) indexParts.map(p => p -> stagedDirName(snap, p)).toMap
         else flatDirs
       def dst(part: String) = s"$path/${dirs(part)}"
+      // a rebuild re-cells everything: the old sidecar mapping dies NOW
+      // (absence = safe fallback through every crash window below) and is
+      // rebuilt fresh from the written codes at the end
+      hadoopFs(s, path).delete(idMapPath(path), true)
       quant.cents.write.mode("overwrite").parquet(dst("cents"))
       quant.csubs.write.mode("overwrite").parquet(dst("codebook"))
       // cluster by cell before the partitioned write: without it every input
@@ -402,6 +406,9 @@ object VectorIndex extends org.apache.spark.internal.Logging {
         .select(col("vec_id"), col("cell"), col("m"), col("code")))
         .write.mode("overwrite").parquet(dst("occupancy"))
       if (managed) commitParts(s, path, dirs)
+      // every written index carries the discovery sidecar from birth (the
+      // staged dir IS the live dir once the manifest commits — no rename)
+      rebuildIdMapFrom(s, path, dst("codes"))
     }
   }
 
@@ -472,6 +479,9 @@ object VectorIndex extends org.apache.spark.internal.Logging {
     val stamped = stamp.fold(encoded)(b => encoded.withColumn("__batch", lit(b)))
     val codes = streamId.fold(stamped)(sid => stamped.withColumn("__stream", lit(sid)))
       .repartition(col("cell")).localCheckpoint()
+    // sidecar first (crash between the two leaves harmless extra entries —
+    // appendIdMap's invariant), then the codes append
+    appendIdMap(s, path, codes)
     codes.write.mode("append").partitionBy("cell").parquet(snap.partPath("codes"))
     mergeOccupancy(s, path, cellOccupancy(codes))
     stamp.foreach(writeAppliedBatch(s, path, _, streamId))
@@ -567,14 +577,23 @@ object VectorIndex extends org.apache.spark.internal.Logging {
     val changedIds = updIds.union(delIds).distinct()
     val newCodes = encode(updates, id, emb, quant, meta).localCheckpoint()
     val codes = loadCodesFull(s, path)
-    // ONE action for the whole touched-cell set: the old cells of changed
-    // ids ∪ the new cells of updated vectors (an update may move a vector
-    // between cells)
-    val touched = codes.join(broadcast(changedIds), Seq("vec_id"), "left_semi")
-      .select(col("cell"))
+    // Touched-cell set = the old cells of changed ids ∪ the new cells of
+    // updated vectors (an update may move a vector between cells). The old
+    // half goes through the id→cell sidecar when present (VERDICT r15 #4:
+    // the full-codes discovery scan was the one per-batch full index pass —
+    // at 100 TB a full pass per micro-batch), reading only the changed
+    // ids' hash-bucket directories; the survivors read below is then
+    // partition-pruned to the touched cells, so the whole upsert reads
+    // touched-cell-order bytes. One action for the cell set itself (plus,
+    // on the sidecar path, one tiny bucket-enumeration action over the
+    // change batch).
+    val touched = oldCellsOf(s, path, codes, changedIds)
       .union(newCodes.select(col("cell")))
       .distinct().collect().map(_.get(0)).toSeq
     if (touched.isEmpty) return // empty change batch
+    // sidecar first, then the codes mutation: a crash between the two
+    // leaves only harmless extra entries (see appendIdMap's invariant)
+    appendIdMap(s, path, newCodes)
     val survivors = codes.filter(col("cell").isin(touched: _*))
       .join(broadcast(changedIds), Seq("vec_id"), "left_anti")
     // unionByName(allowMissing): a streaming-ingested index carries __batch
@@ -613,6 +632,127 @@ object VectorIndex extends org.apache.spark.internal.Logging {
     mergeOccupancy(s, path,
       occ.filter(!col("cell").isin(touched: _*)).unionByName(occDelta),
       replace = true)
+  }
+
+  // ---- id→cell discovery sidecar ------------------------------------------
+
+  /** Hash-bucket count of the discovery sidecar. Bounded and fixed: a
+    * change batch of n ids touches at most min(n, IdMapBuckets) bucket
+    * directories, so discovery reads ~min(n, B)/B of the sidecar instead
+    * of the whole codes table.
+    */
+  private[graft] val IdMapBuckets = 64
+
+  private def idMapDir(path: String) = s"$path/idmap"
+  private def idMapPath(path: String) =
+    new org.apache.hadoop.fs.Path(idMapDir(path))
+
+  /** Sidecar rows for a codes frame: one (vec_id, cell, bucket) entry per
+    * vector. `cell` is normalized to long — the codes frame sometimes
+    * carries it partition-directory-inferred (int), and mixed physical
+    * types across one parquet directory's files would corrupt later reads.
+    */
+  private def idMapEntries(codes: DataFrame): DataFrame =
+    codes.filter(col("m") === 0)
+      .select(col("vec_id"), col("cell").cast("long").as("cell"))
+      .withColumn("bucket", pmod(xxhash64(col("vec_id")), lit(IdMapBuckets.toLong)))
+
+  /** Append a mutation's new (id → cell) mappings — MUST run BEFORE the
+    * codes mutation it describes commits, so the sidecar's invariant
+    * (when present, it is a SUPERSET of the live codes' id→cell mapping —
+    * stale extra entries allowed, missing entries never) survives every
+    * crash window: a sidecar append whose codes mutation then died leaves
+    * only harmless extra entries. No-op while the sidecar is absent — it
+    * can only come into existence via a full [[rebuildIdMap]]-style build,
+    * which is what makes the invariant inductive.
+    */
+  private def appendIdMap(s: SparkSession, path: String, codes: DataFrame): Unit =
+    if (hadoopFs(s, path).exists(idMapPath(path)))
+      idMapEntries(codes).write.mode("append")
+        .partitionBy("bucket").parquet(idMapDir(path))
+
+  /** Rebuild the sidecar wholesale from a codes directory: stage, drop the
+    * old sidecar, rename into place. Every crash window is safe because
+    * ABSENCE is safe (discovery falls back to the full codes scan) — a
+    * half-staged build is debris the next rebuild overwrites, and the
+    * delete→rename gap leaves no sidecar at all.
+    */
+  private def rebuildIdMapFrom(s: SparkSession, path: String,
+      codesDir: String): Unit = {
+    val fs = hadoopFs(s, path)
+    val staging = new org.apache.hadoop.fs.Path(s"$path/idmap_staging")
+    fs.delete(staging, true)
+    idMapEntries(
+      s.read.option("mergeSchema", "true").parquet(codesDir)
+        .select(col("vec_id"), col("cell"), col("m")))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(staging.toString)
+    fs.delete(idMapPath(path), true)
+    if (!fs.rename(staging, idMapPath(path)))
+      throw new java.io.IOException(s"idmap rebuild at $path: rename failed")
+  }
+
+  /** (Re)build the id→cell discovery sidecar of a persisted index — the
+    * opt-in for an index created before the sidecar existed (everything
+    * [[write]]/[[reindex]] builds carries it from birth), and the fold
+    * that trims the append-only growth of stale entries.
+    */
+  def rebuildIdMap(s: SparkSession, path: String): Unit =
+    withWriterLease(s, path, "rebuildIdMap") {
+      recoverReindex(s, path)
+      rebuildIdMapFrom(s, path, snapshot(s, path).partPath("codes"))
+    }
+
+  /** Observable record of the last touched-cell discovery (test seam): did
+    * it go through the sidecar, and how many of its bucket directories were
+    * actually read.
+    */
+  private[graft] final case class UpsertDiscovery(usedSidecar: Boolean,
+      bucketsRead: Int, totalBuckets: Int)
+  @volatile private[graft] var lastUpsertDiscovery: Option[UpsertDiscovery] = None
+
+  /** The OLD cells of a change batch's ids — the expensive half of
+    * touched-cell discovery. With the sidecar present this reads ONLY the
+    * bucket directories the changed ids hash into (enumerated explicitly,
+    * so the pruning holds by construction, not by optimizer grace) and may
+    * return a SUPERSET of the true old cells (stale append-only entries):
+    * a stale touched cell is rewritten identically by the dynamic
+    * overwrite — pure write amplification, never wrong answers. Without
+    * the sidecar: the legacy full codes scan (one broadcast semi-join).
+    */
+  private def oldCellsOf(s: SparkSession, path: String, codes: DataFrame,
+      changedIds: DataFrame): DataFrame = {
+    val fs = hadoopFs(s, path)
+    val dir = idMapDir(path)
+    val sidecar: Option[DataFrame] =
+      if (!fs.exists(idMapPath(path))) None
+      else try {
+        // bucket hashes must agree between write and read: hash the probe
+        // ids AS the sidecar's stored type (xxhash64(int) != xxhash64(long))
+        val vidType = s.read.parquet(dir).schema("vec_id").dataType
+        val probe = changedIds.select(col("vec_id").cast(vidType).as("vec_id"))
+        val buckets = probe
+          .select(pmod(xxhash64(col("vec_id")), lit(IdMapBuckets.toLong)).as("b"))
+          .distinct().collect().map(_.getLong(0))
+        val bucketDirs = buckets.map(b => s"$dir/bucket=$b")
+          .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
+        lastUpsertDiscovery =
+          Some(UpsertDiscovery(usedSidecar = true, bucketDirs.length, IdMapBuckets))
+        if (bucketDirs.isEmpty)
+          Some(probe.limit(0).select(lit(0L).as("cell")))
+        else Some(
+          s.read.option("basePath", dir).parquet(bucketDirs.toIndexedSeq: _*)
+            .join(broadcast(probe), Seq("vec_id"), "left_semi")
+            .select(col("cell")))
+      } catch { case _: org.apache.spark.sql.AnalysisException =>
+        None // unreadable/empty sidecar: fall back, loudly observable below
+      }
+    sidecar.getOrElse {
+      lastUpsertDiscovery =
+        Some(UpsertDiscovery(usedSidecar = false, IdMapBuckets, IdMapBuckets))
+      codes.join(broadcast(changedIds), Seq("vec_id"), "left_semi")
+        .select(col("cell"))
+    }
   }
 
   // ---- streaming ingest ---------------------------------------------------
@@ -1379,6 +1519,11 @@ object VectorIndex extends org.apache.spark.internal.Logging {
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/$stagedDir")
     commitParts(s, path, Map("codes" -> stagedDir))
+    // fold the sidecar's append-only stale entries while we're at the
+    // hygiene pass anyway — compaction changes no id→cell mapping, so the
+    // pre-fold sidecar stays a valid superset through every crash window
+    if (hadoopFs(s, path).exists(idMapPath(path)))
+      rebuildIdMapFrom(s, path, snapshot(s, path).partPath("codes"))
   }
 
   /** Repair an interrupted [[compactCells]] — idempotent, no-op on a
@@ -1738,10 +1883,20 @@ object VectorIndex extends org.apache.spark.internal.Logging {
     require(missing.isEmpty,
       s"reindex promote at $path: staged parts missing for generation " +
         s"$targetGen: ${missing.mkString(", ")}")
-    if (snapshot(s, path).gen < targetGen)
+    if (snapshot(s, path).gen < targetGen) {
+      // the sidecar maps the SUPERSEDED generation's cells — it must die
+      // BEFORE the flip (a post-flip crash leaving the stale mapping live
+      // would mis-route later upserts' touched-cell discovery; absence
+      // just falls back to the full scan)
+      fs.delete(idMapPath(path), true)
       commitParts(s, path,
         indexParts.map(n => n -> s"${n}_gen_$targetGen").toMap)
+    }
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/reindex_staging"), true)
+    // rebuild from the promoted generation's codes (idempotent across
+    // recovery re-runs: present means a completed post-flip rebuild)
+    if (!fs.exists(idMapPath(path)))
+      rebuildIdMapFrom(s, path, snapshot(s, path).partPath("codes"))
     ()
   }
 
@@ -1790,6 +1945,9 @@ object VectorIndex extends org.apache.spark.internal.Logging {
     def staged(n: String) = new org.apache.hadoop.fs.Path(s"$path/reindex_staging/$n")
     def old(n: String) = new org.apache.hadoop.fs.Path(s"$path/reindex_old/$n")
     fs.mkdirs(p("reindex_old"))
+    // stale-generation sidecar: drop before the parts move (legacy path —
+    // no rebuild; the next rebuildIdMap/write recreates it on demand)
+    fs.delete(idMapPath(path), true)
     indexParts.foreach { n =>
       if (fs.exists(staged(n))) {
         if (fs.exists(p(n))) { fs.delete(old(n), true); fs.rename(p(n), old(n)) }

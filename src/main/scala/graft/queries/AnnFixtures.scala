@@ -106,9 +106,26 @@ private[queries] object AnnFixtures {
     })
 
   /** A fresh PRIVATE copy of the shared index for a mutation gate (upsert/
-    * split/reindex) — a recursive file copy of the settled directory, so
-    * the expensive train/encode/write runs once per process while every
-    * mutation still starts from a pristine index. Caller deletes the copy.
+    * split/reindex), so the expensive train/encode/write runs once per
+    * process while every mutation still starts from a pristine index.
+    * Caller deletes the copy.
+    *
+    * Files are HARDLINKED, not copied (VERDICT r15 #7: the byte copy
+    * dominated the mutation gates' wall time — ~3 s of every suite run).
+    * Linking is sound because every index mutation is create/delete/
+    * rename-only: parquet never modifies a file in place (dynamic
+    * partition overwrite deletes old part files — unlinking one name
+    * leaves the pristine tree's inode intact — and writes fresh ones),
+    * manifests are tmp-write + rename, and the one in-place touch in the
+    * codebase (`restampLease`'s mtime bump) targets the `maintenance_lease`
+    * file, which exists only WHILE a writer holds the index — the settled
+    * shared index has none, so a mutation gate's lease is always a fresh
+    * private inode. Only `.parquet` part files are linked (they carry all
+    * the bytes); metadata files (`_SUCCESS`, manifests, markers) are real
+    * copies, because Hadoop's RawLocalFileSystem `create(overwrite=true)`
+    * TRUNCATES an existing file in place — on a shared inode that would
+    * reach back into the pristine tree. Link failures (cross-device,
+    * unsupported fs) fall back to a real copy.
     */
   def copyIndex(s: SparkSession, dir: String, pq: PqParams): String = {
     val src = new java.io.File(indexPath(s, dir, pq))
@@ -123,9 +140,17 @@ private[queries] object AnnFixtures {
       Option(src.listFiles()).toSeq.flatten
         .foreach(f => copyDir(f, new java.io.File(dst, f.getName)))
     } else {
-      java.nio.file.Files.copy(src.toPath, dst.toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      ()
+      def realCopy(): Unit = {
+        java.nio.file.Files.copy(src.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        ()
+      }
+      if (src.getName.endsWith(".parquet"))
+        try { java.nio.file.Files.createLink(dst.toPath, src.toPath); () }
+        catch { case _: UnsupportedOperationException | _: java.io.IOException =>
+          realCopy()
+        }
+      else realCopy()
     }
 
   private[queries] def rm(f: java.io.File): Unit = {

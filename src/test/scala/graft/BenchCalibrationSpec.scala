@@ -147,12 +147,30 @@ class BenchCalibrationSpec extends AnyFunSuite {
 
   test("quietOrWeather: steady elevated floor is weather — line rises, stamped") {
     // 8 consecutive settled probes inside a ±6% band above the ledger line:
-    // hypervisor weather, not a co-tenant burst. Line = floor × 1.10.
+    // hypervisor weather, not a co-tenant burst. Line = floor × 1.18, and
+    // the measured floor itself is carried for the artifact's probe_floor
+    // stamp (roundcheck re-derives the line from it).
     val g = Bench.quietOrWeather(0.65, maxWaits = 40, sleepMs = 0,
       probe = () => 0.70)
     assert(g.weather)
-    assert(math.abs(g.line - 0.70 * 1.18) < 1e-9)
+    assert(math.abs(g.floor - 0.70) < 1e-9)
+    assert(math.abs(g.line - g.floor * Bench.WeatherLineMult) < 1e-9)
     assert(g.probe <= g.line)
+  }
+
+  test("weather constants are mirrored verbatim in tools/roundcheck.py") {
+    // roundcheck (Python) cannot import Bench's constants, so the weather
+    // multiplier, drift band, and cap are duplicated there; this pins the
+    // copies together (ADVICE r15: a silent drift between them would let
+    // the two adjudicators disagree about the same artifact).
+    val py = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("tools/roundcheck.py"))
+    assert(py.contains(s"WEATHER_LINE_MULT = ${Bench.WeatherLineMult}"),
+      s"roundcheck.py must define WEATHER_LINE_MULT = ${Bench.WeatherLineMult}")
+    assert(py.contains(s"AFTER_DRIFT_BAND = ${Bench.AfterDriftBand}"),
+      s"roundcheck.py must define AFTER_DRIFT_BAND = ${Bench.AfterDriftBand}")
+    assert(py.contains(s"WEATHER_CAP = ${Bench.WeatherCap}"),
+      s"roundcheck.py must define WEATHER_CAP = ${Bench.WeatherCap}")
   }
 
   test("quietOrWeather: a transient burst is outwaited, ledger line kept") {
@@ -184,8 +202,13 @@ class BenchCalibrationSpec extends AnyFunSuite {
   }
 
   test("hostFactor normalizes cross-weather inversion refs, clamped [1, 1.5]") {
-    // slow-weather run (probes ~0.82) vs fast-weather ref (0.60): scale up.
-    assert(math.abs(Bench.hostFactor(0.80, 0.84, Some(0.60)) - 82.0 / 60.0) < 1e-9)
+    // slow-weather run (probe floor 0.80) vs fast-weather ref (0.60): scale
+    // up — by the MIN of this run's probes, the same statistic
+    // readArtifactProbe takes from the ref (ADVICE r15: mean-vs-min meant
+    // hf > 1 even on a like-speed host).
+    assert(math.abs(Bench.hostFactor(0.80, 0.84, Some(0.60)) - 80.0 / 60.0) < 1e-9)
+    // identical conditions (same floor as the ref): exactly 1.0.
+    assert(Bench.hostFactor(0.60, 0.73, Some(0.60)) == 1.0)
     // like-speed host: never relaxes.
     assert(Bench.hostFactor(0.58, 0.62, Some(0.60)) == 1.0)
     // beyond 1.5x the ref's speed: clamp — too slow to adjudicate leniently.

@@ -117,6 +117,64 @@ class UpsertSpec extends AnyFunSuite {
       s"at-bound batch must keep the broadcast key-split:\n$underPlan")
   }
 
+  test("keyCountHint: planning the merge runs ZERO Spark jobs (r15 VERDICT #5)") {
+    val bigBase = (1L to 500L).map(i => (i, s"v$i", 10L)).toDF("k", "v", "ver")
+    val changes = Seq(
+      (1L, "updated", 11L), (2L, "stale", 9L), (7777L, "insert", 1L))
+      .toDF("k", "v", "ver")
+    // Count only THIS thread's jobs via a job group (sibling suites share
+    // the session): any eager job inside mergeLargeBase would carry it.
+    val group = s"upsert-hint-${System.nanoTime()}"
+    val groupJobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        if (Option(js.properties)
+            .exists(p => group == p.getProperty("spark.jobGroup.id"))) {
+          groupJobs.incrementAndGet(); ()
+        }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    spark.sparkContext.setJobGroup(group, "hint-path planning probe")
+    try {
+      val merged = Upsert.mergeLargeBase(bigBase, changes, Seq("k"), "ver",
+        keyCountHint = Some(3L))
+      // marker job: the listener bus is FIFO, so once it lands, any job the
+      // merge call had submitted would already be counted. RDD action, not
+      // a DataFrame one — AQE splits even range(1).count() into two jobs.
+      spark.sparkContext.parallelize(Seq(1)).count()
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (groupJobs.get() < 1 && System.nanoTime() < deadline)
+        Thread.sleep(10)
+      assert(groupJobs.get() == 1,
+        s"building the hinted merge must run no job before the marker " +
+          s"(saw ${groupJobs.get() - 1} extra)")
+      // answers and plan are those of the broadcast key-split
+      assert(merged.collect().toSet ==
+        Upsert(bigBase, changes, Seq("k"), "ver").collect().toSet)
+      val finalPlan = (merged.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }).toString
+      assert("BroadcastHashJoin".r.findAllIn(finalPlan).length == 2,
+        s"hinted under-bound merge must keep the broadcast key-split:\n$finalPlan")
+      // an over-bound hint routes to the window formulation, also jobless
+      val over = Upsert.mergeLargeBase(bigBase, changes, Seq("k"), "ver",
+        maxBroadcastKeys = 2L, keyCountHint = Some(3L))
+      assert(over.collect().toSet ==
+        Upsert(bigBase, changes, Seq("k"), "ver").collect().toSet)
+      val overPlan = (over.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }).toString
+      assert(!overPlan.contains("BroadcastHashJoin") && overPlan.contains("Window"),
+        s"over-bound hint must take the window formulation:\n$overPlan")
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      spark.sparkContext.removeSparkListener(listener)
+    }
+  }
+
   test("nested map types are excluded from the row-hash tiebreak (ADVICE r14)") {
     // a column whose type NESTS a map (array<map>, struct{map}) is just as
     // unhashable as a top-level map — latestByKey must exclude it rather

@@ -237,6 +237,12 @@ def main():
 
     # 4. Tier-artifact health: contended stamp / dirty calibration probes.
     PROBE_MAX = 0.65  # matches BenchScale's gate; ledger norm ~0.55-0.6
+    # Mirrors of Bench.scala's weather constants (Python cannot import
+    # them; BenchCalibrationSpec asserts these exact definitions exist so
+    # the two adjudicators cannot silently drift — ADVICE r15):
+    WEATHER_LINE_MULT = 1.18  # Bench.WeatherLineMult (floor -> line)
+    AFTER_DRIFT_BAND = 1.15   # Bench.AfterDriftBand (after-probe allowance)
+    WEATHER_CAP = 1.0         # Bench.WeatherCap (floor beyond this: refused)
     tier_paths = sorted(glob.glob(f"{ROOT}/BENCH_r{cur:02d}_sf*.json")) + \
         sorted(glob.glob(f"{ROOT}/BENCH_r{cur:02d}_builder_sf*.json"))
     for tier in tier_paths:
@@ -263,13 +269,33 @@ def main():
         # above 1.0s is never weather (Bench.WeatherCap refuses it too).
         line = PROBE_MAX
         pl = art.get("probe_line")
-        # cap = WeatherCap (1.0) x the floor->line multiplier (1.18)
-        if art.get("weather") is True and isinstance(pl, (int, float)) \
-                and PROBE_MAX < pl <= 1.0 * 1.18:
-            line = pl
-            print(f"?? {name} stamped weather=true (probe_line={pl}) — "
-                  f"host uniformly slow during the run; timings are "
-                  f"comparable within-run, conservative cross-round")
+        floor = art.get("probe_floor")
+        if art.get("weather") is True and isinstance(pl, (int, float)):
+            # Derive the acceptable line from the STAMPED probe floor
+            # (r16+ artifacts carry it) instead of trusting any
+            # self-stamped probe_line up to the cap: the line must equal
+            # floor x WEATHER_LINE_MULT (3-decimal artifact rounding) and
+            # the floor itself must sit under WEATHER_CAP.
+            if isinstance(floor, (int, float)):
+                if floor <= WEATHER_CAP and \
+                        abs(pl - floor * WEATHER_LINE_MULT) < 5e-3:
+                    line = pl
+                    print(f"?? {name} stamped weather=true (probe_floor="
+                          f"{floor}, line={pl}) — host uniformly slow "
+                          f"during the run; timings are comparable "
+                          f"within-run, conservative cross-round")
+                else:
+                    bad = True
+                    print(f"!! {name} weather stamp not corroborated: "
+                          f"probe_line={pl} but probe_floor={floor} "
+                          f"(expected line = floor x {WEATHER_LINE_MULT}, "
+                          f"floor <= {WEATHER_CAP}) — refusing the run")
+            # legacy pre-floor artifact: the old bounded acceptance
+            elif PROBE_MAX < pl <= WEATHER_CAP * WEATHER_LINE_MULT:
+                line = pl
+                print(f"?? {name} stamped weather=true (probe_line={pl}, "
+                      f"no probe_floor: pre-r16 artifact) — host uniformly "
+                      f"slow during the run")
         cal = art.get("calibration") or {}
         # The after-probe gets the measured idle-noise drift band (x1.15
         # over before) — a mid-pass co-tenant reads 1.5-2x, never +15%
@@ -277,7 +303,7 @@ def main():
         before = cal.get("before")
         after_line = line
         if isinstance(before, (int, float)) and before <= line:
-            after_line = max(line, before * 1.15)
+            after_line = max(line, before * AFTER_DRIFT_BAND)
         dirty = {k: v for k, v in cal.items()
                  if isinstance(v, (int, float)) and
                  v > (after_line if k == "after" else line)}

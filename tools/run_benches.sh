@@ -30,13 +30,25 @@ if pgrep -x java >/dev/null 2>&1 || pgrep -f 'bin/java' >/dev/null 2>&1; then
   exit 1
 fi
 
+# An artifact is only a completion marker when it is CLEAN: Bench/BenchScale
+# still write one when giving up contended or inverted, and a step that died
+# after the write leaves one too — resuming past those would silently keep a
+# dirty tier (ADVICE r15). Dirty artifacts are moved aside and re-run.
+art_clean() { # art_clean <artifact>
+  [ -s "$1" ] && grep -q '"contended":false' "$1" \
+    && ! grep -q '"inverted":true' "$1"
+}
+
 step() { # step <name> <artifact> <cmd...>
   local name="$1" art="$2"; shift 2
   # SKIP_EXISTING=1: resume a ladder that died mid-way without re-paying
-  # the completed tiers (artifact presence is the completion marker —
-  # step() only ever leaves a non-empty artifact on success).
+  # the completed tiers — but only a CLEAN artifact counts as completed.
   if [ -n "${SKIP_EXISTING:-}" ] && [ -s "$art" ]; then
-    echo "== $name skipped (artifact present)"; return 0
+    if art_clean "$art"; then
+      echo "== $name skipped (clean artifact present)"; return 0
+    fi
+    echo "== $name: existing artifact is dirty (contended/inverted) — moved to ${art}.dirty, re-running"
+    mv "$art" "${art}.dirty"
   fi
   echo "== $name start $(date +%T)"
   "$@" >"bench_step_${name}.log" 2>&1
@@ -52,8 +64,8 @@ step() { # step <name> <artifact> <cmd...>
 # goes to the step log FIRST (no grep -m1 on the live pipe — that
 # SIGPIPE-kills the JVM before the trailing health line and spark.stop());
 # the artifact is extracted from the completed log.
-if [ -n "${SKIP_EXISTING:-}" ] && [ -s "BENCH_${RN}_builder_sf01.json" ]; then
-  echo "== builder skipped (artifact present)"
+if [ -n "${SKIP_EXISTING:-}" ] && art_clean "BENCH_${RN}_builder_sf01.json"; then
+  echo "== builder skipped (clean artifact present)"
 else
 echo "== builder start $(date +%T)"
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_BENCH_REPS=3 \

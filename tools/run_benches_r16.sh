@@ -1,12 +1,21 @@
 #!/bin/bash
-# Priority-ordered variant of run_benches.sh for a time-boxed session:
-# the r15 verdict's NEW evidence (1000x index-mutation tier, post-q21
-# 100x relational) runs before the re-run tiers, so an out-of-time abort
-# costs the least-new artifact, not the most-new one. Same step
-# discipline (full logs, loud aborts, artifact checks) as run_benches.sh.
+# Round-16 bench ladder, priority-ordered for this round's VERDICT asks:
+#   1. builder sf0.1 headline (cross-round comparison point)
+#   2. sf100 at HEAD, default 2-min periodic GC    — MinHash adjudication A
+#   3. sf100 at HEAD, periodic GC effectively OFF  — MinHash adjudication B
+#      (VERDICT r15 #1: dedup_minhash_lsh 73.6 -> 120.0 s on identical
+#      bytes; prime suspect is the abb561d 2-min ContextCleaner GC landing
+#      inside the ~2-min query)
+#   4. 1000x relational flagships (VERDICT r15 #2 — synthesis already on
+#      disk at /tmp/graft_sf1000_rel from the r15 session)
+#   5. 100x FULL registry re-run at r16 HEAD (VERDICT r15 #3)
+#   6. 10x tier re-run at r16 HEAD (VERDICT r15 #3)
+#   7. 100x relational + 100x docs/embeddings refresh
+# Same step discipline as run_benches.sh (full logs, loud aborts,
+# clean-artifact resume).
 set -u
 cd "$(dirname "$0")/.."
-R="${ROUND:?set ROUND=<n>}"
+R="${ROUND:-16}"
 RN=$(printf "r%02d" "$R")
 export SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-24g}"
 
@@ -15,8 +24,6 @@ if pgrep -x java >/dev/null 2>&1 || pgrep -f 'bin/java' >/dev/null 2>&1; then
   exit 1
 fi
 
-# Only a CLEAN artifact is a completion marker — dirty (contended/
-# inverted) ones are moved aside and re-run (ADVICE r15).
 art_clean() { # art_clean <artifact>
   [ -s "$1" ] && grep -q '"contended":false' "$1" \
     && ! grep -q '"inverted":true' "$1"
@@ -41,7 +48,7 @@ step() { # step <name> <artifact> <cmd...>
   echo "== $name done $(date +%T)"
 }
 
-# 1. builder sf0.1 headline
+# 1. builder sf0.1, min-of-3
 if [ -n "${SKIP_EXISTING:-}" ] && art_clean "BENCH_${RN}_builder_sf01.json"; then
   echo "== builder skipped (clean artifact present)"
 else
@@ -57,45 +64,47 @@ fi
 echo "== builder done $(date +%T)"
 fi
 
-# 2. 100x relational (r15 ask #2: post-q21-rewrite evidence)
-SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_SCALE_DIR=/tmp/graft_sf100_rel \
-  SPARK_GRAFT_SCALE_REPS=100 \
-  SPARK_GRAFT_SCALE_TABLES=events,customer,supplier,part,orders,lineitem,nation,region \
-  SPARK_GRAFT_SCALE_ONLY=q1_pricing_summary,q9_product_profit,q21_waiting_suppliers,q_session_stats,q_upsert_cdc,q_asof_join,q_range_join,q_topk_per_group \
-  step sf10_rel "BENCH_${RN}_sf10_relational.json" sbt -batch "runMain graft.BenchScale BENCH_${RN}_sf10_relational.json"
+SF100_ONLY=dedup_exact,dedup_minhash_lsh,dedup_simhash,text_lang_id,text_quality,pipeline_pack_tokens,ann_ivfpq_adc,emb_kmeans,mm_byte_features,ann_ivfpq_append,ann_ivfpq_upsert,ann_reindex
 
-# 3. 1000x docs/embeddings incl. index-mutation lifecycle (r15 ask #3)
+# 2. 1000x tier at HEAD, default periodic GC (adjudication run A)
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_SCALE_DIR=/tmp/graft_sf100 \
   SPARK_GRAFT_SCALE_REPS=1000 SPARK_GRAFT_SCALE_TABLES=documents,embeddings \
-  SPARK_GRAFT_SCALE_ONLY=dedup_exact,dedup_minhash_lsh,dedup_simhash,text_lang_id,text_quality,pipeline_pack_tokens,ann_ivfpq_adc,emb_kmeans,mm_byte_features,ann_ivfpq_append,ann_ivfpq_upsert,ann_reindex \
+  SPARK_GRAFT_SCALE_ONLY="$SF100_ONLY" \
   step sf100 "BENCH_${RN}_sf100.json" sbt -batch "runMain graft.BenchScale BENCH_${RN}_sf100.json"
 
-# 4. 1000x relational flagships (r15 ask #3)
+# 3. same tier, periodic GC pushed past the whole run (adjudication run B)
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_SCALE_DIR=/tmp/graft_sf100 \
+  SPARK_GRAFT_SCALE_REPS=1000 SPARK_GRAFT_SCALE_TABLES=documents,embeddings \
+  SPARK_GRAFT_SCALE_ONLY="$SF100_ONLY" SPARK_GRAFT_PERIODIC_GC=120min \
+  step sf100_nogc "BENCH_${RN}_sf100_nogc.json" sbt -batch "runMain graft.BenchScale BENCH_${RN}_sf100_nogc.json"
+
+# 4. 1000x relational flagships (q21/q9/q1 against ~600M-row lineitem)
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_SCALE_DIR=/tmp/graft_sf1000_rel \
   SPARK_GRAFT_SCALE_REPS=1000 \
   SPARK_GRAFT_SCALE_TABLES=customer,supplier,part,orders,lineitem,nation,region \
   SPARK_GRAFT_SCALE_ONLY=q1_pricing_summary,q9_product_profit,q21_waiting_suppliers \
   step sf100_rel "BENCH_${RN}_sf100_relational.json" sbt -batch "runMain graft.BenchScale BENCH_${RN}_sf100_relational.json"
 
-# 5. 10x all-gates tier
-SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_SCALE_DIR=/tmp/graft_sf1 \
-  step sf1 "BENCH_${RN}_sf1.json" sbt -batch "runMain graft.BenchScale BENCH_${RN}_sf1.json"
-
-# 6. 100x documents/embeddings tier
-SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_SCALE_DIR=/tmp/graft_sf10 \
-  SPARK_GRAFT_SCALE_REPS=100 SPARK_GRAFT_SCALE_TABLES=documents,embeddings \
-  SPARK_GRAFT_SCALE_EXCLUDE=dedup_embedding_cosine \
-  step sf10 "BENCH_${RN}_sf10.json" sbt -batch "runMain graft.BenchScale BENCH_${RN}_sf10.json"
-
-# 7. 100x FULL registry
+# 5. 100x FULL registry at r16 HEAD
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_SCALE_DIR=/tmp/graft_sf100_full \
   SPARK_GRAFT_SCALE_REPS=100 SPARK_GRAFT_SCALE_EXCLUDE=dedup_embedding_cosine \
   step sf10_full "BENCH_${RN}_sf10_full.json" sbt -batch "runMain graft.BenchScale BENCH_${RN}_sf10_full.json"
 
-# 8-9. BPE production points
-SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
-  step bpe "BENCH_${RN}_bpe.json" sbt -batch "runMain graft.BpeBench BENCH_${RN}_bpe.json"
-SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_BPE_MERGES=4096 SPARK_GRAFT_BPE_BATCH_M=128 \
-  step bpe2 "BENCH_${RN}_bpe2.json" sbt -batch "runMain graft.BpeBench BENCH_${RN}_bpe2.json"
+# 6. 10x all-gates tier at r16 HEAD
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_SCALE_DIR=/tmp/graft_sf1 \
+  step sf1 "BENCH_${RN}_sf1.json" sbt -batch "runMain graft.BenchScale BENCH_${RN}_sf1.json"
+
+# 7. 100x relational growth points refresh
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_SCALE_DIR=/tmp/graft_sf100_rel \
+  SPARK_GRAFT_SCALE_REPS=100 \
+  SPARK_GRAFT_SCALE_TABLES=events,customer,supplier,part,orders,lineitem,nation,region \
+  SPARK_GRAFT_SCALE_ONLY=q1_pricing_summary,q9_product_profit,q21_waiting_suppliers,q_session_stats,q_upsert_cdc,q_asof_join,q_range_join,q_topk_per_group \
+  step sf10_rel "BENCH_${RN}_sf10_relational.json" sbt -batch "runMain graft.BenchScale BENCH_${RN}_sf10_relational.json"
+
+# 8. 100x docs/embeddings refresh
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_SCALE_DIR=/tmp/graft_sf10 \
+  SPARK_GRAFT_SCALE_REPS=100 SPARK_GRAFT_SCALE_TABLES=documents,embeddings \
+  SPARK_GRAFT_SCALE_EXCLUDE=dedup_embedding_cosine \
+  step sf10 "BENCH_${RN}_sf10.json" sbt -batch "runMain graft.BenchScale BENCH_${RN}_sf10.json"
 
 echo ALL_BENCHES_DONE
