@@ -32,6 +32,11 @@ object UpsertBench {
   private val pq = PqParams(m = 4, subDim = 16, k = 16)
 
   def main(args: Array[String]): Unit = {
+    // This A/B compares the two discovery ROUTES; the small-index size
+    // bypass (VectorIndex.sidecarReadMinBytes) would otherwise silently
+    // turn the sidecar arm into a second fallback arm on a tier whose
+    // codes directory compresses under the threshold.
+    sys.props("graft.sidecar.read.min.bytes") = "0"
     val dir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_sf100")
     val artifact = args.headOption.getOrElse("BENCH_upsert_sidecar.json")
     val spark = LocalSession.build()
@@ -56,27 +61,17 @@ object UpsertBench {
     VectorIndex.write(quant,
       VectorIndex.encode(emb, col("vec_id"), col("embedding"), quant), base)
 
-    def linkCopy(src: java.io.File, dst: java.io.File): Unit =
-      if (src.isDirectory) {
-        dst.mkdirs()
-        Option(src.listFiles()).toSeq.flatten
-          .foreach(f => linkCopy(f, new java.io.File(dst, f.getName)))
-      } else if (src.getName.endsWith(".parquet")) {
-        try { java.nio.file.Files.createLink(dst.toPath, src.toPath); () }
-        catch { case _: Exception =>
-          java.nio.file.Files.copy(src.toPath, dst.toPath); ()
-        }
-      } else { java.nio.file.Files.copy(src.toPath, dst.toPath); () }
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-    }
+    // the hardlink-vs-copy policy lives in ONE place (ADVICE r16): reuse
+    // AnnFixtures' copy — same .parquet-only linking rule the mutation
+    // gates depend on — instead of a drift-prone private re-implementation
+    import graft.queries.AnnFixtures.{copyDir, rm}
 
     val meter = org.apache.spark.graftshim.TaskInputBytes.install(spark.sparkContext)
     final case class Arm(sec: Double, bytes: Long, discovery: String,
         answers: Seq[org.apache.spark.sql.Row])
     def runArm(dropSidecar: Boolean): Arm = {
       val path = java.nio.file.Files.createTempDirectory("graft_upsert_arm").toString
-      linkCopy(new java.io.File(base), new java.io.File(path))
+      copyDir(new java.io.File(base), new java.io.File(path))
       if (dropSidecar) rm(new java.io.File(s"$path/idmap"))
       spark.catalog.clearCache()
       VectorIndex.lastUpsertDiscovery = None

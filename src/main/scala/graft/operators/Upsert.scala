@@ -123,7 +123,17 @@ object Upsert {
       case Some(n) if n > maxBroadcastKeys =>
         apply(base, changes, keys, versionCol)
       case Some(_) =>
-        broadcastSplit(base, changes.select(keys.map(col): _*).distinct(),
+        val keySet = changes.select(keys.map(col): _*).distinct()
+        // The jobless hint path leans on exchange reuse to materialize the
+        // key set ONCE for both broadcast joins (UpsertSpec asserts the
+        // ReusedExchange in the plan). With reuse disabled the two joins
+        // would each evaluate the key-set plan — a nondeterministic source
+        // could then diverge between them (base rows silently dropped or
+        // duplicated), so that configuration pays the one checkpoint job
+        // the hint otherwise skips (ADVICE r16).
+        val reuseOn = changes.sparkSession.conf
+          .get("spark.sql.exchange.reuse", "true").trim.equalsIgnoreCase("true")
+        broadcastSplit(base, if (reuseOn) keySet else keySet.localCheckpoint(),
           changes, keys, versionCol)
       case None =>
         val changeKeys =

@@ -647,15 +647,78 @@ object VectorIndex extends org.apache.spark.internal.Logging {
   private def idMapPath(path: String) =
     new org.apache.hadoop.fs.Path(idMapDir(path))
 
+  /** Below this codes-directory size the sidecar READ is bypassed: the
+    * legacy full-codes discovery scan is one cheap broadcast semi-join at
+    * these sizes, while the sidecar route costs a parquet footer read plus
+    * a bucket-enumeration action per mutation — measured at ~1-2 s of pure
+    * fixed cost per sf0.1 mutation gate (VERDICT r16 #3). Writes still
+    * MAINTAIN the sidecar below the threshold (the superset invariant must
+    * hold continuously so reads become correct the moment the index grows
+    * past it), but they collapse to a single task ([[idMapWriteShape]]).
+    * Overridable for tests/tuning via -Dgraft.sidecar.read.min.bytes.
+    */
+  private[graft] def sidecarReadMinBytes: Long =
+    sys.props.get("graft.sidecar.read.min.bytes").flatMap(_.toLongOption)
+      .getOrElse(64L << 20)
+
+  /** Driver-side size of an index part directory (one getContentSummary
+    * RPC on a real DFS; a local walk on RawLocalFileSystem). Missing dir
+    * reads as 0 — callers treat that as "small".
+    */
+  private def dirBytes(s: SparkSession, dir: String): Long =
+    try hadoopFs(s, dir)
+      .getContentSummary(new org.apache.hadoop.fs.Path(dir)).getLength
+    catch { case _: java.io.IOException => 0L }
+
+  private def smallCodes(s: SparkSession, codesDir: String): Boolean =
+    dirBytes(s, codesDir) < sidecarReadMinBytes
+
+  private def isIntegral(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+  }
+
+  /** Canonical id column for sidecar bucket routing: xxhash64(int) !=
+    * xxhash64(long), so a bucket hash computed from whatever physical
+    * integral type a batch ARRIVES with would scatter one id's entries
+    * across different buckets than a later probe computes — a silent
+    * missing-entry window in the superset invariant (ADVICE r16). Integral
+    * ids are therefore cast to long BEFORE hashing and storing; the read
+    * side probes as long whenever the stored type is integral. Non-integral
+    * id types pass through unchanged: for those the arrival type is the
+    * id's one stable type (a cross-type arrival would already fail the
+    * vec_id equi-join itself).
+    */
+  private def canonicalVecId(df: DataFrame): Column =
+    if (isIntegral(df.schema("vec_id").dataType)) col("vec_id").cast("long")
+    else col("vec_id")
+
   /** Sidecar rows for a codes frame: one (vec_id, cell, bucket) entry per
     * vector. `cell` is normalized to long — the codes frame sometimes
     * carries it partition-directory-inferred (int), and mixed physical
     * types across one parquet directory's files would corrupt later reads.
+    * `vec_id` is normalized to its canonical type ([[canonicalVecId]]) so
+    * bucket routing never depends on a batch's arrival type.
     */
-  private def idMapEntries(codes: DataFrame): DataFrame =
-    codes.filter(col("m") === 0)
-      .select(col("vec_id"), col("cell").cast("long").as("cell"))
-      .withColumn("bucket", pmod(xxhash64(col("vec_id")), lit(IdMapBuckets.toLong)))
+  private def idMapEntries(codes: DataFrame): DataFrame = {
+    val canon = codes.filter(col("m") === 0)
+      .select(canonicalVecId(codes).as("vec_id"), col("cell").cast("long").as("cell"))
+    canon.withColumn("bucket", pmod(xxhash64(col("vec_id")), lit(IdMapBuckets.toLong)))
+  }
+
+  /** Write shaping for sidecar entries: below the read threshold the index
+    * is small enough that one task writing all ≤[[IdMapBuckets]] bucket
+    * directories beats 32 shuffle partitions each opening up to 64 tiny
+    * files (the bulk of the sidecar's measured per-mutation fixed cost at
+    * sf0.1). A large batch landing on a still-small index serializes its
+    * one sidecar write — bounded by the batch, and the next mutation sees
+    * a grown index and parallelizes again.
+    */
+  private def idMapWriteShape(entries: DataFrame, small: Boolean): DataFrame =
+    if (small) entries.coalesce(1) else entries
 
   /** Append a mutation's new (id → cell) mappings — MUST run BEFORE the
     * codes mutation it describes commits, so the sidecar's invariant
@@ -667,9 +730,11 @@ object VectorIndex extends org.apache.spark.internal.Logging {
     * which is what makes the invariant inductive.
     */
   private def appendIdMap(s: SparkSession, path: String, codes: DataFrame): Unit =
-    if (hadoopFs(s, path).exists(idMapPath(path)))
-      idMapEntries(codes).write.mode("append")
+    if (hadoopFs(s, path).exists(idMapPath(path))) {
+      val small = smallCodes(s, snapshot(s, path).partPath("codes"))
+      idMapWriteShape(idMapEntries(codes), small).write.mode("append")
         .partitionBy("bucket").parquet(idMapDir(path))
+    }
 
   /** Rebuild the sidecar wholesale from a codes directory: stage, drop the
     * old sidecar, rename into place. Every crash window is safe because
@@ -682,10 +747,13 @@ object VectorIndex extends org.apache.spark.internal.Logging {
     val fs = hadoopFs(s, path)
     val staging = new org.apache.hadoop.fs.Path(s"$path/idmap_staging")
     fs.delete(staging, true)
-    idMapEntries(
+    val entries = idMapEntries(
       s.read.option("mergeSchema", "true").parquet(codesDir)
         .select(col("vec_id"), col("cell"), col("m")))
-      .repartition(col("bucket"))
+    // small index: one task, no shuffle; large: cluster by bucket so each
+    // bucket directory is one file, not one per (task, bucket)
+    (if (smallCodes(s, codesDir)) entries.coalesce(1)
+     else entries.repartition(col("bucket")))
       .write.mode("overwrite").partitionBy("bucket").parquet(staging.toString)
     fs.delete(idMapPath(path), true)
     if (!fs.rename(staging, idMapPath(path)))
@@ -726,24 +794,43 @@ object VectorIndex extends org.apache.spark.internal.Logging {
     val dir = idMapDir(path)
     val sidecar: Option[DataFrame] =
       if (!fs.exists(idMapPath(path))) None
+      // size bypass (VERDICT r16 #3): under the threshold the full scan IS
+      // the cheap path — one broadcast semi-join folded into the touched-
+      // cell action, vs a footer read + an extra bucket-enumeration job
+      else if (smallCodes(s, snapshot(s, path).partPath("codes"))) None
       else try {
-        // bucket hashes must agree between write and read: hash the probe
-        // ids AS the sidecar's stored type (xxhash64(int) != xxhash64(long))
-        val vidType = s.read.parquet(dir).schema("vec_id").dataType
-        val probe = changedIds.select(col("vec_id").cast(vidType).as("vec_id"))
-        val buckets = probe
-          .select(pmod(xxhash64(col("vec_id")), lit(IdMapBuckets.toLong)).as("b"))
-          .distinct().collect().map(_.getLong(0))
-        val bucketDirs = buckets.map(b => s"$dir/bucket=$b")
-          .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
-        lastUpsertDiscovery =
-          Some(UpsertDiscovery(usedSidecar = true, bucketDirs.length, IdMapBuckets))
-        if (bucketDirs.isEmpty)
-          Some(probe.limit(0).select(lit(0L).as("cell")))
-        else Some(
-          s.read.option("basePath", dir).parquet(bucketDirs.toIndexedSeq: _*)
-            .join(broadcast(probe), Seq("vec_id"), "left_semi")
-            .select(col("cell")))
+        // bucket hashes must agree between write and read. Writes are
+        // canonical ([[canonicalVecId]]): integral ids stored and hashed as
+        // long. A sidecar whose stored type is integral-but-not-long
+        // predates canonicalization (or holds mixed-type debris) — its
+        // entries may sit under arrival-type hashes this probe cannot
+        // reproduce, so it is treated as ABSENT (always safe) until
+        // [[rebuildIdMap]] folds it to canonical form.
+        val storedDt = s.read.parquet(dir).schema("vec_id").dataType
+        if (isIntegral(storedDt) &&
+            storedDt != org.apache.spark.sql.types.LongType) None
+        else {
+          val probe = changedIds.select(col("vec_id").cast(storedDt).as("vec_id"))
+          val buckets = probe
+            .select(pmod(xxhash64(col("vec_id")), lit(IdMapBuckets.toLong)).as("b"))
+            .distinct().collect().map(_.getLong(0))
+          // ONE directory listing instead of a per-bucket exists probe
+          // (ADVICE r16): the present bucket set in a single fs call
+          val present =
+            try fs.listStatus(idMapPath(path)).iterator
+              .map(_.getPath.getName).toSet
+            catch { case _: java.io.IOException => Set.empty[String] }
+          val bucketDirs = buckets.filter(b => present.contains(s"bucket=$b"))
+            .map(b => s"$dir/bucket=$b")
+          lastUpsertDiscovery =
+            Some(UpsertDiscovery(usedSidecar = true, bucketDirs.length, IdMapBuckets))
+          if (bucketDirs.isEmpty)
+            Some(probe.limit(0).select(lit(0L).as("cell")))
+          else Some(
+            s.read.option("basePath", dir).parquet(bucketDirs.toIndexedSeq: _*)
+              .join(broadcast(probe), Seq("vec_id"), "left_semi")
+              .select(col("cell")))
+        }
       } catch { case _: org.apache.spark.sql.AnalysisException =>
         None // unreadable/empty sidecar: fall back, loudly observable below
       }

@@ -29,7 +29,9 @@ import graft.operators.{Dedup, IvfadcQuantizer, PqParams, VectorIndex}
   * lifetime; frames are rebuilt per call from the rows. The shared index
   * directory lives under java.io.tmpdir and is removed on JVM exit.
   */
-private[queries] object AnnFixtures {
+// graft-wide (not queries-private): UpsertBench shares the hardlink copy
+// policy (ADVICE r16); the fixture-cache members themselves stay private.
+private[graft] object AnnFixtures {
 
   /** The one production operating point every sharing gate uses. */
   private val (kCells, iters) = (SimilarityQueries.ivfProdK, 2)
@@ -134,7 +136,12 @@ private[queries] object AnnFixtures {
     dst.toString
   }
 
-  private def copyDir(src: java.io.File, dst: java.io.File): Unit =
+  /** Hardlink-aware recursive copy (see [[copyIndex]]'s linking rationale:
+    * only `.parquet` part files are linked; everything else is a real copy
+    * because RawLocalFileSystem's create(overwrite) truncates in place).
+    * Exposed package-wide so [[graft.UpsertBench]] shares the one policy
+    * instead of drifting its own (ADVICE r16). */
+  private[graft] def copyDir(src: java.io.File, dst: java.io.File): Unit =
     if (src.isDirectory) {
       dst.mkdirs()
       Option(src.listFiles()).toSeq.flatten
@@ -153,7 +160,7 @@ private[queries] object AnnFixtures {
       else realCopy()
     }
 
-  private[queries] def rm(f: java.io.File): Unit = {
+  private[graft] def rm(f: java.io.File): Unit = {
     Option(f.listFiles()).foreach(_.foreach(rm))
     f.delete()
     ()

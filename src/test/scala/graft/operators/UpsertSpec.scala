@@ -175,6 +175,62 @@ class UpsertSpec extends AnyFunSuite {
     }
   }
 
+  test("hint path: ONE broadcast materialization serves both joins (ADVICE r16)") {
+    val bigBase = (1L to 300L).map(i => (i, s"v$i", 10L)).toDF("k", "v", "ver")
+    val changes = Seq((1L, "u", 11L), (301L, "i", 1L)).toDF("k", "v", "ver")
+    val merged = Upsert.mergeLargeBase(bigBase, changes, Seq("k"), "ver",
+      keyCountHint = Some(2L))
+    merged.collect()
+    val finalPlan = merged.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    // The jobless hint path relies on exchange reuse to evaluate the
+    // change-key-set plan — the only place a nondeterministic source is
+    // READ — exactly once for the anti and semi joins: the second join's
+    // broadcast stage must be a ReusedExchange of the first's build, never
+    // an independent second build (which would let a nondeterministic
+    // source diverge between the joins — rows silently dropped/duplicated).
+    assert("BroadcastHashJoin".r.findAllIn(finalPlan.toString).length == 2,
+      s"hinted merge must keep the broadcast key-split:\n$finalPlan")
+    // QueryStageExec nodes are leaves (their subtree hangs off .plan), so a
+    // plain collect never reaches nested stages — flatten manually
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val kids = p match {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+        case _ => p.children
+      }
+      p +: kids.flatMap(flatten)
+    }
+    val all = flatten(finalPlan)
+    val builds = all.collect {
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+    }
+    val reused = all.collect {
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r
+    }
+    assert(builds.size == 1 && reused.size == 1,
+      s"the key set must be BUILT once and REUSED by the second join " +
+        s"(saw ${builds.size} builds, ${reused.size} reuses):\n$finalPlan")
+  }
+
+  test("hint path with exchange reuse disabled: checkpoint restores single materialization") {
+    spark.conf.set("spark.sql.exchange.reuse", "false")
+    try {
+      val changes = Seq((1L, "u", 99L), (77L, "i", 1L)).toDF("k", "v", "ver")
+      val merged = Upsert.mergeLargeBase(base, changes, Seq("k"), "ver",
+        keyCountHint = Some(2L))
+      // the key set is snapshotted via localCheckpoint (a LogicalRDD leaf),
+      // so both joins read one materialization even without reuse
+      assert(merged.queryExecution.optimizedPlan.toString.contains("LogicalRDD"),
+        "with reuse off the hint path must checkpoint the key set")
+      assert(merged.collect().toSet ==
+        Upsert(base, changes, Seq("k"), "ver").collect().toSet)
+    } finally spark.conf.set("spark.sql.exchange.reuse", "true")
+  }
+
   test("nested map types are excluded from the row-hash tiebreak (ADVICE r14)") {
     // a column whose type NESTS a map (array<map>, struct{map}) is just as
     // unhashable as a top-level map — latestByKey must exclude it rather

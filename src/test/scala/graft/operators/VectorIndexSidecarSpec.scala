@@ -21,10 +21,20 @@ import graft.SparkFixture
   *    post-promote rebuild), so mutation after either still discovers
   *    through the sidecar and still converges to rebuild-equivalence.
   */
-class VectorIndexSidecarSpec extends AnyFunSuite {
+class VectorIndexSidecarSpec extends AnyFunSuite
+    with org.scalatest.BeforeAndAfterAll {
   private lazy val spark = SparkFixture.spark
   private val dir = "/root/testdata/sf0.001"
   private val pq = PqParams(m = 4, subDim = 16, k = 16)
+
+  // These contracts are about the sidecar ROUTE, so the small-index read
+  // bypass (sidecarReadMinBytes, VERDICT r16 #3) is pinned OFF for the
+  // suite's tiny fixtures; the bypass itself has its own test below.
+  override def beforeAll(): Unit =
+    sys.props("graft.sidecar.read.min.bytes") = "0"
+  override def afterAll(): Unit = {
+    sys.props.remove("graft.sidecar.read.min.bytes"); ()
+  }
 
   private def emb = spark.read.parquet(s"$dir/embeddings.parquet")
   private def corpus = emb.filter(col("vec_id") % 10 =!= 7)
@@ -147,6 +157,95 @@ class VectorIndexSidecarSpec extends AnyFunSuite {
     assertRebuildEquivalent(path, quant,
       corpus.select(col("vec_id"), col("embedding"))
         .union(fresh.filter(col("vec_id") =!= 67L)))
+  }
+
+  test("below the size threshold reads bypass the sidecar, writes maintain it") {
+    // force the bypass: every test fixture is far under a 1 TB threshold
+    sys.props("graft.sidecar.read.min.bytes") = (1L << 40).toString
+    val (path, quant) = freshIndex()
+    try {
+      val updated = Seq(64L)
+      VectorIndex.lastUpsertDiscovery = None
+      VectorIndex.upsertBatch(spark, path, updatesFor(updated),
+        corpus.limit(0).select(col("vec_id")), col("vec_id"), col("embedding"), pq)
+      assert(VectorIndex.lastUpsertDiscovery.exists(!_.usedSidecar),
+        "under the threshold the full scan IS the cheap discovery path")
+      assert(new java.io.File(s"$path/idmap").isDirectory,
+        "the bypass must not delete or stop maintaining the sidecar")
+      assertRebuildEquivalent(path, quant, postCorpus(updated, Nil))
+    } finally sys.props("graft.sidecar.read.min.bytes") = "0"
+    // the bypassed mutation still appended its mapping (the superset
+    // invariant must hold CONTINUOUSLY so reads are correct the moment the
+    // index crosses the threshold): with the sidecar route back on, the
+    // cell the bypassed upsert moved id 64 into is discoverable through
+    // the sidecar alone — a missing entry would leave the moved row alive
+    VectorIndex.lastUpsertDiscovery = None
+    VectorIndex.upsertBatch(spark, path,
+      corpus.limit(0).select(col("vec_id"), col("embedding")),
+      spark.range(1).select(lit(64L).as("vec_id")),
+      col("vec_id"), col("embedding"), pq)
+    assert(VectorIndex.lastUpsertDiscovery.exists(_.usedSidecar))
+    assert(VectorIndex.loadCodes(spark, path)
+      .filter(col("vec_id") === 64L).count() == 0,
+      "the id updated during the bypass must be deletable via the sidecar — " +
+        "bypassed writes must have maintained its (new) cell mapping")
+    assertRebuildEquivalent(path, quant, postCorpus(Nil, Seq(64L)))
+  }
+
+  test("int-id index: sidecar entries are canonical long, routing still works (ADVICE r16)") {
+    import org.apache.spark.sql.types.LongType
+    // an index whose ids ARRIVE as int throughout — bucket hashes must not
+    // depend on that arrival type (xxhash64(int) != xxhash64(long))
+    val intCorpus = corpus.select(col("vec_id").cast("int").as("vec_id"),
+      col("embedding"))
+    val path = java.nio.file.Files.createTempDirectory("graft_vindex_canon").toString
+    val quant = VectorIndex.train(intCorpus, col("vec_id"), col("embedding"),
+      kCells = 16, iters = 1, pq = pq)
+    VectorIndex.write(quant,
+      VectorIndex.encode(intCorpus, col("vec_id"), col("embedding"), quant), path)
+    assert(spark.read.parquet(s"$path/idmap").schema("vec_id").dataType == LongType,
+      "integral ids must be stored (and so hashed) as canonical long")
+    // an int-typed change batch discovers through the sidecar
+    val updInt = intCorpus.filter(col("vec_id") === 64)
+      .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
+    VectorIndex.lastUpsertDiscovery = None
+    VectorIndex.upsertBatch(spark, path, updInt,
+      intCorpus.limit(0).select(col("vec_id")), col("vec_id"), col("embedding"), pq)
+    val d = VectorIndex.lastUpsertDiscovery
+    assert(d.exists(r => r.usedSidecar && r.bucketsRead <= 1),
+      s"an int-typed batch must route through the canonical-long buckets: $d")
+    assert(VectorIndex.searchAdc(VectorIndex.loadCodes(spark, path),
+      VectorIndex.loadQuantizer(spark, path, pq), queries, nprobe = 16, topK = 5)
+      .count() > 0)
+  }
+
+  test("pre-canonical (int-stored) sidecar is treated as absent, never silently probed") {
+    val (path, quant) = freshIndex()
+    // replace the sidecar with int-typed entries — the arrival-type debris a
+    // pre-canonical writer could leave, whose bucket hashes a long probe
+    // cannot reproduce (the ADVICE r16 silent-miss window)
+    val legacy = VectorIndex.loadCodes(spark, path)
+      .select(col("vec_id").cast("int").as("vec_id"), col("cell").cast("long").as("cell"))
+      .withColumn("bucket", pmod(xxhash64(col("vec_id")), lit(VectorIndex.IdMapBuckets.toLong)))
+    AnnFixturesAccess.rmDir(new java.io.File(s"$path/idmap"))
+    legacy.write.mode("overwrite").partitionBy("bucket").parquet(s"$path/idmap")
+    val updated = Seq(64L)
+    VectorIndex.lastUpsertDiscovery = None
+    VectorIndex.upsertBatch(spark, path, updatesFor(updated),
+      corpus.limit(0).select(col("vec_id")), col("vec_id"), col("embedding"), pq)
+    assert(VectorIndex.lastUpsertDiscovery.exists(!_.usedSidecar),
+      "a non-long integral sidecar must fall back to the full scan " +
+        "(absence semantics), not probe buckets it cannot reproduce")
+    assertRebuildEquivalent(path, quant, postCorpus(updated, Nil))
+    // rebuildIdMap folds the legacy debris to canonical form
+    VectorIndex.rebuildIdMap(spark, path)
+    assert(spark.read.parquet(s"$path/idmap").schema("vec_id").dataType ==
+      org.apache.spark.sql.types.LongType)
+    VectorIndex.lastUpsertDiscovery = None
+    VectorIndex.upsertBatch(spark, path, updatesFor(Seq(74L)),
+      corpus.limit(0).select(col("vec_id")), col("vec_id"), col("embedding"), pq)
+    assert(VectorIndex.lastUpsertDiscovery.exists(_.usedSidecar))
+    assertRebuildEquivalent(path, quant, postCorpus(updated ++ Seq(74L), Nil))
   }
 
   test("reindex rebuilds the sidecar for the promoted generation") {

@@ -1,0 +1,100 @@
+#!/bin/bash
+# Round-17 bench ladder, priority-ordered for this round's VERDICT asks:
+#   1. builder sf0.1 headline (cross-round comparison point; also checks the
+#      sidecar fixed-cost trim — VERDICT r16 #3/#7: mutation gates back near
+#      r15 at like weather)
+#   2. UpsertBench sidecar A/B at the 1000x tier (VERDICT r16 #2 — the
+#      artifact the r16 round wrote the harness for but never ran)
+#   3. 1000x docs/embeddings solo re-run (VERDICT r16 #4 — the MinHash
+#      fast-weather confirmation point; also clears r16's contended stamp)
+#   4. 100x FULL registry solo re-run (VERDICT r16 #5 — r16's is contended)
+#   5. 10x all-gates tier (growth pairs + inversion ref for next round)
+#   6. 100x relational growth points refresh
+# Same step discipline as run_benches_r16.sh (full logs, loud aborts,
+# clean-artifact resume via SKIP_EXISTING=1).
+set -u
+cd "$(dirname "$0")/.."
+R="${ROUND:-17}"
+RN=$(printf "r%02d" "$R")
+export SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-24g}"
+# Builder-side ladder runs are not under the driver's wall-clock cap: give
+# Bench a generous budget so the deadline machinery (default 1020 s, for
+# the official driver run) never degrades a ladder artifact.
+export SPARK_GRAFT_BENCH_BUDGET_SEC="${SPARK_GRAFT_BENCH_BUDGET_SEC:-7200}"
+
+if pgrep -x java >/dev/null 2>&1 || pgrep -f 'bin/java' >/dev/null 2>&1; then
+  echo "!! a java process is already running — kill it first; benches run solo"
+  exit 1
+fi
+
+art_clean() { # art_clean <artifact>
+  [ -s "$1" ] && grep -q '"contended":false' "$1" \
+    && ! grep -q '"inverted":true' "$1"
+}
+
+step() { # step <name> <artifact> <cmd...>
+  local name="$1" art="$2"; shift 2
+  if [ -n "${SKIP_EXISTING:-}" ] && [ -s "$art" ]; then
+    if art_clean "$art"; then
+      echo "== $name skipped (clean artifact present)"; return 0
+    fi
+    echo "== $name: existing artifact is dirty — moved to ${art}.dirty, re-running"
+    mv "$art" "${art}.dirty"
+  fi
+  echo "== $name start $(date +%T)"
+  "$@" >"bench_step_${name}.log" 2>&1
+  local rc=$?
+  if [ $rc -ne 0 ] || [ ! -s "$art" ]; then
+    echo "!! $name FAILED (rc=$rc, artifact $art $( [ -s "$art" ] && echo present || echo MISSING)) — see bench_step_${name}.log"
+    exit 1
+  fi
+  echo "== $name done $(date +%T)"
+}
+
+# 1. builder sf0.1, min-of-3
+if [ -n "${SKIP_EXISTING:-}" ] && art_clean "BENCH_${RN}_builder_sf01.json"; then
+  echo "== builder skipped (clean artifact present)"
+else
+echo "== builder start $(date +%T)"
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_BENCH_REPS=3 \
+  sbt -batch "runMain graft.Bench" >"bench_step_builder.log" 2>&1
+rc=$?
+grep -m1 '"metric":"total"' bench_step_builder.log | sed 's/^\[info\] //' \
+  > "BENCH_${RN}_builder_sf01.json"
+if [ $rc -ne 0 ] || [ ! -s "BENCH_${RN}_builder_sf01.json" ]; then
+  echo "!! builder FAILED (rc=$rc) — see bench_step_builder.log"; exit 1
+fi
+echo "== builder done $(date +%T)"
+fi
+
+# 2. sidecar discovery A/B at the 1000x tier (VERDICT r16 #2)
+SPARK_GRAFT_SCALE_DIR=/tmp/graft_sf100 \
+  step upsert_ab "BENCH_${RN}_upsert_sidecar.json" \
+  sbt -batch "runMain graft.UpsertBench BENCH_${RN}_upsert_sidecar.json"
+
+SF100_ONLY=dedup_exact,dedup_minhash_lsh,dedup_simhash,text_lang_id,text_quality,pipeline_pack_tokens,ann_ivfpq_adc,emb_kmeans,mm_byte_features,ann_ivfpq_append,ann_ivfpq_upsert,ann_reindex
+
+# 3. 1000x docs/embeddings, default config, solo (VERDICT r16 #4: the
+#    MinHash fast-weather confirmation — adjudicate in COVERAGE either way)
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_SCALE_DIR=/tmp/graft_sf100 \
+  SPARK_GRAFT_SCALE_REPS=1000 SPARK_GRAFT_SCALE_TABLES=documents,embeddings \
+  SPARK_GRAFT_SCALE_ONLY="$SF100_ONLY" \
+  step sf100 "BENCH_${RN}_sf100.json" sbt -batch "runMain graft.BenchScale BENCH_${RN}_sf100.json"
+
+# 4. 100x FULL registry solo re-run (VERDICT r16 #5)
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_SCALE_DIR=/tmp/graft_sf100_full \
+  SPARK_GRAFT_SCALE_REPS=100 SPARK_GRAFT_SCALE_EXCLUDE=dedup_embedding_cosine \
+  step sf10_full "BENCH_${RN}_sf10_full.json" sbt -batch "runMain graft.BenchScale BENCH_${RN}_sf10_full.json"
+
+# 5. 10x all-gates tier
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_SCALE_DIR=/tmp/graft_sf1 \
+  step sf1 "BENCH_${RN}_sf1.json" sbt -batch "runMain graft.BenchScale BENCH_${RN}_sf1.json"
+
+# 6. 100x relational growth points refresh
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_SCALE_DIR=/tmp/graft_sf100_rel \
+  SPARK_GRAFT_SCALE_REPS=100 \
+  SPARK_GRAFT_SCALE_TABLES=events,customer,supplier,part,orders,lineitem,nation,region \
+  SPARK_GRAFT_SCALE_ONLY=q1_pricing_summary,q9_product_profit,q21_waiting_suppliers,q_session_stats,q_upsert_cdc,q_asof_join,q_range_join,q_topk_per_group \
+  step sf10_rel "BENCH_${RN}_sf10_relational.json" sbt -batch "runMain graft.BenchScale BENCH_${RN}_sf10_relational.json"
+
+echo ALL_BENCHES_DONE
