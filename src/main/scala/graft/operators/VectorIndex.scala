@@ -670,8 +670,24 @@ object VectorIndex extends org.apache.spark.internal.Logging {
       .getContentSummary(new org.apache.hadoop.fs.Path(dir)).getLength
     catch { case _: java.io.IOException => 0L }
 
+  /** Codes directories once measured ABOVE the read threshold: the walk is
+    * skipped forever after for them (a directory that large only grows in
+    * the window that matters, and shrinking back below merely keeps the
+    * sidecar route — correct either way). Bounds the per-mutation size
+    * probe to small-index cases, where the walk is trivially cheap; on a
+    * real DFS a 100 TB index pays exactly one recursive listing per
+    * (process, generation).
+    */
+  private val bigCodesDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   private def smallCodes(s: SparkSession, codesDir: String): Boolean =
-    dirBytes(s, codesDir) < sidecarReadMinBytes
+    if (bigCodesDirs.contains(codesDir)) false
+    else {
+      val small = dirBytes(s, codesDir) < sidecarReadMinBytes
+      if (!small) { bigCodesDirs.add(codesDir); () }
+      small
+    }
 
   private def isIntegral(dt: org.apache.spark.sql.types.DataType): Boolean = {
     import org.apache.spark.sql.types._
@@ -709,16 +725,27 @@ object VectorIndex extends org.apache.spark.internal.Logging {
     canon.withColumn("bucket", pmod(xxhash64(col("vec_id")), lit(IdMapBuckets.toLong)))
   }
 
-  /** Write shaping for sidecar entries: below the read threshold the index
-    * is small enough that one task writing all ≤[[IdMapBuckets]] bucket
-    * directories beats 32 shuffle partitions each opening up to 64 tiny
-    * files (the bulk of the sidecar's measured per-mutation fixed cost at
-    * sf0.1). A large batch landing on a still-small index serializes its
-    * one sidecar write — bounded by the batch, and the next mutation sees
-    * a grown index and parallelizes again.
+  /** Write shaping for sidecar entries: cluster by bucket so each bucket
+    * directory gets ONE file per write and the ≤[[IdMapBuckets]] parquet
+    * writer initializations spread across tasks. The r16 direct write (no
+    * shuffle) opened up to tasks×buckets files; a coalesce(1) variant
+    * (tried r17) serialized all writer inits in one task and measurably
+    * REGRESSED reindex at sf0.1 — the file-count/parallelism balance, not
+    * the task count, is what the write pays for.
     */
-  private def idMapWriteShape(entries: DataFrame, small: Boolean): DataFrame =
-    if (small) entries.coalesce(1) else entries
+  private def idMapWriteShape(entries: DataFrame): DataFrame =
+    entries.repartition(col("bucket")).sortWithinPartitions("vec_id")
+
+  /** Change batches up to this many distinct ids ship the ids THEMSELVES
+    * into the sidecar read as an isin predicate (beyond it: broadcast
+    * semi-join). With bucket files sorted by vec_id ([[idMapWriteShape]])
+    * the predicate reaches parquet row-group statistics, so a micro-batch
+    * probe reads only the row groups covering its ids — sub-BUCKET pruning
+    * once buckets outgrow one row group (a 100 TB index's buckets are GBs;
+    * the bucket directories alone stop being enough). Driver state is
+    * bounded by the cap (~10k ids ≈ a few hundred KB).
+    */
+  private[graft] val IdProbeCap = 10000
 
   /** Append a mutation's new (id → cell) mappings — MUST run BEFORE the
     * codes mutation it describes commits, so the sidecar's invariant
@@ -730,11 +757,9 @@ object VectorIndex extends org.apache.spark.internal.Logging {
     * which is what makes the invariant inductive.
     */
   private def appendIdMap(s: SparkSession, path: String, codes: DataFrame): Unit =
-    if (hadoopFs(s, path).exists(idMapPath(path))) {
-      val small = smallCodes(s, snapshot(s, path).partPath("codes"))
-      idMapWriteShape(idMapEntries(codes), small).write.mode("append")
+    if (hadoopFs(s, path).exists(idMapPath(path)))
+      idMapWriteShape(idMapEntries(codes)).write.mode("append")
         .partitionBy("bucket").parquet(idMapDir(path))
-    }
 
   /** Rebuild the sidecar wholesale from a codes directory: stage, drop the
     * old sidecar, rename into place. Every crash window is safe because
@@ -742,18 +767,21 @@ object VectorIndex extends org.apache.spark.internal.Logging {
     * half-staged build is debris the next rebuild overwrites, and the
     * delete→rename gap leaves no sidecar at all.
     */
+  /** @param mergeSchema pay the all-footers schema merge only on the
+    *   public legacy-fold path ([[rebuildIdMap]]), where the codes dir may
+    *   be arbitrary debris; the internal callers (write/reindex/compact)
+    *   rebuild from codes THEY just wrote — uniform by construction, and
+    *   the rebuild projects only (vec_id, cell, m), which every codes file
+    *   of every generation carries.
+    */
   private def rebuildIdMapFrom(s: SparkSession, path: String,
-      codesDir: String): Unit = {
+      codesDir: String, mergeSchema: Boolean = false): Unit = {
     val fs = hadoopFs(s, path)
     val staging = new org.apache.hadoop.fs.Path(s"$path/idmap_staging")
     fs.delete(staging, true)
-    val entries = idMapEntries(
-      s.read.option("mergeSchema", "true").parquet(codesDir)
-        .select(col("vec_id"), col("cell"), col("m")))
-    // small index: one task, no shuffle; large: cluster by bucket so each
-    // bucket directory is one file, not one per (task, bucket)
-    (if (smallCodes(s, codesDir)) entries.coalesce(1)
-     else entries.repartition(col("bucket")))
+    idMapWriteShape(idMapEntries(
+      s.read.option("mergeSchema", mergeSchema.toString).parquet(codesDir)
+        .select(col("vec_id"), col("cell"), col("m"))))
       .write.mode("overwrite").partitionBy("bucket").parquet(staging.toString)
     fs.delete(idMapPath(path), true)
     if (!fs.rename(staging, idMapPath(path)))
@@ -768,7 +796,8 @@ object VectorIndex extends org.apache.spark.internal.Logging {
   def rebuildIdMap(s: SparkSession, path: String): Unit =
     withWriterLease(s, path, "rebuildIdMap") {
       recoverReindex(s, path)
-      rebuildIdMapFrom(s, path, snapshot(s, path).partPath("codes"))
+      rebuildIdMapFrom(s, path, snapshot(s, path).partPath("codes"),
+        mergeSchema = true)
     }
 
   /** Observable record of the last touched-cell discovery (test seam): did
@@ -811,9 +840,21 @@ object VectorIndex extends org.apache.spark.internal.Logging {
             storedDt != org.apache.spark.sql.types.LongType) None
         else {
           val probe = changedIds.select(col("vec_id").cast(storedDt).as("vec_id"))
-          val buckets = probe
-            .select(pmod(xxhash64(col("vec_id")), lit(IdMapBuckets.toLong)).as("b"))
-            .distinct().collect().map(_.getLong(0))
+          // ONE action yields the bucket set (directory pruning) and — for
+          // micro-batch-sized sets — the ids themselves, shipped back as an
+          // isin predicate so row-group statistics prune WITHIN the sorted
+          // bucket files (see IdProbeCap). An over-cap batch recomputes
+          // just the buckets and keeps the broadcast semi-join.
+          val pairs = probe
+            .select(col("vec_id"),
+              pmod(xxhash64(col("vec_id")), lit(IdMapBuckets.toLong)).as("b"))
+            .distinct().limit(IdProbeCap + 1).collect()
+          val small = pairs.length <= IdProbeCap
+          val buckets =
+            if (small) pairs.map(_.getLong(1)).distinct.toSeq
+            else probe
+              .select(pmod(xxhash64(col("vec_id")), lit(IdMapBuckets.toLong)).as("b"))
+              .distinct().collect().map(_.getLong(0)).toSeq
           // ONE directory listing instead of a per-bucket exists probe
           // (ADVICE r16): the present bucket set in a single fs call
           val present =
@@ -826,10 +867,14 @@ object VectorIndex extends org.apache.spark.internal.Logging {
             Some(UpsertDiscovery(usedSidecar = true, bucketDirs.length, IdMapBuckets))
           if (bucketDirs.isEmpty)
             Some(probe.limit(0).select(lit(0L).as("cell")))
-          else Some(
-            s.read.option("basePath", dir).parquet(bucketDirs.toIndexedSeq: _*)
-              .join(broadcast(probe), Seq("vec_id"), "left_semi")
-              .select(col("cell")))
+          else {
+            val scan = s.read.option("basePath", dir)
+              .parquet(bucketDirs.toIndexedSeq: _*)
+            val matched =
+              if (small) scan.filter(col("vec_id").isin(pairs.map(_.get(0)): _*))
+              else scan.join(broadcast(probe), Seq("vec_id"), "left_semi")
+            Some(matched.select(col("cell")))
+          }
         }
       } catch { case _: org.apache.spark.sql.AnalysisException =>
         None // unreadable/empty sidecar: fall back, loudly observable below
@@ -841,6 +886,17 @@ object VectorIndex extends org.apache.spark.internal.Logging {
         .select(col("cell"))
     }
   }
+
+  /** Bench/test seam: run ONLY the touched-cell discovery of a change
+    * batch — the phase the sidecar exists to prune — and return the old
+    * cells. [[graft.UpsertBench]] meters this in isolation because inside a
+    * full upsert the discovery delta drowns in the (route-independent)
+    * encode/rewrite/occupancy fixed costs.
+    */
+  private[graft] def discoverOldCells(s: SparkSession, path: String,
+      changedIds: DataFrame): Seq[Any] =
+    oldCellsOf(s, path, loadCodesFull(s, path), changedIds)
+      .distinct().collect().map(_.get(0)).toSeq
 
   // ---- streaming ingest ---------------------------------------------------
 
