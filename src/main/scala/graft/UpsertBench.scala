@@ -82,7 +82,9 @@ object UpsertBench {
         .union(deletes.select(col("vec_id"))).distinct()
 
       // one shared build (train/encode/write — the expensive fixed cost),
-      // then a hardlink copy per arm so both mutate a pristine twin
+      // then a hardlink copy per arm so both mutate a pristine twin.
+      // Threshold 0 so the base carries a sidecar whatever its size.
+      sys.props("graft.sidecar.read.min.bytes") = "0"
       val base = java.nio.file.Files.createTempDirectory("graft_upsert_ab").toString
       val quant = VectorIndex.train(emb, col("vec_id"), col("embedding"),
         kCells = 64, iters = 2, pq = pq)
@@ -104,6 +106,12 @@ object UpsertBench {
       }
 
       def runArm(dropSidecar: Boolean): Arm = {
+        // route forcing: threshold 0 keeps the sidecar route live; a huge
+        // threshold forces the full-scan bypass (simply deleting the
+        // sidecar no longer works — a restore-grade index would rebuild it
+        // mid-mutation, by design)
+        sys.props("graft.sidecar.read.min.bytes") =
+          if (dropSidecar) Long.MaxValue.toString else "0"
         val path = java.nio.file.Files.createTempDirectory("graft_upsert_arm").toString
         copyDir(new java.io.File(base), new java.io.File(path))
         if (dropSidecar) rm(new java.io.File(s"$path/idmap"))

@@ -406,9 +406,12 @@ object VectorIndex extends org.apache.spark.internal.Logging {
         .select(col("vec_id"), col("cell"), col("m"), col("code")))
         .write.mode("overwrite").parquet(dst("occupancy"))
       if (managed) commitParts(s, path, dirs)
-      // every written index carries the discovery sidecar from birth (the
-      // staged dir IS the live dir once the manifest commits — no rename)
-      rebuildIdMapFrom(s, path, dst("codes"))
+      // an index born past the read threshold carries the discovery
+      // sidecar from birth (the staged dir IS the live dir once the
+      // manifest commits — no rename); smaller ones discover via the
+      // full scan until they grow (see sidecarReadMinBytes lifecycle)
+      if (codesBytes(s, dst("codes")) >= sidecarReadMinBytes)
+        rebuildIdMapFrom(s, path, dst("codes"))
     }
   }
 
@@ -647,19 +650,30 @@ object VectorIndex extends org.apache.spark.internal.Logging {
   private def idMapPath(path: String) =
     new org.apache.hadoop.fs.Path(idMapDir(path))
 
-  /** Below this codes-directory size the sidecar READ is bypassed: the
-    * legacy full-codes discovery scan is one cheap broadcast semi-join at
-    * these sizes, while the sidecar route costs a parquet footer read plus
-    * a bucket-enumeration action per mutation — measured at ~1-2 s of pure
-    * fixed cost per sf0.1 mutation gate (VERDICT r16 #3). Writes still
-    * MAINTAIN the sidecar below the threshold (the superset invariant must
-    * hold continuously so reads become correct the moment the index grows
-    * past it), but they collapse to a single task ([[idMapWriteShape]]).
-    * Overridable for tests/tuning via -Dgraft.sidecar.read.min.bytes.
+  /** Below this codes-directory size the sidecar does not exist AT ALL:
+    * the legacy full-codes discovery scan is one cheap broadcast semi-join
+    * at these sizes, while maintaining the sidecar costs one parquet write
+    * job per mutation — measured as the bulk of a ~1.3× structural
+    * regression on the sf0.1 mutation gates (VERDICT r16 #3). So small
+    * indexes skip the build at birth, mutations DROP a sidecar they find
+    * below the threshold (always safe: absence falls back to the full
+    * scan), and the first mutation of an index grown past DOUBLE the
+    * threshold restores it wholesale under the mutation's writer lease —
+    * one amortized rebuild at the crossing, zero recurring cost below it.
+    * The 1×-2× hysteresis band keeps a borderline index from churning
+    * delete/rebuild. Overridable for tests/tuning via
+    * -Dgraft.sidecar.read.min.bytes.
     */
   private[graft] def sidecarReadMinBytes: Long =
     sys.props.get("graft.sidecar.read.min.bytes").flatMap(_.toLongOption)
       .getOrElse(64L << 20)
+
+  /** Sidecar-restore grade: an ABSENT sidecar is rebuilt by the next
+    * mutation once the codes directory reaches this size. */
+  private def sidecarRestoreBytes: Long = {
+    val t = sidecarReadMinBytes
+    if (t > Long.MaxValue / 2) Long.MaxValue else 2 * t
+  }
 
   /** Driver-side size of an index part directory (one getContentSummary
     * RPC on a real DFS; a local walk on RawLocalFileSystem). Missing dir
@@ -670,9 +684,9 @@ object VectorIndex extends org.apache.spark.internal.Logging {
       .getContentSummary(new org.apache.hadoop.fs.Path(dir)).getLength
     catch { case _: java.io.IOException => 0L }
 
-  /** Codes directories once measured ABOVE the read threshold: the walk is
-    * skipped forever after for them (a directory that large only grows in
-    * the window that matters, and shrinking back below merely keeps the
+  /** Codes directories once measured at restore grade: the walk is skipped
+    * forever after for them (a directory that large only grows in the
+    * window that matters, and shrinking back below merely keeps the
     * sidecar route — correct either way). Bounds the per-mutation size
     * probe to small-index cases, where the walk is trivially cheap; on a
     * real DFS a 100 TB index pays exactly one recursive listing per
@@ -681,12 +695,14 @@ object VectorIndex extends org.apache.spark.internal.Logging {
   private val bigCodesDirs =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  private def smallCodes(s: SparkSession, codesDir: String): Boolean =
-    if (bigCodesDirs.contains(codesDir)) false
+  /** Size of a codes dir for the sidecar lifecycle decisions, with the
+    * sticky big-verdict cache. */
+  private def codesBytes(s: SparkSession, codesDir: String): Long =
+    if (bigCodesDirs.contains(codesDir)) Long.MaxValue
     else {
-      val small = dirBytes(s, codesDir) < sidecarReadMinBytes
-      if (!small) { bigCodesDirs.add(codesDir); () }
-      small
+      val b = dirBytes(s, codesDir)
+      if (b >= sidecarRestoreBytes) { bigCodesDirs.add(codesDir); () }
+      b
     }
 
   private def isIntegral(dt: org.apache.spark.sql.types.DataType): Boolean = {
@@ -747,19 +763,34 @@ object VectorIndex extends org.apache.spark.internal.Logging {
     */
   private[graft] val IdProbeCap = 10000
 
-  /** Append a mutation's new (id → cell) mappings — MUST run BEFORE the
-    * codes mutation it describes commits, so the sidecar's invariant
-    * (when present, it is a SUPERSET of the live codes' id→cell mapping —
-    * stale extra entries allowed, missing entries never) survives every
-    * crash window: a sidecar append whose codes mutation then died leaves
-    * only harmless extra entries. No-op while the sidecar is absent — it
-    * can only come into existence via a full [[rebuildIdMap]]-style build,
-    * which is what makes the invariant inductive.
+  /** Maintain the sidecar for a mutation's new (id → cell) mappings — MUST
+    * run BEFORE the codes mutation it describes commits, so the sidecar's
+    * invariant (when present, it is a SUPERSET of the live codes' id→cell
+    * mapping — stale extra entries allowed, missing entries never)
+    * survives every crash window: a sidecar append whose codes mutation
+    * then died leaves only harmless extra entries.
+    *
+    * Size lifecycle (see [[sidecarReadMinBytes]]): below the threshold the
+    * sidecar is DROPPED rather than maintained (absence is always safe and
+    * the full-scan discovery is cheaper than the upkeep); at restore grade
+    * an absent sidecar is rebuilt wholesale from the current codes —
+    * rebuild-then-append keeps both writes ahead of the codes commit, so
+    * the ordering invariant holds through the restore too. Callers hold
+    * the writer lease (every mutation path does).
     */
-  private def appendIdMap(s: SparkSession, path: String, codes: DataFrame): Unit =
-    if (hadoopFs(s, path).exists(idMapPath(path)))
+  private def appendIdMap(s: SparkSession, path: String, codes: DataFrame): Unit = {
+    val fs = hadoopFs(s, path)
+    val codesDir = snapshot(s, path).partPath("codes")
+    val bytes = codesBytes(s, codesDir)
+    val present = fs.exists(idMapPath(path))
+    if (bytes < sidecarReadMinBytes) {
+      if (present) { fs.delete(idMapPath(path), true); () }
+    } else if (present || bytes >= sidecarRestoreBytes) {
+      if (!present) rebuildIdMapFrom(s, path, codesDir) // one-time restore
       idMapWriteShape(idMapEntries(codes)).write.mode("append")
         .partitionBy("bucket").parquet(idMapDir(path))
+    } // absent in the 1x-2x hysteresis band: stays absent, reads fall back
+  }
 
   /** Rebuild the sidecar wholesale from a codes directory: stage, drop the
     * old sidecar, rename into place. Every crash window is safe because
@@ -817,17 +848,45 @@ object VectorIndex extends org.apache.spark.internal.Logging {
     * overwrite — pure write amplification, never wrong answers. Without
     * the sidecar: the legacy full codes scan (one broadcast semi-join).
     */
-  private def oldCellsOf(s: SparkSession, path: String, codes: DataFrame,
+  private def oldCellsOf(s: SparkSession, path: String, codes: => DataFrame,
       changedIds: DataFrame): DataFrame = {
     val fs = hadoopFs(s, path)
-    val dir = idMapDir(path)
+    val codesDir = snapshot(s, path).partPath("codes")
+    val bytes = codesBytes(s, codesDir)
     val sidecar: Option[DataFrame] =
-      if (!fs.exists(idMapPath(path))) None
       // size bypass (VERDICT r16 #3): under the threshold the full scan IS
       // the cheap path — one broadcast semi-join folded into the touched-
       // cell action, vs a footer read + an extra bucket-enumeration job
-      else if (smallCodes(s, snapshot(s, path).partPath("codes"))) None
-      else try {
+      // (and below it the sidecar is not maintained at all)
+      if (bytes < sidecarReadMinBytes) None
+      else if (!fs.exists(idMapPath(path))) {
+        if (bytes < sidecarRestoreBytes) None // hysteresis band: fall back
+        else {
+          // threshold crossing (or an operator-deleted sidecar on a large
+          // index): restore once, under the caller's writer lease — the
+          // alternative is a full codes scan on EVERY future micro-batch
+          rebuildIdMapFrom(s, path, codesDir)
+          readIdMap(s, path, changedIds)
+        }
+      }
+      else readIdMap(s, path, changedIds)
+    sidecar.getOrElse {
+      lastUpsertDiscovery =
+        Some(UpsertDiscovery(usedSidecar = false, IdMapBuckets, IdMapBuckets))
+      codes.join(broadcast(changedIds), Seq("vec_id"), "left_semi")
+        .select(col("cell"))
+    }
+  }
+
+  /** The sidecar read route of [[oldCellsOf]]: probe the changed ids'
+    * bucket directories. None = unreadable/legacy sidecar → caller falls
+    * back to the full scan (absence semantics).
+    */
+  private def readIdMap(s: SparkSession, path: String,
+      changedIds: DataFrame): Option[DataFrame] = {
+    val fs = hadoopFs(s, path)
+    val dir = idMapDir(path)
+    try {
         // bucket hashes must agree between write and read. Writes are
         // canonical ([[canonicalVecId]]): integral ids stored and hashed as
         // long. A sidecar whose stored type is integral-but-not-long
@@ -879,12 +938,6 @@ object VectorIndex extends org.apache.spark.internal.Logging {
       } catch { case _: org.apache.spark.sql.AnalysisException =>
         None // unreadable/empty sidecar: fall back, loudly observable below
       }
-    sidecar.getOrElse {
-      lastUpsertDiscovery =
-        Some(UpsertDiscovery(usedSidecar = false, IdMapBuckets, IdMapBuckets))
-      codes.join(broadcast(changedIds), Seq("vec_id"), "left_semi")
-        .select(col("cell"))
-    }
   }
 
   /** Bench/test seam: run ONLY the touched-cell discovery of a change
@@ -1664,9 +1717,15 @@ object VectorIndex extends org.apache.spark.internal.Logging {
     commitParts(s, path, Map("codes" -> stagedDir))
     // fold the sidecar's append-only stale entries while we're at the
     // hygiene pass anyway — compaction changes no id→cell mapping, so the
-    // pre-fold sidecar stays a valid superset through every crash window
-    if (hadoopFs(s, path).exists(idMapPath(path)))
-      rebuildIdMapFrom(s, path, snapshot(s, path).partPath("codes"))
+    // pre-fold sidecar stays a valid superset through every crash window.
+    // A compacted index now under the read threshold drops it instead
+    // (absence-safe; the size lifecycle restores it at the next crossing).
+    if (hadoopFs(s, path).exists(idMapPath(path))) {
+      val codesDir = snapshot(s, path).partPath("codes")
+      if (codesBytes(s, codesDir) >= sidecarReadMinBytes)
+        rebuildIdMapFrom(s, path, codesDir)
+      else { hadoopFs(s, path).delete(idMapPath(path), true); () }
+    }
   }
 
   /** Repair an interrupted [[compactCells]] — idempotent, no-op on a
@@ -2037,9 +2096,13 @@ object VectorIndex extends org.apache.spark.internal.Logging {
     }
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/reindex_staging"), true)
     // rebuild from the promoted generation's codes (idempotent across
-    // recovery re-runs: present means a completed post-flip rebuild)
-    if (!fs.exists(idMapPath(path)))
-      rebuildIdMapFrom(s, path, snapshot(s, path).partPath("codes"))
+    // recovery re-runs: present means a completed post-flip rebuild);
+    // a generation under the read threshold goes sidecar-less, like write()
+    if (!fs.exists(idMapPath(path))) {
+      val codesDir = snapshot(s, path).partPath("codes")
+      if (codesBytes(s, codesDir) >= sidecarReadMinBytes)
+        rebuildIdMapFrom(s, path, codesDir)
+    }
     ()
   }
 

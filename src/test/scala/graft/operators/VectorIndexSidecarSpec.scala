@@ -9,12 +9,16 @@ import graft.SparkFixture
   * touched-cell discovery was one full codes scan per change batch — a full
   * index pass per micro-batch at 100 TB):
   *
-  *  - [[VectorIndex.write]] builds the sidecar from birth; upsert discovery
-  *    then reads ONLY the changed ids' hash-bucket directories (asserted by
-  *    construction via the discovery record, not optimizer grace);
-  *  - absence is always safe: delete the sidecar and discovery falls back
-  *    to the legacy full scan with identical answers; [[VectorIndex.rebuildIdMap]]
-  *    restores it;
+  *  - an index born past the size threshold carries the sidecar from
+  *    birth; upsert discovery then reads ONLY the changed ids' hash-bucket
+  *    directories (asserted by construction via the discovery record, not
+  *    optimizer grace);
+  *  - absence is always safe (discovery falls back to the full scan with
+  *    identical answers) and self-healing: a restore-grade index rebuilds
+  *    a missing sidecar at its next mutation, under that mutation's writer
+  *    lease; below the threshold the sidecar is dropped rather than
+  *    maintained (VERDICT r16 #3 — the upkeep write was a structural tax
+  *    on small-index mutations that the full scan beats anyway);
   *  - the sidecar is a SUPERSET hint: a planted stale entry only adds a
   *    harmlessly-rewritten cell, never wrong answers;
   *  - appendBatch and reindex keep it current (append-first ordering /
@@ -98,21 +102,25 @@ class VectorIndexSidecarSpec extends AnyFunSuite
     assertRebuildEquivalent(path, quant, postCorpus(updated, deleted))
   }
 
-  test("sidecar absent: full-scan fallback, same answers; rebuildIdMap restores it") {
+  test("sidecar absent at restore grade: the next mutation restores it and discovers") {
     val (path, quant) = freshIndex()
     AnnFixturesAccess.rmDir(new java.io.File(s"$path/idmap"))
+    assert(!new java.io.File(s"$path/idmap").exists())
+    // an operator-deleted (or never-built) sidecar on a restore-grade index
+    // is rebuilt ONCE by the next mutation, under its writer lease — the
+    // alternative is a full codes scan on every future micro-batch. The
+    // restored sidecar must already serve THIS mutation's discovery.
     val updated = Seq(94L)
     VectorIndex.lastUpsertDiscovery = None
     VectorIndex.upsertBatch(spark, path, updatesFor(updated),
       corpus.limit(0).select(col("vec_id")), col("vec_id"), col("embedding"), pq)
-    assert(VectorIndex.lastUpsertDiscovery.exists(!_.usedSidecar),
-      "no sidecar → the legacy full-scan discovery")
-    assertRebuildEquivalent(path, quant, postCorpus(updated, Nil))
-    // a deleted sidecar never resurrects by itself (append-first is a no-op
-    // while absent) — the explicit rebuild restores it
-    assert(!new java.io.File(s"$path/idmap").exists())
-    VectorIndex.rebuildIdMap(spark, path)
+    assert(VectorIndex.lastUpsertDiscovery.exists(r =>
+      r.usedSidecar && r.bucketsRead <= 1),
+      s"restore-then-read: ${VectorIndex.lastUpsertDiscovery}")
     assert(new java.io.File(s"$path/idmap").isDirectory)
+    assertRebuildEquivalent(path, quant, postCorpus(updated, Nil))
+    // the explicit rebuild remains the legacy-fold tool and is idempotent
+    VectorIndex.rebuildIdMap(spark, path)
     val updated2 = Seq(104L)
     VectorIndex.lastUpsertDiscovery = None
     VectorIndex.upsertBatch(spark, path, updatesFor(updated2),
@@ -159,36 +167,45 @@ class VectorIndexSidecarSpec extends AnyFunSuite
         .union(fresh.filter(col("vec_id") =!= 67L)))
   }
 
-  test("below the size threshold reads bypass the sidecar, writes maintain it") {
-    // force the bypass: every test fixture is far under a 1 TB threshold
+  test("size lifecycle: small index carries no sidecar; crossing restores it once") {
+    // a SMALL index (everything sits under a 1 TB threshold here): no
+    // sidecar at birth, no per-mutation maintenance cost — VERDICT r16 #3:
+    // the upkeep write was a ~1.3x structural tax on every sf0.1 mutation
+    // while the full-scan discovery it serves is one cheap broadcast join
     sys.props("graft.sidecar.read.min.bytes") = (1L << 40).toString
-    val (path, quant) = freshIndex()
-    try {
-      val updated = Seq(64L)
-      VectorIndex.lastUpsertDiscovery = None
-      VectorIndex.upsertBatch(spark, path, updatesFor(updated),
-        corpus.limit(0).select(col("vec_id")), col("vec_id"), col("embedding"), pq)
-      assert(VectorIndex.lastUpsertDiscovery.exists(!_.usedSidecar),
-        "under the threshold the full scan IS the cheap discovery path")
-      assert(new java.io.File(s"$path/idmap").isDirectory,
-        "the bypass must not delete or stop maintaining the sidecar")
-      assertRebuildEquivalent(path, quant, postCorpus(updated, Nil))
-    } finally sys.props("graft.sidecar.read.min.bytes") = "0"
-    // the bypassed mutation still appended its mapping (the superset
-    // invariant must hold CONTINUOUSLY so reads are correct the moment the
-    // index crosses the threshold): with the sidecar route back on, the
-    // cell the bypassed upsert moved id 64 into is discoverable through
-    // the sidecar alone — a missing entry would leave the moved row alive
+    val (path, quant) =
+      try {
+        val pq2 = freshIndex()
+        assert(!new java.io.File(s"${pq2._1}/idmap").exists(),
+          "an index born under the threshold carries no sidecar")
+        val updated = Seq(64L)
+        VectorIndex.lastUpsertDiscovery = None
+        VectorIndex.upsertBatch(spark, pq2._1, updatesFor(updated),
+          corpus.limit(0).select(col("vec_id")), col("vec_id"), col("embedding"), pq)
+        assert(VectorIndex.lastUpsertDiscovery.exists(!_.usedSidecar),
+          "under the threshold the full scan IS the cheap discovery path")
+        assert(!new java.io.File(s"${pq2._1}/idmap").exists(),
+          "small-index mutations must not pay sidecar maintenance")
+        assertRebuildEquivalent(pq2._1, quant = pq2._2, postCorpus(updated, Nil))
+        pq2
+      } finally sys.props("graft.sidecar.read.min.bytes") = "0"
+    // ...the index "grows past" restore grade (threshold back to 0): the
+    // NEXT mutation rebuilds the sidecar once, under its own writer lease,
+    // and discovers through it — including the cell the sidecar-less
+    // upsert moved id 64 into (the rebuild reads the live codes, so no
+    // maintenance history is needed)
     VectorIndex.lastUpsertDiscovery = None
     VectorIndex.upsertBatch(spark, path,
       corpus.limit(0).select(col("vec_id"), col("embedding")),
       spark.range(1).select(lit(64L).as("vec_id")),
       col("vec_id"), col("embedding"), pq)
-    assert(VectorIndex.lastUpsertDiscovery.exists(_.usedSidecar))
+    assert(VectorIndex.lastUpsertDiscovery.exists(_.usedSidecar),
+      s"crossing must restore + route: ${VectorIndex.lastUpsertDiscovery}")
+    assert(new java.io.File(s"$path/idmap").isDirectory)
     assert(VectorIndex.loadCodes(spark, path)
       .filter(col("vec_id") === 64L).count() == 0,
-      "the id updated during the bypass must be deletable via the sidecar — " +
-        "bypassed writes must have maintained its (new) cell mapping")
+      "the id moved by the sidecar-less upsert must be deletable via the " +
+        "restored sidecar")
     assertRebuildEquivalent(path, quant, postCorpus(Nil, Seq(64L)))
   }
 
