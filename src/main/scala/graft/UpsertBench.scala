@@ -55,6 +55,15 @@ object UpsertBench {
     val bigDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_sf100")
     val artifact = args.headOption.getOrElse("BENCH_upsert_sidecar.json")
     val spark = LocalSession.build()
+    // self-contained on a fresh host (the ladder runs this A/B FIRST, before
+    // any BenchScale step has synthesized the tier): build the tier if its
+    // embeddings are absent. Synthesizes the SAME table set as the ladder's
+    // sf100 step so that step's stamp check then skips cleanly instead of
+    // re-synthesizing the embeddings a second time.
+    if (!new java.io.File(s"$bigDir/embeddings.parquet").exists())
+      BenchScale.synthesize(spark, smallDir, bigDir,
+        sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "1000").toInt,
+        Seq("documents", "embeddings"))
     Bench.calibrationProbe() // discard: probe-loop JIT warmup
     val probeBefore = Bench.settledProbe()
     val meter = org.apache.spark.graftshim.TaskInputBytes.install(spark.sparkContext)

@@ -10,6 +10,8 @@
 #   4. 100x FULL registry solo re-run (VERDICT r16 #5 — r16's is contended)
 #   5. 10x all-gates tier (growth pairs + inversion ref for next round)
 #   6. 100x relational growth points refresh
+#   7. streaming ANN ingest at the 1000x tier (VERDICT r16 #8, optional —
+#      last so its absence costs nothing if wall-clock runs out)
 # Same step discipline as run_benches_r16.sh (full logs, loud aborts,
 # clean-artifact resume via SKIP_EXISTING=1).
 set -u
@@ -28,8 +30,15 @@ if pgrep -x java >/dev/null 2>&1 || pgrep -f 'bin/java' >/dev/null 2>&1; then
 fi
 
 art_clean() { # art_clean <artifact>
-  [ -s "$1" ] && grep -q '"contended":false' "$1" \
-    && ! grep -q '"inverted":true' "$1"
+  # artifacts without an acceptance loop (UpsertBench/AnnIngestBench emit
+  # calibration probes instead of a contended stamp) count as clean when
+  # present; gated artifacts need contended:false and no inversion
+  [ -s "$1" ] || return 1
+  if grep -q '"contended"' "$1"; then
+    grep -q '"contended":false' "$1" && ! grep -q '"inverted":true' "$1"
+  else
+    ! grep -q '"inverted":true' "$1"
+  fi
 }
 
 step() { # step <name> <artifact> <cmd...>
@@ -96,5 +105,11 @@ SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_SCALE_DIR=/tmp/graft_sf100_r
   SPARK_GRAFT_SCALE_TABLES=events,customer,supplier,part,orders,lineitem,nation,region \
   SPARK_GRAFT_SCALE_ONLY=q1_pricing_summary,q9_product_profit,q21_waiting_suppliers,q_session_stats,q_upsert_cdc,q_asof_join,q_range_join,q_topk_per_group \
   step sf10_rel "BENCH_${RN}_sf10_relational.json" sbt -batch "runMain graft.BenchScale BENCH_${RN}_sf10_relational.json"
+
+# 7. streaming ANN ingest 1000x point (VERDICT r16 #8) — reuses the sf100
+#    embeddings the earlier steps synthesized
+SPARK_GRAFT_SCALE_DIR=/tmp/graft_sf100 \
+  step ann_ingest "BENCH_${RN}_ann_ingest.json" \
+  sbt -batch "runMain graft.AnnIngestBench BENCH_${RN}_ann_ingest.json"
 
 echo ALL_BENCHES_DONE
