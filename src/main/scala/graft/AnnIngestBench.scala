@@ -54,6 +54,7 @@ object AnnIngestBench {
       BenchScale.synthesize(spark, smallDir, bigDir, nReps, Seq("embeddings"))
     Bench.calibrationProbe() // discard: probe-loop JIT warmup
     val probeBefore = Bench.settledProbe()
+    val ioBefore = Bench.settledIoProbe()
     val meter = org.apache.spark.graftshim.TaskInputBytes.install(spark.sparkContext)
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
 
@@ -132,7 +133,8 @@ object AnnIngestBench {
       s""""batch_sec_total":${fmt(batches.map(_.sec).sum)},""" +
       s""""replay_noop":${t(replay)},"search":${t(search)},""" +
       s""""exactly_once":$exactlyOnce,""" +
-      s""""calibration":{"before":${fmt(probeBefore)},"after":${fmt(probeAfter)}}}"""
+      s""""calibration":{"before":${fmt(probeBefore)},"after":${fmt(probeAfter)}},""" +
+      s""""io_probe":{"before":${fmt(ioBefore)},"after":${fmt(Bench.settledIoProbe())}}}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(artifact), json + "\n")
     catch { case _: Throwable => () }
     println(json)

@@ -127,6 +127,46 @@ object Bench {
     math.min(probe(), probe())
   }
 
+  /** Fixed-work DISK probe (stamped in artifacts, never gating): seconds to
+    * write and fsync 32 MB in 1 MB chunks under java.io.tmpdir — the same
+    * device every shuffle spill, parquet write, and synthesized tier lives
+    * on. The CPU probe cannot see disk/page-cache weather, which is exactly
+    * the class two rounds of adjudication landed on (r16 MinHash: CPU gates
+    * at parity while the shuffle-heaviest gate moved 1.5×; r17 builder:
+    * CPU-bound gates FASTER while IO-bound gates moved 1.3-1.7× at byte
+    * parity under clean CPU probes). Stamping a fixed-work fsync number
+    * beside the CPU calibration makes that adjudication readable off the
+    * artifacts instead of reconstructed from per-gate ratio forensics.
+    * NOT part of the acceptance gate: no quiet-host ledger of fsync floors
+    * exists yet to set a line against — gating would be guessing. Gate
+    * candidacy starts once a few rounds of stamped values exist.
+    */
+  def ioProbe(): Double = {
+    val chunk = new Array[Byte](1 << 20)
+    new java.util.Random(0x10b5eed).nextBytes(chunk) // incompressible, fixed
+    val f = java.io.File.createTempFile("graft_ioprobe", ".bin")
+    try {
+      val t0 = System.nanoTime()
+      val ch = java.nio.channels.FileChannel.open(f.toPath,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val buf = java.nio.ByteBuffer.wrap(chunk)
+        var i = 0
+        while (i < 32) {
+          buf.rewind()
+          while (buf.hasRemaining) ch.write(buf)
+          ch.force(false)
+          i += 1
+        }
+      } finally ch.close()
+      (System.nanoTime() - t0) / 1e9
+    } finally { f.delete(); () }
+  }
+
+  /** Min-of-two [[ioProbe]] — one queued writeback burst from the suite's
+    * own just-finished pass should not read as host IO weather. */
+  def settledIoProbe(): Double = math.min(ioProbe(), ioProbe())
+
   /** Per-query times from a prior bench artifact (for the inversion check).
     * Returns (sfDir, name→seconds). Jackson ships with Spark.
     */
@@ -371,7 +411,8 @@ object Bench {
     * can assert every budget posture still yields a parseable record. */
   def artifactJson(o: GatedOutcome, actionName: String,
       bytesRead: Map[String, Long], sfDir: String,
-      invRefName: Option[String], budgetSec: Double): String = {
+      invRefName: Option[String], budgetSec: Double,
+      io: Option[(Double, Double)] = None): String = {
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = o.results.map { case (k, v, _) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
@@ -384,7 +425,7 @@ object Bench {
         s"""{"ref":"$refName","count":${o.invCount},"structural":${o.structural.size},"structural_names":$names}"""
       case None => "null"
     }
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":${o.repsUsed},"agg":"min","action":"$actionName","contended":${!o.probesClean},"inverted":${o.inverted},"degraded":${o.degraded},"attempts":${o.attempts},"weather":${o.weather},"budget_sec":${fmt(budgetSec)},"probe_line":${fmt(o.probeLine)},"probe_floor":${fmt(o.probeFloor)},"calibration":{"before":${fmt(o.probeBefore)},"after":${fmt(o.probeAfter)}},"inversions":$inversions,"queries":$qs,"queries_median":$qsMed,"bytes":${bytesJson(bytesRead)},"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":${o.repsUsed},"agg":"min","action":"$actionName","contended":${!o.probesClean},"inverted":${o.inverted},"degraded":${o.degraded},"attempts":${o.attempts},"weather":${o.weather},"budget_sec":${fmt(budgetSec)},"probe_line":${fmt(o.probeLine)},"probe_floor":${fmt(o.probeFloor)},"calibration":{"before":${fmt(o.probeBefore)},"after":${fmt(o.probeAfter)}},"io_probe":${io.map(p => s"""{"before":${fmt(p._1)},"after":${fmt(p._2)}}""").getOrElse("null")},"inversions":$inversions,"queries":$qs,"queries_median":$qsMed,"bytes":${bytesJson(bytesRead)},"sf":"$sfDir"}"""
   }
 
   /** Larger-tier reference for the inversion check: SPARK_GRAFT_BENCH_REF,
@@ -553,6 +594,11 @@ object Bench {
     // host-factored reference — structural inversions gate acceptance
     // exactly like dirty probes (r13 VERDICT #1), and the wall-clock budget
     // guarantees the loop always ends in an emitted artifact (r16 #1).
+    // IO weather brackets (stamped beside the CPU calibration, non-gating):
+    // before the acceptance loop and after it — coarser than the per-attempt
+    // CPU probes, but the adjudication it serves is cross-round, not
+    // per-attempt
+    val ioBefore = settledIoProbe()
     val outcome = runGated(
       GatedConfig(reps, maxAttempts, probeMax, budgetSec),
       () => elapsed(),
@@ -584,7 +630,7 @@ object Bench {
     // methodology, honest numbers). Distinct stamps: roundcheck adjudicates
     // each differently.
     val json = artifactJson(outcome, actionName, bytesRead, sfDir,
-      invRef.map(_._1), budgetSec)
+      invRef.map(_._1), budgetSec, Some((ioBefore, settledIoProbe())))
     // Truncation-proofing: the driver captures stdout's tail, which has
     // clipped the head of this (long) line in past rounds. Persist the full
     // JSON to a file first, then print it — the artifact on disk is always

@@ -274,6 +274,8 @@ object BenchScale {
     var weather = false
     var results: Seq[(String, Double)] = Seq.empty
     var clean = false
+    // IO weather bracket (non-gating — see Bench.ioProbe)
+    val ioBefore = Bench.settledIoProbe()
     while (!clean && attempt < maxAttempts) {
       attempt += 1
       val gate = quietProbe()
@@ -300,7 +302,7 @@ object BenchScale {
     val timed = results.collect { case (n, t) if t >= 0 => n }.toSet
     val absent = (SparkEntry.queries.keySet -- timed) ++ exclude
     val excl = absent.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"$metric","value":${fmt(total)},"unit":"sec","reps":$nReps,"agg":"min","contended":${!clean},"attempts":$attempt,"weather":$weather,"probe_line":${fmt(probeLine)},"probe_floor":${fmt(probeFloor)},"calibration":{"before":${fmt(probeBefore)},"after":${fmt(probeAfter)}},"scale":"${scaleReps}x-$srcDir","excluded":$excl,"queries":$qjson,"bytes":${Bench.bytesJson(bytesRead)}}"""
+    val json = s"""{"metric":"$metric","value":${fmt(total)},"unit":"sec","reps":$nReps,"agg":"min","contended":${!clean},"attempts":$attempt,"weather":$weather,"probe_line":${fmt(probeLine)},"probe_floor":${fmt(probeFloor)},"calibration":{"before":${fmt(probeBefore)},"after":${fmt(probeAfter)}},"io_probe":{"before":${fmt(ioBefore)},"after":${fmt(Bench.settledIoProbe())}},"scale":"${scaleReps}x-$srcDir","excluded":$excl,"queries":$qjson,"bytes":${Bench.bytesJson(bytesRead)}}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(artifact), json + "\n")
     catch { case _: Throwable => () }
     println(json)

@@ -66,6 +66,7 @@ object UpsertBench {
         Seq("documents", "embeddings"))
     Bench.calibrationProbe() // discard: probe-loop JIT warmup
     val probeBefore = Bench.settledProbe()
+    val ioBefore = Bench.settledIoProbe()
     val meter = org.apache.spark.graftshim.TaskInputBytes.install(spark.sparkContext)
     // the hardlink-vs-copy policy lives in ONE place (ADVICE r16): reuse
     // AnnFixtures' copy — same .parquet-only linking rule the mutation
@@ -84,9 +85,19 @@ object UpsertBench {
       // above the training-seed range so the frozen quantizer is undisturbed
       val updIds = Seq(101L, 113L, 127L, 139L)
       val delIds = Seq(149L, 163L)
-      val updates = emb.filter(col("vec_id").isin(updIds: _*))
-        .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
-      val deletes = emb.filter(col("vec_id").isin(delIds: _*)).select(col("vec_id"))
+      // pre-materialize the change batch as LOCAL frames: a lazy
+      // emb.filter(isin) would re-scan embeddings row groups inside every
+      // measured phase — a route-INDEPENDENT read (~8 MB at the 1000× tier)
+      // that drowns the route-DEPENDENT discovery bytes the A/B exists to
+      // contrast. A production micro-batch arrives as a materialized batch
+      // (foreachBatch hands the sink a pinned frame), so local frames are
+      // also the truthful shape.
+      def localize(df: org.apache.spark.sql.DataFrame) = spark.createDataFrame(
+        java.util.Arrays.asList(df.collect(): _*), df.schema)
+      val updates = localize(emb.filter(col("vec_id").isin(updIds: _*))
+        .select(col("vec_id"), reverse(col("embedding")).as("embedding")))
+      val deletes = localize(emb.filter(col("vec_id").isin(delIds: _*))
+        .select(col("vec_id")))
       val changedIds = updates.select(col("vec_id"))
         .union(deletes.select(col("vec_id"))).distinct()
 
@@ -176,7 +187,8 @@ object UpsertBench {
       s""""growth":{"corpus_ratio":${fmt(ratio(nBig, nSmall))},""" +
       s""""discovery_bytes_ratio":{"sidecar":${fmt(ratio(scB.disc.bytes, scS.disc.bytes))},""" +
       s""""fallback":${fmt(ratio(fbB.disc.bytes, fbS.disc.bytes))}}},""" +
-      s""""calibration":{"before":${fmt(probeBefore)},"after":${fmt(probeAfter)}}}"""
+      s""""calibration":{"before":${fmt(probeBefore)},"after":${fmt(probeAfter)}},""" +
+      s""""io_probe":{"before":${fmt(ioBefore)},"after":${fmt(Bench.settledIoProbe())}}}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(artifact), json + "\n")
     catch { case _: Throwable => () }
     println(json)

@@ -106,5 +106,16 @@ class BenchBudgetSpec extends AnyFunSuite {
     assert(!cj.path("degraded").asBoolean() && !cj.path("contended").asBoolean())
     assert(cj.path("reps").asInt() == 2)
     assert(cj.path("inversions").isNull)
+    // io probe stamp: null when absent, numeric pair when bracketed
+    assert(cj.path("io_probe").isNull)
+    val ij = parse(artifactJson(clean, "noop", Map.empty, "sf", None, 1200.0,
+      io = Some((0.217, 0.304))))
+    assert(ij.path("io_probe").path("before").asDouble() == 0.217)
+    assert(ij.path("io_probe").path("after").asDouble() == 0.304)
+  }
+
+  test("ioProbe does its fixed work and reports a positive wall time") {
+    val s = Bench.ioProbe()
+    assert(s > 0.0 && s < 120.0, s"fsync probe out of range: $s")
   }
 }
