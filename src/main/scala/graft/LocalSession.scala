@@ -13,6 +13,18 @@ object LocalSession {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // AQE initial-partition override, env-tunable for controlled A/Bs.
+      // Default = cores (a no-op vs shuffle.partitions): the canonical
+      // "start high, let AQE coalesce" advice was A/B-measured on the
+      // 1000×-tier MinHash (the repo's biggest single exchange, 5.24 GB)
+      // and LOST on deterministic metrics — 8×cores initial partitions
+      // INCREASED shuffle bytes 4.5% and total spill 72% (the dominant
+      // spills are ObjectHashAggregate sort-fallbacks whose volume more
+      // partitions don't shrink, while extra partition boundaries add
+      // write-path overhead). Map-side task sizing is Dedup.spread's job;
+      // re-evaluate this default only with a fresh A/B artifact.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS", cpus))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // The status-store listeners run even with the UI disabled and retain

@@ -293,14 +293,44 @@ object Dedup {
   /** Full MinHash+LSH near-dup pipeline: candidates → exact verification →
     * pairs with Jaccard >= threshold.
     */
-  /** Spread a small single-file input across the cluster before heavy
-    * per-row compute: a few-MB parquet arrives as ONE scan partition, which
-    * would serialize shingling/minhashing onto one core. The shuffle moves
-    * only the raw input (cheap); at real scale inputs span many files and
-    * this is a no-op cost-wise.
+  /** Spread the input across the cluster before heavy per-row compute,
+    * sized by the OPTIMIZER'S BYTE ESTIMATE, not a fixed core count:
+    *
+    *  - a few-MB parquet arrives as ONE scan partition, which would
+    *    serialize shingling/minhashing onto one core → at least
+    *    defaultParallelism partitions;
+    *  - a tier-scale input at a fixed 32 partitions puts ~20 MB of
+    *    compressed text — hundreds of in-flight MB once decompressed and
+    *    shingle-expanded — through each task's map-side aggregation, which
+    *    then sort-spills → one partition per [[SpreadTargetBytes]] of
+    *    estimated input, capped at 4096. Measured on the 1000×-tier
+    *    MinHash (deterministic spill metrics, BenchOne forensics): 32→81
+    *    spread partitions halved total spill — memory 19.3→10.2 GB, disk
+    *    4.3→1.9 GB per run — for +2.4% shuffle bytes; the remaining spill
+    *    is reduce-side ObjectHashAggregate sort-fallback, which partition
+    *    counts were A/B-measured NOT to shrink (LocalSession notes).
+    *
+    * The plan-time stats need no Spark job; inputs arriving straight from
+    * parquet carry exact file sizes. The cap bounds the task count against
+    * a pathological estimate; the floor keeps tiny inputs parallel. At
+    * 100 TB this is the difference between per-task state that FITS (the
+    * explode factor is bounded: shingles per doc ~ doc bytes) and a
+    * map-side sort that re-writes the corpus to disk once per query.
     */
-  def spread(df: DataFrame, by: Column): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism, by)
+  def spread(df: DataFrame, by: Column): DataFrame = {
+    val floor = df.sparkSession.sparkContext.defaultParallelism.toLong
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val n = (bytes / SpreadTargetBytes + 1).min(4096).max(floor).toInt
+    df.repartition(n, by)
+  }
+
+  /** Estimated input bytes per [[spread]] task — small enough that the
+    * worst per-row expansion downstream keeps per-task state in memory:
+    * the estimate is COMPRESSED parquet bytes, and text columns decompress
+    * plus shingle-expand to ~20-30× that in flight, so 8 MB compressed ≈
+    * 200 MB in-flight against the ~450 MB per-task execution-memory share
+    * of the bench shape (24 GB heap / 32 concurrent tasks). */
+  private val SpreadTargetBytes = BigInt(8L << 20)
 
   /** Materialize `result` eagerly (localCheckpoint), then drop the
     * intermediate caches it was built from — the self-cleaning tail every
