@@ -48,10 +48,11 @@ object AnnIngestBench {
     val artifact = args.headOption.getOrElse("BENCH_ann_ingest.json")
     val spark = LocalSession.build()
     // self-contained on a fresh host: synthesize the tier's embeddings if
-    // absent (existence-guarded so a ladder-built dir — whatever its table
-    // set — is reused as-is, never re-synthesized)
-    if (!new java.io.File(s"$bigDir/embeddings.parquet").exists())
-      BenchScale.synthesize(spark, smallDir, bigDir, nReps, Seq("embeddings"))
+    // needed. Reuse is gated on the _DONE stamp inside synthesize
+    // (superset-aware since r18 — ADVICE r17: bare existence silently
+    // reused stale/partial tiers); a ladder-built dir with a valid stamp
+    // covering embeddings returns immediately.
+    BenchScale.synthesize(spark, smallDir, bigDir, nReps, Seq("embeddings"))
     Bench.calibrationProbe() // discard: probe-loop JIT warmup
     val probeBefore = Bench.settledProbe()
     val ioBefore = Bench.settledIoProbe()
@@ -67,6 +68,12 @@ object AnnIngestBench {
     val batchVecs = math.max(8L, math.min(20000L, total / 10) / NBatches)
     val streamVecs = batchVecs * NBatches
     val cut = total - streamVecs
+    // the batch floor means a corpus under ~2x the stream tail leaves no
+    // base to train on — fail with the actual numbers instead of an opaque
+    // VectorIndex.train error on an empty frame (ADVICE r17)
+    require(cut > streamVecs,
+      s"corpus too small for the ingest shape: $total vectors, stream tail " +
+        s"$streamVecs ($NBatches x $batchVecs) — need > ${2 * streamVecs}")
     val base = emb.filter(col("vec_id") < cut)
     val path = java.nio.file.Files.createTempDirectory("graft_ann_ingest").toString
 
@@ -87,8 +94,14 @@ object AnnIngestBench {
         VectorIndex.encode(base, col("vec_id"), col("embedding"), quant), path)
     }
 
+    // compaction cadence knob (VERDICT r17 #8): 6 files/cell is the
+    // steady-state default (one auto-compaction absorbed mid-stream); 2
+    // forces compaction nearly every batch — the worst-case per-batch
+    // latency bound a production ingest capacity plan needs
+    val compactFiles = sys.env.get("SPARK_GRAFT_INGEST_COMPACT_FILES")
+      .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(6)
     val sink = VectorIndex.appendSink(path, pq, col("vec_id"), col("embedding"),
-      streamId = Some("ingest1000x"), autoCompactFilesPerCell = Some(6))
+      streamId = Some("ingest1000x"), autoCompactFilesPerCell = Some(compactFiles))
     val nBatches = NBatches
     val batches = (0 until nBatches).map { i =>
       val lo = cut + i * batchVecs
@@ -130,7 +143,11 @@ object AnnIngestBench {
       s"""{"metric":"ann_stream_ingest_1000x","unit":"sec",""" +
       s""""corpus_vecs":$cut,"stream_vecs":$streamVecs,"batch_vecs":$batchVecs,""" +
       s""""build":${t(build)},"batches":[${batches.map(t).mkString(",")}],""" +
-      s""""batch_sec_total":${fmt(batches.map(_.sec).sum)},""" +
+      s""""batch_sec_total":${fmt(batches.map(_.sec).sum)},""" + {
+        val s = batches.map(_.sec).sorted
+        s""""batch_sec_p50":${fmt(s(s.size / 2))},"batch_sec_max":${fmt(s.last)},""" +
+        s""""compact_files_per_cell":$compactFiles,"""
+      } +
       s""""replay_noop":${t(replay)},"search":${t(search)},""" +
       s""""exactly_once":$exactlyOnce,""" +
       s""""calibration":{"before":${fmt(probeBefore)},"after":${fmt(probeAfter)}},""" +

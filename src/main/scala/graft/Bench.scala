@@ -58,6 +58,148 @@ object Bench {
     bytes.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
 
+  // ---- byte-pass cache (VERDICT r17 #1: cut Bench's fixed cost) ----------
+  //
+  // The warmup/byte pass is a full cold suite execution (~1/3 of a driver
+  // run's 718 s for a 105 s timed pass in r17). Its two products are (a)
+  // JIT/codegen warmth — which min-of-2+ reps reproduces anyway (rep 1
+  // absorbs the cold cost, the reported min is rep 2's steady state) — and
+  // (b) the per-query `bytes` field, which is a DETERMINISTIC property of
+  // (code, data, action): re-measuring it every run buys nothing. So the
+  // byte map is cached on disk keyed by a fingerprint of exactly those
+  // three inputs, and a valid cache skips the warmup pass entirely. Any
+  // code or data change misses the key and re-measures — the safe
+  // direction is always a full pass, never a stale byte map.
+
+  val BytesCacheFile = "bench_bytes_cache.json"
+
+  /** Fingerprint of (compiled classes, data dir, action, query registry).
+    * Classes: relative path + SIZE of every file under the code source
+    * (NOT mtimes — an identical recompile must not invalidate; a real code
+    * change that leaves every class file byte-count identical is not a
+    * realistic edit). Data: per-table name + length + mtime (+ per-part
+    * lengths for directory tables) — a driver-side fixture regeneration
+    * invalidates even at equal size.
+    */
+  def bytesCacheKey(sfDir: String, actionName: String,
+      queryNames: Seq[String]): String = {
+    val sb = new StringBuilder
+    def walk(f: java.io.File, prefix: String): Unit =
+      if (f.isFile) { sb.append(prefix).append(':').append(f.length).append(';'); () }
+      else Option(f.listFiles()).getOrElse(Array.empty).sortBy(_.getName)
+        .foreach(c => walk(c, prefix + "/" + c.getName))
+    walk(new java.io.File(
+      SparkEntry.getClass.getProtectionDomain.getCodeSource.getLocation.toURI), "")
+    Option(new java.io.File(sfDir).listFiles()).getOrElse(Array.empty)
+      .sortBy(_.getName).foreach { t =>
+        sb.append(t.getName).append(':').append(t.length).append(':')
+          .append(t.lastModified).append(';')
+        if (t.isDirectory) Option(t.listFiles()).getOrElse(Array.empty)
+          .sortBy(_.getName).foreach(p =>
+            sb.append(p.getName).append(':').append(p.length).append(';'))
+      }
+    sb.append('|').append(actionName).append('|')
+      .append(queryNames.mkString(","))
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(sb.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  def readBytesCache(key: String, path: String = BytesCacheFile)
+      : Option[Map[String, Long]] = try {
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(new java.io.File(path))
+    if (root.path("key").asText("") != key) None
+    else {
+      import scala.jdk.CollectionConverters._
+      Some(root.path("bytes").fields.asScala
+        .map(e => e.getKey -> e.getValue.asLong).toMap)
+    }
+  } catch { case _: Throwable => None }
+
+  def writeBytesCache(key: String, sfDir: String, actionName: String,
+      bytes: Map[String, Long], path: String = BytesCacheFile): Unit = {
+    val json = s"""{"key":"$key","sf":"$sfDir","action":"$actionName",""" +
+      s""""bytes":${bytesJson(bytes)}}"""
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path), json + "\n")
+    catch { case _: Throwable => () }
+  }
+
+  // ---- io_probe quiet-floor ledger (VERDICT r17 #4) -----------------------
+
+  /** Floor → line multiplier for the fsync probe. Wide by design: fsync
+    * weather on this host legitimately spans ~3.7× within one session
+    * (0.09–0.33 s measured r16), so a CPU-style 1.18 line would stamp
+    * weather on ordinary days; 3× above the all-history quiet floor marks
+    * only the genuinely slow tail. MIRRORED in tools/roundcheck.py
+    * (BenchCalibrationSpec pins the copies). */
+  val IoLineMult = 3.0
+
+  /** Minimum stamped samples before the ledger is trusted to set a line. */
+  val IoMinLedger = 4
+
+  /** The fsync quiet-floor ledger: min over every io_probe value stamped in
+    * bench_history.jsonl (Bench appends one per run, so the ledger deepens
+    * every round). Returns (floor, line = floor × [[IoLineMult]]) once
+    * [[IoMinLedger]] samples exist; None before that (first rounds of the
+    * ledger — io weather then stays unadjudicated, as it was pre-r18).
+    */
+  def ioQuietLedger(historyPath: String = "bench_history.jsonl")
+      : Option[(Double, Double)] = try {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val vals = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val src = scala.io.Source.fromFile(historyPath)
+    try src.getLines().foreach { line =>
+      try {
+        val io = mapper.readTree(line).path("io_probe")
+        Seq(io.path("before"), io.path("after")).foreach { n =>
+          if (n.isNumber && n.asDouble > 0) vals += n.asDouble
+        }
+      } catch { case _: Throwable => () }
+    } finally src.close()
+    if (vals.size >= IoMinLedger) Some((vals.min, vals.min * IoLineMult))
+    else None
+  } catch { case _: Throwable => None }
+
+  /** The artifact's io_probe stamp: raw bracket always; floor/line/verdict
+    * once the ledger is deep enough. `weather_io` takes the MIN of the
+    * bracket (same statistic the CPU gate settles on): one queued-writeback
+    * burst must not stamp the run. NON-(retry-)gating this round — the
+    * stamp is the falsifier roundcheck surfaces; gating acceptance on it
+    * starts once the line has a few rounds of stamped history behind it.
+    */
+  def ioJson(before: Double, after: Double,
+      ledger: Option[(Double, Double)]): String = {
+    def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val base = s""""before":${fmt(before)},"after":${fmt(after)}"""
+    ledger match {
+      case Some((floor, line)) =>
+        val weather = math.min(before, after) > line
+        s"""{$base,"floor":${fmt(floor)},"line":${fmt(line)},"weather_io":$weather}"""
+      case None => s"""{$base}"""
+    }
+  }
+
+  // ---- per-gate stage forensics (VERDICT r17 #3) --------------------------
+
+  /** The per-rep stage metrics stamped into artifacts, in array order —
+    * the subset of [[org.apache.spark.graftshim.StageForensics.Keys]] the
+    * weather adjudication reads: input/spill/shuffle bytes are
+    * DETERMINISTIC per (code, data) so rep-parity there plus a cpu/run
+    * swing is the measured-environmental signature; parity broken means a
+    * real plan change. tools/roundcheck.py consumes these in its growth
+    * verdicts (byte parity + time swing ⇒ weather-suspect downgrade).
+    */
+  val ForensicsKeys: Seq[String] = Seq("run_ms", "cpu_ms", "gc_ms",
+    "shuffle_write_ms", "mem_spill_bytes", "disk_spill_bytes",
+    "shuffle_bytes_written", "input_bytes")
+
+  def forensicsJson(stage: Map[String, Seq[Seq[Long]]]): String =
+    stage.toSeq.sortBy(_._1).map { case (q, reps) =>
+      s"\"" + q + "\":" + reps.map(_.mkString("[", ",", "]"))
+        .mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+
   // Sink for the probe's fold so the JIT cannot dead-code-eliminate the work.
   @volatile private var blackhole: Long = 0L
 
@@ -408,11 +550,19 @@ object Bench {
   }
 
   /** The full artifact line for one gated outcome — a function so the spec
-    * can assert every budget posture still yields a parseable record. */
+    * can assert every budget posture still yields a parseable record.
+    * `ioLedger` upgrades the io_probe stamp with floor/line/weather_io
+    * (see [[ioJson]]); `stage` stamps per-gate per-rep forensics arrays
+    * keyed by [[ForensicsKeys]] (VERDICT r17 #3), plus `bytes_cached` so a
+    * reader knows whether the byte map was re-measured or cache-served.
+    */
   def artifactJson(o: GatedOutcome, actionName: String,
       bytesRead: Map[String, Long], sfDir: String,
       invRefName: Option[String], budgetSec: Double,
-      io: Option[(Double, Double)] = None): String = {
+      io: Option[(Double, Double)] = None,
+      ioLedger: Option[(Double, Double)] = None,
+      stage: Map[String, Seq[Seq[Long]]] = Map.empty,
+      bytesCached: Boolean = false): String = {
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = o.results.map { case (k, v, _) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
@@ -425,7 +575,10 @@ object Bench {
         s"""{"ref":"$refName","count":${o.invCount},"structural":${o.structural.size},"structural_names":$names}"""
       case None => "null"
     }
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":${o.repsUsed},"agg":"min","action":"$actionName","contended":${!o.probesClean},"inverted":${o.inverted},"degraded":${o.degraded},"attempts":${o.attempts},"weather":${o.weather},"budget_sec":${fmt(budgetSec)},"probe_line":${fmt(o.probeLine)},"probe_floor":${fmt(o.probeFloor)},"calibration":{"before":${fmt(o.probeBefore)},"after":${fmt(o.probeAfter)}},"io_probe":${io.map(p => s"""{"before":${fmt(p._1)},"after":${fmt(p._2)}}""").getOrElse("null")},"inversions":$inversions,"queries":$qs,"queries_median":$qsMed,"bytes":${bytesJson(bytesRead)},"sf":"$sfDir"}"""
+    val forensics =
+      if (stage.isEmpty) ""
+      else s""","forensics_keys":${ForensicsKeys.map("\"" + _ + "\"").mkString("[", ",", "]")},"forensics":${forensicsJson(stage)}"""
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":${o.repsUsed},"agg":"min","action":"$actionName","contended":${!o.probesClean},"inverted":${o.inverted},"degraded":${o.degraded},"attempts":${o.attempts},"weather":${o.weather},"budget_sec":${fmt(budgetSec)},"probe_line":${fmt(o.probeLine)},"probe_floor":${fmt(o.probeFloor)},"calibration":{"before":${fmt(o.probeBefore)},"after":${fmt(o.probeAfter)}},"io_probe":${io.map(p => ioJson(p._1, p._2, ioLedger)).getOrElse("null")},"inversions":$inversions,"queries":$qs,"queries_median":$qsMed,"bytes":${bytesJson(bytesRead)},"bytes_cached":$bytesCached$forensics,"sf":"$sfDir"}"""
   }
 
   /** Larger-tier reference for the inversion check: SPARK_GRAFT_BENCH_REF,
@@ -526,7 +679,13 @@ object Bench {
       .filter(_ >= 1).getOrElse(5)
     // First probe call is discarded: it pays the probe loop's own JIT
     // (~0.15 s measured), which would skew before-vs-after comparison.
-    calibrationProbe()
+    // Run CONCURRENTLY with session build + warmup (VERDICT r17 #1's
+    // "calibration concurrent with warmup"): the result is discarded, so
+    // contention with the warmup's Spark work costs nothing — joined
+    // before the first REAL probe so it can't inflate that one.
+    val probeJit = new Thread(() => { calibrationProbe(); () })
+    probeJit.setDaemon(true)
+    probeJit.start()
     // quiet-probe waits stay at up to 10 min each (r14 ask) but runGated
     // caps their TOTAL at WaitFrac of the wall-clock budget (r16: the
     // uncapped waits pushed the official run past the driver's cap — no
@@ -540,8 +699,29 @@ object Bench {
     // (also the byte-accounting pass — see warmupWithBytes; clears the
     // catalog cache per query and after, so no warmup persist survives
     // into the timed pass as GC noise)
-    val bytesRead = warmupWithBytes(spark, sfDir, action,
-      SparkEntry.queries.toSeq.sortBy(_._1))
+    //
+    // SKIPPED on a byte-cache hit (VERDICT r17 #1): bytes are deterministic
+    // per (code, data, action) — see bytesCacheKey — and the min-of-reps
+    // aggregation already reports steady state (rep 1 absorbs the cold
+    // costs the warmup used to). This is the single biggest fixed-cost cut
+    // for the driver-budget run: r17 spent ~1/3 of its 718 s here.
+    val sortedQs = SparkEntry.queries.toSeq.sortBy(_._1)
+    val cacheKey =
+      if (sys.env.get("SPARK_GRAFT_BYTES_CACHE").contains("0")) ""
+      else try bytesCacheKey(sfDir, actionName, sortedQs.map(_._1))
+      catch { case _: Throwable => "" }
+    val cached = if (cacheKey.nonEmpty) readBytesCache(cacheKey) else None
+    cached.foreach { _ =>
+      System.err.println(f"[bench] byte-pass cache hit ($BytesCacheFile) — " +
+        f"warmup skipped; rep 1 absorbs cold costs (elapsed ${elapsed()}%.0fs)")
+    }
+    val bytesRead = cached.getOrElse {
+      val b = warmupWithBytes(spark, sfDir, action, sortedQs)
+      if (cacheKey.nonEmpty) writeBytesCache(cacheKey, sfDir, actionName, b)
+      System.err.println(f"[bench] warmup + byte pass done at ${elapsed()}%.0fs" +
+        (if (cacheKey.nonEmpty) " (byte map cached for same-code same-data runs)" else ""))
+      b
+    }
     spark.catalog.clearCache()
     // Stable alphabetical order so per-query timings are comparable across
     // rounds (a HashMap's iteration order shifts when queries are added).
@@ -550,11 +730,21 @@ object Bench {
     // residual JIT/GC/page-cache noise, while back-to-back runs agree within
     // ~10% — the min is the steady-state cost, which is what a long-lived
     // cluster pays.
-    def timedPass(repsThis: Int): Seq[(String, Double, Double)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Stage forensics per gate per rep (VERDICT r17 #3): stamped into the
+    // artifact so a slow draw is adjudicable from the artifact alone —
+    // byte/spill parity across reps with a cpu/run swing is measured
+    // weather; parity broken is a real change. Snapshots bracket the timed
+    // region from OUTSIDE it (snapshot drains the listener bus, which must
+    // not bill into the rep's wall time).
+    val forensics = org.apache.spark.graftshim.StageForensics.install(spark.sparkContext)
+    val stageReps = scala.collection.mutable.LinkedHashMap.empty[String, Vector[Seq[Long]]]
+    def timedPass(repsThis: Int): Seq[(String, Double, Double)] = {
+      stageReps.clear() // the artifact carries the FINAL attempt's forensics
+      sortedQs.map { case (name, fn) =>
         // min over SUCCESSFUL reps only — a fast-failing rep must not shadow
         // a real slow success with a near-zero time; all-failed → -1 marker.
         val times = (1 to repsThis).flatMap { _ =>
+          val s0 = forensics.snapshot(spark.sparkContext)
           val t0 = System.nanoTime()
           val built =
             try { val df = fn(spark, sfDir); action(df); Some(df) }
@@ -564,6 +754,9 @@ object Bench {
           // would otherwise sit in storage memory under later timings.
           built.foreach(releaseCheckpoints)
           spark.catalog.clearCache()
+          val s1 = forensics.snapshot(spark.sparkContext)
+          stageReps(name) = stageReps.getOrElse(name, Vector.empty) :+
+            ForensicsKeys.map(k => s1.getOrElse(k, 0L) - s0.getOrElse(k, 0L))
           if (built.isDefined) Some(t) else None
         }
         // min = steady-state cost; median exposes the spread a contended host
@@ -573,6 +766,7 @@ object Bench {
           else { val s = times.sorted; (s((s.size - 1) / 2) + s(s.size / 2)) / 2 }
         (name, if (times.isEmpty) -1.0 else times.min, med)
       }
+    }
     // Larger-tier reference for the per-attempt inversion gate. Resolved
     // once (the committed artifact doesn't change mid-run); None when
     // absent or when it IS this run's SF (tier runs referencing themselves).
@@ -597,7 +791,9 @@ object Bench {
     // IO weather brackets (stamped beside the CPU calibration, non-gating):
     // before the acceptance loop and after it — coarser than the per-attempt
     // CPU probes, but the adjudication it serves is cross-round, not
-    // per-attempt
+    // per-attempt. The JIT-warmup probe thread must be done before any REAL
+    // probe runs (its 8 threads would read as contention).
+    probeJit.join()
     val ioBefore = settledIoProbe()
     val outcome = runGated(
       GatedConfig(reps, maxAttempts, probeMax, budgetSec),
@@ -630,13 +826,27 @@ object Bench {
     // methodology, honest numbers). Distinct stamps: roundcheck adjudicates
     // each differently.
     val json = artifactJson(outcome, actionName, bytesRead, sfDir,
-      invRef.map(_._1), budgetSec, Some((ioBefore, settledIoProbe())))
+      invRef.map(_._1), budgetSec, Some((ioBefore, settledIoProbe())),
+      ioLedger = ioQuietLedger(), stage = stageReps.toMap,
+      bytesCached = cached.isDefined)
     // Truncation-proofing: the driver captures stdout's tail, which has
     // clipped the head of this (long) line in past rounds. Persist the full
     // JSON to a file first, then print it — the artifact on disk is always
     // complete regardless of how the console capture slices the stream.
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_last.json"), json + "\n")
     catch { case _: Throwable => () }
+    // The OFFICIAL-posture run additionally writes a durable self-artifact
+    // (VERDICT r17 #1: the driver's capture produced "parsed": null two
+    // rounds running — the capture must not be load-bearing). Only the
+    // default-budget posture writes it (the driver cannot set env; builder
+    // ladder runs always export a budget), so later builder-side runs never
+    // clobber the round's official record. tools/roundcheck.py accepts it
+    // in the rescue chain after validating it against the captured tail's
+    // total or the newest bench_history line.
+    if (!sys.env.contains("SPARK_GRAFT_BENCH_BUDGET_SEC"))
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_official_latest.json"), json + "\n")
+      catch { case _: Throwable => () }
     // ...and APPEND to the durable history: bench_last.json is overwritten
     // by every run (the r12 judge lost the official run's per-query numbers
     // to exactly that), while the history keeps every full line. The run's

@@ -44,10 +44,12 @@ object BenchOne {
       val stage = StageForensics.Keys
         .map(k => s""""$k":${after.getOrElse(k, 0L) - before.getOrElse(k, 0L)}""")
         .mkString("{", ",", "}")
-      println(f"""{"query":"$name","rep":$i,"sec":$t%.3f,"stage_metrics":$stage}""")
+      // fmt (Locale.ROOT), not the f-interpolator: a comma-decimal JVM
+      // locale would print invalid JSON (ADVICE r17)
+      println(s"""{"query":"$name","rep":$i,"sec":${fmt(t)},"stage_metrics":$stage}""")
       t
     }
-    println(f"""{"query":"$name","dir":"$dir","min_sec":${times.min}%.3f,"reps":$reps,"io_probe_after":${Bench.settledIoProbe()}%.3f}""")
+    println(s"""{"query":"$name","dir":"$dir","min_sec":${fmt(times.min)},"reps":$reps,"io_probe_after":${fmt(Bench.settledIoProbe())}}""")
     spark.stop()
   }
 }

@@ -52,15 +52,13 @@ object BenchScale {
     * @param tables subset to synthesize — queries needing an absent table
     *   fail at read and are recorded as -1 (excluded from the total)
     */
-  def synthesize(spark: SparkSession, srcDir: String, outDir: String,
-      nReps: Int = Reps, tables: Seq[String] = AllTables): Unit = {
-    val fs = new java.io.File(outDir)
-    val done = new java.io.File(fs, "_DONE")
-    // Fold the source fixtures' (size, mtime) into the stamp: a driver-side
-    // fixture regeneration (which has already changed events.ts' physical
-    // type once) must invalidate a previously-synthesized tier, not be
-    // silently served the stale copy.
-    val srcSig = tables.sorted.map { t =>
+  /** Source-fixture signature folded into the _DONE stamp: a driver-side
+    * fixture regeneration (which has already changed events.ts' physical
+    * type once) must invalidate a previously-synthesized tier, not be
+    * silently served the stale copy.
+    */
+  private def srcSigOf(srcDir: String, tables: Seq[String]): String =
+    tables.sorted.map { t =>
       val f = new java.io.File(s"$srcDir/$t.parquet")
       val (len, mod) =
         if (f.isDirectory) {
@@ -69,10 +67,49 @@ object BenchScale {
         } else (f.length, f.lastModified)
       s"$t:$len:$mod"
     }.mkString(",").hashCode.toHexString
-    val stamp = s"$Version-${nReps}x-${tables.sorted.mkString(".")}-src$srcSig"
-    if (done.exists() &&
-      scala.util.Try(java.nio.file.Files.readString(done.toPath).trim).toOption
-        .contains(stamp)) return
+
+  private[graft] def stampFor(srcDir: String, nReps: Int, tables: Seq[String]): String =
+    s"$Version-${nReps}x-${tables.sorted.mkString(".")}-src${srcSigOf(srcDir, tables)}"
+
+  private val StampRe = s"^$Version-(\\d+)x-([a-z._]+)-src([0-9a-f]+)$$".r
+
+  /** Whether `outDir` already holds a tier USABLE for (srcDir, nReps,
+    * tables): same recipe version, same replication factor, the stamped
+    * table set a SUPERSET of the wanted one, and the source signature —
+    * recomputed over the STAMPED tables — unchanged. This is what the
+    * standalone benches (UpsertBench, AnnIngestBench) gate their reuse on
+    * (ADVICE r17: a bare file-existence check silently reused tiers built
+    * at different SCALE_REPS or from regenerated fixtures, measuring
+    * against different data than the same round's BenchScale artifacts).
+    */
+  def validFor(outDir: String, srcDir: String, nReps: Int,
+      tables: Seq[String]): Boolean = {
+    val done = new java.io.File(outDir, "_DONE")
+    if (!done.exists()) return false
+    scala.util.Try(java.nio.file.Files.readString(done.toPath).trim)
+      .toOption.exists {
+        case StampRe(n, stamped, sig) =>
+          val stampedTables = stamped.split("\\.").toSeq
+          n.toInt == nReps && tables.forall(stampedTables.contains) &&
+            sig == srcSigOf(srcDir, stampedTables)
+        case _ => false
+      }
+  }
+
+  def synthesize(spark: SparkSession, srcDir: String, outDir: String,
+      nReps: Int = Reps, tables: Seq[String] = AllTables): Unit = {
+    val fs = new java.io.File(outDir)
+    val done = new java.io.File(fs, "_DONE")
+    // Superset-aware reuse: a tier the ladder already built with MORE
+    // tables (same reps, same sources) serves any subset without a
+    // rebuild; anything else — absent, partial (no stamp: a crashed
+    // synthesis), different reps, or regenerated fixtures — re-synthesizes
+    // loudly.
+    if (validFor(outDir, srcDir, nReps, tables)) return
+    if (done.exists())
+      System.err.println(s"[bench-scale] $outDir stamp is stale for " +
+        s"(${nReps}x, ${tables.sorted.mkString(",")}) — re-synthesizing")
+    val stamp = stampFor(srcDir, nReps, tables)
     fs.mkdirs()
 
     def maxOf(df: DataFrame, c: String): Long = df.agg(max(col(c))).head().getLong(0) + 1
@@ -252,9 +289,15 @@ object BenchScale {
       .filter(_ >= 1).getOrElse(3)
     Bench.calibrationProbe() // discard: probe-loop JIT warmup
     def quietProbe(): Bench.ProbeGate = Bench.quietOrWeather(probeMax, maxWaits = 20)
-    def timedPass(): Seq[(String, Double)] =
+    // per-gate per-rep stage forensics, stamped into the tier artifact
+    // (VERDICT r17 #3) — see Bench.ForensicsKeys for the adjudication story
+    val forensics = org.apache.spark.graftshim.StageForensics.install(spark.sparkContext)
+    val stageReps = scala.collection.mutable.LinkedHashMap.empty[String, Vector[Seq[Long]]]
+    def timedPass(): Seq[(String, Double)] = {
+      stageReps.clear() // the artifact carries the FINAL attempt's forensics
       qs.toSeq.sortBy(_._1).map { case (name, fn) =>
         val times = (1 to nReps).flatMap { _ =>
+          val s0 = forensics.snapshot(spark.sparkContext)
           val t0 = System.nanoTime()
           val built =
             try { val df = fn(spark, outDir); Bench.materialize(df); Some(df) }
@@ -262,10 +305,14 @@ object BenchScale {
           val t = (System.nanoTime() - t0) / 1e9
           built.foreach(Bench.releaseCheckpoints)
           spark.catalog.clearCache()
+          val s1 = forensics.snapshot(spark.sparkContext)
+          stageReps(name) = stageReps.getOrElse(name, Vector.empty) :+
+            Bench.ForensicsKeys.map(k => s1.getOrElse(k, 0L) - s0.getOrElse(k, 0L))
           if (built.isDefined) Some(t) else None
         }
         name -> (if (times.isEmpty) -1.0 else times.min)
       }
+    }
     var attempt = 0
     var probeBefore = 0.0
     var probeAfter = 0.0
@@ -302,7 +349,8 @@ object BenchScale {
     val timed = results.collect { case (n, t) if t >= 0 => n }.toSet
     val absent = (SparkEntry.queries.keySet -- timed) ++ exclude
     val excl = absent.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"$metric","value":${fmt(total)},"unit":"sec","reps":$nReps,"agg":"min","contended":${!clean},"attempts":$attempt,"weather":$weather,"probe_line":${fmt(probeLine)},"probe_floor":${fmt(probeFloor)},"calibration":{"before":${fmt(probeBefore)},"after":${fmt(probeAfter)}},"io_probe":{"before":${fmt(ioBefore)},"after":${fmt(Bench.settledIoProbe())}},"scale":"${scaleReps}x-$srcDir","excluded":$excl,"queries":$qjson,"bytes":${Bench.bytesJson(bytesRead)}}"""
+    val fkeys = Bench.ForensicsKeys.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val json = s"""{"metric":"$metric","value":${fmt(total)},"unit":"sec","reps":$nReps,"agg":"min","contended":${!clean},"attempts":$attempt,"weather":$weather,"probe_line":${fmt(probeLine)},"probe_floor":${fmt(probeFloor)},"calibration":{"before":${fmt(probeBefore)},"after":${fmt(probeAfter)}},"io_probe":${Bench.ioJson(ioBefore, Bench.settledIoProbe(), Bench.ioQuietLedger())},"scale":"${scaleReps}x-$srcDir","excluded":$excl,"queries":$qjson,"bytes":${Bench.bytesJson(bytesRead)},"forensics_keys":$fkeys,"forensics":${Bench.forensicsJson(stageReps.toMap)}}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(artifact), json + "\n")
     catch { case _: Throwable => () }
     println(json)

@@ -56,14 +56,15 @@ object UpsertBench {
     val artifact = args.headOption.getOrElse("BENCH_upsert_sidecar.json")
     val spark = LocalSession.build()
     // self-contained on a fresh host (the ladder runs this A/B FIRST, before
-    // any BenchScale step has synthesized the tier): build the tier if its
-    // embeddings are absent. Synthesizes the SAME table set as the ladder's
-    // sf100 step so that step's stamp check then skips cleanly instead of
-    // re-synthesizing the embeddings a second time.
-    if (!new java.io.File(s"$bigDir/embeddings.parquet").exists())
-      BenchScale.synthesize(spark, smallDir, bigDir,
-        sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "1000").toInt,
-        Seq("documents", "embeddings"))
+    // any BenchScale step has synthesized the tier). Reuse is gated on the
+    // _DONE stamp inside synthesize (superset-aware since r18 — ADVICE r17:
+    // a bare embeddings.parquet existence check silently reused tiers built
+    // at different SCALE_REPS or from regenerated fixtures); a valid tier
+    // returns immediately, anything else re-synthesizes loudly. Same table
+    // set as the ladder's sf100 step so that step then skips cleanly.
+    BenchScale.synthesize(spark, smallDir, bigDir,
+      sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "1000").toInt,
+      Seq("documents", "embeddings"))
     Bench.calibrationProbe() // discard: probe-loop JIT warmup
     val probeBefore = Bench.settledProbe()
     val ioBefore = Bench.settledIoProbe()

@@ -171,6 +171,106 @@ class BenchCalibrationSpec extends AnyFunSuite {
       s"roundcheck.py must define AFTER_DRIFT_BAND = ${Bench.AfterDriftBand}")
     assert(py.contains(s"WEATHER_CAP = ${Bench.WeatherCap}"),
       s"roundcheck.py must define WEATHER_CAP = ${Bench.WeatherCap}")
+    assert(py.contains(s"IO_LINE_MULT = ${Bench.IoLineMult}"),
+      s"roundcheck.py must define IO_LINE_MULT = ${Bench.IoLineMult}")
+  }
+
+  test("io quiet-floor ledger: floor/line from history, verdict in the stamp") {
+    val f = java.io.File.createTempFile("graft_hist", ".jsonl")
+    f.deleteOnExit()
+    java.nio.file.Files.writeString(f.toPath, Seq(
+      """{"io_probe":{"before":0.120,"after":0.130}}""",
+      """not json at all""",
+      """{"metric":"total","io_probe":null}""",
+      """{"io_probe":{"before":0.090,"after":0.150}}""").mkString("\n"))
+    val ledger = Bench.ioQuietLedger(f.getPath)
+    assert(ledger.isDefined, "4 stamped samples reach IoMinLedger")
+    val (floor, line) = ledger.get
+    assert(floor == 0.09 && math.abs(line - 0.09 * Bench.IoLineMult) < 1e-9)
+    // too-shallow history: no line yet (first rounds of the ledger)
+    val g = java.io.File.createTempFile("graft_hist2", ".jsonl")
+    g.deleteOnExit()
+    java.nio.file.Files.writeString(g.toPath,
+      """{"io_probe":{"before":0.1,"after":0.1}}""")
+    assert(Bench.ioQuietLedger(g.getPath).isEmpty)
+    assert(Bench.ioQuietLedger("/nonexistent/path.jsonl").isEmpty)
+    // the stamp: weather_io takes the MIN of the bracket (one writeback
+    // burst must not stamp the run); no ledger -> raw bracket only
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val hot = mapper.readTree(Bench.ioJson(0.4, 0.5, Some((0.09, 0.27))))
+    assert(hot.path("weather_io").asBoolean() && hot.path("line").asDouble() == 0.27)
+    val burst = mapper.readTree(Bench.ioJson(0.4, 0.1, Some((0.09, 0.27))))
+    assert(!burst.path("weather_io").asBoolean())
+    val bare = mapper.readTree(Bench.ioJson(0.1, 0.1, None))
+    assert(bare.path("floor").isMissingNode && bare.path("before").asDouble() == 0.1)
+  }
+
+  test("bytes cache round-trips, rejects a mismatched key (VERDICT r17 #1)") {
+    val f = java.io.File.createTempFile("graft_bcache", ".json")
+    f.deleteOnExit()
+    Bench.writeBytesCache("k1", "/sf", "noop", Map("q1" -> 42L, "q2" -> 7L),
+      f.getPath)
+    assert(Bench.readBytesCache("k1", f.getPath)
+      .contains(Map("q1" -> 42L, "q2" -> 7L)))
+    assert(Bench.readBytesCache("k2", f.getPath).isEmpty,
+      "a stale key must force a fresh byte pass")
+    assert(Bench.readBytesCache("k1", "/nonexistent/cache.json").isEmpty)
+  }
+
+  test("bytesCacheKey: stable across calls, sensitive to code/data/action/registry") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cache_dir")
+    java.nio.file.Files.writeString(dir.resolve("t.parquet"), "x")
+    val k1 = Bench.bytesCacheKey(dir.toString, "noop", Seq("a", "b"))
+    assert(k1 == Bench.bytesCacheKey(dir.toString, "noop", Seq("a", "b")),
+      "same inputs must fingerprint identically (mtime-free class signature)")
+    assert(k1 != Bench.bytesCacheKey(dir.toString, "count", Seq("a", "b")))
+    assert(k1 != Bench.bytesCacheKey(dir.toString, "noop", Seq("a", "b", "c")))
+    // a regenerated fixture (new mtime, even same size) must invalidate
+    val t = dir.resolve("t.parquet").toFile
+    assert(t.setLastModified(t.lastModified + 5000))
+    assert(k1 != Bench.bytesCacheKey(dir.toString, "noop", Seq("a", "b")))
+  }
+
+  test("artifactJson stamps forensics arrays, io verdict, and bytes_cached") {
+    val o = Bench.GatedOutcome(Seq(("q1", 1.0, 1.1)), 0.6, 0.61, 0.65, 0.65,
+      weather = false, attempts = 1, repsUsed = 2, degraded = false,
+      invCount = 0, structural = Seq.empty)
+    val stage = Map("q1" -> Seq(Seq(10L, 9L, 1L, 0L, 0L, 0L, 100L, 5000L),
+      Seq(33L, 30L, 2L, 0L, 0L, 0L, 100L, 5000L)))
+    val j = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      Bench.artifactJson(o, "noop", Map("q1" -> 1L), "sf", None, 100.0,
+        io = Some((0.4, 0.5)), ioLedger = Some((0.09, 0.27)),
+        stage = stage, bytesCached = true))
+    assert(j.path("bytes_cached").asBoolean())
+    assert(j.path("io_probe").path("weather_io").asBoolean())
+    assert(j.path("forensics_keys").size() == Bench.ForensicsKeys.size)
+    assert(j.path("forensics_keys").get(0).asText() == "run_ms")
+    val reps = j.path("forensics").path("q1")
+    assert(reps.size() == 2 && reps.get(1).get(0).asLong() == 33L)
+  }
+
+  test("BenchScale.validFor: stamp-gated superset reuse (ADVICE r17)") {
+    val src = java.nio.file.Files.createTempDirectory("graft_vf_src")
+    java.nio.file.Files.writeString(src.resolve("documents.parquet"), "d")
+    java.nio.file.Files.writeString(src.resolve("embeddings.parquet"), "e")
+    val out = java.nio.file.Files.createTempDirectory("graft_vf_out")
+    // bare file existence is NOT enough: no _DONE stamp -> invalid
+    java.nio.file.Files.writeString(out.resolve("embeddings.parquet"), "z")
+    assert(!BenchScale.validFor(out.toString, src.toString, 10, Seq("embeddings")))
+    java.nio.file.Files.writeString(out.resolve("_DONE"),
+      BenchScale.stampFor(src.toString, 10, Seq("documents", "embeddings")) + "\n")
+    assert(BenchScale.validFor(out.toString, src.toString, 10,
+      Seq("documents", "embeddings")))
+    assert(BenchScale.validFor(out.toString, src.toString, 10, Seq("embeddings")),
+      "a stamped SUPERSET serves any subset")
+    assert(!BenchScale.validFor(out.toString, src.toString, 100, Seq("embeddings")),
+      "a different SCALE_REPS is different data")
+    assert(!BenchScale.validFor(out.toString, src.toString, 10, Seq("events")),
+      "a table outside the stamped set is absent")
+    // fixture regeneration (new mtime) invalidates even at equal size
+    val doc = src.resolve("documents.parquet").toFile
+    assert(doc.setLastModified(doc.lastModified + 5000))
+    assert(!BenchScale.validFor(out.toString, src.toString, 10, Seq("embeddings")))
   }
 
   test("quietOrWeather: a transient burst is outwaited, ledger line kept") {

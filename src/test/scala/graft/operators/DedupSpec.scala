@@ -597,4 +597,53 @@ class DedupSpec extends AnyFunSuite {
     assert(j((1L, 4L)) == 1.0)
     assert(j((1L, 3L)) == 0.0)
   }
+
+  // spread() sizing — asserted PLAN-TIME off the RepartitionByExpression
+  // node (executing the huge synthetic inputs below is neither needed nor
+  // affordable; .rdd under AQE would materialize the shuffle).
+  private def spreadParts(df: org.apache.spark.sql.DataFrame, by: String): Int =
+    Dedup.spread(df, col(by)).queryExecution.logical.collectFirst {
+      case r: org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression =>
+        r.numPartitions
+    }.getOrElse(fail("spread must plan a RepartitionByExpression"))
+
+  test("spread: partition count keeps growing past the old 4096 cap (VERDICT r17 #2)") {
+    val par = spark.sparkContext.defaultParallelism
+    spark.conf.set("graft.spread.target.bytes", (1L << 20).toString)
+    spark.conf.set("graft.spread.max.factor", "100000")
+    try {
+      // spark.range carries EXACT stats (8 bytes/row): 2^33 rows = 64 GiB
+      // estimated -> 65537 target partitions, far past the old fixed cap
+      val big = spark.range(1L << 33).toDF
+      assert(big.queryExecution.optimizedPlan.stats.sizeInBytes == BigInt(1L << 36),
+        "fixture must carry exact range stats")
+      val n = spreadParts(big, "id")
+      assert(n > 4096, s"cap must scale with conf, got $n")
+      assert(n == (1 << 16) + 1, s"one partition per target byte-chunk, got $n")
+      // the cluster-proportional cap binds when the factor is small
+      spark.conf.set("graft.spread.max.factor", "2")
+      val capped = spreadParts(big, "id")
+      assert(capped == 2 * par, s"cap = factor x defaultParallelism, got $capped")
+    } finally {
+      spark.conf.unset("graft.spread.target.bytes")
+      spark.conf.unset("graft.spread.max.factor")
+    }
+  }
+
+  test("spread: unknown stats (RDD-backed plan) fall back to defaultParallelism (ADVICE r17)") {
+    val par = spark.sparkContext.defaultParallelism
+    // createDataFrame over an RDD has no stats: sizeInBytes defaults to
+    // spark.sql.defaultSizeInBytes (Long.MaxValue) — must NOT be sized as
+    // if it were real data (explicit-count repartition is AQE-exempt)
+    val rdd = spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(1L)), 1)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType)))
+    val unknown = spark.createDataFrame(rdd, schema)
+    assert(unknown.queryExecution.optimizedPlan.stats.sizeInBytes >=
+      Dedup.SpreadUnknownBytes, "fixture must model the no-stats fallback")
+    val n = spreadParts(unknown, "id")
+    assert(n == par, s"unknown stats must spread to defaultParallelism, got $n")
+    // a small KNOWN input also floors at defaultParallelism (unchanged)
+    assert(spreadParts(docs, "doc_id") == par)
+  }
 }

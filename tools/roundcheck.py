@@ -157,15 +157,19 @@ def main():
                 print(f"   BENCH r{cur:02d} tail truncated — full line "
                       f"rescued from bench_history.jsonl (total {want_total}s)")
             else:
-                # Last-resort fallback (r14 VERDICT #1): Bench always writes
-                # the complete record to bench_last.json BEFORE printing, so
-                # when the tail kept no health line at all, accept it —
-                # provided it matches either the tail's total (if any
-                # survived) or the newest bench_history line (bench_last is
-                # overwritten by every run; agreeing with the newest history
-                # line proves it IS the newest run, not a stale leftover).
-                bl = load(f"{ROOT}/bench_last.json")
-                if isinstance(bl, dict) and isinstance(bl.get("queries"), dict):
+                # Fallback chain (r14 VERDICT #1 / r17 #1): Bench writes the
+                # complete record to BENCH_official_latest.json (official
+                # posture only — builder runs never clobber it) and to
+                # bench_last.json (every run) BEFORE printing, so when the
+                # tail kept no health line at all, accept either — provided
+                # it matches the tail's total (if any survived) or the
+                # newest bench_history line (agreeing with the newest
+                # history line proves it IS the newest run, not stale).
+                for cand in ("BENCH_official_latest.json", "bench_last.json"):
+                    bl = load(f"{ROOT}/{cand}")
+                    if not (isinstance(bl, dict) and
+                            isinstance(bl.get("queries"), dict)):
+                        continue
                     matches_tail = want_total is not None and \
                         f'{bl.get("value", -1):.3f}' == want_total
                     matches_hist = newest is not None and \
@@ -176,8 +180,9 @@ def main():
                         why = "tail total" if matches_tail else \
                             "newest bench_history line"
                         print(f"   BENCH r{cur:02d} tail truncated — full "
-                              f"record rescued from bench_last.json "
+                              f"record rescued from {cand} "
                               f"(matches {why}, total {bl.get('value')}s)")
+                        break
         if full is not None:
             if full.get("degraded") is True:
                 # budget-degraded run (r16 #1): the wall-clock budget cut
@@ -267,6 +272,7 @@ def main():
     WEATHER_LINE_MULT = 1.18  # Bench.WeatherLineMult (floor -> line)
     AFTER_DRIFT_BAND = 1.15   # Bench.AfterDriftBand (after-probe allowance)
     WEATHER_CAP = 1.0         # Bench.WeatherCap (floor beyond this: refused)
+    IO_LINE_MULT = 3.0        # Bench.IoLineMult (fsync floor -> line)
     tier_paths = sorted(glob.glob(f"{ROOT}/BENCH_r{cur:02d}_sf*.json")) + \
         sorted(glob.glob(f"{ROOT}/BENCH_r{cur:02d}_builder_sf*.json"))
     diag = [t for t in tier_paths if is_diagnostic(t)]
@@ -329,6 +335,23 @@ def main():
                 print(f"?? {name} stamped weather=true (probe_line={pl}, "
                       f"no probe_floor: pre-r16 artifact) — host uniformly "
                       f"slow during the run")
+        # io_probe quiet-floor ledger stamp (VERDICT r17 #4): non-gating —
+        # the stamp is the standing falsifier behind "IO weather" claims.
+        # A stamped line must equal floor x IO_LINE_MULT (mirror check, same
+        # anti-self-stamping rule as the CPU weather line).
+        io = art.get("io_probe") or {}
+        if isinstance(io, dict) and isinstance(io.get("line"), (int, float)):
+            io_floor = io.get("floor")
+            if not (isinstance(io_floor, (int, float)) and
+                    abs(io["line"] - io_floor * IO_LINE_MULT) < 5e-3):
+                bad = True
+                print(f"!! {name} io_probe line={io.get('line')} not "
+                      f"corroborated by floor={io_floor} x {IO_LINE_MULT}")
+            elif io.get("weather_io") is True:
+                print(f"?? {name} stamped weather_io=true (fsync probes "
+                      f"{io.get('before')}/{io.get('after')} over ledger "
+                      f"line {io.get('line')}) — disk weather; IO-bound "
+                      f"gates are honest-but-slow this draw")
         cal = art.get("calibration") or {}
         # The after-probe gets the measured idle-noise drift band (x1.15
         # over before) — a mid-pass co-tenant reads 1.5-2x, never +15%
@@ -359,6 +382,54 @@ def main():
         if isinstance(art, dict) and isinstance(art.get("bytes"), dict):
             return art["bytes"]
         return {}
+
+    def qforensics(path):
+        """(keys, {gate: [[per-rep metrics]]}) — stamped by r18+ artifacts."""
+        art = load(path)
+        if isinstance(art, dict) and isinstance(art.get("forensics"), dict) \
+                and isinstance(art.get("forensics_keys"), list):
+            return art["forensics_keys"], art["forensics"]
+        return [], {}
+
+    def weather_suspect(keys, reps):
+        """The in-artifact weather falsifier (VERDICT r17 #3): across a
+        gate's timed reps, input/shuffle/spill bytes are DETERMINISTIC per
+        (code, data) — rep-level parity there plus a >=1.5x run/cpu swing
+        is the measured-environmental signature (the r17 MinHash forensics:
+        cpu_ms itself swung 3.2x between byte-identical reps). Parity
+        broken, or both reps uniformly slow (no swing), stays a real flag.
+        Returns a reason string when the signature matches, else None."""
+        if not keys or not isinstance(reps, list) or len(reps) < 2:
+            return None
+        idx = {k: i for i, k in enumerate(keys)}
+
+        def col(k):
+            i = idx.get(k)
+            if i is None:
+                return []
+            return [r[i] for r in reps if isinstance(r, list) and i < len(r)]
+
+        def parity(vals, tol=1.05):
+            if not vals:
+                return True
+            lo, hi = min(vals), max(vals)
+            if hi == 0:
+                return True
+            return lo > 0 and hi / lo <= tol
+
+        def swing(vals, bar=1.5):
+            pos = [v for v in vals if v > 0]
+            return len(pos) >= 2 and max(pos) / min(pos) >= bar
+
+        bytes_par = parity(col("input_bytes")) and \
+            parity(col("shuffle_bytes_written"))
+        spill_par = parity(col("disk_spill_bytes")) and \
+            parity(col("mem_spill_bytes"))
+        time_swing = swing(col("run_ms")) or swing(col("cpu_ms"))
+        if bytes_par and spill_par and time_swing:
+            return ("rep-level byte+spill parity with >=1.5x run/cpu swing "
+                    "— measured-environmental signature")
+        return None
     def scale_of(path):
         # replication factor stamped by BenchScale, e.g. "1000x-/root/..."
         art = load(path)
@@ -396,6 +467,7 @@ def main():
         # from the artifacts themselves, not narrated. Artifacts predating
         # the bytes field fall back to the nominal ratio unchanged.
         lo_b, hi_b = qbytes(lo_path), qbytes(hi_path)
+        hi_fk, hi_fx = qforensics(hi_path)
         allowed = ratio ** 1.2
         # Byte-derived allowance is CAPPED at ratio * BYTE_SKEW_CAP before
         # the exponent: task-level bytesRead scales with how many corpus
@@ -430,11 +502,23 @@ def main():
                     over.append((g, q, lo[q], hi[q], allowed_q, bnote))
         tag = f"{os.path.basename(lo_path)} -> {os.path.basename(hi_path)}"
         if over:
-            bad = True
             for g, q, l, h, a, bn in sorted(over, reverse=True):
-                print(f"!! SUPER-LINEAR {tag}: {q} grew {g:.1f}x on "
-                      f"{ratio:.0f}x data ({l:.2f}s -> {h:.2f}s, allowed "
-                      f"{a:.1f}x{bn})")
+                # In-artifact adjudication (VERDICT r17 #3): a flagged gate
+                # whose hi-tier forensics show the weather signature is
+                # surfaced as weather-suspect (re-draw it solo) instead of
+                # failing the round — the falsifier is the stamped rep-level
+                # byte/spill parity, not a narrative.
+                ws = weather_suspect(hi_fk, hi_fx.get(q))
+                if ws:
+                    print(f"?? SUPER-LINEAR-BUT-WEATHER-SUSPECT {tag}: {q} "
+                          f"grew {g:.1f}x on {ratio:.0f}x data "
+                          f"({l:.2f}s -> {h:.2f}s, allowed {a:.1f}x{bn}); "
+                          f"forensics: {ws} — re-draw the tier solo")
+                else:
+                    bad = True
+                    print(f"!! SUPER-LINEAR {tag}: {q} grew {g:.1f}x on "
+                          f"{ratio:.0f}x data ({l:.2f}s -> {h:.2f}s, allowed "
+                          f"{a:.1f}x{bn})")
         else:
             w = f", worst {worst[0]:.1f}x ({worst[1]})" if worst[1] else ""
             b = (f", {n_bytes_adjudicated} byte-adjudicated"
