@@ -1811,12 +1811,17 @@ object VectorIndex extends org.apache.spark.internal.Logging {
       withWriterLease(s, path, "splitCell") {
     recoverReindex(s, path) // settle a pending reindex promote first (gen order)
     recoverSplit(s, path, vectors, id, emb, pq, meta)
+    // one hot cell's ids, materialized once (r18): the 4 sub-train actions
+    // (seed TakeOrdered + 3 Lloyd iterations) would otherwise each
+    // re-execute this build side — a codes scan + distinct per action
     val memberIds = loadCodes(s, path).filter(col("cell") === cell)
       .select(col("vec_id").as("__split_member")).distinct()
+      .localCheckpoint()
     val members = vectors.join(broadcast(memberIds),
       id === col("__split_member"), "left_semi")
     val sub = KMeans.fit(members, id, emb, k = 2, iters = 3)
       .orderBy(col("cent_id")).collect()
+    Dedup.dropLocalCheckpoint(memberIds) // consumed by the sub-train above
     // fewer than 2 sub-centroids = fewer than 2 member rows to seed from —
     // refinement cannot help this cell. Thrown BEFORE any staging or
     // mutation (the manifest write is below), so the index is untouched;
@@ -1889,12 +1894,18 @@ object VectorIndex extends org.apache.spark.internal.Logging {
     val quant = IvfadcQuantizer(newCents,
       s.read.parquet(snap.partPath("codebook")), pq)
     val cellSet = parent +: childIds
+    // parent ∪ children member ids, materialized once (r18): upsertCore
+    // executes its `updates` input in several actions (encode checkpoint,
+    // touched-cell collect, rewrite checkpoint), each of which would
+    // otherwise re-run this build side's codes scan + distinct
     val memberIds = loadCodes(s, path).filter(col("cell").isin(cellSet: _*))
       .select(col("vec_id").as("__split_member")).distinct()
+      .localCheckpoint()
     val updates = vectors.join(broadcast(memberIds),
       id === col("__split_member"), "left_semi")
     upsertCore(s, path, updates, updates.limit(0).select(id.as("vec_id")),
       id, emb, quant, meta)
+    Dedup.dropLocalCheckpoint(memberIds) // consumed by the upsert above
     // the cents replace is a GENERATION COMMIT, not an in-place overwrite:
     // readers resolve either the whole pre-commit or whole post-commit
     // centroid table (the codes rewrite above is partition-wise in place —
@@ -2037,8 +2048,16 @@ object VectorIndex extends org.apache.spark.internal.Logging {
       emb: Column, kCells: Int, iters: Int, pq: PqParams,
       meta: Seq[String] = Nil): Unit = withWriterLease(s, path, "reindex") {
     recoverReindex(s, path) // settle any interrupted predecessor first
+    // Materialized ONCE (r18, measured with JobProfile): the train+encode
+    // chain below runs ~6 actions (seed TakeOrdered, one per Lloyd
+    // iteration, codebook seeds, the codes write), and each would otherwise
+    // re-execute this broadcast build side — a full codes scan + distinct
+    // per action, ~6 redundant passes over the index. The checkpoint is the
+    // same id set the broadcast ships, so it adds no memory class the
+    // semi-join didn't already require; dropped eagerly after the promote.
     val memberIds = loadCodes(s, path)
       .select(col("vec_id").as("__member")).distinct()
+      .localCheckpoint()
     val corpus = vectors.join(broadcast(memberIds),
       id === col("__member"), "left_semi")
     val quant = train(corpus, id, emb, kCells, iters, pq)
@@ -2060,6 +2079,7 @@ object VectorIndex extends org.apache.spark.internal.Logging {
     val out = fs.create(new org.apache.hadoop.fs.Path(s"$staging/_COMMITTED"), true)
     try out.write(s"$targetGen\n".getBytes("UTF-8")) finally out.close()
     promoteReindex(s, path, targetGen)
+    Dedup.dropLocalCheckpoint(memberIds) // superseded generation's id set
   }
 
   /** The roll-forwardable promote phase: rename each still-staged part to
