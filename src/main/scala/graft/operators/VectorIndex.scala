@@ -402,6 +402,10 @@ object VectorIndex extends org.apache.spark.internal.Logging {
       // later reload/prune opens k files instead of tasks·k
       codes.repartition(col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(dst("codes"))
+      // fresh directory: its schema marker is exactly what was written
+      // (full-rows reads then skip the all-footers merge — see the marker's
+      // section doc); written before the manifest commit publishes the dir
+      writeSchemaMarker(s, dst("codes"), codes.schema)
       cellOccupancy(s.read.parquet(dst("codes"))
         .select(col("vec_id"), col("cell"), col("m"), col("code")))
         .write.mode("overwrite").parquet(dst("occupancy"))
@@ -485,6 +489,10 @@ object VectorIndex extends org.apache.spark.internal.Logging {
     // sidecar first (crash between the two leaves harmless extra entries —
     // appendIdMap's invariant), then the codes append
     appendIdMap(s, path, codes)
+    // schema marker widened BEFORE the data lands (superset-first): a
+    // stamped batch appended without the marker knowing its columns would
+    // silently lose the stamps to every later explicit-schema read
+    widenSchemaMarker(s, snap.partPath("codes"), codes.schema)
     codes.write.mode("append").partitionBy("cell").parquet(snap.partPath("codes"))
     mergeOccupancy(s, path, cellOccupancy(codes))
     stamp.foreach(writeAppliedBatch(s, path, _, streamId))
@@ -577,7 +585,13 @@ object VectorIndex extends org.apache.spark.internal.Logging {
       meta: Seq[String]): Unit = {
     val delIds = deletes.select(deletes.columns.head).toDF("vec_id")
     val updIds = updates.select(id.as("vec_id"))
-    val changedIds = updIds.union(delIds).distinct()
+    // materialized once (r18, the memberIds discipline): the changed-id set
+    // is consumed by THREE actions — the touched-cell discovery, the sidecar
+    // probe, and the survivors anti-join inside the rewrite checkpoint — and
+    // each would otherwise re-scan the caller's updates/deletes sources and
+    // re-run the distinct shuffle. Bounded by the change batch, like the
+    // broadcast it feeds; dropped as soon as the rewrite materializes.
+    val changedIds = updIds.union(delIds).distinct().localCheckpoint()
     val newCodes = encode(updates, id, emb, quant, meta).localCheckpoint()
     val codes = loadCodesFull(s, path)
     // Touched-cell set = the old cells of changed ids ∪ the new cells of
@@ -593,7 +607,11 @@ object VectorIndex extends org.apache.spark.internal.Logging {
     val touched = oldCellsOf(s, path, codes, changedIds)
       .union(newCodes.select(col("cell")))
       .distinct().collect().map(_.get(0)).toSeq
-    if (touched.isEmpty) return // empty change batch
+    if (touched.isEmpty) { // empty change batch
+      Dedup.dropLocalCheckpoint(changedIds)
+      Dedup.dropLocalCheckpoint(newCodes)
+      return
+    }
     // sidecar first, then the codes mutation: a crash between the two
     // leaves only harmless extra entries (see appendIdMap's invariant)
     appendIdMap(s, path, newCodes)
@@ -610,7 +628,14 @@ object VectorIndex extends org.apache.spark.internal.Logging {
     val rewritten = survivors.unionByName(newCodes, allowMissingColumns = true)
       .repartition(col("cell"))
       .localCheckpoint()
+    Dedup.dropLocalCheckpoint(changedIds) // consumed by the rewrite above
+    Dedup.dropLocalCheckpoint(newCodes)   // folded into the rewrite above
     val codesDir = snapshot(s, path).partPath("codes")
+    // marker widened BEFORE the rewrite (superset-first; a metadata-carrying
+    // upsert on a bare index may add columns). `rewritten` was built from
+    // the marker-resolved full read ∪ the new codes, so its schema IS the
+    // union — no re-derivation (and no legacy footer pass) needed here.
+    writeSchemaMarker(s, codesDir, rewritten.schema)
     rewritten.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("cell").parquet(codesDir)
@@ -811,7 +836,8 @@ object VectorIndex extends org.apache.spark.internal.Logging {
     val staging = new org.apache.hadoop.fs.Path(s"$path/idmap_staging")
     fs.delete(staging, true)
     idMapWriteShape(idMapEntries(
-      s.read.option("mergeSchema", mergeSchema.toString).parquet(codesDir)
+      (if (mergeSchema) codesFullSchemaRead(s, codesDir) // marker skips footers
+       else s.read.parquet(codesDir))
         .select(col("vec_id"), col("cell"), col("m"))))
       .write.mode("overwrite").partitionBy("bucket").parquet(staging.toString)
     fs.delete(idMapPath(path), true)
@@ -1711,9 +1737,12 @@ object VectorIndex extends org.apache.spark.internal.Logging {
     recoverCompaction(s, path)
     val snap = snapshot(s, path)
     val stagedDir = stagedDirName(snap, "codes")
-    s.read.option("mergeSchema", "true").parquet(snap.partPath("codes"))
-      .repartition(col("cell"))
+    val full = codesFullSchemaRead(s, snap.partPath("codes"))
+    full.repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/$stagedDir")
+    // staged dir is fresh and complete: its marker is the rewrite's schema
+    // (rides the manifest flip with the data it describes)
+    writeSchemaMarker(s, s"$path/$stagedDir", full.schema)
     commitParts(s, path, Map("codes" -> stagedDir))
     // fold the sidecar's append-only stale entries while we're at the
     // hygiene pass anyway — compaction changes no id→cell mapping, so the
@@ -1817,11 +1846,19 @@ object VectorIndex extends org.apache.spark.internal.Logging {
     val memberIds = loadCodes(s, path).filter(col("cell") === cell)
       .select(col("vec_id").as("__split_member")).distinct()
       .localCheckpoint()
+    // the member VECTORS too (r18): the sub-train's 4 actions (seed
+    // TakeOrdered + 3 Lloyd iterations) each re-execute their input — with
+    // only the id set materialized that is still a full `vectors` scan per
+    // action (the broadcast semi-join prunes rows, not the scan). One hot
+    // cell's vectors are bounded by construction (the split exists to bound
+    // them), so the checkpoint holds O(cell) rows and saves 3 corpus reads.
     val members = vectors.join(broadcast(memberIds),
       id === col("__split_member"), "left_semi")
+      .localCheckpoint()
+    Dedup.dropLocalCheckpoint(memberIds) // folded into the members snapshot
     val sub = KMeans.fit(members, id, emb, k = 2, iters = 3)
       .orderBy(col("cent_id")).collect()
-    Dedup.dropLocalCheckpoint(memberIds) // consumed by the sub-train above
+    Dedup.dropLocalCheckpoint(members) // consumed by the sub-train above
     // fewer than 2 sub-centroids = fewer than 2 member rows to seed from —
     // refinement cannot help this cell. Thrown BEFORE any staging or
     // mutation (the manifest write is below), so the index is untouched;
@@ -1901,11 +1938,18 @@ object VectorIndex extends org.apache.spark.internal.Logging {
     val memberIds = loadCodes(s, path).filter(col("cell").isin(cellSet: _*))
       .select(col("vec_id").as("__split_member")).distinct()
       .localCheckpoint()
+    // member VECTORS materialized once (r18, same reasoning as splitCell's
+    // sub-train input): upsertCore executes its `updates` in several
+    // actions (the encode checkpoint, the changed-id snapshot) and each
+    // would re-scan the full `vectors` source for O(parent ∪ children)
+    // surviving rows. Bounded by the touched cells, dropped when consumed.
     val updates = vectors.join(broadcast(memberIds),
       id === col("__split_member"), "left_semi")
+      .localCheckpoint()
+    Dedup.dropLocalCheckpoint(memberIds) // folded into the updates snapshot
     upsertCore(s, path, updates, updates.limit(0).select(id.as("vec_id")),
       id, emb, quant, meta)
-    Dedup.dropLocalCheckpoint(memberIds) // consumed by the upsert above
+    Dedup.dropLocalCheckpoint(updates) // consumed by the upsert above
     // the cents replace is a GENERATION COMMIT, not an in-place overwrite:
     // readers resolve either the whole pre-commit or whole post-commit
     // centroid table (the codes rewrite above is partition-wise in place —
@@ -2070,6 +2114,9 @@ object VectorIndex extends org.apache.spark.internal.Logging {
     // same cell-clustered one-file-per-cell layout as [[write]]
     codes.repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$staging/codes")
+    // fresh staged dir: marker = exactly what was written (renamed into the
+    // promoted generation together with the data)
+    writeSchemaMarker(s, s"$staging/codes", codes.schema)
     cellOccupancy(s.read.parquet(s"$staging/codes"))
       .write.mode("overwrite").parquet(s"$staging/occupancy")
     // the commit point: the marker names the target generation, making the
@@ -2266,6 +2313,100 @@ object VectorIndex extends org.apache.spark.internal.Logging {
     * schema; maintenance paths need the full rows to rewrite losslessly.
     */
   private[graft] def loadCodesFull(s: SparkSession, path: String): DataFrame =
-    s.read.option("mergeSchema", "true")
-      .parquet(snapshot(s, path).partPath("codes"))
+    codesFullSchemaRead(s, snapshot(s, path).partPath("codes"))
+
+  // ---- codes schema marker --------------------------------------------------
+  //
+  // The full-rows read used to pay `mergeSchema=true` — a distributed job
+  // reading EVERY parquet footer under the codes directory — once per
+  // mutation batch (upsert, streaming replay check, compaction). Bytes read
+  // are O(files in the index): the metadata dual of the full-scan discovery
+  // the id→cell sidecar already removed, and at 100 TB a per-micro-batch
+  // full-footer pass by itself. Table formats solve this by holding the
+  // schema in a manifest; this marker is that idea scaled to one file:
+  // `_schema.json` INSIDE the codes directory (underscore-prefixed, so data
+  // readers ignore it; it rides every staged-directory rename with the data
+  // it describes) holds the union of every column set ever written there.
+  //
+  // INVARIANT (superset-first, the sidecar's discipline): a writer that may
+  // ADD columns to a live directory (stamped appends, metadata-carrying
+  // upserts) widens the marker BEFORE the data lands. Every crash window
+  // then leaves at worst a marker claiming a column no file carries — an
+  // explicit-schema read returns it as all-null, exactly what mergeSchema
+  // returns for files lacking a column — never a marker missing a column
+  // files DO carry (which would silently drop stamps from a lossless
+  // rewrite). Single-writer (lease-enforced) like every mutation here.
+  // Absence (legacy index, operator delete) falls back to mergeSchema —
+  // always correct, just O(files).
+
+  private val CodesSchemaMarker = "_schema.json"
+
+  /** Read the codes directory with its full (union) schema: marker when
+    * present — zero footer jobs — else the legacy all-footers mergeSchema.
+    */
+  private def codesFullSchemaRead(s: SparkSession, codesDir: String): DataFrame =
+    readSchemaMarker(s, codesDir) match {
+      case Some(st) => s.read.schema(st).parquet(codesDir)
+      case None => s.read.option("mergeSchema", "true").parquet(codesDir)
+    }
+
+  private[graft] def readSchemaMarker(s: SparkSession,
+      codesDir: String): Option[org.apache.spark.sql.types.StructType] = try {
+    val fs = hadoopFs(s, codesDir)
+    val p = new org.apache.hadoop.fs.Path(s"$codesDir/$CodesSchemaMarker")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      org.apache.spark.sql.types.DataType.fromJson(json) match {
+        case st: org.apache.spark.sql.types.StructType => Some(st)
+        case _ => None
+      }
+    }
+  } catch { case _: Throwable => None } // torn/unreadable marker = absent
+
+  /** Persist `schema` as the directory's full-rows read schema. Fields are
+    * normalized nullable (files written before a column existed read it as
+    * null — the mergeSchema semantics this replaces). tmp-write + rename so
+    * a torn write is never read as truth (readSchemaMarker treats a parse
+    * failure as absent anyway).
+    */
+  private def writeSchemaMarker(s: SparkSession, codesDir: String,
+      schema: org.apache.spark.sql.types.StructType): Unit = try {
+    val nullable = org.apache.spark.sql.types.StructType(
+      schema.fields.map(_.copy(nullable = true)))
+    val fs = hadoopFs(s, codesDir)
+    val tmp = new org.apache.hadoop.fs.Path(s"$codesDir/.${CodesSchemaMarker}.tmp")
+    val dst = new org.apache.hadoop.fs.Path(s"$codesDir/$CodesSchemaMarker")
+    val out = fs.create(tmp, true)
+    try out.write(nullable.json.getBytes("UTF-8")) finally out.close()
+    fs.delete(dst, false)
+    if (!fs.rename(tmp, dst)) fs.delete(tmp, false)
+    ()
+  } catch { case _: Throwable => () } // marker is an optimization: absence is safe
+
+  /** Widen a live directory's marker to cover `incoming`'s columns BEFORE
+    * the data lands (see the superset-first invariant above). A directory
+    * with no marker derives its current union once via the legacy footer
+    * merge — the last time that cost is ever paid for this directory.
+    */
+  private def widenSchemaMarker(s: SparkSession, codesDir: String,
+      incoming: org.apache.spark.sql.types.StructType): Unit = {
+    val base = readSchemaMarker(s, codesDir).getOrElse(
+      s.read.option("mergeSchema", "true").parquet(codesDir).schema)
+    writeSchemaMarker(s, codesDir, unionSchemas(base, incoming))
+  }
+
+  /** Name-keyed field union, first-seen order and type. The writers here
+    * never change a column's type; if debris ever disagrees, the read path
+    * would fail as loudly as mergeSchema does on incompatible footers.
+    */
+  private[graft] def unionSchemas(a: org.apache.spark.sql.types.StructType,
+      b: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    val have = a.fieldNames.toSet
+    org.apache.spark.sql.types.StructType(
+      a.fields ++ b.fields.filterNot(f => have.contains(f.name)))
+  }
 }
